@@ -1,0 +1,69 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Shared loaders + column helpers for the driver testdata
+  * (TESTDATA.md: TPC-H-ish tables + `events` stream stand-in).
+  *
+  * Determinism contract with the DuckDB oracle: every floating-point
+  * result is derived from EXACT intermediates (decimal sums, integer
+  * counts, min/max picks) combined with an IEEE-754 expression tree
+  * written identically on both sides, so values hash-match bit-exactly.
+  */
+object Core {
+
+  /** The driver testdata stores timestamps as parquet TIMESTAMP(NANOS),
+    * which Spark rejects; read them as nano longs and convert to
+    * microsecond timestamps (exact integer division — the underlying
+    * values are microsecond-aligned). The DuckDB oracle mirrors with
+    * CAST(col AS TIMESTAMP) (ns -> us). */
+  private val tsCols = Map(
+    "events" -> Seq("ts"),
+    "lineitem" -> Seq("l_shipdate"),
+    "orders" -> Seq("o_orderdate"))
+
+  def table(spark: SparkSession, dir: String, name: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    tsCols.getOrElse(name, Nil).foldLeft(df) { (d, c) =>
+      d.schema.find(_.name == c) match {
+        case Some(f) if f.dataType == org.apache.spark.sql.types.LongType =>
+          d.withColumn(c, timestamp_micros(expr(s"$c div 1000")))
+        case _ => d
+      }
+    }
+  }
+
+  /** DuckDB-side sources with ns->us timestamp normalization, so both
+    * engines compare microsecond timestamps. */
+  val sqlEvents = "(SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events)"
+  val sqlLineitem = "(SELECT * REPLACE (CAST(l_shipdate AS TIMESTAMP) AS l_shipdate) FROM lineitem)"
+  val sqlOrders = "(SELECT * REPLACE (CAST(o_orderdate AS TIMESTAMP) AS o_orderdate) FROM orders)"
+
+  def events(spark: SparkSession, dir: String): DataFrame    = table(spark, dir, "events")
+  def lineitem(spark: SparkSession, dir: String): DataFrame  = table(spark, dir, "lineitem")
+  def orders(spark: SparkSession, dir: String): DataFrame    = table(spark, dir, "orders")
+  def customer(spark: SparkSession, dir: String): DataFrame  = table(spark, dir, "customer")
+  def supplier(spark: SparkSession, dir: String): DataFrame  = table(spark, dir, "supplier")
+  def part(spark: SparkSession, dir: String): DataFrame      = table(spark, dir, "part")
+  def nation(spark: SparkSession, dir: String): DataFrame    = table(spark, dir, "nation")
+  def region(spark: SparkSession, dir: String): DataFrame    = table(spark, dir, "region")
+  def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")
+  def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")
+
+  /** P5 — floor a timestamp to its 5-minute bucket (reference:
+    * spark_consumer.py:110-111 `floor(unix_timestamp/300)*300`).
+    * Integer microsecond math — exact, and byte-identical to DuckDB's
+    * `make_timestamp((epoch_us(ts) // 300000000) * 300000000)`. */
+  def bucket5m(ts: Column): Column =
+    timestamp_micros((floor(unix_micros(ts) / lit(3.0e8)) * lit(3.0e8)).cast("long"))
+
+  /** Same, for use on a column literally named `ts`. */
+  val bucket5mSql = "make_timestamp((epoch_us(ts) // 300000000) * 300000000)"
+
+  /** Exact decimal view of a 2-decimal double column (prices/quantities
+    * in the testdata carry <=2 decimals; the cast is deterministic and
+    * identical in Spark and DuckDB). */
+  def dec2(c: Column): Column = c.cast("decimal(18,2)")
+}

@@ -1,0 +1,197 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** The reference's "second engine": the MariaDB view layer
+  * (create_database.py:76-190) re-expressed as single-pass Spark window
+  * expressions over 5-minute OHLCV bars (SURVEY.md W1-W8, J2, J3).
+  *
+  * The reference needed a 7-way view join (create_database.py:240-258)
+  * because every indicator lived in its own SQL view; here they are all
+  * window expressions over one DataFrame, so the join disappears — one
+  * scan, one sort, zero joins.
+  *
+  * Scale note: the reference orders one global series (no PARTITION BY),
+  * which is inherently single-task. `indicatorsBy` is the partitioned
+  * variant (per event_type = per symbol) that parallelizes; the global
+  * form is kept for reference parity.
+  *
+  * Numeric determinism vs the DuckDB oracle: window sums run on
+  * DECIMAL (exact, order-independent — DuckDB evaluates window
+  * aggregates with segment trees, so double sums would differ in the
+  * last ulp); doubles are derived from the exact sums with identical
+  * IEEE expression trees on both sides.
+  */
+object Indicators extends QueryModule {
+
+  /** 5-min OHLCV bars from `events` (P5 time bucketing + A-style agg).
+    * open/close pick by min/max event_id (event_id is ts-ordered in the
+    * testdata; the pick is deterministic either way). */
+  def bars(spark: SparkSession, dir: String): DataFrame =
+    Core.events(spark, dir)
+      .groupBy(Core.bucket5m(col("ts")).as("bucket"))
+      .agg(
+        min_by(col("value"), col("event_id")).as("open"),
+        max(col("value")).as("high"),
+        min(col("value")).as("low"),
+        max_by(col("value"), col("event_id")).as("close"),
+        count(lit(1)).as("volume"))
+
+  val barsSql: String =
+    s"""SELECT make_timestamp((epoch_us(ts) // 300000000) * 300000000) AS bucket,
+      |       arg_min(value, event_id) AS "open", max(value) AS high,
+      |       min(value) AS low, arg_max(value, event_id) AS "close",
+      |       count(*) AS volume
+      |FROM ${Core.sqlEvents} GROUP BY 1""".stripMargin
+
+  /** W1-W7 in one pass: vol_MA6/20, price_MA20, Bollinger(20,2) distances,
+    * stochastic(14+current), price_change, ATR(14+current).
+    * Frame quirks preserved: MAs use p-1 PRECEDING; stoch/ATR use
+    * 14 PRECEDING (15-row window) — create_database.py:142-146,161. */
+  def indicators(spark: SparkSession, dir: String): DataFrame =
+    withIndicators(bars(spark, dir))
+
+  def withIndicators(b: DataFrame): DataFrame = {
+    val w = Window.orderBy("bucket")
+    def fr(n: Int) = w.rowsBetween(-(n - 1), 0)
+    def cntd(n: Int) = count(lit(1)).over(fr(n)).cast("double")
+    val closeDec = col("close").cast("decimal(18,2)")
+    def volMa(n: Int) = sum(col("volume")).over(fr(n)).cast("double") / cntd(n)
+    val s1d = sum(closeDec).over(fr(20)).cast("double")
+    val s2d = sum(closeDec * closeDec).over(fr(20)).cast("double")
+    val c20 = cntd(20)
+    val avg20 = s1d / c20
+    // population stddev (MariaDB STD semantics — SURVEY W4) from exact sums
+    val std20 = sqrt(greatest((s2d - s1d * s1d / c20) / c20, lit(0.0)))
+    val min15 = min(col("close")).over(fr(15))
+    val max15 = max(col("close")).over(fr(15))
+    b.select(
+      col("bucket"), col("close"), col("volume"),
+      volMa(6).as("vol_ma6"),
+      volMa(20).as("vol_ma20"),
+      (sum(closeDec).over(fr(20)).cast("double") / c20).as("price_ma20"),
+      ((avg20 + lit(2.0) * std20) - col("close")).as("upper_bb_dist"),
+      (col("close") - (avg20 - lit(2.0) * std20)).as("lower_bb_dist"),
+      when(max15 === min15, lit(null).cast("double"))
+        .otherwise((col("close") - min15) / (max15 - min15)).as("stoch"),
+      (col("close") - lag(col("close"), 1).over(w)).as("price_change"),
+      (sum((col("high") - col("low")).cast("decimal(18,6)")).over(fr(15))
+        .cast("double") / cntd(15)).as("atr"))
+  }
+
+  val indicatorsSql: String =
+    s"""WITH bars AS ($barsSql)
+       |SELECT bucket, "close", volume,
+       |  CAST(SUM(volume) OVER w6 AS DOUBLE) / CAST(COUNT(*) OVER w6 AS DOUBLE) AS vol_ma6,
+       |  CAST(SUM(volume) OVER w20 AS DOUBLE) / CAST(COUNT(*) OVER w20 AS DOUBLE) AS vol_ma20,
+       |  CAST(SUM(CAST("close" AS DECIMAL(18,2))) OVER w20 AS DOUBLE) / CAST(COUNT(*) OVER w20 AS DOUBLE) AS price_ma20,
+       |  ((s1d / c20 + 2.0 * std20) - "close") AS upper_bb_dist,
+       |  ("close" - (s1d / c20 - 2.0 * std20)) AS lower_bb_dist,
+       |  CASE WHEN max15 = min15 THEN NULL ELSE ("close" - min15) / (max15 - min15) END AS stoch,
+       |  ("close" - LAG("close", 1) OVER (ORDER BY bucket)) AS price_change,
+       |  CAST(SUM(CAST(high - low AS DECIMAL(18,6))) OVER w15 AS DOUBLE) / CAST(COUNT(*) OVER w15 AS DOUBLE) AS atr
+       |FROM (
+       |  SELECT *,
+       |    CAST(SUM(CAST("close" AS DECIMAL(18,2))) OVER w20 AS DOUBLE) AS s1d,
+       |    CAST(SUM(CAST("close" AS DECIMAL(18,2)) * CAST("close" AS DECIMAL(18,2))) OVER w20 AS DOUBLE) AS s2d,
+       |    CAST(COUNT(*) OVER w20 AS DOUBLE) AS c20,
+       |    MIN("close") OVER w15 AS min15, MAX("close") OVER w15 AS max15,
+       |    sqrt(greatest((s2d - s1d * s1d / c20) / c20, 0.0)) AS std20
+       |  FROM bars
+       |  WINDOW w20 AS (ORDER BY bucket ROWS BETWEEN 19 PRECEDING AND CURRENT ROW),
+       |         w15 AS (ORDER BY bucket ROWS BETWEEN 14 PRECEDING AND CURRENT ROW)
+       |)
+       |WINDOW w6 AS (ORDER BY bucket ROWS BETWEEN 5 PRECEDING AND CURRENT ROW),
+       |       w20 AS (ORDER BY bucket ROWS BETWEEN 19 PRECEDING AND CURRENT ROW),
+       |       w15 AS (ORDER BY bucket ROWS BETWEEN 14 PRECEDING AND CURRENT ROW)""".stripMargin
+
+  /** W8 — forward-looking multi-label targets (create_database.py:166-190):
+    * LEAD(close,8/15) vs close +/- n*ATR, n1=1.5 n2=3.0; NULL comparisons
+    * at the series tail fall to ELSE 0, as in the reference. */
+  def targets(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.orderBy("bucket")
+    def fr(n: Int) = w.rowsBetween(-(n - 1), 0)
+    val atr = sum((col("high") - col("low")).cast("decimal(18,6)")).over(fr(15))
+      .cast("double") / count(lit(1)).over(fr(15)).cast("double")
+    val p8 = lead(col("close"), 8).over(w)
+    val p15 = lead(col("close"), 15).over(w)
+    bars(spark, dir).select(
+      col("bucket"), col("close").as("p0_close"),
+      p8.as("p8_close"), p15.as("p15_close"), atr.as("atr"),
+      when(p8 >= col("close") + lit(1.5) * atr, 1).otherwise(0).as("up1"),
+      when(p15 >= col("close") + lit(3.0) * atr, 1).otherwise(0).as("up2"),
+      when(p8 <= col("close") - lit(1.5) * atr, 1).otherwise(0).as("down1"),
+      when(p15 <= col("close") - lit(3.0) * atr, 1).otherwise(0).as("down2"))
+  }
+
+  val targetsSql: String =
+    s"""WITH bars AS ($barsSql)
+       |SELECT bucket, p0_close, p8_close, p15_close, atr,
+       |  CASE WHEN p8_close >= p0_close + 1.5 * atr THEN 1 ELSE 0 END AS up1,
+       |  CASE WHEN p15_close >= p0_close + 3.0 * atr THEN 1 ELSE 0 END AS up2,
+       |  CASE WHEN p8_close <= p0_close - 1.5 * atr THEN 1 ELSE 0 END AS down1,
+       |  CASE WHEN p15_close <= p0_close - 3.0 * atr THEN 1 ELSE 0 END AS down2
+       |FROM (
+       |  SELECT bucket, "close" AS p0_close,
+       |    LEAD("close", 8) OVER (ORDER BY bucket) AS p8_close,
+       |    LEAD("close", 15) OVER (ORDER BY bucket) AS p15_close,
+       |    CAST(SUM(CAST(high - low AS DECIMAL(18,6))) OVER w15 AS DOUBLE) / CAST(COUNT(*) OVER w15 AS DOUBLE) AS atr
+       |  FROM bars
+       |  WINDOW w15 AS (ORDER BY bucket ROWS BETWEEN 14 PRECEDING AND CURRENT ROW)
+       |)""".stripMargin
+
+  /** Scalable variant: same indicators partitioned by a series key
+    * (event_type stands in for symbol). This is the form that holds at
+    * 100 TB — each series is an independent window partition, so the
+    * sort parallelizes across executors instead of collapsing to one
+    * task. Oracle-checked like the global form. */
+  def indicatorsBy(spark: SparkSession, dir: String): DataFrame = {
+    val b = Core.events(spark, dir)
+      .groupBy(col("event_type"), Core.bucket5m(col("ts")).as("bucket"))
+      .agg(
+        max(col("value")).as("high"), min(col("value")).as("low"),
+        max_by(col("value"), col("event_id")).as("close"),
+        count(lit(1)).as("volume"))
+    val w = Window.partitionBy("event_type").orderBy("bucket")
+    def fr(n: Int) = w.rowsBetween(-(n - 1), 0)
+    def cntd(n: Int) = count(lit(1)).over(fr(n)).cast("double")
+    val closeDec = col("close").cast("decimal(18,2)")
+    b.select(
+      col("event_type"), col("bucket"), col("close"),
+      (sum(closeDec).over(fr(20)).cast("double") / cntd(20)).as("price_ma20"),
+      (sum(col("volume")).over(fr(6)).cast("double") / cntd(6)).as("vol_ma6"),
+      (col("close") - lag(col("close"), 1).over(w)).as("price_change"),
+      (sum((col("high") - col("low")).cast("decimal(18,6)")).over(fr(15))
+        .cast("double") / cntd(15)).as("atr"))
+  }
+
+  val indicatorsBySql: String =
+    s"""WITH bars AS (
+      |  SELECT event_type, make_timestamp((epoch_us(ts) // 300000000) * 300000000) AS bucket,
+      |         max(value) AS high, min(value) AS low,
+      |         arg_max(value, event_id) AS "close", count(*) AS volume
+      |  FROM ${Core.sqlEvents} GROUP BY 1, 2)
+      |SELECT event_type, bucket, "close",
+      |  CAST(SUM(CAST("close" AS DECIMAL(18,2))) OVER w20 AS DOUBLE) / CAST(COUNT(*) OVER w20 AS DOUBLE) AS price_ma20,
+      |  CAST(SUM(volume) OVER w6 AS DOUBLE) / CAST(COUNT(*) OVER w6 AS DOUBLE) AS vol_ma6,
+      |  ("close" - LAG("close", 1) OVER (PARTITION BY event_type ORDER BY bucket)) AS price_change,
+      |  CAST(SUM(CAST(high - low AS DECIMAL(18,6))) OVER w15 AS DOUBLE) / CAST(COUNT(*) OVER w15 AS DOUBLE) AS atr
+      |FROM bars
+      |WINDOW w20 AS (PARTITION BY event_type ORDER BY bucket ROWS BETWEEN 19 PRECEDING AND CURRENT ROW),
+      |       w6 AS (PARTITION BY event_type ORDER BY bucket ROWS BETWEEN 5 PRECEDING AND CURRENT ROW),
+      |       w15 AS (PARTITION BY event_type ORDER BY bucket ROWS BETWEEN 14 PRECEDING AND CURRENT ROW)""".stripMargin
+
+  override def queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    "bars_5min" -> ((s, d) => bars(s, d)),
+    "indicators" -> ((s, d) => indicators(s, d)),
+    "targets" -> ((s, d) => targets(s, d)),
+    "indicators_by_type" -> ((s, d) => indicatorsBy(s, d)))
+
+  override def oracle: Seq[(String, String)] = Seq(
+    "bars_5min" -> barsSql,
+    "indicators" -> indicatorsSql,
+    "targets" -> targetsSql,
+    "indicators_by_type" -> indicatorsBySql)
+}

@@ -1,0 +1,96 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** A1/A2 — the dataloader's chunked min-max normalization
+  * (sql_pytorch_dataloader.py:90-144): per-chunk MIN/MAX per column
+  * with the epsilon bump on degenerate ranges (max += max*0.001, or
+  * 0.001 when max == 0), plus the book-wide pooling of per-level size
+  * ranges via least/greatest.
+  *
+  * The reference issued 2 SQL queries per chunk (82 round trips);
+  * here one grouped aggregation computes every chunk's params in a
+  * single distributed pass — chunk id is a pure function of event_id,
+  * so the groupBy partial-aggregates map-side before one shuffle.
+  */
+object Normalize extends QueryModule {
+
+  private val chunk = (col("event_id") / lit(1000)).cast("long").as("chunk")
+
+  /** Per-chunk min/max of the price-like and json-decoded columns with
+    * the reference's epsilon bump, plus pooled book size range (A2)
+    * from the synthesized book sizes. */
+  def chunkMinmax(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Core.events(spark, dir)
+      .select(col("event_id"), col("value"),
+        get_json_object(col("props"), "$.k").cast("int").as("k"),
+        ((col("event_id") * 3 + 0) % 101).as("bs0"),
+        ((col("event_id") * 5 + 3) % 103).as("as0"))
+    def bump(mn: Column, mx: Column): Column =
+      when(mn === mx, when(mx =!= 0.0, mx + mx * lit(0.001)).otherwise(lit(0.001))).otherwise(mx)
+    val g = ev.groupBy(chunk).agg(
+      min(col("value")).as("value_min"), max(col("value")).as("value_max_raw"),
+      min(col("k")).cast("int").as("k_min"), max(col("k")).cast("int").as("k_max_raw"),
+      least(min(col("bs0")), min(col("as0"))).as("book_size_min"),
+      greatest(max(col("bs0")), max(col("as0"))).as("book_size_max"))
+    g.select(col("chunk"),
+      col("value_min"), bump(col("value_min"), col("value_max_raw")).as("value_max"),
+      col("k_min"),
+      bump(col("k_min").cast("double"), col("k_max_raw").cast("double")).as("k_max"),
+      col("book_size_min"), col("book_size_max"))
+  }
+
+  val chunkMinmaxSql: String =
+    s"""WITH ev AS (
+       |  SELECT event_id, value,
+       |    CAST(json_extract_string(props, '$$.k') AS INTEGER) AS k,
+       |    (event_id * 3 + 0) % 101 AS bs0, (event_id * 5 + 3) % 103 AS as0
+       |  FROM ${Core.sqlEvents}),
+       |g AS (
+       |  SELECT CAST(event_id // 1000 AS BIGINT) AS chunk,
+       |    min(value) AS value_min, max(value) AS value_max_raw,
+       |    CAST(min(k) AS INTEGER) AS k_min, CAST(max(k) AS INTEGER) AS k_max_raw,
+       |    least(CAST(min(bs0) AS BIGINT), CAST(min(as0) AS BIGINT)) AS book_size_min,
+       |    greatest(CAST(max(bs0) AS BIGINT), CAST(max(as0) AS BIGINT)) AS book_size_max
+       |  FROM ev GROUP BY 1)
+       |SELECT chunk, value_min,
+       |  CASE WHEN value_min = value_max_raw
+       |       THEN CASE WHEN value_max_raw <> 0.0 THEN value_max_raw + value_max_raw * 0.001 ELSE 0.001 END
+       |       ELSE value_max_raw END AS value_max,
+       |  k_min,
+       |  CASE WHEN CAST(k_min AS DOUBLE) = CAST(k_max_raw AS DOUBLE)
+       |       THEN CASE WHEN CAST(k_max_raw AS DOUBLE) <> 0.0 THEN CAST(k_max_raw AS DOUBLE) + CAST(k_max_raw AS DOUBLE) * 0.001 ELSE 0.001 END
+       |       ELSE CAST(k_max_raw AS DOUBLE) END AS k_max,
+       |  book_size_min, book_size_max
+       |FROM g""".stripMargin
+
+  /** A1 applied — min-max normalize `value` within its chunk
+    * (sql_pytorch_dataloader.py:239 `(x - min) / (max - min)`), the
+    * params joined back via a broadcast (params << data). */
+  def minmaxNormalize(spark: SparkSession, dir: String): DataFrame = {
+    val params = chunkMinmax(spark, dir)
+      .select(col("chunk"), col("value_min"), col("value_max"))
+    Core.events(spark, dir)
+      .withColumn("chunk", chunk)
+      .join(broadcast(params), "chunk")
+      .select(col("event_id"),
+        ((col("value") - col("value_min")) / (col("value_max") - col("value_min")))
+          .as("value_norm"))
+  }
+
+  val minmaxNormalizeSql: String =
+    s"""WITH params AS (SELECT chunk, value_min, value_max FROM ($chunkMinmaxSql))
+       |SELECT e.event_id,
+       |  (e.value - p.value_min) / (p.value_max - p.value_min) AS value_norm
+       |FROM (SELECT *, CAST(event_id // 1000 AS BIGINT) AS chunk FROM ${Core.sqlEvents}) e
+       |JOIN params p USING (chunk)""".stripMargin
+
+  override def queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    "chunk_minmax" -> ((s, d) => chunkMinmax(s, d)),
+    "minmax_normalize" -> ((s, d) => minmaxNormalize(s, d)))
+
+  override def oracle: Seq[(String, String)] = Seq(
+    "chunk_minmax" -> chunkMinmaxSql,
+    "minmax_normalize" -> minmaxNormalizeSql)
+}

@@ -1,0 +1,205 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** General relational coverage over the TPC-H-ish tables: the
+  * aggregation (A1-A3), join (J2/J4-shaped), dedup (O1/O4) and top-k
+  * (O2) operators from SURVEY.md §2 exercised at bench scale.
+  *
+  * Scale notes (100 TB): the fact-side scans (`lineitem`, `orders`)
+  * aggregate with map-side partial aggregation before the shuffle;
+  * dimension joins (`customer`, `nation`, `region`, `supplier`) are
+  * explicitly broadcast — no fact-fact shuffle join anywhere here.
+  * Filters/projections sit directly on the parquet scan so pushdown
+  * and column pruning reach the reader.
+  */
+object Relational extends QueryModule {
+
+  /** TPC-H Q1-shaped pricing summary: wide partial-agg groupBy.
+    * Decimal sums (exact) cast to double for the oracle. */
+  /** Narrow decimal casts keep DuckDB's product widths under its
+    * 38-digit cap while staying exact (price <= 7 int digits, disc/tax
+    * 2-decimal fractions). */
+  private val price = col("l_extendedprice").cast("decimal(12,2)")
+  private val disc = col("l_discount").cast("decimal(4,2)")
+  private val tax = col("l_tax").cast("decimal(4,2)")
+  private val one = lit(1).cast("decimal(3,2)")
+
+  def pricingSummary(spark: SparkSession, dir: String): DataFrame = {
+    val li = Core.lineitem(spark, dir)
+    li.groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(Core.dec2(col("l_quantity"))).cast("double").as("sum_qty"),
+        sum(price).cast("double").as("sum_base_price"),
+        sum(price * (one - disc)).cast("double").as("sum_disc_price"),
+        sum(price * (one - disc) * (one + tax)).cast("double").as("sum_charge"),
+        (sum(Core.dec2(col("l_quantity"))).cast("double") / count(lit(1)).cast("double")).as("avg_qty"),
+        (sum(disc).cast("double") / count(lit(1)).cast("double")).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+  }
+
+  val pricingSummarySql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_disc_price,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2))) * (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE) AS sum_charge,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_qty,
+      |  CAST(SUM(CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_disc,
+      |  COUNT(*) AS count_order
+      |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin
+
+  /** J2-shaped wide equi-join with broadcast dimensions: revenue by
+    * nation/region through customer -> orders -> lineitem. The dims are
+    * broadcast (customer at TPC-H scale is small relative to lineitem;
+    * at true 100 TB customer would be bucket-joined instead — noted). */
+  def revenueByNation(spark: SparkSession, dir: String): DataFrame = {
+    val li = Core.lineitem(spark, dir)
+    val o = Core.orders(spark, dir)
+    val c = Core.customer(spark, dir)
+    val n = Core.nation(spark, dir)
+    val r = Core.region(spark, dir)
+    val rev = price * (one - disc)
+    li.join(broadcast(o), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(sum(rev).cast("double").as("revenue"), count(lit(1)).as("n_items"))
+  }
+
+  val revenueByNationSql: String =
+    """SELECT r_name, n_name,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+      |  COUNT(*) AS n_items
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY r_name, n_name""".stripMargin
+
+  /** O2 — latest-point selection per series (getMarketData.py:198-206
+    * "keep only the newest data point"): deterministic row_number pick. */
+  def latestPoint(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("event_type").orderBy(col("ts").desc, col("event_id").desc)
+    Core.events(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("event_type"), col("ts"), col("value"))
+  }
+
+  val latestPointSql: String =
+    s"""SELECT event_type, ts, value FROM (
+      |  SELECT event_type, ts, value,
+      |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY ts DESC, event_id DESC) AS rn
+      |  FROM ${Core.sqlEvents}) WHERE rn = 1""".stripMargin
+
+  /** O1 — dropDuplicates after the wide join (spark_consumer.py:477);
+    * batch analogue: DISTINCT on a projection. */
+  def dedupRows(spark: SparkSession, dir: String): DataFrame =
+    Core.events(spark, dir)
+      .select(col("user_id"), col("event_type"))
+      .dropDuplicates()
+
+  val dedupRowsSql: String =
+    s"SELECT DISTINCT user_id, event_type FROM ${Core.sqlEvents}"
+
+  /** S7 — cross-run anti-join dedup (economic_indicators_spider.py:42-48):
+    * events in the last day of the month not already seen (same
+    * user_id+event_type) earlier in the month. */
+  def antiJoinNew(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Core.events(spark, dir)
+      .withColumn("vbucket", floor(col("value") / lit(10.0)).cast("long"))
+    val cutoff = expr("TIMESTAMP '2024-01-30 00:00:00'")
+    val fresh = ev.filter(col("ts") >= cutoff)
+    val seen = ev.filter(col("ts") < cutoff)
+      .select("user_id", "event_type", "vbucket").dropDuplicates()
+    fresh.join(seen, Seq("user_id", "event_type", "vbucket"), "left_anti")
+      .select(col("event_id"), col("user_id"), col("event_type"))
+  }
+
+  val antiJoinNewSql: String =
+    s"""SELECT event_id, user_id, event_type FROM
+      |  (SELECT *, CAST(floor(value / 10.0) AS BIGINT) AS vbucket FROM ${Core.sqlEvents}) e
+      |WHERE e.ts >= TIMESTAMP '2024-01-30 00:00:00'
+      |  AND NOT EXISTS (
+      |    SELECT 1 FROM (SELECT *, CAST(floor(value / 10.0) AS BIGINT) AS vbucket FROM ${Core.sqlEvents}) s
+      |    WHERE s.ts < TIMESTAMP '2024-01-30 00:00:00'
+      |      AND s.user_id = e.user_id AND s.event_type = e.event_type
+      |      AND s.vbucket = e.vbucket)""".stripMargin
+
+  /** S8 — sparse-to-dense template fill (config.py:56-66): pivot
+    * event_type counts per user over the full 5-type template, missing
+    * combinations filled with 0. */
+  def templateFill(spark: SparkSession, dir: String): DataFrame = {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    Core.events(spark, dir)
+      .groupBy(col("user_id"))
+      .pivot("event_type", types)
+      .agg(count(lit(1)))
+      .na.fill(0)
+  }
+
+  val templateFillSql: String =
+    s"""SELECT user_id,
+      |  CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS "click",
+      |  CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS "error",
+      |  CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS "purchase",
+      |  CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS "signup",
+      |  CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS "view"
+      |FROM ${Core.sqlEvents} GROUP BY user_id""".stripMargin
+
+  /** P2/P11 — JSON decode with schema (from_json over the `props`
+    * column) + lenient numeric cast, the Kafka-payload decode shape
+    * (spark_consumer.py:102-103). */
+  def jsonDecode(spark: SparkSession, dir: String): DataFrame =
+    Core.events(spark, dir)
+      .select(
+        col("event_id"),
+        get_json_object(col("props"), "$.k").cast("int").as("k"),
+        Core.bucket5m(col("ts")).as("bucket"))
+
+  val jsonDecodeSql: String =
+    s"""SELECT event_id,
+       |  CAST(json_extract_string(props, '$$.k') AS INTEGER) AS k,
+       |  ${Core.bucket5mSql} AS bucket
+       |FROM ${Core.sqlEvents}""".stripMargin
+
+  /** P12 — stale-message filter (predict.py:128-135): keep only rows
+    * within 4 minutes of the stream's high-water mark (current_timestamp
+    * replaced by max(ts) for determinism). */
+  def staleFilter(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Core.events(spark, dir)
+    val mx = ev.agg(max(col("ts")).as("mx"))
+    ev.crossJoin(broadcast(mx))
+      .filter(col("ts") >= col("mx") - expr("INTERVAL 4 MINUTES"))
+      .select(col("event_id"), col("ts"), col("event_type"), col("value"))
+  }
+
+  val staleFilterSql: String =
+    s"""SELECT event_id, ts, event_type, value FROM ${Core.sqlEvents}
+      |WHERE ts >= (SELECT max(ts) FROM ${Core.sqlEvents}) - INTERVAL 4 MINUTES""".stripMargin
+
+  override def queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    "pricing_summary" -> ((s, d) => pricingSummary(s, d)),
+    "revenue_by_nation" -> ((s, d) => revenueByNation(s, d)),
+    "latest_point" -> ((s, d) => latestPoint(s, d)),
+    "dedup_rows" -> ((s, d) => dedupRows(s, d)),
+    "anti_join_new" -> ((s, d) => antiJoinNew(s, d)),
+    "template_fill" -> ((s, d) => templateFill(s, d)),
+    "json_decode" -> ((s, d) => jsonDecode(s, d)),
+    "stale_filter" -> ((s, d) => staleFilter(s, d)))
+
+  override def oracle: Seq[(String, String)] = Seq(
+    "pricing_summary" -> pricingSummarySql,
+    "revenue_by_nation" -> revenueByNationSql,
+    "latest_point" -> latestPointSql,
+    "dedup_rows" -> dedupRowsSql,
+    "anti_join_new" -> antiJoinNewSql,
+    "template_fill" -> templateFillSql,
+    "json_decode" -> jsonDecodeSql,
+    "stale_filter" -> staleFilterSql)
+}
