@@ -13,7 +13,10 @@ object SparkEntry {
     Relational,
     Book,
     Joins,
-    Normalize)
+    Normalize,
+    TextDedup,
+    Similarity,
+    Multimodal)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
     * the full reference pipeline — 5-min bars -> indicator layer. */

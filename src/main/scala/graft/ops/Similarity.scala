@@ -1,0 +1,148 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the `embeddings` table (north-star
+  * extension): brute-force cosine top-k as the exactness baseline, and
+  * a random-hyperplane LSH-bucketed variant as the scale path.
+  *
+  * Determinism: dot products fold left-to-right over the 64 dims with
+  * an explicit aggregate (both engines evaluate the identical IEEE
+  * sequence; float -> double casts are exact), so cosines hash-match
+  * the DuckDB oracle bit-for-bit. No libm transcendentals (sqrt is
+  * IEEE-exact).
+  *
+  * Scale: brute force is O(Q*N*d) — fine for a broadcast query set
+  * against a partitioned corpus (each executor scans its corpus slice;
+  * no shuffle until the per-query top-k, which is a tiny aggregate).
+  * The LSH variant buckets the corpus once (linear) and restricts each
+  * query to its bucket — the 100 TB path, trading recall for a ~2^p
+  * candidate reduction.
+  */
+object Similarity extends QueryModule {
+
+  private val dims = 64
+
+  /** Left-to-right fold of products: exact mirror of the DuckDB
+    * list_reduce(list_prepend(0.0, ...)) below. */
+  private def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  private def dotSql(a: String, b: String): String =
+    s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       | list_transform(range(1, $dims + 1), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))),
+       | (acc, x) -> acc + x)""".stripMargin.replace("\n", " ")
+
+  /** Brute-force cosine top-5 neighbors for the query subset
+    * (vec_id % 50 == 0): the exactness baseline for ANN. */
+  def cosineTopK(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Core.embeddings(spark, dir)
+    val q = emb.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val joined = emb.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        (dot(col("qvec"), col("embedding")) /
+          (sqrt(dot(col("qvec"), col("qvec"))) * sqrt(dot(col("embedding"), col("embedding")))))
+          .as("cosine"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("cosine").desc, col("vec_id"))
+    joined.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("qid"), col("vec_id"), col("cosine"), col("rank"))
+  }
+
+  val cosineTopKSql: String =
+    s"""WITH q AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id % 50 = 0),
+       |scored AS (
+       |  SELECT q.qid, e.vec_id,
+       |    ${dotSql("q.qvec", "e.embedding")} /
+       |      (sqrt(${dotSql("q.qvec", "q.qvec")}) * sqrt(${dotSql("e.embedding", "e.embedding")})) AS cosine
+       |  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.qid),
+       |ranked AS (
+       |  SELECT qid, vec_id, cosine,
+       |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS "rank"
+       |  FROM scored)
+       |SELECT qid, vec_id, cosine, CAST("rank" AS INTEGER) AS "rank" FROM ranked WHERE "rank" <= 5""".stripMargin
+
+  /** Random-hyperplane LSH: p deterministic integer hyperplanes
+    * (LCG-derived coefficients), sign bits packed into a bucket id.
+    * Linear pass; bucket is the shuffle key at scale. */
+  private val planes = 8
+
+  private def planeCoef(p: Int): Column => Column = i =>
+    (((lit(1103515245L) * (lit(p.toLong * dims) + i) + lit(12345L)) % lit(2001L)) - lit(1000L)).cast("double")
+
+  private def lshBucket(v: Column): Column =
+    (0 until planes).map { p =>
+      val coefs = transform(sequence(lit(0), lit(dims - 1)), planeCoef(p))
+      val d = aggregate(
+        zip_with(v, coefs, (x, c) => x.cast("double") * c),
+        lit(0.0), (acc, x) => acc + x)
+      when(d >= 0.0, lit(1L << p)).otherwise(lit(0L))
+    }.reduceLeft[Column](_ + _)
+
+  private def lshBucketSql(v: String): String =
+    (0 until planes).map { p =>
+      val coefs = s"list_transform(range(0, $dims), i -> CAST(((1103515245 * (${p.toLong * dims} + i) + 12345) % 2001) - 1000 AS DOUBLE))"
+      val d = s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                 | list_transform(range(1, $dims + 1), i -> CAST($v[i] AS DOUBLE) * ($coefs)[i])),
+                 | (acc, x) -> acc + x)""".stripMargin.replace("\n", " ")
+      s"(CASE WHEN ($d) >= 0.0 THEN CAST(${1L << p} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+    }.mkString(" + ")
+
+  /** Corpus bucketing (vec_id -> LSH bucket) — the index-build pass. */
+  def lshBuckets(spark: SparkSession, dir: String): DataFrame =
+    Core.embeddings(spark, dir)
+      .select(col("vec_id"), lshBucket(col("embedding")).as("bucket"))
+
+  val lshBucketsSql: String =
+    s"SELECT vec_id, ${lshBucketSql("embedding")} AS bucket FROM embeddings"
+
+  /** ANN via LSH: same query set, candidates restricted to the query's
+    * bucket, cosine top-5 within bucket. */
+  def annLshTopK(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Core.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"), lshBucket(col("embedding")).as("bucket"))
+    val q = emb.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"), col("bucket"))
+    val joined = emb.join(broadcast(q), Seq("bucket"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        (dot(col("qvec"), col("embedding")) /
+          (sqrt(dot(col("qvec"), col("qvec"))) * sqrt(dot(col("embedding"), col("embedding")))))
+          .as("cosine"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("cosine").desc, col("vec_id"))
+    joined.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("qid"), col("vec_id"), col("cosine"), col("rank"))
+  }
+
+  val annLshTopKSql: String =
+    s"""WITH b AS (SELECT vec_id, embedding, ${lshBucketSql("embedding")} AS bucket FROM embeddings),
+       |q AS (SELECT vec_id AS qid, embedding AS qvec, bucket FROM b WHERE vec_id % 50 = 0),
+       |scored AS (
+       |  SELECT q.qid, e.vec_id,
+       |    ${dotSql("q.qvec", "e.embedding")} /
+       |      (sqrt(${dotSql("q.qvec", "q.qvec")}) * sqrt(${dotSql("e.embedding", "e.embedding")})) AS cosine
+       |  FROM b e JOIN q ON e.bucket = q.bucket WHERE e.vec_id <> q.qid),
+       |ranked AS (
+       |  SELECT qid, vec_id, cosine,
+       |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS "rank"
+       |  FROM scored)
+       |SELECT qid, vec_id, cosine, CAST("rank" AS INTEGER) AS "rank" FROM ranked WHERE "rank" <= 5""".stripMargin
+
+  override def queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    "embed_cosine_topk" -> ((s, d) => cosineTopK(s, d)),
+    "embed_lsh_buckets" -> ((s, d) => lshBuckets(s, d)),
+    "embed_ann_lsh_topk" -> ((s, d) => annLshTopK(s, d)))
+
+  override def oracle: Seq[(String, String)] = Seq(
+    "embed_cosine_topk" -> cosineTopKSql,
+    "embed_lsh_buckets" -> lshBucketsSql,
+    "embed_ann_lsh_topk" -> annLshTopKSql)
+}

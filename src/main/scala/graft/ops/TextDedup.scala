@@ -1,0 +1,300 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Large-scale training-data pipeline text ops (north-star extensions
+  * beyond the reference — builder brief): tokenization, language-ID
+  * heuristic, quality scoring, document fingerprinting, and the dedup
+  * family (exact, n-gram Jaccard, MinHash+LSH, SimHash) over the
+  * `documents` table.
+  *
+  * Everything is a pure Catalyst expression pipeline (split /
+  * higher-order transform / aggregate / explode / groupBy) — no UDFs,
+  * so whole-stage codegen applies and the DuckDB oracle can rebuild
+  * every value with its list lambdas.
+  *
+  * Cross-engine hash: Spark's hash()/xxhash64 and DuckDB's hash()
+  * differ, so token/shingle hashing uses an explicit polynomial
+  * char hash mod 1000003 (expressible identically in both engines;
+  * no 64-bit overflow anywhere, since DuckDB errors on BIGINT
+  * overflow while Spark wraps).
+  *
+  * Scale notes: exact dedup and MinHash banding are shuffle-by-key
+  * (hash partition on digest / band key) — the 100 TB path. The
+  * all-pairs Jaccard/SimHash-pair queries are quadratic verification
+  * baselines; at scale the LSH candidate set replaces the cross join.
+  */
+object TextDedup extends QueryModule {
+
+  // --- shared builders ----------------------------------------------------
+
+  private val P = 1000003L
+
+  /** Polynomial char hash mod P: fold (acc*31 + codepoint) % P. */
+  private def charHash(s: Column): Column =
+    when(length(s) < 1, lit(0L)).otherwise(
+      aggregate(
+        transform(sequence(lit(1), length(s)), i => ascii(s.substr(i, lit(1))).cast("long")),
+        lit(0L),
+        (acc, c) => (acc * lit(31L) + c) % lit(P)))
+
+  /** Same, over a SQL expression string. */
+  private def charHashSql(s: String): String =
+    s"""(CASE WHEN length($s) < 1 THEN 0
+       | ELSE list_reduce(
+       |   list_prepend(CAST(0 AS BIGINT),
+       |     list_transform(range(1, length($s) + 1), i -> CAST(ascii($s[i]) AS BIGINT))),
+       |   (acc, c) -> (acc * 31 + c) % $P) END)""".stripMargin.replace("\n", " ")
+
+  private val toks = split(col("text"), " ")
+  private val toksSql = "string_split(text, ' ')"
+
+  /** Token 3-grams as strings (guarded: <3 tokens -> empty). */
+  private val ngrams: Column =
+    when(size(toks) < 3, array().cast("array<string>")).otherwise(
+      transform(sequence(lit(1), size(toks) - 2), i =>
+        concat_ws(" ", element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2))))
+
+  private val ngramsSql: String =
+    s"list_transform(range(1, len($toksSql) - 1), i -> $toksSql[i] || ' ' || $toksSql[i+1] || ' ' || $toksSql[i+2])"
+
+  // --- text analysis ------------------------------------------------------
+
+  /** Token counting: whitespace tokens + a char-class proxy for BPE-ish
+    * subword count (chars/4 rounded up — a common heuristic). */
+  def textTokens(spark: SparkSession, dir: String): DataFrame =
+    Core.documents(spark, dir).select(
+      col("doc_id"),
+      length(col("text")).as("n_chars_calc"),
+      size(toks).as("n_tokens"),
+      ((length(col("text")) + lit(3)) / lit(4)).cast("int").as("n_subwords_est"),
+      (length(col("text")).cast("double") / size(toks).cast("double")).as("chars_per_token"))
+
+  val textTokensSql: String =
+    s"""SELECT doc_id,
+       |  CAST(length(text) AS INTEGER) AS n_chars_calc,
+       |  CAST(len($toksSql) AS INTEGER) AS n_tokens,
+       |  CAST((length(text) + 3) // 4 AS INTEGER) AS n_subwords_est,
+       |  CAST(length(text) AS DOUBLE) / CAST(len($toksSql) AS DOUBLE) AS chars_per_token
+       |FROM documents""".stripMargin
+
+  /** Language-ID heuristic: English stopword density over tokens
+    * (n-gram-free variant suited to the whitespace corpus). */
+  def langId(spark: SparkSession, dir: String): DataFrame = {
+    val stops = filter(toks, t => t === "the" || t === "a")
+    val ratio = size(stops).cast("double") / size(toks).cast("double")
+    Core.documents(spark, dir).select(
+      col("doc_id"), col("lang").as("lang_declared"),
+      size(toks).as("n_tokens"), size(stops).as("n_stopwords"),
+      ratio.as("stop_ratio"),
+      when(ratio >= 0.08, lit("en")).otherwise(lit("unk")).as("lang_pred"))
+  }
+
+  val langIdSql: String =
+    s"""SELECT doc_id, lang AS lang_declared,
+       |  CAST(len($toksSql) AS INTEGER) AS n_tokens,
+       |  CAST(len(list_filter($toksSql, t -> t = 'the' OR t = 'a')) AS INTEGER) AS n_stopwords,
+       |  CAST(len(list_filter($toksSql, t -> t = 'the' OR t = 'a')) AS DOUBLE) / CAST(len($toksSql) AS DOUBLE) AS stop_ratio,
+       |  CASE WHEN CAST(len(list_filter($toksSql, t -> t = 'the' OR t = 'a')) AS DOUBLE) / CAST(len($toksSql) AS DOUBLE) >= 0.08
+       |       THEN 'en' ELSE 'unk' END AS lang_pred
+       |FROM documents""".stripMargin
+
+  /** Quality scoring: unique-token ratio, stopword ratio, length gate,
+    * combined as a weighted score (all exact ratios -> deterministic). */
+  def textQuality(spark: SparkSession, dir: String): DataFrame = {
+    val nTok = size(toks).cast("double")
+    val uniq = size(array_distinct(toks)).cast("double") / nTok
+    val stop = size(filter(toks, t => t === "the" || t === "a")).cast("double") / nTok
+    val lenOk = when(length(col("text")).between(100, 400), lit(1.0)).otherwise(lit(0.0))
+    Core.documents(spark, dir).select(
+      col("doc_id"),
+      uniq.as("unique_ratio"), stop.as("stop_ratio"), lenOk.as("len_ok"),
+      (lit(0.5) * uniq + lit(0.2) * (lit(1.0) - stop) + lit(0.3) * lenOk).as("quality_score"))
+  }
+
+  val textQualitySql: String = {
+    val nTok = s"CAST(len($toksSql) AS DOUBLE)"
+    val uniq = s"(CAST(len(list_distinct($toksSql)) AS DOUBLE) / $nTok)"
+    val stop = s"(CAST(len(list_filter($toksSql, t -> t = 'the' OR t = 'a')) AS DOUBLE) / $nTok)"
+    val lenOk = "(CASE WHEN length(text) BETWEEN 100 AND 400 THEN 1.0 ELSE 0.0 END)"
+    s"""SELECT doc_id,
+       |  $uniq AS unique_ratio, $stop AS stop_ratio, CAST($lenOk AS DOUBLE) AS len_ok,
+       |  0.5 * $uniq + 0.2 * (1.0 - $stop) + 0.3 * CAST($lenOk AS DOUBLE) AS quality_score
+       |FROM documents""".stripMargin
+  }
+
+  /** Document fingerprint: rolling polynomial hash of the full text. */
+  def docFingerprint(spark: SparkSession, dir: String): DataFrame =
+    Core.documents(spark, dir).select(
+      col("doc_id"),
+      charHash(col("text")).as("fingerprint"),
+      md5(col("text").cast("binary")).as("digest_md5"))
+
+  val docFingerprintSql: String =
+    s"""SELECT doc_id,
+       |  ${charHashSql("text")} AS fingerprint,
+       |  md5(text) AS digest_md5
+       |FROM documents""".stripMargin
+
+  // --- dedup family -------------------------------------------------------
+
+  /** Exact dedup: hash-groupBy on content digest; canonical survivor =
+    * min doc_id. Shuffle is on the digest — the 100 TB form. */
+  def dedupExact(spark: SparkSession, dir: String): DataFrame =
+    Core.documents(spark, dir)
+      .groupBy(md5(col("text").cast("binary")).as("digest"))
+      .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("keep_id"))
+
+  val dedupExactSql: String =
+    """SELECT md5(text) AS digest, count(*) AS n_copies, min(doc_id) AS keep_id
+      |FROM documents GROUP BY 1""".stripMargin
+
+  /** N-gram Jaccard near-dup pairs (verification baseline, quadratic in
+    * shared n-grams): distinct (doc, 3-gram) -> self-join on the n-gram
+    * -> per-pair intersection -> Jaccard >= 0.5. */
+  def ngramJaccardPairs(spark: SparkSession, dir: String): DataFrame = {
+    val dn = Core.documents(spark, dir)
+      .select(col("doc_id"), explode(ngrams).as("ng")).distinct()
+    val sz = dn.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = dn.as("a").join(dn.as("b"),
+        col("a.ng") === col("b.ng") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    inter
+      .join(broadcast(sz.withColumnsRenamed(Map("doc_id" -> "doc_a", "n" -> "na"))), "doc_a")
+      .join(broadcast(sz.withColumnsRenamed(Map("doc_id" -> "doc_b", "n" -> "nb"))), "doc_b")
+      .withColumn("jaccard",
+        col("n_shared").cast("double") / (col("na") + col("nb") - col("n_shared")).cast("double"))
+      .filter(col("jaccard") >= 0.5)
+      .select(col("doc_a"), col("doc_b"), col("n_shared"), col("jaccard"))
+  }
+
+  val ngramJaccardPairsSql: String =
+    s"""WITH dn AS (
+       |  SELECT DISTINCT doc_id, unnest($ngramsSql) AS ng FROM documents),
+       |sz AS (SELECT doc_id, count(*) AS n FROM dn GROUP BY 1),
+       |inter AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+       |  FROM dn a JOIN dn b ON a.ng = b.ng AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT doc_a, doc_b, n_shared,
+       |  CAST(n_shared AS DOUBLE) / CAST(sa.n + sb.n - n_shared AS DOUBLE) AS jaccard
+       |FROM inter JOIN sz sa ON doc_a = sa.doc_id JOIN sz sb ON doc_b = sb.doc_id
+       |WHERE CAST(n_shared AS DOUBLE) / CAST(sa.n + sb.n - n_shared AS DOUBLE) >= 0.5""".stripMargin
+
+  /** MinHash + LSH banding: k=8 permutations (a*h+b mod P) over shingle
+    * hashes -> 4 bands of 2 rows -> candidate pairs sharing a band.
+    * Shuffles on doc_id (signature agg) then band key (bucket join) —
+    * linear in corpus size; the scale path for near-dup dedup. */
+  private val perms: Seq[(Long, Long)] = Seq(
+    (131L, 7L), (137L, 11L), (139L, 13L), (149L, 17L),
+    (151L, 19L), (157L, 23L), (163L, 29L), (167L, 31L))
+
+  def minhashLshCandidates(spark: SparkSession, dir: String): DataFrame = {
+    val sh = Core.documents(spark, dir)
+      .select(col("doc_id"), explode(ngrams).as("ng")).distinct()
+      .withColumn("h", charHash(col("ng")))
+    val minCols = perms.zipWithIndex.map { case ((a, b), j) =>
+      min((col("h") * lit(a) + lit(b)) % lit(P)).as(s"m$j")
+    }
+    val sig = sh.groupBy("doc_id").agg(minCols.head, minCols.tail: _*)
+    val bands = (0 until 4).map { bnd =>
+      sig.select(col("doc_id"), lit(bnd).as("band"),
+        (col(s"m${2 * bnd}") * lit(P) + col(s"m${2 * bnd + 1}")).as("bkey"))
+    }.reduce(_.unionAll(_))
+    bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b")).distinct()
+  }
+
+  val minhashLshCandidatesSql: String = {
+    val minExprs = perms.zipWithIndex.map { case ((a, b), j) =>
+      s"min((h * $a + $b) % $P) AS m$j"
+    }.mkString(", ")
+    val bandSelects = (0 until 4).map { bnd =>
+      s"SELECT doc_id, $bnd AS band, m${2 * bnd} * $P + m${2 * bnd + 1} AS bkey FROM sig"
+    }.mkString(" UNION ALL ")
+    s"""WITH sh AS (
+       |  SELECT doc_id, ${charHashSql("ng")} AS h FROM (
+       |    SELECT DISTINCT doc_id, unnest($ngramsSql) AS ng FROM documents)),
+       |sig AS (SELECT doc_id, $minExprs FROM sh GROUP BY doc_id),
+       |bands AS ($bandSelects)
+       |SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |FROM bands x JOIN bands y
+       |  ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id""".stripMargin
+  }
+
+  /** SimHash (32-bit) from 3-gram shingle hashes with multiplicity:
+    * per-bit +1/-1 majority vote -> packed long. (Shingles, not
+    * tokens: the corpus vocabulary is tiny, so token-level votes are
+    * correlated across unrelated docs; the ~10^4 shingle space
+    * discriminates.) */
+  def simhash(spark: SparkSession, dir: String): DataFrame = {
+    val tok = Core.documents(spark, dir)
+      .select(col("doc_id"), explode(ngrams).as("t"))
+      .withColumn("h", charHash(col("t")))
+    val bitSums = (0 until 32).map { j =>
+      sum(when(shiftright(col("h"), j).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L)).as(s"s$j")
+    }
+    val packed = (0 until 32).map { j =>
+      when(col(s"s$j") > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduceLeft[Column](_ + _)
+    tok.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"), packed.as("simhash"))
+  }
+
+  val simhashSql: String = {
+    val bitSums = (0 until 32).map { j =>
+      s"CAST(SUM(CASE WHEN ((h >> $j) & 1) = 1 THEN 1 ELSE -1 END) AS BIGINT) AS s$j"
+    }.mkString(", ")
+    val packed = (0 until 32).map { j =>
+      s"(CASE WHEN s$j > 0 THEN CAST(${1L << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+    }.mkString(" + ")
+    s"""WITH tok AS (
+       |  SELECT doc_id, ${charHashSql("t")} AS h FROM (
+       |    SELECT doc_id, unnest($ngramsSql) AS t FROM documents)),
+       |sums AS (SELECT doc_id, $bitSums FROM tok GROUP BY doc_id)
+       |SELECT doc_id, $packed AS simhash FROM sums""".stripMargin
+  }
+
+  /** SimHash near-dup pairs: hamming(bit_count(xor)) <= 4 over all pairs
+    * (baseline; LSH-bucket by simhash bytes at scale). */
+  def simhashPairs(spark: SparkSession, dir: String): DataFrame = {
+    val s = simhash(spark, dir)
+    s.as("a").join(s.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .withColumn("hamming", bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))))
+      .filter(col("hamming") <= 4)
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"), col("hamming"))
+  }
+
+  val simhashPairsSql: String =
+    s"""WITH s AS ($simhashSql)
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+       |FROM s a JOIN s b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.simhash, b.simhash)) <= 4""".stripMargin
+
+  override def queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    "text_tokens" -> ((s, d) => textTokens(s, d)),
+    "lang_id" -> ((s, d) => langId(s, d)),
+    "text_quality" -> ((s, d) => textQuality(s, d)),
+    "doc_fingerprint" -> ((s, d) => docFingerprint(s, d)),
+    "dedup_exact" -> ((s, d) => dedupExact(s, d)),
+    "ngram_jaccard_pairs" -> ((s, d) => ngramJaccardPairs(s, d)),
+    "minhash_lsh_candidates" -> ((s, d) => minhashLshCandidates(s, d)),
+    "simhash" -> ((s, d) => simhash(s, d)),
+    "simhash_pairs" -> ((s, d) => simhashPairs(s, d)))
+
+  override def oracle: Seq[(String, String)] = Seq(
+    "text_tokens" -> textTokensSql,
+    "lang_id" -> langIdSql,
+    "text_quality" -> textQualitySql,
+    "doc_fingerprint" -> docFingerprintSql,
+    "dedup_exact" -> dedupExactSql,
+    "ngram_jaccard_pairs" -> ngramJaccardPairsSql,
+    "minhash_lsh_candidates" -> minhashLshCandidatesSql,
+    "simhash" -> simhashSql,
+    "simhash_pairs" -> simhashPairsSql)
+}

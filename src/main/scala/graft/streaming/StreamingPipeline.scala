@@ -1,0 +1,89 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The reference's streaming layer (SURVEY.md §2.9) rebuilt on Spark 4
+  * Structured Streaming. Works on any streaming DataFrame with
+  * (event_id long, ts timestamp, event_type string, value double) —
+  * in tests a MemoryStream, in production a Kafka source with the
+  * same downstream plan (S1: the source swap is one `readStream`
+  * line; the plan below is source-agnostic).
+  *
+  * What the reference could NOT do on Spark 2.4.4 and we can:
+  * chained stateful operators in append mode (Spark >= 3.4) — the
+  * rolling aggregations it pushed out to MariaDB views run in-stream
+  * here (`streamingBars`), and dedup state is watermark-bounded
+  * (`dropDuplicatesWithinWatermark`) instead of unbounded.
+  */
+object StreamingPipeline {
+
+  /** P5 — 5-min floor bucket (streaming-safe expression). */
+  def bucket5m(ts: Column): Column =
+    timestamp_micros((floor(unix_micros(ts) / lit(3.0e8)) * lit(3.0e8)).cast("long"))
+
+  /** P1-P7 shape on a raw JSON stream: decode with explicit schema,
+    * flatten, parse timestamp, bucket, fill — the per-topic pipeline
+    * of spark_consumer.py:102-111 (any of the 5 sources). */
+  def decodeJsonStream(raw: DataFrame, schemaDdl: String): DataFrame =
+    raw.selectExpr("CAST(value AS STRING) AS json")
+      .select(from_json(col("json"), org.apache.spark.sql.types.StructType.fromDDL(schemaDdl)).as("m"))
+      .select(col("m.*"))
+      .withColumn("ts", to_timestamp(col("Timestamp"), "yyyy-MM-dd HH:mm:ss"))
+      .drop("Timestamp")
+      .withColumn("bucket", bucket5m(col("ts")))
+
+  /** J1 — watermarked interval join: equal 5-min bucket AND
+    * right.ts in [left.ts, left.ts + 3 min], both sides watermarked
+    * 5 min (spark_consumer.py:434-477). The bucket equi-key bounds the
+    * symmetric-hash state and makes the join hash-partitionable. */
+  def intervalJoin(left: DataFrame, right: DataFrame): DataFrame = {
+    val l = left.withColumn("bucket", bucket5m(col("ts")))
+      .withColumnRenamed("ts", "l_ts").withWatermark("l_ts", "5 minutes")
+    val r = right.withColumn("bucket", bucket5m(col("ts")))
+      .withColumnRenamed("ts", "r_ts").withWatermark("r_ts", "5 minutes")
+    l.join(r,
+      l("bucket") === r("bucket") &&
+        col("r_ts") >= col("l_ts") &&
+        col("r_ts") <= col("l_ts") + expr("INTERVAL 3 MINUTES"),
+      "inner")
+  }
+
+  /** A5 unlocked — the streaming windowed aggregation the reference
+    * had to abandon (spark_consumer.py:116-149, README:137-141):
+    * tumbling 5-min OHLCV-style bars with watermark-gated append
+    * emission. Chained stateful ops are legal in Spark >= 3.4, so
+    * downstream joins/aggs can consume this directly. */
+  def streamingBars(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "5 minutes")
+      .groupBy(window(col("ts"), "5 minutes").as("w"))
+      .agg(
+        max(col("value")).as("high"),
+        min(col("value")).as("low"),
+        max_by(col("value"), col("ts")).as("close"),
+        count(lit(1)).as("volume"))
+      .select(col("w.start").as("bucket"), col("high"), col("low"), col("close"), col("volume"))
+
+  /** O1 streaming — watermark-bounded dedup
+    * (dropDuplicatesWithinWatermark, Spark >= 3.5): replaces the
+    * reference's unbounded-state dropDuplicates. */
+  def dedupWithinWatermark(events: DataFrame, keys: Seq[String]): DataFrame =
+    events.withWatermark("ts", "5 minutes")
+      .dropDuplicatesWithinWatermark(keys)
+
+  /** K1 — the foreachBatch sink shape (spark_consumer.py:68-84):
+    * empty-batch skip + idempotent batchId-keyed append (the
+    * production fix SURVEY §7.3 calls out: the reference's JDBC append
+    * was at-least-once; keying by batchId makes replays overwrite). */
+  def foreachBatchParquetSink(df: DataFrame, outDir: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    df.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          batch.withColumn("batch_id", lit(batchId))
+            .write.mode("append").parquet(outDir)
+        }
+      }
+}

@@ -1,0 +1,33 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Similarity
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("cosine in [-1, 1]; self excluded; exactly 5 per query") {
+    val tk = Similarity.cosineTopK(spark, sf0001).cache()
+    assert(tk.filter(abs($"cosine") > 1.0 + 1e-12).isEmpty)
+    assert(tk.filter($"qid" === $"vec_id").isEmpty)
+    val counts = tk.groupBy("qid").count().select("count").as[Long].collect()
+    assert(counts.forall(_ == 5))
+  }
+
+  test("lsh buckets: all vectors bucketed, bucket in [0, 255]") {
+    val b = Similarity.lshBuckets(spark, sf0001).cache()
+    assert(b.count() == graft.ops.Core.embeddings(spark, sf0001).count())
+    assert(b.filter($"bucket" < 0 || $"bucket" > 255).isEmpty)
+  }
+
+  test("ann-lsh results are a subset of brute-force candidates' quality") {
+    val ann = Similarity.annLshTopK(spark, sf0001).cache()
+    // every ANN hit shares the query's bucket by construction; sanity:
+    // rank-1 ANN cosine can't exceed rank-1 exact cosine
+    val exact1 = Similarity.cosineTopK(spark, sf0001)
+      .filter($"rank" === 1).select($"qid", $"cosine".as("best"))
+    val ann1 = ann.filter($"rank" === 1).select($"qid", $"cosine".as("annbest"))
+    val viol = exact1.join(ann1, "qid").filter($"annbest" > $"best" + 1e-12)
+    assert(viol.isEmpty)
+  }
+}
