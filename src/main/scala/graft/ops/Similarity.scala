@@ -39,14 +39,17 @@ object Similarity extends QueryModule {
   /** Brute-force cosine top-5 neighbors for the query subset
     * (vec_id % 50 == 0): the exactness baseline for ANN. */
   def cosineTopK(spark: SparkSession, dir: String): DataFrame = {
+    // norms precomputed per row (pure CSE: identical values, ~3x less
+    // work than re-deriving both norms for every (query, corpus) pair)
     val emb = Core.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"),
+        sqrt(dot(col("embedding"), col("embedding"))).as("norm"))
     val q = emb.filter(col("vec_id") % 50 === 0)
-      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"), col("norm").as("qnorm"))
     val joined = emb.crossJoin(broadcast(q))
       .filter(col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id"),
-        (dot(col("qvec"), col("embedding")) /
-          (sqrt(dot(col("qvec"), col("qvec"))) * sqrt(dot(col("embedding"), col("embedding")))))
+        (dot(col("qvec"), col("embedding")) / (col("qnorm") * col("norm")))
           .as("cosine"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("qid").orderBy(col("cosine").desc, col("vec_id"))
@@ -106,14 +109,16 @@ object Similarity extends QueryModule {
     * bucket, cosine top-5 within bucket. */
   def annLshTopK(spark: SparkSession, dir: String): DataFrame = {
     val emb = Core.embeddings(spark, dir)
-      .select(col("vec_id"), col("embedding"), lshBucket(col("embedding")).as("bucket"))
+      .select(col("vec_id"), col("embedding"),
+        sqrt(dot(col("embedding"), col("embedding"))).as("norm"),
+        lshBucket(col("embedding")).as("bucket"))
     val q = emb.filter(col("vec_id") % 50 === 0)
-      .select(col("vec_id").as("qid"), col("embedding").as("qvec"), col("bucket"))
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"),
+        col("norm").as("qnorm"), col("bucket"))
     val joined = emb.join(broadcast(q), Seq("bucket"))
       .filter(col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id"),
-        (dot(col("qvec"), col("embedding")) /
-          (sqrt(dot(col("qvec"), col("qvec"))) * sqrt(dot(col("embedding"), col("embedding")))))
+        (dot(col("qvec"), col("embedding")) / (col("qnorm") * col("norm")))
           .as("cosine"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("qid").orderBy(col("cosine").desc, col("vec_id"))

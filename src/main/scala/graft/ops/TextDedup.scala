@@ -31,13 +31,12 @@ object TextDedup extends QueryModule {
 
   private val P = 1000003L
 
-  /** Polynomial char hash mod P: fold (acc*31 + codepoint) % P. */
-  private def charHash(s: Column): Column =
-    when(length(s) < 1, lit(0L)).otherwise(
-      aggregate(
-        transform(sequence(lit(1), length(s)), i => ascii(s.substr(i, lit(1))).cast("long")),
-        lit(0L),
-        (acc, c) => (acc * lit(31L) + c) % lit(P)))
+  /** Polynomial char hash mod P: fold (acc*31 + codepoint) % P.
+    * Native codegen'd Expression (graft.functions.PolyHash) — the HOF
+    * composition (aggregate/transform/sequence) computes the same
+    * value but interprets three lambda layers per char and was the
+    * sf0.1 bench hot spot across the dedup family. */
+  private def charHash(s: Column): Column = graft.functions.poly_hash(s)
 
   /** Same, over a SQL expression string. */
   private def charHashSql(s: String): String =
@@ -47,8 +46,15 @@ object TextDedup extends QueryModule {
        |     list_transform(range(1, length($s) + 1), i -> CAST(ascii($s[i]) AS BIGINT))),
        |   (acc, c) -> (acc * 31 + c) % $P) END)""".stripMargin.replace("\n", " ")
 
-  private val toks = split(col("text"), " ")
   private val toksSql = "string_split(text, ' ')"
+
+  /** Token array materialized once as a column: HOF lambdas get no
+    * common-subexpression elimination, so referencing split(text)
+    * inside the trigram lambda would re-split the text per element
+    * (O(len^2) per doc — measured 2x on the dedup family at sf0.1). */
+  private def withToks(df: DataFrame): DataFrame =
+    df.withColumn("toks", split(col("text"), " "))
+  private val toks = col("toks")
 
   /** Token 3-grams as strings (guarded: <3 tokens -> empty). */
   private val ngrams: Column =
@@ -64,7 +70,7 @@ object TextDedup extends QueryModule {
   /** Token counting: whitespace tokens + a char-class proxy for BPE-ish
     * subword count (chars/4 rounded up — a common heuristic). */
   def textTokens(spark: SparkSession, dir: String): DataFrame =
-    Core.documents(spark, dir).select(
+    withToks(Core.documents(spark, dir)).select(
       col("doc_id"),
       length(col("text")).as("n_chars_calc"),
       size(toks).as("n_tokens"),
@@ -84,7 +90,7 @@ object TextDedup extends QueryModule {
   def langId(spark: SparkSession, dir: String): DataFrame = {
     val stops = filter(toks, t => t === "the" || t === "a")
     val ratio = size(stops).cast("double") / size(toks).cast("double")
-    Core.documents(spark, dir).select(
+    withToks(Core.documents(spark, dir)).select(
       col("doc_id"), col("lang").as("lang_declared"),
       size(toks).as("n_tokens"), size(stops).as("n_stopwords"),
       ratio.as("stop_ratio"),
@@ -107,7 +113,7 @@ object TextDedup extends QueryModule {
     val uniq = size(array_distinct(toks)).cast("double") / nTok
     val stop = size(filter(toks, t => t === "the" || t === "a")).cast("double") / nTok
     val lenOk = when(length(col("text")).between(100, 400), lit(1.0)).otherwise(lit(0.0))
-    Core.documents(spark, dir).select(
+    withToks(Core.documents(spark, dir)).select(
       col("doc_id"),
       uniq.as("unique_ratio"), stop.as("stop_ratio"), lenOk.as("len_ok"),
       (lit(0.5) * uniq + lit(0.2) * (lit(1.0) - stop) + lit(0.3) * lenOk).as("quality_score"))
@@ -126,7 +132,7 @@ object TextDedup extends QueryModule {
 
   /** Document fingerprint: rolling polynomial hash of the full text. */
   def docFingerprint(spark: SparkSession, dir: String): DataFrame =
-    Core.documents(spark, dir).select(
+    withToks(Core.documents(spark, dir)).select(
       col("doc_id"),
       charHash(col("text")).as("fingerprint"),
       md5(col("text").cast("binary")).as("digest_md5"))
@@ -154,7 +160,7 @@ object TextDedup extends QueryModule {
     * shared n-grams): distinct (doc, 3-gram) -> self-join on the n-gram
     * -> per-pair intersection -> Jaccard >= 0.5. */
   def ngramJaccardPairs(spark: SparkSession, dir: String): DataFrame = {
-    val dn = Core.documents(spark, dir)
+    val dn = withToks(Core.documents(spark, dir))
       .select(col("doc_id"), explode(ngrams).as("ng")).distinct()
     val sz = dn.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inter = dn.as("a").join(dn.as("b"),
@@ -192,7 +198,7 @@ object TextDedup extends QueryModule {
     (151L, 19L), (157L, 23L), (163L, 29L), (167L, 31L))
 
   def minhashLshCandidates(spark: SparkSession, dir: String): DataFrame = {
-    val sh = Core.documents(spark, dir)
+    val sh = withToks(Core.documents(spark, dir))
       .select(col("doc_id"), explode(ngrams).as("ng")).distinct()
       .withColumn("h", charHash(col("ng")))
     val minCols = perms.zipWithIndex.map { case ((a, b), j) =>
@@ -232,7 +238,7 @@ object TextDedup extends QueryModule {
     * correlated across unrelated docs; the ~10^4 shingle space
     * discriminates.) */
   def simhash(spark: SparkSession, dir: String): DataFrame = {
-    val tok = Core.documents(spark, dir)
+    val tok = withToks(Core.documents(spark, dir))
       .select(col("doc_id"), explode(ngrams).as("t"))
       .withColumn("h", charHash(col("t")))
     val bitSums = (0 until 32).map { j =>
