@@ -157,10 +157,10 @@ object Relational extends QueryModule {
     * (spark_consumer.py:102-103). */
   def jsonDecode(spark: SparkSession, dir: String): DataFrame =
     Core.events(spark, dir)
-      .select(
-        col("event_id"),
-        get_json_object(col("props"), "$.k").cast("int").as("k"),
+      .select(col("event_id"),
+        from_json(col("props"), org.apache.spark.sql.types.StructType.fromDDL("k INT")).as("m"),
         Core.bucket5m(col("ts")).as("bucket"))
+      .select(col("event_id"), col("m.k").as("k"), col("bucket"))
 
   val jsonDecodeSql: String =
     s"""SELECT event_id,
