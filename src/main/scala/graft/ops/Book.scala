@@ -178,13 +178,46 @@ object Book extends QueryModule {
        |FROM ${Core.sqlEvents}""".stripMargin
   }
 
+  /** S2/P6 — the IEX book-restructure shape (getMarketData.py:117-127
+    * reshapes bids/asks lists into numbered levels): array-of-struct
+    * levels -> posexplode generator -> one row per (event, level).
+    * The inverse of the wide numbered-column layout. */
+  def bookLevels(spark: SparkSession, dir: String): DataFrame = {
+    val bidArr = array((0 until nLevels).map(i =>
+      struct(bid(i).as("price"), bidSize(i).as("sz"))): _*)
+    val askArr = array((0 until nLevels).map(i =>
+      struct(ask(i).as("price"), askSize(i).as("sz"))): _*)
+    Core.events(spark, dir)
+      .select(col("event_id"), posexplode(bidArr).as(Seq("level", "b")),
+        askArr.as("asks"))
+      .select(col("event_id"), col("level"),
+        col("b.price").as("bid_price"), col("b.sz").as("bid_size"),
+        element_at(col("asks"), col("level") + 1).getField("price").as("ask_price"),
+        element_at(col("asks"), col("level") + 1).getField("sz").as("ask_size"))
+  }
+
+  val bookLevelsSql: String = {
+    val perLevel = (0 until nLevels).map { i =>
+      s"""SELECT event_id, $i AS "level",
+         |  (value - ${bidOff(i)}) AS bid_price,
+         |  (CASE WHEN ((event_id * ${2 * i + 3} + ${7 * i}) % 101) < 5 THEN 0 ELSE ((event_id * ${2 * i + 3} + ${7 * i}) % 101) * 10 END) AS bid_size,
+         |  (value + ${askOff(i)}) AS ask_price,
+         |  (CASE WHEN ((event_id * ${2 * i + 5} + ${11 * i + 3}) % 103) < 5 THEN 0 ELSE ((event_id * ${2 * i + 5} + ${11 * i + 3}) % 103) * 10 END) AS ask_size
+         |FROM ${Core.sqlEvents}""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""SELECT event_id, CAST("level" AS INTEGER) AS "level", bid_price, bid_size, ask_price, ask_size
+       |FROM ($perLevel)""".stripMargin
+  }
+
   override def queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "book_features" -> ((s, d) => bookFeatures(s, d)),
     "candle_features" -> ((s, d) => candleFeatures(s, d)),
-    "calendar_features" -> ((s, d) => calendarFeatures(s, d)))
+    "calendar_features" -> ((s, d) => calendarFeatures(s, d)),
+    "book_levels" -> ((s, d) => bookLevels(s, d)))
 
   override def oracle: Seq[(String, String)] = Seq(
     "book_features" -> bookFeaturesSql,
     "candle_features" -> candleFeaturesSql,
-    "calendar_features" -> calendarFeaturesSql)
+    "calendar_features" -> calendarFeaturesSql,
+    "book_levels" -> bookLevelsSql)
 }

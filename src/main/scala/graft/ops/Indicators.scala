@@ -183,15 +183,38 @@ object Indicators extends QueryModule {
       |       w6 AS (PARTITION BY event_type ORDER BY bucket ROWS BETWEEN 5 PRECEDING AND CURRENT ROW),
       |       w15 AS (PARTITION BY event_type ORDER BY bucket ROWS BETWEEN 14 PRECEDING AND CURRENT ROW)""".stripMargin
 
+  /** A5 — the sliding-window aggregation the reference abandoned
+    * (spark_consumer.py:116-149: Spark 2.4.4 forbade a second streaming
+    * aggregation, so it moved to MariaDB). Batch form of the native
+    * `window(ts, "5 minutes", "1 minute")` sliding group-by; the
+    * streaming form lives in graft.streaming. Each event lands in 5
+    * overlapping windows; decimal sums keep the avg oracle-exact. */
+  def slidingWindowAvg(spark: SparkSession, dir: String): DataFrame =
+    Core.events(spark, dir)
+      .groupBy(window(col("ts"), "5 minutes", "1 minute").as("w"))
+      .agg(
+        (sum(Core.dec2(col("value"))).cast("double") / count(lit(1)).cast("double")).as("avg_value"),
+        count(lit(1)).as("n"))
+      .select(col("w.start").as("win_start"), col("avg_value"), col("n"))
+
+  val slidingWindowAvgSql: String =
+    s"""SELECT make_timestamp(((epoch_us(ts) // 60000000) - r.k) * 60000000) AS win_start,
+       |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_value,
+       |  COUNT(*) AS n
+       |FROM ${Core.sqlEvents} e, range(0, 5) r(k)
+       |GROUP BY 1""".stripMargin
+
   override def queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "bars_5min" -> ((s, d) => bars(s, d)),
     "indicators" -> ((s, d) => indicators(s, d)),
     "targets" -> ((s, d) => targets(s, d)),
-    "indicators_by_type" -> ((s, d) => indicatorsBy(s, d)))
+    "indicators_by_type" -> ((s, d) => indicatorsBy(s, d)),
+    "sliding_window_avg" -> ((s, d) => slidingWindowAvg(s, d)))
 
   override def oracle: Seq[(String, String)] = Seq(
     "bars_5min" -> barsSql,
     "indicators" -> indicatorsSql,
     "targets" -> targetsSql,
-    "indicators_by_type" -> indicatorsBySql)
+    "indicators_by_type" -> indicatorsBySql,
+    "sliding_window_avg" -> slidingWindowAvgSql)
 }
