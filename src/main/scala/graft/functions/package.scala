@@ -10,8 +10,15 @@ package object functions {
   def poly_hash(c: Column): Column =
     GraftBridge.column(PolyHash(GraftBridge.expression(c)))
 
-  /** Register `poly_hash` for SQL use in the given session. */
-  def register(spark: SparkSession): Unit =
+  /** Left-to-right dot product of two float arrays (codegen'd). */
+  def dot_product(a: Column, b: Column): Column =
+    GraftBridge.column(DotProduct(GraftBridge.expression(a), GraftBridge.expression(b)))
+
+  /** Register the custom expressions for SQL use in the given session. */
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "poly_hash", exprs => PolyHash(exprs.head), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "dot_product", exprs => DotProduct(exprs(0), exprs(1)), "scala_udf")
+  }
 }

@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 
 /** J1 — the reference's interval (tolerance) stream-stream join
   * (spark_consumer.py:434-477): inner join on equal 5-min bucket AND
@@ -56,11 +57,58 @@ object Joins extends QueryModule {
     s"""SELECT DISTINCT deep_id, make_timestamp((epoch_us(deep_ts) // 300000000) * 300000000) AS bucket
        |FROM ($intervalJoinSql)""".stripMargin
 
+  /** As-of join — the operator J1 approximates with its bucket+range
+    * tolerance (SURVEY §2.4: "the poor man's as-of"): for each deep
+    * (purchase) event, the most recent vix (view) value at-or-before
+    * its timestamp. Composed from built-ins per the preference order —
+    * union the two sides, order by (ts, side-tag) so the right side
+    * sorts first at equal timestamps, and carry the last non-null
+    * right value forward (`last(ignoreNulls) over rowsBetween(-inf,0)`)
+    * — no custom planner node needed. Checked against DuckDB's native
+    * ASOF LEFT JOIN.
+    *
+    * Scale note: the global time order is single-partition here for
+    * oracle parity; production partitions by symbol/day (each series
+    * is an independent as-of domain), exactly like `indicatorsBy`. */
+  def asofJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Core.events(spark, dir)
+    val deep = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("deep_id"), col("ts"),
+        col("value").as("deep_value"), lit(1).as("tag"),
+        lit(null).cast("double").as("vix_raw"))
+    // right side deduped per timestamp (deterministic max-event pick)
+    val vix = ev.filter(col("event_type") === "view")
+      .groupBy(col("ts"))
+      .agg(max_by(col("value"), col("event_id")).as("vix_raw"))
+      .select(lit(null).cast("long").as("deep_id"), col("ts"),
+        lit(null).cast("double").as("deep_value"), lit(0).as("tag"), col("vix_raw"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("ts"), col("tag"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    deep.unionByName(vix)
+      .withColumn("vix_value", last(col("vix_raw"), ignoreNulls = true).over(w))
+      .filter(col("tag") === 1)
+      .select(col("deep_id"), col("ts").as("deep_ts"), col("deep_value"), col("vix_value"))
+  }
+
+  val asofJoinSql: String =
+    s"""WITH e AS (SELECT * FROM ${Core.sqlEvents}),
+       |deep AS (
+       |  SELECT event_id AS deep_id, ts, value AS deep_value
+       |  FROM e WHERE event_type = 'purchase'),
+       |vix AS (
+       |  SELECT ts, arg_max(value, event_id) AS vix_value
+       |  FROM e WHERE event_type = 'view' GROUP BY ts)
+       |SELECT d.deep_id, d.ts AS deep_ts, d.deep_value, v.vix_value
+       |FROM deep d ASOF LEFT JOIN vix v ON d.ts >= v.ts""".stripMargin
+
   override def queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "interval_join" -> ((s, d) => intervalJoin(s, d)),
-    "interval_join_dedup" -> ((s, d) => intervalJoinDedup(s, d)))
+    "interval_join_dedup" -> ((s, d) => intervalJoinDedup(s, d)),
+    "asof_join" -> ((s, d) => asofJoin(s, d)))
 
   override def oracle: Seq[(String, String)] = Seq(
     "interval_join" -> intervalJoinSql,
-    "interval_join_dedup" -> intervalJoinDedupSql)
+    "interval_join_dedup" -> intervalJoinDedupSql,
+    "asof_join" -> asofJoinSql)
 }

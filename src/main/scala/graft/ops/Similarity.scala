@@ -25,11 +25,12 @@ object Similarity extends QueryModule {
   private val dims = 64
 
   /** Left-to-right fold of products: exact mirror of the DuckDB
-    * list_reduce(list_prepend(0.0, ...)) below. */
+    * list_reduce(list_prepend(0.0, ...)) below. Native codegen'd
+    * expression (graft.functions.DotProduct) — same IEEE sequence as
+    * the HOF aggregate/zip_with form, without materializing a products
+    * array per pair. */
   private def dot(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, x) => acc + x)
+    graft.functions.dot_product(a, b)
 
   private def dotSql(a: String, b: String): String =
     s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),

@@ -1,7 +1,12 @@
 package graft.streaming
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.GroupStateTimeout
+
+/** Per-key running state carried across micro-batches (the custom
+  * stateful-operator surface: KeyValueGroupedDataset.mapGroupsWithState). */
+case class RunningAgg(key: String, n: Long, sum: Double, maxValue: Double)
 
 /** The reference's streaming layer (SURVEY.md §2.9) rebuilt on Spark 4
   * Structured Streaming. Works on any streaming DataFrame with
@@ -70,6 +75,32 @@ object StreamingPipeline {
   def dedupWithinWatermark(events: DataFrame, keys: Seq[String]): DataFrame =
     events.withWatermark("ts", "5 minutes")
       .dropDuplicatesWithinWatermark(keys)
+
+  /** Custom per-key state across micro-batches via mapGroupsWithState
+    * (the arbitrary-stateful surface the brief calls for): running
+    * count/sum/max per series key, emitted per update. The reference
+    * kept no cross-batch state in Spark at all (everything went to
+    * MariaDB); this is the in-engine form. Output mode: update. */
+  def runningStats(df: DataFrame): Dataset[RunningAgg] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("event_type").cast("string"), col("value").cast("double"))
+      .as[(String, Double)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[RunningAgg, RunningAgg](GroupStateTimeout.NoTimeout) {
+        (key, rows, state) =>
+          val prev = state.getOption.getOrElse(RunningAgg(key, 0L, 0.0, Double.MinValue))
+          var n = prev.n
+          var s = prev.sum
+          var mx = prev.maxValue
+          rows.foreach { r =>
+            n += 1; s += r._2; if (r._2 > mx) mx = r._2
+          }
+          val next = RunningAgg(key, n, s, mx)
+          state.update(next)
+          next
+      }
+  }
 
   /** K1 — the foreachBatch sink shape (spark_consumer.py:68-84):
     * empty-batch skip + idempotent batchId-keyed append (the

@@ -83,6 +83,62 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("decodeJsonStream: the per-topic Kafka decode pipeline (P1-P5), flat and nested") {
+    implicit val sqlCtx = spark.sqlContext
+    val src = MemoryStream[String]
+    val decoded = StreamingPipeline.decodeJsonStream(
+      src.toDF(), "VIX DOUBLE, Timestamp STRING")
+    val q = decoded.writeStream.format("memory").queryName("vix_out")
+      .outputMode("append").start()
+    try {
+      src.addData("""{"VIX": 16.04, "Timestamp": "2020-02-07 09:26:12"}""")
+      src.addData("""{"VIX": 17.5, "Timestamp": "2020-02-07 09:31:40", "junk": 1}""")
+      q.processAllAvailable()
+      val rows = spark.table("vix_out")
+        .select($"VIX", $"ts".cast("string"), $"bucket".cast("string"))
+        .as[(Double, String, String)].collect().sortBy(_._1)
+      assert(rows.length == 2)
+      assert(rows(0) == ((16.04, "2020-02-07 09:26:12", "2020-02-07 09:25:00")))
+      assert(rows(1)._3 == "2020-02-07 09:30:00") // unknown fields dropped, bucket floored
+    } finally q.stop()
+
+    // nested one-level struct (the COT message shape, FIXTURES A3)
+    val src2 = MemoryStream[String]
+    val nested = StreamingPipeline.decodeJsonStream(
+      src2.toDF(), "Asset STRUCT<long_pos: INT, short_pos: INT>, Timestamp STRING")
+      .select($"Asset.long_pos".as("lp"), $"Asset.short_pos".as("sp"), $"bucket")
+    val q2 = nested.writeStream.format("memory").queryName("cot_out")
+      .outputMode("append").start()
+    try {
+      src2.addData("""{"Asset": {"long_pos": 304136, "short_pos": 100790}, "Timestamp": "2020-01-15 11:29:58"}""")
+      q2.processAllAvailable()
+      val r = spark.table("cot_out").select("lp", "sp").as[(Int, Int)].collect()
+      assert(r.toSeq == Seq((304136, 100790)))
+    } finally q2.stop()
+  }
+
+  test("mapGroupsWithState: running per-key stats accumulate across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val src = MemoryStream[Ev]
+    val stats = StreamingPipeline.runningStats(src.toDF())
+    val q = stats.writeStream.format("memory").queryName("rs_out")
+      .outputMode("update").start()
+    try {
+      src.addData(
+        Ev(1, t("2024-01-01 10:00:00"), "a", 10.0),
+        Ev(2, t("2024-01-01 10:01:00"), "a", 30.0),
+        Ev(3, t("2024-01-01 10:02:00"), "b", 5.0))
+      q.processAllAvailable()
+      src.addData(Ev(4, t("2024-01-01 10:03:00"), "a", 2.0))
+      q.processAllAvailable()
+      // memory sink in update mode appends each update; take the last per key
+      val last = spark.table("rs_out")
+        .groupBy($"key").agg(max($"n").as("n"), max($"maxValue").as("mx"))
+        .as[(String, Long, Double)].collect().sortBy(_._1)
+      assert(last.toSeq == Seq(("a", 3L, 30.0), ("b", 1L, 5.0)))
+    } finally q.stop()
+  }
+
   test("foreachBatch parquet sink: skips empty batches, stamps batch_id") {
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graft_sink").toString
