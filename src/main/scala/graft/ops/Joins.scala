@@ -102,13 +102,53 @@ object Joins extends QueryModule {
        |SELECT d.deep_id, d.ts AS deep_ts, d.deep_value, v.vix_value
        |FROM deep d ASOF LEFT JOIN vix v ON d.ts >= v.ts""".stripMargin
 
+  /** Partitioned as-of join — the 100 TB form of `asofJoin`: each
+    * user's purchases pick up that user's latest prior view. The
+    * window partitions by the series key, so the sort parallelizes
+    * across executors (no global order). Oracle: DuckDB ASOF LEFT
+    * JOIN with an equality condition. */
+  def asofJoinByUser(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Core.events(spark, dir)
+    val deep = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("deep_id"), col("ts"),
+        col("value").as("deep_value"), lit(1).as("tag"),
+        lit(null).cast("double").as("view_raw"))
+    val views = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max_by(col("value"), col("event_id")).as("view_raw"))
+      .select(col("user_id"), lit(null).cast("long").as("deep_id"), col("ts"),
+        lit(null).cast("double").as("deep_value"), lit(0).as("tag"), col("view_raw"))
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts"), col("tag"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    deep.unionByName(views)
+      .withColumn("view_value", last(col("view_raw"), ignoreNulls = true).over(w))
+      .filter(col("tag") === 1)
+      .select(col("user_id"), col("deep_id"), col("ts").as("deep_ts"),
+        col("deep_value"), col("view_value"))
+  }
+
+  val asofJoinByUserSql: String =
+    s"""WITH e AS (SELECT * FROM ${Core.sqlEvents}),
+       |deep AS (
+       |  SELECT user_id, event_id AS deep_id, ts, value AS deep_value
+       |  FROM e WHERE event_type = 'purchase'),
+       |views AS (
+       |  SELECT user_id, ts, arg_max(value, event_id) AS view_value
+       |  FROM e WHERE event_type = 'view' GROUP BY user_id, ts)
+       |SELECT d.user_id, d.deep_id, d.ts AS deep_ts, d.deep_value, v.view_value
+       |FROM deep d ASOF LEFT JOIN views v
+       |  ON d.user_id = v.user_id AND d.ts >= v.ts""".stripMargin
+
   override def queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "interval_join" -> ((s, d) => intervalJoin(s, d)),
     "interval_join_dedup" -> ((s, d) => intervalJoinDedup(s, d)),
-    "asof_join" -> ((s, d) => asofJoin(s, d)))
+    "asof_join" -> ((s, d) => asofJoin(s, d)),
+    "asof_join_by_user" -> ((s, d) => asofJoinByUser(s, d)))
 
   override def oracle: Seq[(String, String)] = Seq(
     "interval_join" -> intervalJoinSql,
     "interval_join_dedup" -> intervalJoinDedupSql,
-    "asof_join" -> asofJoinSql)
+    "asof_join" -> asofJoinSql,
+    "asof_join_by_user" -> asofJoinByUserSql)
 }

@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 
 /** A1/A2 — the dataloader's chunked min-max normalization
   * (sql_pytorch_dataloader.py:90-144): per-chunk MIN/MAX per column
@@ -86,11 +87,37 @@ object Normalize extends QueryModule {
        |FROM (SELECT *, CAST(event_id // 1000 AS BIGINT) AS chunk FROM ${Core.sqlEvents}) e
        |JOIN params p USING (chunk)""".stripMargin
 
+  /** The dataloader's sliding-window batch extraction
+    * (sql_pytorch_dataloader.py:8-18 window_indices: width-5 trailing
+    * slices, stride 1): per 5-min bar, the trailing window of closes
+    * as an ordered slice. Values travel as exact decimal strings so
+    * both engines render identically; warmup rows (short windows)
+    * carry their partial slice, as the reference's first chunk does. */
+  def windowSlices(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.orderBy("bucket").rowsBetween(-4, 0)
+    Indicators.bars(spark, dir)
+      .select(col("bucket"),
+        concat_ws(",",
+          collect_list(col("close").cast("decimal(18,2)").cast("string")).over(w))
+          .as("win_closes"),
+        count(lit(1)).over(w).as("win_len"))
+  }
+
+  val windowSlicesSql: String =
+    s"""WITH bars AS (${Indicators.barsSql})
+       |SELECT bucket,
+       |  list_aggregate(list(CAST(CAST("close" AS DECIMAL(18,2)) AS VARCHAR)) OVER w, 'string_agg', ',') AS win_closes,
+       |  COUNT(*) OVER w AS win_len
+       |FROM bars
+       |WINDOW w AS (ORDER BY bucket ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)""".stripMargin
+
   override def queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "chunk_minmax" -> ((s, d) => chunkMinmax(s, d)),
-    "minmax_normalize" -> ((s, d) => minmaxNormalize(s, d)))
+    "minmax_normalize" -> ((s, d) => minmaxNormalize(s, d)),
+    "window_slices" -> ((s, d) => windowSlices(s, d)))
 
   override def oracle: Seq[(String, String)] = Seq(
     "chunk_minmax" -> chunkMinmaxSql,
-    "minmax_normalize" -> minmaxNormalizeSql)
+    "minmax_normalize" -> minmaxNormalizeSql,
+    "window_slices" -> windowSlicesSql)
 }

@@ -1,0 +1,63 @@
+package graft
+
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.apache.spark.unsafe.types.UTF8String
+import graft.functions.PolyHash
+
+/** ScalaCheck-generator-driven properties (SURVEY §5.2(3)) for the
+  * pure kernels plus DataFrame-level invariants over generated frames.
+  * Deterministic: fixed seeds, explicit sampling. */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+
+  private def samples[T](g: Gen[T], n: Int): Seq[T] =
+    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(i.toLong)))
+
+  test("poly_hash stays in [0, P) and matches a reference fold for any string") {
+    samples(Gen.asciiPrintableStr, 200).foreach { s =>
+      val h = PolyHash.hash(UTF8String.fromString(s))
+      assert(h >= 0 && h < PolyHash.P)
+      val ref = s.foldLeft(0L)((acc, c) => (acc * 31 + c) % PolyHash.P)
+      assert(h == ref, s"mismatch for ${s.take(40)}")
+    }
+  }
+
+  private def mkBars(closes: Seq[Double], spread: Double) =
+    closes.zipWithIndex.map { case (c, i) =>
+      (java.sql.Timestamp.valueOf(f"2024-01-01 ${i * 5 / 60}%02d:${i * 5 % 60}%02d:00"),
+        c, c + spread, c - spread, c, 1L)
+    }.toDF("bucket", "open", "high", "low", "close", "volume")
+
+  test("stoch in [0,1] whenever the window has range, for generated bar series") {
+    samples(Gen.listOfN(30, Gen.choose(1.0, 500.0)), 8).foreach { closes =>
+      val bars = mkBars(closes.map(c => math.rint(c * 100) / 100), 1.0)
+      val st = graft.ops.Indicators.withIndicators(bars)
+        .select("stoch").as[java.lang.Double].collect()
+      assert(st.forall(v => v == null || (v >= 0.0 && v <= 1.0)))
+    }
+  }
+
+  test("bollinger identity: upper_bb_dist + lower_bb_dist = 4*std >= 0") {
+    samples(Gen.listOfN(25, Gen.choose(1.0, 500.0)), 8).foreach { closes =>
+      val bars = mkBars(closes.map(c => math.rint(c * 100) / 100), 0.0)
+      val s = graft.ops.Indicators.withIndicators(bars)
+        .select($"upper_bb_dist" + $"lower_bb_dist").as[Double].collect()
+      assert(s.forall(_ >= -1e-9))
+    }
+  }
+
+  test("min-max normalization maps into [0,1] under the reference epsilon bump") {
+    samples(Gen.nonEmptyListOf(Gen.choose(-1000.0, 1000.0)), 50).foreach { xs =>
+      val mn = xs.min
+      val mxRaw = xs.max
+      // the reference epsilon bump (sql_pytorch_dataloader.py:108-113)
+      val mx = if (mn == mxRaw) { if (mxRaw != 0.0) mxRaw + mxRaw * 0.001 else 0.001 } else mxRaw
+      val norm = xs.map(x => (x - mn) / (mx - mn))
+      // a negative degenerate max bumps downward: range stays nonzero either way
+      assert(mx != mn)
+      if (mx > mn) assert(norm.forall(v => v >= -1e-12 && v <= 1.0 + 1e-12))
+    }
+  }
+}
