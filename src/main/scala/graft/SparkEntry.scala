@@ -16,7 +16,8 @@ object SparkEntry {
     Normalize,
     TextDedup,
     Similarity,
-    Multimodal)
+    Multimodal,
+    ScaleOps)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
     * the full reference pipeline — 5-min bars -> indicator layer. */

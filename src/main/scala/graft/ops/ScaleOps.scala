@@ -1,0 +1,60 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale techniques as first-class, verifiable operators (builder
+  * brief: bucketing for co-located joins, salting for skew). These are
+  * the 100 TB levers the small-SF queries only imply.
+  */
+object ScaleOps extends QueryModule {
+
+  /** Skew-safe two-phase aggregation: salt the group key, partial-agg
+    * per (key, salt), then merge. With ~6 distinct l_returnflag values
+    * over 600M+ rows, the unsalted shuffle would hash all rows of a
+    * flag to one reducer; the salt fans each hot key over 16 reducers
+    * and the merge is tiny. Decimal sums make the two-phase result
+    * exactly equal to the direct GROUP BY — which is the oracle. */
+  def saltedAgg(spark: SparkSession, dir: String): DataFrame = {
+    val li = Core.lineitem(spark, dir)
+    val partial = li
+      .withColumn("salt", pmod(col("l_orderkey"), lit(16)))
+      .groupBy(col("l_returnflag"), col("salt"))
+      .agg(sum(Core.dec2(col("l_quantity"))).as("s"), count(lit(1)).as("c"))
+    partial.groupBy(col("l_returnflag"))
+      .agg(sum(col("s")).cast("double").as("sum_qty"), sum(col("c")).as("n"))
+  }
+
+  val saltedAggSql: String =
+    """SELECT l_returnflag,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  COUNT(*) AS n
+      |FROM lineitem GROUP BY l_returnflag""".stripMargin
+
+  /** Bucketed co-located join: persist both sides bucketed+sorted on
+    * the join key, then join without any shuffle (the physical plan
+    * has SortMergeJoin with zero Exchange). At 100 TB this is the
+    * fact-fact join strategy — pay the partitioned write once, join
+    * shuffle-free forever after. Asserted in ScaleOpsSpec. */
+  def writeBucketed(spark: SparkSession, dir: String, name: String,
+      table: String, key: String, buckets: Int): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    Core.table(spark, dir, name).write
+      .bucketBy(buckets, key)
+      .sortBy(key)
+      .format("parquet")
+      .mode("overwrite")
+      .saveAsTable(table)
+  }
+
+  def bucketedJoin(spark: SparkSession, leftTable: String, rightTable: String,
+      leftKey: String, rightKey: String): DataFrame =
+    spark.table(leftTable).join(spark.table(rightTable),
+      col(leftKey) === col(rightKey))
+
+  override def queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    "salted_agg" -> ((s, d) => saltedAgg(s, d)))
+
+  override def oracle: Seq[(String, String)] = Seq(
+    "salted_agg" -> saltedAggSql)
+}

@@ -1,0 +1,39 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.ScaleOps
+
+class ScaleOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("salted two-phase aggregation equals the direct group-by") {
+    val salted = ScaleOps.saltedAgg(spark, sf0001)
+    val direct = graft.ops.Core.lineitem(spark, sf0001)
+      .groupBy($"l_returnflag")
+      .agg(sum($"l_quantity".cast("decimal(18,2)")).cast("double").as("sum_qty2"),
+        count(lit(1)).as("n2"))
+    val joined = salted.join(direct, "l_returnflag")
+    assert(joined.filter($"sum_qty" =!= $"sum_qty2" || $"n" =!= $"n2").isEmpty)
+  }
+
+  test("bucketed co-located join plans with zero exchanges") {
+    ScaleOps.writeBucketed(spark, sf0001, "lineitem", "li_bucketed", "l_orderkey", 8)
+    ScaleOps.writeBucketed(spark, sf0001, "orders", "ord_bucketed", "o_orderkey", 8)
+    // force the shuffle-join path (tiny SF would otherwise broadcast,
+    // which hides exactly the exchange this technique removes)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val joined = ScaleOps.bucketedJoin(spark, "li_bucketed", "ord_bucketed",
+      "l_orderkey", "o_orderkey")
+    try {
+      val plan = joined.queryExecution.sparkPlan.toString
+      assert(plan.contains("SortMergeJoin"), s"expected SMJ in:\n$plan")
+      assert(!plan.contains("Exchange"), s"bucketed join must not shuffle:\n$plan")
+      // and it is still correct
+      val n = joined.count()
+      val expected = graft.ops.Core.lineitem(spark, sf0001)
+        .join(graft.ops.Core.orders(spark, sf0001),
+          $"l_orderkey" === $"o_orderkey").count()
+      assert(n == expected)
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+}
