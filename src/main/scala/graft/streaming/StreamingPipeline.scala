@@ -76,6 +76,32 @@ object StreamingPipeline {
     events.withWatermark("ts", "5 minutes")
       .dropDuplicatesWithinWatermark(keys)
 
+  /** Chained stateful operators — the Spark >= 3.4 unlock the whole
+    * redesign hinges on (README: "the streaming limitation
+    * disappears"): a second windowed aggregation over the streaming
+    * bars (10-min rollup of 5-min bars). On 2.4.4 this threw
+    * "Multiple streaming aggregations are not supported". */
+  def streamingBarsRollup(events: DataFrame): DataFrame = {
+    val bars = events.withWatermark("ts", "5 minutes")
+      .groupBy(window(col("ts"), "5 minutes").as("w"))
+      .agg(max(col("value")).as("high"), min(col("value")).as("low"),
+        count(lit(1)).as("volume"))
+    // window-over-window (Spark >= 3.4): group the 5-min window struct
+    // into its enclosing 10-min window; the watermark propagates
+    // through the first aggregation, no re-watermarking.
+    bars.groupBy(window(col("w"), "10 minutes").as("w10"))
+      .agg(max(col("high")).as("high"), min(col("low")).as("low"),
+        sum(col("volume")).as("volume"))
+      .select(col("w10.start").as("bucket10"), col("high"), col("low"), col("volume"))
+  }
+
+  /** K2 — the Kafka signal-sink projection (spark_consumer.py:490-502):
+    * the joined timestamp JSON-encoded into a `value` column; the
+    * writeStream target (format("kafka") + checkpointLocation) is the
+    * only part that differs per deployment. */
+  def signalProjection(df: DataFrame, tsCol: String): DataFrame =
+    df.select(to_json(struct(col(tsCol).cast("string").as("Timestamp"))).as("value"))
+
   /** Custom per-key state across micro-batches via mapGroupsWithState
     * (the arbitrary-stateful surface the brief calls for): running
     * count/sum/max per series key, emitted per update. The reference

@@ -117,6 +117,38 @@ class StreamingSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("chained stateful ops: 10-min rollup over streaming 5-min bars (2.4.4 blocker)") {
+    implicit val sqlCtx = spark.sqlContext
+    val src = MemoryStream[Ev]
+    val rollup = StreamingPipeline.streamingBarsRollup(src.toDF())
+    val q = rollup.writeStream.format("memory").queryName("rollup_out")
+      .outputMode("append").start()
+    try {
+      src.addData(
+        Ev(1, t("2024-01-01 10:01:00"), "e", 10.0),
+        Ev(2, t("2024-01-01 10:06:00"), "e", 30.0),
+        Ev(3, t("2024-01-01 10:11:00"), "e", 20.0))
+      q.processAllAvailable()
+      src.addData(Ev(9, t("2024-01-01 11:00:00"), "e", 1.0))
+      q.processAllAvailable()
+      src.addData(Ev(10, t("2024-01-01 12:00:00"), "e", 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("rollup_out")
+        .orderBy("bucket10")
+        .select($"bucket10".cast("string"), $"high", $"low", $"volume")
+        .as[(String, Double, Double, Long)].collect()
+      assert(rows.nonEmpty)
+      assert(rows(0) == (("2024-01-01 10:00:00", 30.0, 10.0, 2L)))
+    } finally q.stop()
+  }
+
+  test("signal projection encodes the timestamp as a Kafka-value JSON") {
+    val df = Seq(t("2024-01-01 10:05:00")).toDF("bucket")
+    val out = StreamingPipeline.signalProjection(df, "bucket")
+      .as[String].collect()
+    assert(out.toSeq == Seq("""{"Timestamp":"2024-01-01 10:05:00"}"""))
+  }
+
   test("mapGroupsWithState: running per-key stats accumulate across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val src = MemoryStream[Ev]
