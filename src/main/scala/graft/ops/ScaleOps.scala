@@ -39,6 +39,15 @@ object ScaleOps extends QueryModule {
   def writeBucketed(spark: SparkSession, dir: String, name: String,
       table: String, key: String, buckets: Int): Unit = {
     spark.sql(s"DROP TABLE IF EXISTS $table")
+    // with the in-memory catalog, the table entry dies with the JVM but
+    // the warehouse dir survives — clear the orphaned location too
+    val warehouse = new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete(): Unit
+    }
+    val loc = new java.io.File(warehouse, table)
+    if (loc.exists()) rm(loc)
     Core.table(spark, dir, name).write
       .bucketBy(buckets, key)
       .sortBy(key)

@@ -160,16 +160,21 @@ object TextDedup extends QueryModule {
     * shared n-grams): distinct (doc, 3-gram) -> self-join on the n-gram
     * -> per-pair intersection -> Jaccard >= 0.5. */
   def ngramJaccardPairs(spark: SparkSession, dir: String): DataFrame = {
-    val dn = withToks(Core.documents(spark, dir))
+    val dn0 = withToks(Core.documents(spark, dir))
       .select(col("doc_id"), explode(ngrams).as("ng")).distinct()
-    val sz = dn.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val sz = dn0.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    // length filter (set-similarity-join prune): J(A,B) <= min/max, so
+    // pairs with 2*min < max can never reach 0.5 — drop them inside
+    // the n-gram join instead of after counting. Output is unchanged
+    // (the DuckDB oracle computes the unpruned form); the quadratic
+    // candidate set shrinks by the size-skewed pairs.
+    val dn = dn0.join(broadcast(sz), "doc_id")
     val inter = dn.as("a").join(dn.as("b"),
-        col("a.ng") === col("b.ng") && col("a.doc_id") < col("b.doc_id"))
+        col("a.ng") === col("b.ng") && col("a.doc_id") < col("b.doc_id") &&
+          col("a.n") * 2 >= col("b.n") && col("b.n") * 2 >= col("a.n"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("n_shared"))
+      .agg(count(lit(1)).as("n_shared"), max(col("a.n")).as("na"), max(col("b.n")).as("nb"))
     inter
-      .join(broadcast(sz.withColumnsRenamed(Map("doc_id" -> "doc_a", "n" -> "na"))), "doc_a")
-      .join(broadcast(sz.withColumnsRenamed(Map("doc_id" -> "doc_b", "n" -> "nb"))), "doc_b")
       .withColumn("jaccard",
         col("n_shared").cast("double") / (col("na") + col("nb") - col("n_shared")).cast("double"))
       .filter(col("jaccard") >= 0.5)

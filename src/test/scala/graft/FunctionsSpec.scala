@@ -1,0 +1,33 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.{dot_product, poly_hash, PolyHash}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Custom Catalyst expressions: Column API, SQL registration, and
+  * codegen/interpreted agreement. */
+class FunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("poly_hash: Column API, SQL registration, interpreted agreement") {
+    graft.functions.register(spark)
+    val viaSql = spark.sql("SELECT poly_hash('hello world')").as[Long].head()
+    val viaCol = Seq("hello world").toDF("s")
+      .select(poly_hash($"s")).as[Long].head()
+    val direct = PolyHash.hash(UTF8String.fromString("hello world"))
+    assert(viaSql == direct && viaCol == direct)
+    // empty string hashes to 0 (matches the oracle's CASE guard)
+    assert(Seq("").toDF("s").select(poly_hash($"s")).as[Long].head() == 0L)
+  }
+
+  test("dot_product equals the HOF fold bit-for-bit on real embeddings") {
+    val emb = graft.ops.Core.embeddings(spark, sf0001).limit(50)
+    val hof = aggregate(
+      zip_with($"embedding", $"embedding", (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+    val diff = emb.select(
+        dot_product($"embedding", $"embedding").as("native"), hof.as("hofv"))
+      .filter($"native" =!= $"hofv")
+    assert(diff.isEmpty, "native and HOF dot products must be bit-identical")
+  }
+}
