@@ -142,10 +142,44 @@ object Similarity extends QueryModule {
        |  FROM scored)
        |SELECT qid, vec_id, cosine, CAST("rank" AS INTEGER) AS "rank" FROM ranked WHERE "rank" <= 5""".stripMargin
 
+  /** IVF-style ANN: MLlib KMeans as the coarse quantizer (k cells,
+    * fixed seed), queries probe their own cell (nprobe=1), cosine
+    * top-5 within the cell. The index-build is one KMeans fit + one
+    * assignment pass; per-query work divides by ~k. Not
+    * SQL-expressible (KMeans training) -> no oracle entry; the driver
+    * records the rows-only check, and SimilaritySpec bounds recall
+    * against the exact brute force. */
+  def ivfTopK(spark: SparkSession, dir: String, cells: Int = 16): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val emb = Core.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"),
+        sqrt(dot(col("embedding"), col("embedding"))).as("norm"),
+        array_to_vector(col("embedding")).as("fv"))
+    val model = new KMeans().setK(cells).setSeed(42L).setMaxIter(10)
+      .setFeaturesCol("fv").setPredictionCol("cell")
+      .fit(emb)
+    val assigned = model.transform(emb).drop("fv")
+    val q = assigned.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"),
+        col("norm").as("qnorm"), col("cell"))
+    val joined = assigned.join(broadcast(q), Seq("cell"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        (dot(col("qvec"), col("embedding")) / (col("qnorm") * col("norm")))
+          .as("cosine"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("cosine").desc, col("vec_id"))
+    joined.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("qid"), col("vec_id"), col("cosine"), col("rank"))
+  }
+
   override def queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "embed_cosine_topk" -> ((s, d) => cosineTopK(s, d)),
     "embed_lsh_buckets" -> ((s, d) => lshBuckets(s, d)),
-    "embed_ann_lsh_topk" -> ((s, d) => annLshTopK(s, d)))
+    "embed_ann_lsh_topk" -> ((s, d) => annLshTopK(s, d)),
+    "embed_ivf_topk" -> ((s, d) => ivfTopK(s, d)))
 
   override def oracle: Seq[(String, String)] = Seq(
     "embed_cosine_topk" -> cosineTopKSql,

@@ -20,6 +20,20 @@ class SimilaritySpec extends SparkSpec {
     assert(b.filter($"bucket" < 0 || $"bucket" > 255).isEmpty)
   }
 
+  test("ivf ann: in-cell top-k with reasonable recall vs exact") {
+    val ivf = Similarity.ivfTopK(spark, sf0001).cache()
+    assert(ivf.filter($"qid" === $"vec_id").isEmpty)
+    assert(ivf.groupBy("qid").count().filter($"count" > 5).isEmpty)
+    val exact = Similarity.cosineTopK(spark, sf0001)
+      .select($"qid", $"vec_id")
+    val hit = exact.join(ivf.select($"qid", $"vec_id"), Seq("qid", "vec_id"))
+      .count().toDouble
+    val total = exact.count().toDouble
+    // nprobe=1 over 16 cells on clustered data: recall well above
+    // chance (5/500 ~ 1%); measured 0.30 on this corpus
+    assert(hit / total >= 0.25, s"IVF recall ${hit / total}")
+  }
+
   test("ann-lsh results are a subset of brute-force candidates' quality") {
     val ann = Similarity.annLshTopK(spark, sf0001).cache()
     // every ANN hit shares the query's bucket by construction; sanity:
