@@ -142,6 +142,32 @@ object Similarity extends QueryModule {
        |  FROM scored)
        |SELECT qid, vec_id, cosine, CAST("rank" AS INTEGER) AS "rank" FROM ranked WHERE "rank" <= 5""".stripMargin
 
+  /** Embedding-cosine near-duplicate pairs (the dedup-family framing
+    * of similarity: corpus rows whose vectors are unusually close —
+    * threshold 0.4 sits in this corpus's top-similarity tail, max
+    * pairwise cosine ~0.45).
+    * Brute-force threshold join as the verification baseline; at scale
+    * the LSH/IVF bucket restricts the pair space the same way it does
+    * for top-k. */
+  def cosineNearDupPairs(spark: SparkSession, dir: String, threshold: Double = 0.4): DataFrame = {
+    val emb = Core.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"),
+        sqrt(dot(col("embedding"), col("embedding"))).as("norm"))
+    emb.as("a").join(emb.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        (dot(col("a.embedding"), col("b.embedding")) / (col("a.norm") * col("b.norm")))
+          .as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+
+  val cosineNearDupPairsSql: String =
+    s"""SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       |  ${dotSql("a.embedding", "b.embedding")} /
+       |    (sqrt(${dotSql("a.embedding", "a.embedding")}) * sqrt(${dotSql("b.embedding", "b.embedding")})) AS cosine
+       |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+       |WHERE ${dotSql("a.embedding", "b.embedding")} /
+       |    (sqrt(${dotSql("a.embedding", "a.embedding")}) * sqrt(${dotSql("b.embedding", "b.embedding")})) >= 0.4""".stripMargin
+
   /** IVF-style ANN: MLlib KMeans as the coarse quantizer (k cells,
     * fixed seed), queries probe their own cell (nprobe=1), cosine
     * top-5 within the cell. The index-build is one KMeans fit + one
@@ -179,10 +205,12 @@ object Similarity extends QueryModule {
     "embed_cosine_topk" -> ((s, d) => cosineTopK(s, d)),
     "embed_lsh_buckets" -> ((s, d) => lshBuckets(s, d)),
     "embed_ann_lsh_topk" -> ((s, d) => annLshTopK(s, d)),
-    "embed_ivf_topk" -> ((s, d) => ivfTopK(s, d)))
+    "embed_ivf_topk" -> ((s, d) => ivfTopK(s, d)),
+    "embed_near_dup_pairs" -> ((s, d) => cosineNearDupPairs(s, d)))
 
   override def oracle: Seq[(String, String)] = Seq(
     "embed_cosine_topk" -> cosineTopKSql,
     "embed_lsh_buckets" -> lshBucketsSql,
-    "embed_ann_lsh_topk" -> annLshTopKSql)
+    "embed_ann_lsh_topk" -> annLshTopKSql,
+    "embed_near_dup_pairs" -> cosineNearDupPairsSql)
 }
