@@ -182,7 +182,7 @@ object Similarity extends QueryModule {
       .select(col("vec_id"), col("embedding"),
         sqrt(dot(col("embedding"), col("embedding"))).as("norm"),
         array_to_vector(col("embedding")).as("fv"))
-    val model = new KMeans().setK(cells).setSeed(42L).setMaxIter(10)
+    val model = new KMeans().setK(cells).setSeed(42L).setMaxIter(5)
       .setFeaturesCol("fv").setPredictionCol("cell")
       .fit(emb)
     val assigned = model.transform(emb).drop("fv")
