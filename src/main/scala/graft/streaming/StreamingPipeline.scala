@@ -76,6 +76,39 @@ object StreamingPipeline {
     events.withWatermark("ts", "5 minutes")
       .dropDuplicatesWithinWatermark(keys)
 
+  /** The reference's whole consumer DAG (spark_consumer.py:434-488):
+    * the DEEP book stream inner-joined with each auxiliary stream
+    * (VIX / volume / COT / indicators) on equal 5-min bucket AND
+    * aux_ts in [deep_ts, deep_ts + 3 min], all sides watermarked
+    * 5 min, then full-row dedup. `deep` must carry a `ts` column;
+    * each aux (name, df) must carry `ts` plus its payload columns
+    * (pre-renamed to be disjoint). Returns the wide joined frame with
+    * deep's columns plus each aux's payload and `<name>_ts`. */
+  def referenceDag(deep: DataFrame, auxes: Seq[(String, DataFrame)]): DataFrame = {
+    val deepW = deep.withColumn("bucket", bucket5m(col("ts")))
+      .withWatermark("ts", "5 minutes")
+    val joined = auxes.foldLeft(deepW) { case (acc, (name, aux)) =>
+      val a = aux
+        .withColumnRenamed("ts", s"${name}_ts")
+        .withColumn(s"${name}_bucket", bucket5m(col(s"${name}_ts")))
+        .withWatermark(s"${name}_ts", "5 minutes")
+      val step = acc.join(a,
+        col("bucket") === col(s"${name}_bucket") &&
+          col(s"${name}_ts") >= col("ts") &&
+          col(s"${name}_ts") <= col("ts") + expr("INTERVAL 3 MINUTES"),
+        "inner").drop(s"${name}_bucket")
+      // keep the aux timestamp VALUE but clear its event-time tag:
+      // chained stateful operators require one event-time column per
+      // stream (deep's ts stays the watermark carrier)
+      step.select(step.columns.map {
+        case c if c == s"${name}_ts" =>
+          col(c).as(c, org.apache.spark.sql.types.Metadata.empty)
+        case c => col(c)
+      }: _*)
+    }
+    joined.dropDuplicatesWithinWatermark()
+  }
+
   /** Chained stateful operators — the Spark >= 3.4 unlock the whole
     * redesign hinges on (README: "the streaming limitation
     * disappears"): a second windowed aggregation over the streaming

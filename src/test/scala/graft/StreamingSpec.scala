@@ -117,6 +117,42 @@ class StreamingSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("reference DAG end-to-end: deep joined with 4 aux streams, dedup, sink") {
+    implicit val sqlCtx = spark.sqlContext
+    val deep = MemoryStream[(Long, Timestamp, Double)]
+    val vix = MemoryStream[(Timestamp, Double)]
+    val vol = MemoryStream[(Timestamp, Double)]
+    val cot = MemoryStream[(Timestamp, Double)]
+    val ind = MemoryStream[(Timestamp, Double)]
+    val wide = StreamingPipeline.referenceDag(
+      deep.toDF().toDF("deep_id", "ts", "micro_price"),
+      Seq(
+        "vix" -> vix.toDF().toDF("ts", "vix_value"),
+        "vol" -> vol.toDF().toDF("ts", "vol_value"),
+        "cot" -> cot.toDF().toDF("ts", "cot_value"),
+        "ind" -> ind.toDF().toDF("ts", "ind_value")))
+    val dir = java.nio.file.Files.createTempDirectory("graft_dag").toString
+    val q = StreamingPipeline
+      .foreachBatchParquetSink(wide, s"$dir/data", s"$dir/ckpt").start()
+    try {
+      val t0 = t("2024-01-01 10:00:10")
+      deep.addData((7L, t0, 100.5))
+      deep.addData((8L, t("2024-01-01 10:20:00"), 101.0)) // no aux partners
+      vix.addData((t("2024-01-01 10:01:00"), 16.0))
+      vol.addData((t("2024-01-01 10:02:00"), 5000.0))
+      cot.addData((t("2024-01-01 10:03:00"), 300000.0))
+      ind.addData((t("2024-01-01 10:00:30"), 3.6))
+      q.processAllAvailable()
+      val out = spark.read.parquet(s"$dir/data")
+      assert(out.count() == 1) // only the fully-matched deep row lands
+      val row = out.select("deep_id", "micro_price", "vix_value", "vol_value",
+        "cot_value", "ind_value").collect()(0)
+      assert(row.getLong(0) == 7L && row.getDouble(2) == 16.0 &&
+        row.getDouble(3) == 5000.0 && row.getDouble(4) == 300000.0 &&
+        row.getDouble(5) == 3.6)
+    } finally q.stop()
+  }
+
   test("chained stateful ops: 10-min rollup over streaming 5-min bars (2.4.4 blocker)") {
     implicit val sqlCtx = spark.sqlContext
     val src = MemoryStream[Ev]
