@@ -156,12 +156,18 @@ object Book extends QueryModule {
     val wd = (weekday(col("ts")) + lit(1)).as("week_day") // 1=Mon..7=Sun
     val womExpr = expr("CAST((day(ts) - 1) div 7 AS INT) + 1") // integer math both engines
     val wom = womExpr.as("week_of_month")
+    // as-written reference predicate (documented bug F11: 12:15 ->
+    // minute 15 < 30 -> flagged as session start) ...
     val sess = when(hour(col("ts")) >= 11 && minute(col("ts")) >= 30, 0).otherwise(1).as("session_start")
+    // ... and the corrected intent ("first 2h after the 9:30 open"):
+    // 1 before 11:30, 0 after — exposed alongside (SURVEY §7.3)
+    val sessFixed = when(hour(col("ts")) < 11 ||
+      (hour(col("ts")) === 11 && minute(col("ts")) < 30), 1).otherwise(0).as("session_start_fixed")
     val dayHot = (1 to 4).map(k =>
       when(weekday(col("ts")) + lit(1) === k, 1).otherwise(0).as(s"day_$k"))
     val weekHot = (1 to 4).map(k =>
       when(womExpr === k, 1).otherwise(0).as(s"week_$k"))
-    Core.events(spark, dir).select(Seq(col("event_id"), wd, wom, sess) ++ dayHot ++ weekHot: _*)
+    Core.events(spark, dir).select(Seq(col("event_id"), wd, wom, sess, sessFixed) ++ dayHot ++ weekHot: _*)
   }
 
   val calendarFeaturesSql: String = {
@@ -173,6 +179,7 @@ object Book extends QueryModule {
        |  CAST(isodow(ts) AS INTEGER) AS week_day,
        |  CAST((day(ts) - 1) // 7 AS INTEGER) + 1 AS week_of_month,
        |  CASE WHEN hour(ts) >= 11 AND minute(ts) >= 30 THEN 0 ELSE 1 END AS session_start,
+       |  CASE WHEN hour(ts) < 11 OR (hour(ts) = 11 AND minute(ts) < 30) THEN 1 ELSE 0 END AS session_start_fixed,
        |  $dayHot,
        |  $weekHot
        |FROM ${Core.sqlEvents}""".stripMargin

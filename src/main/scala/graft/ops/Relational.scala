@@ -183,6 +183,33 @@ object Relational extends QueryModule {
     s"""SELECT event_id, ts, event_type, value FROM ${Core.sqlEvents}
       |WHERE ts >= (SELECT max(ts) FROM ${Core.sqlEvents}) - INTERVAL 4 MINUTES""".stripMargin
 
+  /** P13 — row-age guard with restamp (getMarketData.py:208-218,
+    * 232-237: API points older than expected minus tolerance get
+    * re-stamped to the expected slot so the 5-min cadence holds). Here
+    * the expected slot is the event's bucket end; rows lagging their
+    * slot by > 4 min are restamped to it. */
+  def restampGuard(spark: SparkSession, dir: String): DataFrame = {
+    val expected = Core.bucket5m(col("ts")) + expr("INTERVAL 5 MINUTES")
+    Core.events(spark, dir).select(
+      col("event_id"), col("ts"),
+      when(col("ts") < expected - expr("INTERVAL 4 MINUTES"), expected)
+        .otherwise(col("ts")).as("effective_ts"),
+      (col("ts") < expected - expr("INTERVAL 4 MINUTES")).as("restamped"))
+  }
+
+  val restampGuardSql: String =
+    s"""SELECT event_id, ts,
+       |  CASE WHEN ts < ${Core.bucket5mSql} + INTERVAL 5 MINUTES - INTERVAL 4 MINUTES
+       |       THEN ${Core.bucket5mSql} + INTERVAL 5 MINUTES ELSE ts END AS effective_ts,
+       |  ts < ${Core.bucket5mSql} + INTERVAL 5 MINUTES - INTERVAL 4 MINUTES AS restamped
+       |FROM ${Core.sqlEvents}""".stripMargin
+
+  /** P10 — key sanitization (getMarketData.py:10-24 recursively
+    * replaces '. '/'.'/' ' in JSON keys): at-select-time rename, no
+    * runtime operator (tested in RegistrySpec-adjacent BookSpec). */
+  def sanitizeColumns(df: DataFrame): DataFrame =
+    df.toDF(df.columns.map(_.replaceAll("[.\\s]+", "_")): _*)
+
   override def queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "pricing_summary" -> ((s, d) => pricingSummary(s, d)),
     "revenue_by_nation" -> ((s, d) => revenueByNation(s, d)),
@@ -191,7 +218,8 @@ object Relational extends QueryModule {
     "anti_join_new" -> ((s, d) => antiJoinNew(s, d)),
     "template_fill" -> ((s, d) => templateFill(s, d)),
     "json_decode" -> ((s, d) => jsonDecode(s, d)),
-    "stale_filter" -> ((s, d) => staleFilter(s, d)))
+    "stale_filter" -> ((s, d) => staleFilter(s, d)),
+    "restamp_guard" -> ((s, d) => restampGuard(s, d)))
 
   override def oracle: Seq[(String, String)] = Seq(
     "pricing_summary" -> pricingSummarySql,
@@ -201,5 +229,6 @@ object Relational extends QueryModule {
     "anti_join_new" -> antiJoinNewSql,
     "template_fill" -> templateFillSql,
     "json_decode" -> jsonDecodeSql,
-    "stale_filter" -> staleFilterSql)
+    "stale_filter" -> staleFilterSql,
+    "restamp_guard" -> restampGuardSql)
 }

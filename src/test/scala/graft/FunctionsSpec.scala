@@ -20,6 +20,12 @@ class FunctionsSpec extends SparkSpec {
     assert(Seq("").toDF("s").select(poly_hash($"s")).as[Long].head() == 0L)
   }
 
+  test("sanitizeColumns: P10 key cleanup at select time") {
+    val df = Seq((1, 2.0)).toDF("Nonfarm. Payrolls", "Unemployment Rate")
+    val clean = graft.ops.Relational.sanitizeColumns(df)
+    assert(clean.columns.toSeq == Seq("Nonfarm_Payrolls", "Unemployment_Rate"))
+  }
+
   test("dot_product equals the HOF fold bit-for-bit on real embeddings") {
     val emb = graft.ops.Core.embeddings(spark, sf0001).limit(50)
     val hof = aggregate(
