@@ -66,6 +66,34 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("watermark drops late data: a stale event can't reopen an emitted window") {
+    implicit val sqlCtx = spark.sqlContext
+    val src = MemoryStream[Ev]
+    val bars = StreamingPipeline.streamingBars(src.toDF())
+    val q = bars.writeStream.format("memory").queryName("late_out")
+      .outputMode("append").start()
+    try {
+      src.addData(
+        Ev(1, t("2024-01-01 10:00:10"), "e", 10.0),
+        Ev(2, t("2024-01-01 10:02:00"), "e", 30.0))
+      q.processAllAvailable()
+      src.addData(Ev(3, t("2024-01-01 10:30:00"), "e", 1.0)) // flush
+      q.processAllAvailable()
+      val before = spark.table("late_out")
+        .filter($"bucket".cast("string") === "2024-01-01 10:00:00")
+        .select("volume").as[Long].collect().toSeq
+      assert(before == Seq(2L))
+      // 25 minutes late, far beyond the 5-minute watermark: dropped
+      src.addData(Ev(4, t("2024-01-01 10:03:00"), "e", 99.0))
+      q.processAllAvailable()
+      val after = spark.table("late_out")
+        .filter($"bucket".cast("string") === "2024-01-01 10:00:00")
+        .select("volume").as[Long].collect().toSeq
+      assert(after == Seq(2L), "late event must not reopen the closed window")
+      assert(spark.table("late_out").filter($"high" === 99.0).isEmpty)
+    } finally q.stop()
+  }
+
   test("dropDuplicatesWithinWatermark drops dup keys within the watermark") {
     implicit val sqlCtx = spark.sqlContext
     val src = MemoryStream[Ev]
