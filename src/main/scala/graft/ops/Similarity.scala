@@ -45,6 +45,7 @@ object Similarity extends QueryModule {
     val emb = Core.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding"),
         sqrt(dot(col("embedding"), col("embedding"))).as("norm"))
+      .cache() // corpus + query sides share one scan/norm pass
     val q = emb.filter(col("vec_id") % 50 === 0)
       .select(col("vec_id").as("qid"), col("embedding").as("qvec"), col("norm").as("qnorm"))
     val joined = emb.crossJoin(broadcast(q))
@@ -113,6 +114,7 @@ object Similarity extends QueryModule {
       .select(col("vec_id"), col("embedding"),
         sqrt(dot(col("embedding"), col("embedding"))).as("norm"),
         lshBucket(col("embedding")).as("bucket"))
+      .cache() // the 8-plane bucket pass runs once, not per join side
     val q = emb.filter(col("vec_id") % 50 === 0)
       .select(col("vec_id").as("qid"), col("embedding").as("qvec"),
         col("norm").as("qnorm"), col("bucket"))
@@ -153,6 +155,7 @@ object Similarity extends QueryModule {
     val emb = Core.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding"),
         sqrt(dot(col("embedding"), col("embedding"))).as("norm"))
+      .cache() // both sides of the pair join share the norm pass
     emb.as("a").join(emb.as("b"), col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
         (dot(col("a.embedding"), col("b.embedding")) / (col("a.norm") * col("b.norm")))
@@ -182,6 +185,7 @@ object Similarity extends QueryModule {
       .select(col("vec_id"), col("embedding"),
         sqrt(dot(col("embedding"), col("embedding"))).as("norm"),
         array_to_vector(col("embedding")).as("fv"))
+      .cache() // KMeans iterates over its input; uncached it re-scans per iteration
     val model = new KMeans().setK(cells).setSeed(42L).setMaxIter(5)
       .setFeaturesCol("fv").setPredictionCol("cell")
       .fit(emb)

@@ -168,7 +168,8 @@ object TextDedup extends QueryModule {
     // the n-gram join instead of after counting. Output is unchanged
     // (the DuckDB oracle computes the unpruned form); the quadratic
     // candidate set shrinks by the size-skewed pairs.
-    val dn = dn0.join(broadcast(sz), "doc_id")
+    // cached: the (doc, ngram, n) set feeds both sides of the self-join
+    val dn = dn0.join(broadcast(sz), "doc_id").cache()
     val inter = dn.as("a").join(dn.as("b"),
         col("a.ng") === col("b.ng") && col("a.doc_id") < col("b.doc_id") &&
           col("a.n") * 2 >= col("b.n") && col("b.n") * 2 >= col("a.n"))
@@ -213,7 +214,7 @@ object TextDedup extends QueryModule {
     val bands = (0 until 4).map { bnd =>
       sig.select(col("doc_id"), lit(bnd).as("band"),
         (col(s"m${2 * bnd}") * lit(P) + col(s"m${2 * bnd + 1}")).as("bkey"))
-    }.reduce(_.unionAll(_))
+    }.reduce(_.unionAll(_)).cache() // both sides of the bucket self-join
     bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
           col("x.doc_id") < col("y.doc_id"))
@@ -273,7 +274,7 @@ object TextDedup extends QueryModule {
   /** SimHash near-dup pairs: hamming(bit_count(xor)) <= 4 over all pairs
     * (baseline; LSH-bucket by simhash bytes at scale). */
   def simhashPairs(spark: SparkSession, dir: String): DataFrame = {
-    val s = simhash(spark, dir)
+    val s = simhash(spark, dir).cache() // signature pass runs once, not per join side
     s.as("a").join(s.as("b"), col("a.doc_id") < col("b.doc_id"))
       .withColumn("hamming", bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))))
       .filter(col("hamming") <= 4)
