@@ -288,6 +288,49 @@ object TextDedup extends QueryModule {
        |FROM s a JOIN s b ON a.doc_id < b.doc_id
        |WHERE bit_count(xor(a.simhash, b.simhash)) <= 4""".stripMargin
 
+  /** Capstone: the end-to-end training-data curation pipeline as ONE
+    * query — quality gate -> exact-dedup survivors -> per-language
+    * corpus budget (docs, tokens, mean quality). The shape a 100 TB
+    * curation job has: a scan-side filter, a broadcast semi-join
+    * against the dedup survivors, and one aggregation. Mean quality
+    * goes through an exact decimal sum so the group order can't
+    * perturb the double. */
+  def corpusPipeline(spark: SparkSession, dir: String): DataFrame = {
+    val q = textQuality(spark, dir)
+      .select(col("doc_id"), col("quality_score"))
+    val keep = dedupExact(spark, dir).select(col("keep_id").as("doc_id"))
+    val base = withToks(Core.documents(spark, dir))
+      .select(col("doc_id"), col("lang"), size(toks).as("n_tokens"))
+    base
+      .join(broadcast(keep), Seq("doc_id"), "left_semi")
+      .join(broadcast(q), "doc_id")
+      .filter(col("quality_score") >= 0.55)
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).cast("long").as("total_tokens"),
+        (sum(col("quality_score").cast("decimal(18,12)")).cast("double") /
+          count(lit(1)).cast("double")).as("avg_quality"))
+  }
+
+  val corpusPipelineSql: String = {
+    val nTok = s"CAST(len($toksSql) AS DOUBLE)"
+    val uniq = s"(CAST(len(list_distinct($toksSql)) AS DOUBLE) / $nTok)"
+    val stop = s"(CAST(len(list_filter($toksSql, t -> t = 'the' OR t = 'a')) AS DOUBLE) / $nTok)"
+    val lenOk = "(CASE WHEN length(text) BETWEEN 100 AND 400 THEN 1.0 ELSE 0.0 END)"
+    s"""WITH q AS (
+       |  SELECT doc_id, lang, CAST(len($toksSql) AS INTEGER) AS n_tokens,
+       |    0.5 * $uniq + 0.2 * (1.0 - $stop) + 0.3 * CAST($lenOk AS DOUBLE) AS quality_score
+       |  FROM documents),
+       |keep AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text))
+       |SELECT lang, COUNT(*) AS n_docs,
+       |  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       |  CAST(SUM(CAST(quality_score AS DECIMAL(18,12))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_quality
+       |FROM q SEMI JOIN keep USING (doc_id)
+       |WHERE quality_score >= 0.55
+       |GROUP BY lang""".stripMargin
+  }
+
   override def queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "text_tokens" -> ((s, d) => textTokens(s, d)),
     "lang_id" -> ((s, d) => langId(s, d)),
@@ -297,7 +340,8 @@ object TextDedup extends QueryModule {
     "ngram_jaccard_pairs" -> ((s, d) => ngramJaccardPairs(s, d)),
     "minhash_lsh_candidates" -> ((s, d) => minhashLshCandidates(s, d)),
     "simhash" -> ((s, d) => simhash(s, d)),
-    "simhash_pairs" -> ((s, d) => simhashPairs(s, d)))
+    "simhash_pairs" -> ((s, d) => simhashPairs(s, d)),
+    "corpus_pipeline" -> ((s, d) => corpusPipeline(s, d)))
 
   override def oracle: Seq[(String, String)] = Seq(
     "text_tokens" -> textTokensSql,
@@ -308,5 +352,6 @@ object TextDedup extends QueryModule {
     "ngram_jaccard_pairs" -> ngramJaccardPairsSql,
     "minhash_lsh_candidates" -> minhashLshCandidatesSql,
     "simhash" -> simhashSql,
-    "simhash_pairs" -> simhashPairsSql)
+    "simhash_pairs" -> simhashPairsSql,
+    "corpus_pipeline" -> corpusPipelineSql)
 }
