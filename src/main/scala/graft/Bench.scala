@@ -18,7 +18,20 @@ object Bench {
     // query doesn't absorb one-time session cost (~7s on this box).
     try {
       spark.range(1000000).selectExpr("sum(id)").collect()
-      ops.Core.events(spark, sfDir).groupBy("event_type").count().collect()
+      val ev = ops.Core.events(spark, sfDir)
+      ev.groupBy("event_type").count().collect()
+      // exercise window + broadcast-join codegen paths too, so the
+      // first measured query doesn't absorb their JIT cost
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("event_type").orderBy("ts")
+      val small = ev.limit(100).select(
+        org.apache.spark.sql.functions.col("event_id").as("k"))
+      ev.limit(10000)
+        .withColumn("rn", org.apache.spark.sql.functions.row_number().over(w))
+        .join(org.apache.spark.sql.functions.broadcast(small),
+          org.apache.spark.sql.functions.col("event_id") ===
+            org.apache.spark.sql.functions.col("k"), "left_semi")
+        .count()
     } catch { case _: Throwable => () }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
