@@ -1,9 +1,10 @@
 package graft.functions
 
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
 
 /** Native left-to-right dot product over two float-array columns.
   *
@@ -20,6 +21,20 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
 
   override def dataType: DataType = DoubleType
   override def prettyName: String = "dot_product"
+
+  /** Registered as a SQL function, so misuse (e.g. array<double>)
+    * must fail analysis — the per-element reads below are
+    * float-specific and would silently return garbage otherwise. */
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    })
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"dot_product requires two array<float> inputs, got " +
+        s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
+  }
 
   protected override def nullSafeEval(a: Any, b: Any): Any =
     DotProduct.dotFloat(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])

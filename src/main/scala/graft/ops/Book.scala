@@ -34,14 +34,20 @@ object Book extends QueryModule {
 
   private def bid(i: Int): Column = col("value") - lit(bidOff(i))
   private def ask(i: Int): Column = col("value") + lit(askOff(i))
-  private def bidSize(i: Int): Column = {
+  /** Level-i book sizes (public: Normalize's A2 pooling reuses them). */
+  def bidSize(i: Int): Column = {
     val h = (col("event_id") * lit(2 * i + 3) + lit(7 * i)) % lit(101)
     when(h < 5, lit(0L)).otherwise(h * lit(10))
   }
-  private def askSize(i: Int): Column = {
+  def askSize(i: Int): Column = {
     val h = (col("event_id") * lit(2 * i + 5) + lit(11 * i + 3)) % lit(103)
     when(h < 5, lit(0L)).otherwise(h * lit(10))
   }
+  /** The same size expressions as DuckDB SQL (shared with Normalize). */
+  def bidSizeSql(i: Int): String =
+    s"(CASE WHEN ((event_id * ${2 * i + 3} + ${7 * i}) % 101) < 5 THEN 0 ELSE ((event_id * ${2 * i + 3} + ${7 * i}) % 101) * 10 END)"
+  def askSizeSql(i: Int): String =
+    s"(CASE WHEN ((event_id * ${2 * i + 5} + ${11 * i + 3}) % 103) < 5 THEN 0 ELSE ((event_id * ${2 * i + 5} + ${11 * i + 3}) % 103) * 10 END)"
 
   /** The synthesized book as named columns (the decode/flatten shape
     * P2/P3 lands in). */
@@ -91,10 +97,8 @@ object Book extends QueryModule {
   val bookFeaturesSql: String = {
     def bidS(i: Int) = s"(value - ${bidOff(i)})"
     def askS(i: Int) = s"(value + ${askOff(i)})"
-    def bidSzS(i: Int) =
-      s"(CASE WHEN ((event_id * ${2 * i + 3} + ${7 * i}) % 101) < 5 THEN 0 ELSE ((event_id * ${2 * i + 3} + ${7 * i}) % 101) * 10 END)"
-    def askSzS(i: Int) =
-      s"(CASE WHEN ((event_id * ${2 * i + 5} + ${11 * i + 3}) % 103) < 5 THEN 0 ELSE ((event_id * ${2 * i + 5} + ${11 * i + 3}) % 103) * 10 END)"
+    def bidSzS(i: Int) = bidSizeSql(i)
+    def askSzS(i: Int) = askSizeSql(i)
     val bookCols = (Seq("event_id", "ts", "value") ++
       (0 until nLevels).flatMap(i => Seq(
         s"${bidS(i)} AS bid_$i", s"${bidSzS(i)} AS bid_${i}_size",
@@ -154,7 +158,14 @@ object Book extends QueryModule {
     * day_1..4 / week_1..4 one-hots with Friday / week-5 all-zero. */
   def calendarFeatures(spark: SparkSession, dir: String): DataFrame = {
     val wd = (weekday(col("ts")) + lit(1)).as("week_day") // 1=Mon..7=Sun
-    val womExpr = expr("CAST((day(ts) - 1) div 7 AS INT) + 1") // integer math both engines
+    // Calendar-aligned week-of-month, matching the reference's
+    // date_format(ts,'W') under its en-US locale (week starts Sunday,
+    // minimal days in first week = 1): with w0 = Sunday-based weekday
+    // of the 1st of the month (0=Sun..6=Sat), W = (day-1+w0)/7 + 1.
+    // e.g. Sun 2024-03-03 (Mar 1 = Fri, w0=5) -> (2+5)/7+1 = 2, as 'W'
+    // gives. Pure integer math, identical in both engines.
+    val womExpr = expr(
+      "CAST((day(ts) - 1 + (dayofweek(trunc(ts, 'MM')) - 1)) div 7 AS INT) + 1")
     val wom = womExpr.as("week_of_month")
     // as-written reference predicate (documented bug F11: 12:15 ->
     // minute 15 < 30 -> flagged as session start) ...
@@ -173,11 +184,13 @@ object Book extends QueryModule {
   val calendarFeaturesSql: String = {
     val dayHot = (1 to 4).map(k =>
       s"CASE WHEN isodow(ts) = $k THEN 1 ELSE 0 END AS day_$k").mkString(",\n  ")
+    // DuckDB dayofweek: 0=Sun..6=Sat — already the Sunday-based w0
+    val womSql = "CAST((day(ts) - 1 + dayofweek(date_trunc('month', ts))) // 7 AS INTEGER) + 1"
     val weekHot = (1 to 4).map(k =>
-      s"CASE WHEN CAST((day(ts) - 1) // 7 AS INTEGER) + 1 = $k THEN 1 ELSE 0 END AS week_$k").mkString(",\n  ")
+      s"CASE WHEN $womSql = $k THEN 1 ELSE 0 END AS week_$k").mkString(",\n  ")
     s"""SELECT event_id,
        |  CAST(isodow(ts) AS INTEGER) AS week_day,
-       |  CAST((day(ts) - 1) // 7 AS INTEGER) + 1 AS week_of_month,
+       |  $womSql AS week_of_month,
        |  CASE WHEN hour(ts) >= 11 AND minute(ts) >= 30 THEN 0 ELSE 1 END AS session_start,
        |  CASE WHEN hour(ts) < 11 OR (hour(ts) = 11 AND minute(ts) < 30) THEN 1 ELSE 0 END AS session_start_fixed,
        |  $dayHot,

@@ -8,7 +8,10 @@ import org.apache.spark.sql.expressions.Window
   * (sql_pytorch_dataloader.py:90-144): per-chunk MIN/MAX per column
   * with the epsilon bump on degenerate ranges (max += max*0.001, or
   * 0.001 when max == 0), plus the book-wide pooling of per-level size
-  * ranges via least/greatest.
+  * ranges (A2, sql_pytorch_dataloader.py:117-144): the actual
+  * synthesized book sizes (Book.bidSize/askSize — h*10 with the <5→0
+  * floor) across ALL 7 bid and 7 ask levels, collapsed to a single
+  * book-wide range via least/greatest over the per-level aggregates.
   *
   * The reference issued 2 SQL queries per chunk (82 round trips);
   * here one grouped aggregation computes every chunk's params in a
@@ -23,18 +26,23 @@ object Normalize extends QueryModule {
     * the reference's epsilon bump, plus pooled book size range (A2)
     * from the synthesized book sizes. */
   def chunkMinmax(spark: SparkSession, dir: String): DataFrame = {
+    val sizeCols = (0 until Book.nLevels).flatMap { i =>
+      Seq(Book.bidSize(i).as(s"bsz_$i"), Book.askSize(i).as(s"asz_$i"))
+    }
     val ev = Core.events(spark, dir)
-      .select(col("event_id"), col("value"),
-        get_json_object(col("props"), "$.k").cast("int").as("k"),
-        ((col("event_id") * 3 + 0) % 101).as("bs0"),
-        ((col("event_id") * 5 + 3) % 103).as("as0"))
+      .select(Seq(col("event_id"), col("value"),
+        get_json_object(col("props"), "$.k").cast("int").as("k")) ++ sizeCols: _*)
     def bump(mn: Column, mx: Column): Column =
       when(mn === mx, when(mx =!= 0.0, mx + mx * lit(0.001)).otherwise(lit(0.001))).otherwise(mx)
+    val sizeMins = (0 until Book.nLevels).flatMap(i =>
+      Seq(min(col(s"bsz_$i")), min(col(s"asz_$i"))))
+    val sizeMaxs = (0 until Book.nLevels).flatMap(i =>
+      Seq(max(col(s"bsz_$i")), max(col(s"asz_$i"))))
     val g = ev.groupBy(chunk).agg(
       min(col("value")).as("value_min"), max(col("value")).as("value_max_raw"),
       min(col("k")).cast("int").as("k_min"), max(col("k")).cast("int").as("k_max_raw"),
-      least(min(col("bs0")), min(col("as0"))).as("book_size_min"),
-      greatest(max(col("bs0")), max(col("as0"))).as("book_size_max"))
+      least(sizeMins: _*).as("book_size_min"),
+      greatest(sizeMaxs: _*).as("book_size_max"))
     g.select(col("chunk"),
       col("value_min"), bump(col("value_min"), col("value_max_raw")).as("value_max"),
       col("k_min"),
@@ -42,18 +50,24 @@ object Normalize extends QueryModule {
       col("book_size_min"), col("book_size_max"))
   }
 
-  val chunkMinmaxSql: String =
+  val chunkMinmaxSql: String = {
+    val sizeSel = (0 until Book.nLevels).flatMap(i => Seq(
+      s"${Book.bidSizeSql(i)} AS bsz_$i", s"${Book.askSizeSql(i)} AS asz_$i")).mkString(",\n    ")
+    val sizeMins = (0 until Book.nLevels).flatMap(i =>
+      Seq(s"CAST(min(bsz_$i) AS BIGINT)", s"CAST(min(asz_$i) AS BIGINT)")).mkString(", ")
+    val sizeMaxs = (0 until Book.nLevels).flatMap(i =>
+      Seq(s"CAST(max(bsz_$i) AS BIGINT)", s"CAST(max(asz_$i) AS BIGINT)")).mkString(", ")
     s"""WITH ev AS (
        |  SELECT event_id, value,
        |    CAST(json_extract_string(props, '$$.k') AS INTEGER) AS k,
-       |    (event_id * 3 + 0) % 101 AS bs0, (event_id * 5 + 3) % 103 AS as0
+       |    $sizeSel
        |  FROM ${Core.sqlEvents}),
        |g AS (
        |  SELECT CAST(event_id // 1000 AS BIGINT) AS chunk,
        |    min(value) AS value_min, max(value) AS value_max_raw,
        |    CAST(min(k) AS INTEGER) AS k_min, CAST(max(k) AS INTEGER) AS k_max_raw,
-       |    least(CAST(min(bs0) AS BIGINT), CAST(min(as0) AS BIGINT)) AS book_size_min,
-       |    greatest(CAST(max(bs0) AS BIGINT), CAST(max(as0) AS BIGINT)) AS book_size_max
+       |    least($sizeMins) AS book_size_min,
+       |    greatest($sizeMaxs) AS book_size_max
        |  FROM ev GROUP BY 1)
        |SELECT chunk, value_min,
        |  CASE WHEN value_min = value_max_raw
@@ -65,6 +79,7 @@ object Normalize extends QueryModule {
        |       ELSE CAST(k_max_raw AS DOUBLE) END AS k_max,
        |  book_size_min, book_size_max
        |FROM g""".stripMargin
+  }
 
   /** A1 applied — min-max normalize `value` within its chunk
     * (sql_pytorch_dataloader.py:239 `(x - min) / (max - min)`), the

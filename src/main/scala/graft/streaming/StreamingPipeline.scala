@@ -65,7 +65,11 @@ object StreamingPipeline {
       .agg(
         max(col("value")).as("high"),
         min(col("value")).as("low"),
-        max_by(col("value"), col("ts")).as("close"),
+        // tie-break on event_id (not ts): two events sharing a timestamp
+        // would make a ts-keyed pick nondeterministic across runs; the
+        // batch bars (Indicators.bars) pick close by event_id, so the
+        // streaming form matches them exactly
+        max_by(col("value"), col("event_id")).as("close"),
         count(lit(1)).as("volume"))
       .select(col("w.start").as("bucket"), col("high"), col("low"), col("close"), col("volume"))
 
@@ -162,18 +166,31 @@ object StreamingPipeline {
   }
 
   /** K1 — the foreachBatch sink shape (spark_consumer.py:68-84):
-    * empty-batch skip + idempotent batchId-keyed append (the
-    * production fix SURVEY §7.3 calls out: the reference's JDBC append
-    * was at-least-once; keying by batchId makes replays overwrite). */
+    * empty-batch skip + idempotent batchId-keyed write (the production
+    * fix SURVEY §7.3 calls out: the reference's JDBC append was
+    * at-least-once). Idempotency comes from partitioning the output by
+    * batch_id and dynamically overwriting only that partition — a
+    * replayed micro-batch after a failure rewrites its own
+    * `batch_id=N/` directory instead of appending a duplicate copy. */
   def foreachBatchParquetSink(df: DataFrame, outDir: String, checkpoint: String)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     df.writeStream
       .option("checkpointLocation", checkpoint)
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        if (!batch.isEmpty) {
-          batch.withColumn("batch_id", lit(batchId))
-            .write.mode("append").parquet(outDir)
-        }
+        writeBatchIdempotent(batch, batchId, outDir)
       }
+
+  /** The per-micro-batch body of [[foreachBatchParquetSink]]: skip empty
+    * batches, else rewrite exactly the `batch_id=N/` partition. Running
+    * it twice with the same batchId (a replay) leaves one copy. */
+  def writeBatchIdempotent(batch: DataFrame, batchId: Long, outDir: String): Unit =
+    if (!batch.isEmpty) {
+      batch.withColumn("batch_id", lit(batchId))
+        .write
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .mode("overwrite")
+        .parquet(outDir)
+    }
 }

@@ -36,4 +36,15 @@ class FunctionsSpec extends SparkSpec {
       .filter($"native" =!= $"hofv")
     assert(diff.isEmpty, "native and HOF dot products must be bit-identical")
   }
+
+  test("dot_product rejects non-float arrays at analysis time") {
+    graft.functions.register(spark)
+    val doubles = Seq(Seq(1.0, 2.0)).toDF("a") // array<double>
+    doubles.createOrReplaceTempView("dp_doubles")
+    val ex = intercept[Exception] {
+      spark.sql("SELECT dot_product(a, a) FROM dp_doubles").collect()
+    }
+    assert(ex.getMessage.contains("array<float>"),
+      s"expected an analysis-time type error, got: ${ex.getMessage}")
+  }
 }

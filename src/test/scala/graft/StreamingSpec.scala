@@ -250,4 +250,22 @@ class StreamingSpec extends SparkSpec {
       assert(out.columns.contains("batch_id"))
     } finally q.stop()
   }
+
+  test("foreachBatch sink is idempotent: replaying a micro-batch leaves one copy") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_sink_replay").toString
+    val batch = Seq(
+      Ev(1, t("2024-01-01 10:00:00"), "a", 1.0),
+      Ev(2, t("2024-01-01 10:01:00"), "a", 2.0)).toDF()
+    StreamingPipeline.writeBatchIdempotent(batch, 7L, s"$dir/data")
+    // a failure replay re-runs the same batchId with the same data
+    StreamingPipeline.writeBatchIdempotent(batch, 7L, s"$dir/data")
+    val out = spark.read.parquet(s"$dir/data")
+    assert(out.count() == 2, "replayed batch must overwrite, not append")
+    // a different batchId lands alongside, untouched by later replays
+    StreamingPipeline.writeBatchIdempotent(batch.limit(1), 8L, s"$dir/data")
+    StreamingPipeline.writeBatchIdempotent(batch, 7L, s"$dir/data")
+    val all = spark.read.parquet(s"$dir/data")
+    assert(all.count() == 3)
+    assert(all.filter($"batch_id" === 8L).count() == 1)
+  }
 }
