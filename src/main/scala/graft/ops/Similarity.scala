@@ -171,14 +171,79 @@ object Similarity extends QueryModule {
        |WHERE ${dotSql("a.embedding", "b.embedding")} /
        |    (sqrt(${dotSql("a.embedding", "a.embedding")}) * sqrt(${dotSql("b.embedding", "b.embedding")})) >= 0.4""".stripMargin
 
-  /** IVF-style ANN: MLlib KMeans as the coarse quantizer (k cells,
-    * fixed seed), queries probe their own cell (nprobe=1), cosine
-    * top-5 within the cell. The index-build is one KMeans fit + one
-    * assignment pass; per-query work divides by ~k. Not
-    * SQL-expressible (KMeans training) -> no oracle entry; the driver
-    * records the rows-only check, and SimilaritySpec bounds recall
-    * against the exact brute force. */
+  /** IVF-style ANN with a deterministic coarse quantizer: the first
+    * `cells` vectors are the centroids (sampled centroids are standard
+    * IVF practice — training on a corpus subsample — and a fixed
+    * sample makes the whole query SQL-expressible, so the oracle
+    * checks it bit-for-bit, unlike a trained KMeans). Assignment is
+    * argmin over |c|^2 - 2*x.c (the |x|^2 term is constant per row and
+    * drops out of the argmin), tie-broken on centroid id; queries
+    * probe their own cell (nprobe=1), cosine top-5 within the cell.
+    * One broadcast of 16 centroids + one linear scoring pass; per-query
+    * work divides by ~cells. */
   def ivfTopK(spark: SparkSession, dir: String, cells: Int = 16): DataFrame = {
+    val emb = Core.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"),
+        sqrt(dot(col("embedding"), col("embedding"))).as("norm"))
+      .cache() // scoring + both sides of the cell join share one scan/norm pass
+    val seeds = emb.filter(col("vec_id") < cells)
+      .select(col("vec_id").as("sid"), col("embedding").as("semb"),
+        dot(col("embedding"), col("embedding")).as("ss"))
+    val scored = emb.crossJoin(broadcast(seeds))
+      .select(col("vec_id"), col("embedding"), col("norm"), col("sid"),
+        (col("ss") - lit(2.0) * dot(col("embedding"), col("semb"))).as("score"))
+    val wc = org.apache.spark.sql.expressions.Window
+      .partitionBy("vec_id").orderBy(col("score"), col("sid"))
+    val assigned = scored
+      .withColumn("rn", row_number().over(wc)).filter(col("rn") === 1)
+      .select(col("vec_id"), col("embedding"), col("norm"), col("sid").as("cell"))
+    val q = assigned.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"),
+        col("norm").as("qnorm"), col("cell"))
+    val joined = assigned.join(broadcast(q), Seq("cell"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        (dot(col("qvec"), col("embedding")) / (col("qnorm") * col("norm")))
+          .as("cosine"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("cosine").desc, col("vec_id"))
+    joined.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("qid"), col("vec_id"), col("cosine"), col("rank"))
+  }
+
+  val ivfTopKSql: String = {
+    val cells = 16
+    s"""WITH seeds AS (
+       |  SELECT vec_id AS sid, embedding AS semb,
+       |    ${dotSql("embedding", "embedding")} AS ss
+       |  FROM embeddings WHERE vec_id < $cells),
+       |scored AS (
+       |  SELECT e.vec_id, e.embedding, s.sid,
+       |    s.ss - 2.0 * ${dotSql("e.embedding", "s.semb")} AS score
+       |  FROM embeddings e CROSS JOIN seeds s),
+       |assigned AS (
+       |  SELECT vec_id, embedding, sid AS cell FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY score, sid) AS rn
+       |    FROM scored) WHERE rn = 1),
+       |q AS (SELECT vec_id AS qid, embedding AS qvec, cell FROM assigned WHERE vec_id % 50 = 0),
+       |pairs AS (
+       |  SELECT q.qid, e.vec_id,
+       |    ${dotSql("q.qvec", "e.embedding")} /
+       |      (sqrt(${dotSql("q.qvec", "q.qvec")}) * sqrt(${dotSql("e.embedding", "e.embedding")})) AS cosine
+       |  FROM assigned e JOIN q ON e.cell = q.cell WHERE e.vec_id <> q.qid),
+       |ranked AS (
+       |  SELECT qid, vec_id, cosine,
+       |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS "rank"
+       |  FROM pairs)
+       |SELECT qid, vec_id, cosine, CAST("rank" AS INTEGER) AS "rank" FROM ranked WHERE "rank" <= 5""".stripMargin
+  }
+
+  /** MLlib-KMeans flavor of the IVF quantizer (trained centroids).
+    * Kept as the MLlib integration demo + recall subject in
+    * SimilaritySpec; the registered `embed_ivf_topk` query uses the
+    * deterministic quantizer above so the oracle can check it. */
+  def ivfKMeansTopK(spark: SparkSession, dir: String, cells: Int = 16): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val emb = Core.embeddings(spark, dir)
@@ -216,5 +281,6 @@ object Similarity extends QueryModule {
     "embed_cosine_topk" -> cosineTopKSql,
     "embed_lsh_buckets" -> lshBucketsSql,
     "embed_ann_lsh_topk" -> annLshTopKSql,
+    "embed_ivf_topk" -> ivfTopKSql,
     "embed_near_dup_pairs" -> cosineNearDupPairsSql)
 }

@@ -56,6 +56,21 @@ object TextDedup extends QueryModule {
     df.withColumn("toks", split(col("text"), " "))
   private val toks = col("toks")
 
+  /** Raw per-document shingle array, materialized as a column; use
+    * sites apply array_distinct(dng) INLINE. Per-doc dedup is
+    * equivalent to a global distinct on (doc_id, ngram) but needs no
+    * shuffle — at 100 TB the explode+DISTINCT form re-shuffles the
+    * entire shingle stream just to drop within-doc repeats.
+    *
+    * Shape matters: aliasing array_distinct(ngrams) itself as a
+    * column makes CollapseProject substitute the split() through the
+    * trigram lambda (O(len^2) per doc — measured 17x slower at
+    * sf0.1); aliasing the raw ngram array and wrapping the column
+    * reference keeps every layer single-evaluation. */
+  private def withNgramArr(df: DataFrame): DataFrame =
+    withToks(df).withColumn("ngarr", ngrams)
+  private val dng = array_distinct(col("ngarr"))
+
   /** Token 3-grams as strings (guarded: <3 tokens -> empty). */
   private val ngrams: Column =
     when(size(toks) < 3, array().cast("array<string>")).otherwise(
@@ -160,16 +175,17 @@ object TextDedup extends QueryModule {
     * shared n-grams): distinct (doc, 3-gram) -> self-join on the n-gram
     * -> per-pair intersection -> Jaccard >= 0.5. */
   def ngramJaccardPairs(spark: SparkSession, dir: String): DataFrame = {
-    val dn0 = withToks(Core.documents(spark, dir))
-      .select(col("doc_id"), explode(ngrams).as("ng")).distinct()
-    val sz = dn0.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    // set size n computed map-side from the deduped array — the
+    // groupBy-count + broadcast-join-back of the naive form is a whole
+    // extra aggregation pass the array form never pays
+    val dn = withNgramArr(Core.documents(spark, dir))
+      .select(col("doc_id"), size(dng).as("n"), explode(dng).as("ng"))
+      .cache() // the (doc, ngram, n) set feeds both sides of the self-join
     // length filter (set-similarity-join prune): J(A,B) <= min/max, so
     // pairs with 2*min < max can never reach 0.5 — drop them inside
     // the n-gram join instead of after counting. Output is unchanged
     // (the DuckDB oracle computes the unpruned form); the quadratic
     // candidate set shrinks by the size-skewed pairs.
-    // cached: the (doc, ngram, n) set feeds both sides of the self-join
-    val dn = dn0.join(broadcast(sz), "doc_id").cache()
     val inter = dn.as("a").join(dn.as("b"),
         col("a.ng") === col("b.ng") && col("a.doc_id") < col("b.doc_id") &&
           col("a.n") * 2 >= col("b.n") && col("b.n") * 2 >= col("a.n"))
@@ -204,8 +220,8 @@ object TextDedup extends QueryModule {
     (151L, 19L), (157L, 23L), (163L, 29L), (167L, 31L))
 
   def minhashLshCandidates(spark: SparkSession, dir: String): DataFrame = {
-    val sh = withToks(Core.documents(spark, dir))
-      .select(col("doc_id"), explode(ngrams).as("ng")).distinct()
+    val sh = withNgramArr(Core.documents(spark, dir))
+      .select(col("doc_id"), explode(dng).as("ng"))
       .withColumn("h", charHash(col("ng")))
     val minCols = perms.zipWithIndex.map { case ((a, b), j) =>
       min((col("h") * lit(a) + lit(b)) % lit(P)).as(s"m$j")
@@ -271,14 +287,51 @@ object TextDedup extends QueryModule {
        |SELECT doc_id, $packed AS simhash FROM sums""".stripMargin
   }
 
-  /** SimHash near-dup pairs: hamming(bit_count(xor)) <= 4 over all pairs
-    * (baseline; LSH-bucket by simhash bytes at scale). */
+  /** SimHash near-dup pairs: hamming(bit_count(xor)) <= 4 over all
+    * pairs via a broadcast nested-loop join — the signature table is
+    * ~8 bytes/doc, so even a 10^8-doc corpus broadcasts in GBs and
+    * each executor streams its slice against it (no shuffle). On this
+    * corpus that beats the pigeonhole banding below ~3x: the synthetic
+    * vocabulary concentrates simhash bits, so 32-bit band keys collide
+    * heavily (measured 25.5M banded candidates vs 12.5M raw pairs at
+    * sf0.1). Banding ([[simhashPairsBanded]]) is the right shape once
+    * signatures are 64-bit and n makes O(n^2) infeasible. */
   def simhashPairs(spark: SparkSession, dir: String): DataFrame = {
     val s = simhash(spark, dir).cache() // signature pass runs once, not per join side
-    s.as("a").join(s.as("b"), col("a.doc_id") < col("b.doc_id"))
+    s.as("a").join(broadcast(s.as("b")), col("a.doc_id") < col("b.doc_id"))
       .withColumn("hamming", bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))))
       .filter(col("hamming") <= 4)
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"), col("hamming"))
+  }
+
+  /** EXACT pigeonhole banding form of [[simhashPairs]]: split the 32
+    * bits into 5 blocks (7,7,6,6,6) — a pair within hamming distance 4
+    * has its <=4 differing bits in at most 4 blocks, so at least one
+    * block matches exactly. Candidates come from an equi-join on
+    * (block, block-bits) — a hash shuffle linear in corpus size
+    * instead of O(n^2) pair enumeration — and the exact hamming filter
+    * keeps the result identical (tests assert equality). The scale
+    * path when the corpus outgrows the broadcast form. */
+  private val simhashBands: Seq[(Int, Int)] =
+    Seq((0, 7), (7, 7), (14, 6), (20, 6), (26, 6)) // (shift, width)
+
+  def simhashPairsBanded(spark: SparkSession, dir: String): DataFrame = {
+    val s = simhash(spark, dir)
+    val bandStructs = simhashBands.zipWithIndex.map { case ((sh, w), j) =>
+      struct(lit(j).as("band"),
+        shiftright(col("simhash"), sh).bitwiseAND(lit((1L << w) - 1)).as("bkey"))
+    }
+    val bands = s
+      .select(col("doc_id"), col("simhash"), explode(array(bandStructs: _*)).as("b"))
+      .select(col("doc_id"), col("simhash"), col("b.band").as("band"), col("b.bkey").as("bkey"))
+      .cache() // signature+banding pass runs once, not per join side
+    bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).as("hamming"))
+      .filter(col("hamming") <= 4) // cheap + selective: filter before the pair dedup
+      .distinct() // a pair can agree on several bands
   }
 
   val simhashPairsSql: String =
@@ -287,6 +340,54 @@ object TextDedup extends QueryModule {
        |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
        |FROM s a JOIN s b ON a.doc_id < b.doc_id
        |WHERE bit_count(xor(a.simhash, b.simhash)) <= 4""".stripMargin
+
+  /** Deterministic train/val/test split at scale: the reference's
+    * TrainValTestSplit (sql_pytorch_dataloader.py:251-320, 0.80 /
+    * 0.12 / 0.08) sliced a *chunk list* on the driver; the 100 TB
+    * form assigns each document by content hash — stable across
+    * reruns, cluster layouts, and corpus growth, and it's one
+    * map-side expression + a 3-group aggregate (no driver state). */
+  def datasetSplit(spark: SparkSession, dir: String): DataFrame = {
+    val h = charHash(col("text")) % lit(100L)
+    val split = when(h < 80, lit("train")).when(h < 92, lit("val")).otherwise(lit("test"))
+    withToks(Core.documents(spark, dir))
+      .select(split.as("split"), size(toks).as("n_tokens"))
+      .groupBy("split")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).cast("long").as("total_tokens"))
+  }
+
+  val datasetSplitSql: String =
+    s"""WITH d AS (
+       |  SELECT CASE WHEN ${charHashSql("text")} % 100 < 80 THEN 'train'
+       |              WHEN ${charHashSql("text")} % 100 < 92 THEN 'val'
+       |              ELSE 'test' END AS split,
+       |    CAST(len($toksSql) AS INTEGER) AS n_tokens
+       |  FROM documents)
+       |SELECT split, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+       |FROM d GROUP BY 1""".stripMargin
+
+  /** Boilerplate detection: the 20 highest-document-frequency shingles
+    * (headers/footers/templates repeat verbatim across documents; their
+    * shingles top this list). Per-doc dedup is map-side; the count is
+    * one shuffle on the shingle; top-k is a tiny final sort. */
+  def boilerplateNgrams(spark: SparkSession, dir: String): DataFrame = {
+    val df = withNgramArr(Core.documents(spark, dir))
+      .select(explode(dng).as("ng"))
+      .groupBy("ng").agg(count(lit(1)).as("doc_freq"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("doc_freq").desc, col("ng"))
+    df.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 20)
+      .select(col("ng"), col("doc_freq"), col("rnk"))
+  }
+
+  val boilerplateNgramsSql: String =
+    s"""WITH dn AS (
+       |  SELECT DISTINCT doc_id, unnest($ngramsSql) AS ng FROM documents),
+       |f AS (SELECT ng, count(*) AS doc_freq FROM dn GROUP BY 1),
+       |r AS (SELECT ng, doc_freq,
+       |  ROW_NUMBER() OVER (ORDER BY doc_freq DESC, ng) AS rnk FROM f)
+       |SELECT ng, doc_freq, CAST(rnk AS INTEGER) AS rnk FROM r WHERE rnk <= 20""".stripMargin
 
   /** Capstone: the end-to-end training-data curation pipeline as ONE
     * query — quality gate -> exact-dedup survivors -> per-language
@@ -341,6 +442,8 @@ object TextDedup extends QueryModule {
     "minhash_lsh_candidates" -> ((s, d) => minhashLshCandidates(s, d)),
     "simhash" -> ((s, d) => simhash(s, d)),
     "simhash_pairs" -> ((s, d) => simhashPairs(s, d)),
+    "dataset_split" -> ((s, d) => datasetSplit(s, d)),
+    "boilerplate_ngrams" -> ((s, d) => boilerplateNgrams(s, d)),
     "corpus_pipeline" -> ((s, d) => corpusPipeline(s, d)))
 
   override def oracle: Seq[(String, String)] = Seq(
@@ -353,5 +456,7 @@ object TextDedup extends QueryModule {
     "minhash_lsh_candidates" -> minhashLshCandidatesSql,
     "simhash" -> simhashSql,
     "simhash_pairs" -> simhashPairsSql,
+    "dataset_split" -> datasetSplitSql,
+    "boilerplate_ngrams" -> boilerplateNgramsSql,
     "corpus_pipeline" -> corpusPipelineSql)
 }

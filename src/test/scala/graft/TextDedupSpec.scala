@@ -45,6 +45,31 @@ class TextDedupSpec extends SparkSpec {
     assert(missed.isEmpty, "simhash missed a >=0.95 Jaccard pair")
   }
 
+  test("banded simhash pair search equals the all-pairs scan") {
+    val banded = TextDedup.simhashPairsBanded(spark, sf0001)
+      .select("doc_a", "doc_b", "hamming").as[(Long, Long, Int)].collect().toSet
+    val allPairs = TextDedup.simhashPairs(spark, sf0001)
+      .select("doc_a", "doc_b", "hamming").as[(Long, Long, Int)].collect().toSet
+    assert(banded == allPairs,
+      s"pigeonhole banding must be exact: ${allPairs.diff(banded).size} missed, ${banded.diff(allPairs).size} extra")
+  }
+
+  test("dataset split partitions the corpus near 80/12/8") {
+    val s = TextDedup.datasetSplit(spark, sf0001).cache()
+    val total = s.agg(sum("n_docs")).as[Long].collect()(0)
+    assert(total == graft.ops.Core.documents(spark, sf0001).count())
+    val train = s.filter($"split" === "train").select("n_docs").as[Long].collect()(0)
+    val frac = train.toDouble / total.toDouble
+    assert(frac > 0.65 && frac < 0.95, s"train fraction $frac far from 0.80")
+  }
+
+  test("boilerplate ngrams: top-20, ranked by document frequency") {
+    val b = TextDedup.boilerplateNgrams(spark, sf0001).orderBy("rnk").cache()
+    assert(b.count() == 20)
+    val freqs = b.select("doc_freq").as[Long].collect()
+    assert(freqs.zip(freqs.tail).forall { case (a, c) => a >= c }, "doc_freq must be non-increasing by rank")
+  }
+
   test("text metrics: token counts positive, ratios bounded") {
     val t = TextDedup.textTokens(spark, sf0001)
     assert(t.filter($"n_tokens" <= 0).isEmpty)
