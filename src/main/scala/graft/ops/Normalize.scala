@@ -83,13 +83,17 @@ object Normalize extends QueryModule {
 
   /** A1 applied — min-max normalize `value` within its chunk
     * (sql_pytorch_dataloader.py:239 `(x - min) / (max - min)`), the
-    * params joined back via a broadcast (params << data). */
+    * params joined back on the chunk key. No broadcast hint: params is
+    * rows/1000 entries (data-proportional), so AQE broadcasts it at
+    * small SF and falls back to a chunk-partitioned shuffle join —
+    * both sides already keyed by chunk — once it outgrows the
+    * threshold. */
   def minmaxNormalize(spark: SparkSession, dir: String): DataFrame = {
     val params = chunkMinmax(spark, dir)
       .select(col("chunk"), col("value_min"), col("value_max"))
     Core.events(spark, dir)
       .withColumn("chunk", chunk)
-      .join(broadcast(params), "chunk")
+      .join(params, "chunk")
       .select(col("event_id"),
         ((col("value") - col("value_min")) / (col("value_max") - col("value_min")))
           .as("value_norm"))

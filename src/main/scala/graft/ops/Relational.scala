@@ -62,8 +62,12 @@ object Relational extends QueryModule {
     val n = Core.nation(spark, dir)
     val r = Core.region(spark, dir)
     val rev = price * (one - disc)
-    li.join(broadcast(o), col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+    // orders/customer are fact-sized: no broadcast hint — AQE picks
+    // broadcast at small SF from runtime stats and a shuffle join once
+    // they outgrow the threshold. nation/region are true dims: pin the
+    // broadcast.
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
       .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
       .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
       .groupBy(col("r_name"), col("n_name"))

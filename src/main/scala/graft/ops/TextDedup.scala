@@ -402,9 +402,11 @@ object TextDedup extends QueryModule {
     val keep = dedupExact(spark, dir).select(col("keep_id").as("doc_id"))
     val base = withToks(Core.documents(spark, dir))
       .select(col("doc_id"), col("lang"), size(toks).as("n_tokens"))
+    // keep/q are corpus-sized — no broadcast hint (AQE broadcasts at
+    // small SF; at 100 TB these must shuffle on doc_id)
     base
-      .join(broadcast(keep), Seq("doc_id"), "left_semi")
-      .join(broadcast(q), "doc_id")
+      .join(keep, Seq("doc_id"), "left_semi")
+      .join(q, "doc_id")
       .filter(col("quality_score") >= 0.55)
       .groupBy(col("lang"))
       .agg(
