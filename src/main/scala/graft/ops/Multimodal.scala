@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -49,6 +49,61 @@ object Multimodal extends QueryModule {
       |  CAST(n_chars % 64 * 16 + 16 AS INTEGER) * CAST(doc_id % 32 * 16 + 16 AS INTEGER) AS n_pixels_est
       |FROM documents""".stripMargin
 
+  /** Feature extraction to a fixed-dimension vector — the multimodal ->
+    * embedding step of a training pipeline (a real system runs a vision
+    * tower here; the brief's container has none, so each dimension is a
+    * deterministic poly-hash of the payload under a per-dimension
+    * prefix). One native-expression pass per dimension, all map-side;
+    * dimensions as scalar columns so the oracle compare stays exact.
+    * The norm is derived with a left-folded IEEE tree both engines
+    * write identically. */
+  private val embedDims = 8
+
+  def mediaEmbed(spark: SparkSession, dir: String): DataFrame = {
+    val dims = 0 until embedDims
+    val es = dims.map { j =>
+      (graft.functions.poly_hash(concat(lit(j.toString), col("text"))).cast("double") /
+        lit(1000003.0)).as(s"e$j")
+    }
+    val base = Core.documents(spark, dir).select(col("doc_id") +: es: _*)
+    val normSq = dims.map(j => col(s"e$j") * col(s"e$j")).reduceLeft[Column](_ + _)
+    base.withColumn("norm", sqrt(normSq))
+  }
+
+  val mediaEmbedSql: String = {
+    val dims = 0 until embedDims
+    val es = dims.map { j =>
+      s"CAST(${TextDedup.charHashSql(s"('$j' || text)")} AS DOUBLE) / 1000003.0 AS e$j"
+    }.mkString(",\n  ")
+    val normSq = dims.map(j => s"e$j * e$j").mkString(" + ")
+    s"""SELECT doc_id, ${dims.map(j => s"e$j").mkString(", ")}, sqrt($normSq) AS norm
+       |FROM (SELECT doc_id, $es FROM documents)""".stripMargin
+  }
+
+  /** Frame sampling as an oracle-checked query: every stride-th
+    * 64-char chunk of the payload with per-chunk digests (video
+    * keyframe extraction shape — the generator fans each document out
+    * to its sampled frames, all map-side). */
+  def mediaChunks(spark: SparkSession, dir: String, chunkChars: Int = 64, stride: Int = 4): DataFrame = {
+    val step = chunkChars * stride
+    Core.documents(spark, dir)
+      .select(col("doc_id"),
+        posexplode(transform(
+          sequence(lit(0), ((length(col("text")) - 1) / lit(step)).cast("int")),
+          i => col("text").substr(i * step + 1, lit(chunkChars)))))
+      .select(col("doc_id"), col("pos").as("chunk_idx"),
+        length(col("col")).as("n_bytes"),
+        md5(col("col").cast("binary")).as("digest"))
+  }
+
+  val mediaChunksSql: String =
+    """SELECT doc_id, CAST(i AS INTEGER) AS chunk_idx,
+      |  CAST(length(substring(text, i*256+1, 64)) AS INTEGER) AS n_bytes,
+      |  md5(substring(text, i*256+1, 64)) AS digest
+      |FROM (SELECT doc_id, text,
+      |        unnest(range(0, CAST((length(text)-1)//256 AS INTEGER)+1)) AS i
+      |      FROM documents)""".stripMargin
+
   // --- decode / feature-extract plumbing (not oracle-expressible) ---------
 
   /** A decoded frame: what a real image decode would yield. */
@@ -95,8 +150,12 @@ object Multimodal extends QueryModule {
       .withColumnsRenamed(Map("pos" -> "chunk_idx", "col" -> "chunk"))
 
   override def queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
-    "media_meta" -> ((s, d) => mediaMeta(s, d)))
+    "media_meta" -> ((s, d) => mediaMeta(s, d)),
+    "media_embed" -> ((s, d) => mediaEmbed(s, d)),
+    "media_chunks" -> ((s, d) => mediaChunks(s, d)))
 
   override def oracle: Seq[(String, String)] = Seq(
-    "media_meta" -> mediaMetaSql)
+    "media_meta" -> mediaMetaSql,
+    "media_embed" -> mediaEmbedSql,
+    "media_chunks" -> mediaChunksSql)
 }

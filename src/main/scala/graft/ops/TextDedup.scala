@@ -38,8 +38,8 @@ object TextDedup extends QueryModule {
     * sf0.1 bench hot spot across the dedup family. */
   private def charHash(s: Column): Column = graft.functions.poly_hash(s)
 
-  /** Same, over a SQL expression string. */
-  private def charHashSql(s: String): String =
+  /** Same, over a SQL expression string (shared with Multimodal). */
+  private[ops] def charHashSql(s: String): String =
     s"""(CASE WHEN length($s) < 1 THEN 0
        | ELSE list_reduce(
        |   list_prepend(CAST(0 AS BIGINT),

@@ -32,6 +32,29 @@ class MultimodalSpec extends SparkSpec {
     assert(chunks.filter(octet_length($"chunk") === 0).isEmpty)
   }
 
+  test("mediaEmbed: fixed-dim features in [0,1), norm consistent") {
+    val e = Multimodal.mediaEmbed(spark, sf0001).cache()
+    assert(e.count() == graft.ops.Core.documents(spark, sf0001).count())
+    (0 until 8).foreach { j =>
+      assert(e.filter(col(s"e$j") < 0.0 || col(s"e$j") >= 1.0).isEmpty, s"e$j out of range")
+    }
+    // norm agrees with a recomputed sum of squares
+    val normSq = (0 until 8).map(j => col(s"e$j") * col(s"e$j")).reduceLeft(_ + _)
+    assert(e.filter(abs(sqrt(normSq) - $"norm") > 1e-12).isEmpty)
+  }
+
+  test("mediaChunks: strided sampling reassembles offsets consistently") {
+    val c = Multimodal.mediaChunks(spark, sf0001).cache()
+    assert(c.select("doc_id").distinct().count() ==
+      graft.ops.Core.documents(spark, sf0001).count())
+    assert(c.filter($"n_bytes" <= 0 || $"n_bytes" > 64).isEmpty)
+    // chunk_idx dense from 0 per doc
+    val bad = c.groupBy("doc_id")
+      .agg(min("chunk_idx").as("mn"), max("chunk_idx").as("mx"), count(lit(1)).as("n"))
+      .filter($"mn" =!= 0 || $"mx" =!= $"n" - 1)
+    assert(bad.isEmpty)
+  }
+
   test("media metadata digests match spark-side sha2 of the payload") {
     val meta = Multimodal.mediaMeta(spark, sf0001)
     val recheck = Multimodal.mediaTable(spark, sf0001)
