@@ -186,17 +186,26 @@ object Similarity extends QueryModule {
       .select(col("vec_id"), col("embedding"),
         sqrt(dot(col("embedding"), col("embedding"))).as("norm"))
       .cache() // scoring + both sides of the cell join share one scan/norm pass
-    val seeds = emb.filter(col("vec_id") < cells)
-      .select(col("vec_id").as("sid"), col("embedding").as("semb"),
-        dot(col("embedding"), col("embedding")).as("ss"))
-    val scored = emb.crossJoin(broadcast(seeds))
-      .select(col("vec_id"), col("embedding"), col("norm"), col("sid"),
-        (col("ss") - lit(2.0) * dot(col("embedding"), col("semb"))).as("score"))
-    val wc = org.apache.spark.sql.expressions.Window
-      .partitionBy("vec_id").orderBy(col("score"), col("sid"))
-    val assigned = scored
-      .withColumn("rn", row_number().over(wc)).filter(col("rn") === 1)
-      .select(col("vec_id"), col("embedding"), col("norm"), col("sid").as("cell"))
+    // index build: collect the centroid sample to the driver (16 rows —
+    // the same collect a broadcast would do) and fold the argmin into
+    // ONE map-side expression: least() over (score, sid) structs is
+    // lexicographic, i.e. min score with sid tie-break — identical pick
+    // to the oracle's ROW_NUMBER ... ORDER BY score, sid. The previous
+    // crossJoin + window formulation shuffled a 16x-fanned copy of the
+    // corpus by vec_id just to pick each row's own minimum.
+    val seedRows = emb.filter(col("vec_id") < cells)
+      .select(col("vec_id"), col("embedding"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1)))
+      .sortBy(_._1)
+    val scoreStructs = seedRows.map { case (sid, semb) =>
+      val sembLit = typedLit(semb)
+      val ss = dot(sembLit, sembLit)
+      struct((ss - lit(2.0) * dot(col("embedding"), sembLit)).as("score"),
+        lit(sid).as("sid"))
+    }
+    val assigned = emb
+      .withColumn("cell", least(scoreStructs: _*).getField("sid"))
     val q = assigned.filter(col("vec_id") % 50 === 0)
       .select(col("vec_id").as("qid"), col("embedding").as("qvec"),
         col("norm").as("qnorm"), col("cell"))

@@ -220,6 +220,12 @@ object TextDedup extends QueryModule {
     (151L, 19L), (157L, 23L), (163L, 29L), (167L, 31L))
 
   def minhashLshCandidates(spark: SparkSession, dir: String): DataFrame = {
+    // signature aggregation: partial (map-side) min combine means the
+    // shuffle carries ~one row per doc per map partition, not the
+    // shingle stream — the groupBy form IS the scale shape. (A pure
+    // HOF array_min formulation re-evaluates the shingle-hash array
+    // once per permutation — Catalyst gives lambda aliases no CSE —
+    // and measured ~3x slower.)
     val sh = withNgramArr(Core.documents(spark, dir))
       .select(col("doc_id"), explode(dng).as("ng"))
       .withColumn("h", charHash(col("ng")))
@@ -227,10 +233,15 @@ object TextDedup extends QueryModule {
       min((col("h") * lit(a) + lit(b)) % lit(P)).as(s"m$j")
     }
     val sig = sh.groupBy("doc_id").agg(minCols.head, minCols.tail: _*)
-    val bands = (0 until 4).map { bnd =>
-      sig.select(col("doc_id"), lit(bnd).as("band"),
+    // bands as one generator fan-out (4 rows/doc), map-side
+    val bandStructs = (0 until 4).map { bnd =>
+      struct(lit(bnd).as("band"),
         (col(s"m${2 * bnd}") * lit(P) + col(s"m${2 * bnd + 1}")).as("bkey"))
-    }.reduce(_.unionAll(_)).cache() // both sides of the bucket self-join
+    }
+    val bands = sig
+      .select(col("doc_id"), explode(array(bandStructs: _*)).as("b"))
+      .select(col("doc_id"), col("b.band").as("band"), col("b.bkey").as("bkey"))
+      .cache() // both sides of the bucket self-join
     bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
           col("x.doc_id") < col("y.doc_id"))
