@@ -45,7 +45,8 @@ object Similarity extends QueryModule {
     val emb = Core.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding"),
         sqrt(dot(col("embedding"), col("embedding"))).as("norm"))
-      .cache() // corpus + query sides share one scan/norm pass
+    // uncached: the query side is a filter over the same scan; a cache
+    // would add a materialization pass without removing any work
     val q = emb.filter(col("vec_id") % 50 === 0)
       .select(col("vec_id").as("qid"), col("embedding").as("qvec"), col("norm").as("qnorm"))
     val joined = emb.crossJoin(broadcast(q))
@@ -114,7 +115,6 @@ object Similarity extends QueryModule {
       .select(col("vec_id"), col("embedding"),
         sqrt(dot(col("embedding"), col("embedding"))).as("norm"),
         lshBucket(col("embedding")).as("bucket"))
-      .cache() // the 8-plane bucket pass runs once, not per join side
     val q = emb.filter(col("vec_id") % 50 === 0)
       .select(col("vec_id").as("qid"), col("embedding").as("qvec"),
         col("norm").as("qnorm"), col("bucket"))
@@ -155,7 +155,6 @@ object Similarity extends QueryModule {
     val emb = Core.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding"),
         sqrt(dot(col("embedding"), col("embedding"))).as("norm"))
-      .cache() // both sides of the pair join share the norm pass
     emb.as("a").join(emb.as("b"), col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
         (dot(col("a.embedding"), col("b.embedding")) / (col("a.norm") * col("b.norm")))
@@ -185,7 +184,6 @@ object Similarity extends QueryModule {
     val emb = Core.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding"),
         sqrt(dot(col("embedding"), col("embedding"))).as("norm"))
-      .cache() // scoring + both sides of the cell join share one scan/norm pass
     // index build: collect the centroid sample to the driver (16 rows —
     // the same collect a broadcast would do) and fold the argmin into
     // ONE map-side expression: least() over (score, sid) structs is
