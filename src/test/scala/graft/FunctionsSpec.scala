@@ -37,6 +37,25 @@ class FunctionsSpec extends SparkSpec {
     assert(diff.isEmpty, "native and HOF dot products must be bit-identical")
   }
 
+  test("CandleAggregator (typed Aggregator) matches the untyped bars query") {
+    import graft.functions.{CandleAggregator, Tick}
+    val ev = graft.ops.Core.events(spark, sf0001)
+    val typed = ev
+      .select(graft.ops.Core.bucket5m($"ts").as("bucket"), $"event_id", $"value")
+      .as[(java.sql.Timestamp, Long, Double)]
+      .groupByKey(_._1)
+      .mapValues { case (_, id, v) => Tick(id, v) }
+      .agg(CandleAggregator.toColumn)
+      .toDF("bucket", "candle")
+      .select($"bucket", $"candle.open", $"candle.high", $"candle.low",
+        $"candle.close", $"candle.volume")
+    val untyped = graft.ops.Indicators.bars(spark, sf0001)
+      .select($"bucket", $"open", $"high", $"low", $"close", $"volume")
+    assert(typed.count() == untyped.count())
+    assert(typed.except(untyped).isEmpty && untyped.except(typed).isEmpty,
+      "typed Aggregator candles must equal the untyped min_by/max_by bars")
+  }
+
   test("dot_product rejects non-float arrays at analysis time") {
     graft.functions.register(spark)
     val doubles = Seq(Seq(1.0, 2.0)).toDF("a") // array<double>
