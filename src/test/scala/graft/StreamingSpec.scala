@@ -251,6 +251,32 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming corpus ingest: quality gate + watermark-bounded exact dedup") {
+    implicit val sqlCtx = spark.sqlContext
+    val good = "the quick brown fox jumps over a lazy dog while the calm river " +
+      "keeps flowing past green hills under a bright morning sky today"
+    val junk = Array.fill(30)("a").mkString(" ") // repetitive, stop-heavy, short
+    val src = MemoryStream[(Long, Timestamp, String, String)]
+    val out = StreamingPipeline.streamingCorpusIngest(
+      src.toDF().toDF("doc_id", "ts", "text", "lang"))
+    val q = out.writeStream.format("memory").queryName("corpus_out")
+      .outputMode("append").start()
+    try {
+      src.addData(
+        (1L, t("2024-01-01 10:00:00"), good, "en"),
+        (2L, t("2024-01-01 10:00:30"), junk, "en"), // fails the quality gate
+        (3L, t("2024-01-01 10:01:00"), good, "en")) // duplicate digest of 1 -> dropped
+      q.processAllAvailable()
+      src.addData((4L, t("2024-01-01 11:00:00"), good + " extra words here", "en"))
+      q.processAllAvailable()
+      val kept = spark.table("corpus_out").select("doc_id").as[Long].collect().toSet
+      assert(kept.contains(1L), "high-quality first copy must pass")
+      assert(!kept.contains(2L), "low-quality doc must be filtered")
+      assert(!kept.contains(3L), "duplicate digest within watermark must be dropped")
+      assert(kept.contains(4L), "distinct later doc must pass")
+    } finally q.stop()
+  }
+
   test("foreachBatch sink is idempotent: replaying a micro-batch leaves one copy") {
     val dir = java.nio.file.Files.createTempDirectory("graft_sink_replay").toString
     val batch = Seq(
