@@ -214,8 +214,34 @@ object Relational extends QueryModule {
   def sanitizeColumns(df: DataFrame): DataFrame =
     df.toDF(df.columns.map(_.replaceAll("[.\\s]+", "_")): _*)
 
+  /** Distinct aggregation (absent from the reference — SURVEY §2.5
+    * flags it as a capability extension): distinct users per event
+    * type. Exact COUNT(DISTINCT) expands to a two-phase aggregate
+    * (partial distinct per partition, then merge) — fine when group
+    * cardinality is modest. */
+  def distinctUsers(spark: SparkSession, dir: String): DataFrame =
+    Core.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n_users"),
+        count(lit(1)).as("n_events"))
+
+  val distinctUsersSql: String =
+    s"""SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events
+       |FROM ${Core.sqlEvents} GROUP BY 1""".stripMargin
+
+  /** The 100 TB form of [[distinctUsers]]: HyperLogLog++ sketches
+    * (approx_count_distinct) — mergeable fixed-size state instead of a
+    * per-group distinct set, so memory is O(groups), not O(distinct
+    * values). Sketches are engine-specific -> no oracle; the spec
+    * bounds its error against the exact count. */
+  def approxDistinctUsers(spark: SparkSession, dir: String, rsd: Double = 0.05): DataFrame =
+    Core.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(approx_count_distinct(col("user_id"), rsd).as("n_users_approx"))
+
   override def queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "pricing_summary" -> ((s, d) => pricingSummary(s, d)),
+    "distinct_users" -> ((s, d) => distinctUsers(s, d)),
     "revenue_by_nation" -> ((s, d) => revenueByNation(s, d)),
     "latest_point" -> ((s, d) => latestPoint(s, d)),
     "dedup_rows" -> ((s, d) => dedupRows(s, d)),
@@ -227,6 +253,7 @@ object Relational extends QueryModule {
 
   override def oracle: Seq[(String, String)] = Seq(
     "pricing_summary" -> pricingSummarySql,
+    "distinct_users" -> distinctUsersSql,
     "revenue_by_nation" -> revenueByNationSql,
     "latest_point" -> latestPointSql,
     "dedup_rows" -> dedupRowsSql,

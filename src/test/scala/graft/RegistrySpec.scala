@@ -18,4 +18,19 @@ class RegistrySpec extends SparkSpec {
       withClue(s"query $name:") { assert(n >= 0) }
     }
   }
+
+  test("approx_count_distinct tracks the exact distinct count within rsd bounds") {
+    import org.apache.spark.sql.functions.col
+    val exact = graft.ops.Relational.distinctUsers(spark, sf0001)
+      .select(col("event_type"), col("n_users"))
+    val approx = graft.ops.Relational.approxDistinctUsers(spark, sf0001, rsd = 0.05)
+    val joined = exact.join(approx, "event_type").collect()
+    assert(joined.nonEmpty)
+    joined.foreach { r =>
+      val e = r.getAs[Long]("n_users").toDouble
+      val a = r.getAs[Long]("n_users_approx").toDouble
+      assert(math.abs(a - e) / e <= 0.25, // 5x the 5% rsd: generous, not flaky
+        s"${r.getAs[String]("event_type")}: approx $a vs exact $e")
+    }
+  }
 }
