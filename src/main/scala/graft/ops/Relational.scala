@@ -229,6 +229,57 @@ object Relational extends QueryModule {
     s"""SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events
        |FROM ${Core.sqlEvents} GROUP BY 1""".stripMargin
 
+  /** Discrete quantiles per series (extension — the reference has no
+    * quantile operator): percentile_disc picks ACTUAL data values (no
+    * interpolation arithmetic), so the result is bit-exact across
+    * engines by construction. */
+  def valueQuantiles(spark: SparkSession, dir: String): DataFrame =
+    Core.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY value)").as("p25"),
+        expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY value)").as("p50"),
+        expr("percentile_disc(0.75) WITHIN GROUP (ORDER BY value)").as("p75"),
+        expr("percentile_disc(0.95) WITHIN GROUP (ORDER BY value)").as("p95"))
+
+  val valueQuantilesSql: String =
+    s"""SELECT event_type,
+       |  quantile_disc(value, 0.25) AS p25,
+       |  quantile_disc(value, 0.5) AS p50,
+       |  quantile_disc(value, 0.75) AS p75,
+       |  quantile_disc(value, 0.95) AS p95
+       |FROM ${Core.sqlEvents} GROUP BY 1""".stripMargin
+
+  /** ROLLUP aggregation (extension — no grouping sets anywhere in the
+    * reference): revenue at (region, nation), per-region subtotal, and
+    * grand total in one pass. Spark expands the grouping sets before
+    * the aggregate, so partial aggregation still applies per set. */
+  def revenueRollup(spark: SparkSession, dir: String): DataFrame = {
+    val li = Core.lineitem(spark, dir)
+    val o = Core.orders(spark, dir)
+    val c = Core.customer(spark, dir)
+    val n = Core.nation(spark, dir)
+    val r = Core.region(spark, dir)
+    val rev = price * (one - disc)
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .rollup(col("r_name"), col("n_name"))
+      .agg(sum(rev).cast("double").as("revenue"), count(lit(1)).as("n_items"))
+  }
+
+  val revenueRollupSql: String =
+    """SELECT r_name, n_name,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+      |  COUNT(*) AS n_items
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY ROLLUP(r_name, n_name)""".stripMargin
+
   /** The 100 TB form of [[distinctUsers]]: HyperLogLog++ sketches
     * (approx_count_distinct) — mergeable fixed-size state instead of a
     * per-group distinct set, so memory is O(groups), not O(distinct
@@ -242,6 +293,8 @@ object Relational extends QueryModule {
   override def queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "pricing_summary" -> ((s, d) => pricingSummary(s, d)),
     "distinct_users" -> ((s, d) => distinctUsers(s, d)),
+    "value_quantiles" -> ((s, d) => valueQuantiles(s, d)),
+    "revenue_rollup" -> ((s, d) => revenueRollup(s, d)),
     "revenue_by_nation" -> ((s, d) => revenueByNation(s, d)),
     "latest_point" -> ((s, d) => latestPoint(s, d)),
     "dedup_rows" -> ((s, d) => dedupRows(s, d)),
@@ -254,6 +307,8 @@ object Relational extends QueryModule {
   override def oracle: Seq[(String, String)] = Seq(
     "pricing_summary" -> pricingSummarySql,
     "distinct_users" -> distinctUsersSql,
+    "value_quantiles" -> valueQuantilesSql,
+    "revenue_rollup" -> revenueRollupSql,
     "revenue_by_nation" -> revenueByNationSql,
     "latest_point" -> latestPointSql,
     "dedup_rows" -> dedupRowsSql,
