@@ -280,6 +280,48 @@ object Relational extends QueryModule {
       |JOIN region ON n_regionkey = r_regionkey
       |GROUP BY ROLLUP(r_name, n_name)""".stripMargin
 
+  /** Sessionization (extension): classic gap-based sessions — a new
+    * session starts after a >30 min silence. Two window passes
+    * partitioned BY USER (scales horizontally, unlike the
+    * reference-parity global windows) then one aggregation; counts and
+    * timestamp extremes only, so the oracle comparison is exact. The
+    * streaming twin is StreamingPipeline.streamingSessions
+    * (session_window). */
+  def userSessions(spark: SparkSession, dir: String, gapMinutes: Int = 30): DataFrame = {
+    val gapUs = gapMinutes * 60L * 1000000L
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val prevTs = lag(col("ts"), 1).over(w)
+    val newSession = when(
+      prevTs.isNull || unix_micros(col("ts")) - unix_micros(prevTs) > gapUs, 1L)
+      .otherwise(0L)
+    Core.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("ts"))
+      .withColumn("new_s", newSession)
+      .withColumn("session_id",
+        sum(col("new_s")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"))
+  }
+
+  val userSessionsSql: String =
+    s"""WITH g AS (
+       |  SELECT user_id, event_id, ts,
+       |    CASE WHEN lag(ts) OVER w IS NULL
+       |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+       |         THEN 1 ELSE 0 END AS new_s
+       |  FROM ${Core.sqlEvents}
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+       |s AS (
+       |  SELECT user_id, ts,
+       |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+       |                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+       |  FROM g)
+       |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+       |  count(*) AS n_events, min(ts) AS session_start, max(ts) AS session_end
+       |FROM s GROUP BY 1, 2""".stripMargin
+
   /** The 100 TB form of [[distinctUsers]]: HyperLogLog++ sketches
     * (approx_count_distinct) — mergeable fixed-size state instead of a
     * per-group distinct set, so memory is O(groups), not O(distinct
@@ -295,6 +337,7 @@ object Relational extends QueryModule {
     "distinct_users" -> ((s, d) => distinctUsers(s, d)),
     "value_quantiles" -> ((s, d) => valueQuantiles(s, d)),
     "revenue_rollup" -> ((s, d) => revenueRollup(s, d)),
+    "user_sessions" -> ((s, d) => userSessions(s, d)),
     "revenue_by_nation" -> ((s, d) => revenueByNation(s, d)),
     "latest_point" -> ((s, d) => latestPoint(s, d)),
     "dedup_rows" -> ((s, d) => dedupRows(s, d)),
@@ -309,6 +352,7 @@ object Relational extends QueryModule {
     "distinct_users" -> distinctUsersSql,
     "value_quantiles" -> valueQuantilesSql,
     "revenue_rollup" -> revenueRollupSql,
+    "user_sessions" -> userSessionsSql,
     "revenue_by_nation" -> revenueByNationSql,
     "latest_point" -> latestPointSql,
     "dedup_rows" -> dedupRowsSql,

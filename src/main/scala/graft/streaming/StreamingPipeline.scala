@@ -165,6 +165,19 @@ object StreamingPipeline {
       }
   }
 
+  /** Sessionization in-stream: session_window merges events closer
+    * than the gap into one growing window per key; state closes (and
+    * the session emits, in append mode) once the watermark passes the
+    * session end + gap. The batch twin is Relational.userSessions —
+    * same gap semantics via lag/cumsum windows. */
+  def streamingSessions(events: DataFrame, gap: String = "30 minutes"): DataFrame =
+    events.withWatermark("ts", "5 minutes")
+      .groupBy(col("user_id"), session_window(col("ts"), gap).as("w"))
+      .agg(count(lit(1)).as("n_events"),
+        max(col("value")).as("max_value"))
+      .select(col("user_id"), col("w.start").as("session_start"),
+        col("w.end").as("session_end"), col("n_events"), col("max_value"))
+
   /** The training-data curation pipeline (corpus_pipeline's quality
     * gate + exact dedup) in STREAMING form — what a continuously-fed
     * 100 TB corpus actually runs: per-document quality scoring is

@@ -251,6 +251,29 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming sessions: gap merge and watermark-gated close") {
+    implicit val sqlCtx = spark.sqlContext
+    val src = MemoryStream[Ev]
+    // Ev.event_type stands in for the user key
+    val out = StreamingPipeline.streamingSessions(
+      src.toDF().withColumnRenamed("event_type", "user_id"), gap = "10 minutes")
+    val q = out.writeStream.format("memory").queryName("sess_out")
+      .outputMode("append").start()
+    try {
+      src.addData(
+        Ev(1, t("2024-01-01 10:00:00"), "u1", 5.0),
+        Ev(2, t("2024-01-01 10:05:00"), "u1", 7.0), // merges with 1 (gap < 10m)
+        Ev(3, t("2024-01-01 10:30:00"), "u1", 2.0)) // new session (gap 25m)
+      q.processAllAvailable()
+      src.addData(Ev(9, t("2024-01-01 12:00:00"), "u1", 1.0)) // advance watermark
+      q.processAllAvailable()
+      val rows = spark.table("sess_out")
+        .select("n_events", "max_value").as[(Long, Double)].collect().toSet
+      assert(rows.contains((2L, 7.0)), "first two events must merge into one session")
+      assert(rows.contains((1L, 2.0)), "the 25-minute gap must start a new session")
+    } finally q.stop()
+  }
+
   test("streaming corpus ingest: quality gate + watermark-bounded exact dedup") {
     implicit val sqlCtx = spark.sqlContext
     val good = "the quick brown fox jumps over a lazy dog while the calm river " +
