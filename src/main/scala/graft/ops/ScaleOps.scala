@@ -61,6 +61,31 @@ object ScaleOps extends QueryModule {
     spark.table(leftTable).join(spark.table(rightTable),
       col(leftKey) === col(rightKey))
 
+  /** Curated-corpus writer: the batch sink layout a 100 TB training
+    * pipeline lands on — the quality-gated, deduped corpus partitioned
+    * by (lang, split) so downstream training jobs prune to their slice
+    * at the directory level, written with DYNAMIC partition overwrite
+    * so a re-run (or a backfill of one language) rewrites exactly the
+    * partitions it produced, never clobbering the rest. */
+  def writeCurated(spark: SparkSession, dir: String, outDir: String): Unit = {
+    val q = TextDedup.textQuality(spark, dir).select(col("doc_id"), col("quality_score"))
+    val keep = TextDedup.dedupExact(spark, dir).select(col("keep_id").as("doc_id"))
+    val h = graft.functions.poly_hash(col("text")) % lit(100L)
+    val split = when(h < 80, lit("train")).when(h < 92, lit("val")).otherwise(lit("test"))
+    Core.documents(spark, dir)
+      .join(keep, Seq("doc_id"), "left_semi")
+      .join(q, "doc_id")
+      .filter(col("quality_score") >= 0.55)
+      .withColumn("split", split)
+      .select(col("doc_id"), col("text"), col("n_chars"),
+        col("quality_score"), col("lang"), col("split"))
+      .write
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("lang", "split")
+      .mode("overwrite")
+      .parquet(outDir)
+  }
+
   override def queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "salted_agg" -> ((s, d) => saltedAgg(s, d)))
 

@@ -19,6 +19,32 @@ class RegistrySpec extends SparkSpec {
     }
   }
 
+  test("quantiles are monotone and drawn from the data") {
+    import org.apache.spark.sql.functions.col
+    val q = graft.ops.Relational.valueQuantiles(spark, sf0001)
+    val bad = q.filter(col("p25") > col("p50") || col("p50") > col("p75") ||
+      col("p75") > col("p95"))
+    assert(bad.isEmpty, "percentile_disc must be monotone in p")
+  }
+
+  test("sessions partition each user's events and never overlap") {
+    import org.apache.spark.sql.functions.{col, sum}
+    import spark.implicits._
+    val s = graft.ops.Relational.userSessions(spark, sf0001).cache()
+    val total = s.agg(sum("n_events")).as[Long].collect()(0)
+    assert(total == graft.ops.Core.events(spark, sf0001).count(),
+      "every event lands in exactly one session")
+    assert(s.filter(col("session_start") > col("session_end")).isEmpty)
+    // consecutive sessions of a user are separated by more than the gap
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("session_id")
+    val overlap = s.withColumn("prev_end",
+        org.apache.spark.sql.functions.lag(col("session_end"), 1).over(w))
+      .filter(col("prev_end").isNotNull &&
+        col("session_start").cast("long") - col("prev_end").cast("long") <= 30 * 60)
+    assert(overlap.isEmpty, "a new session implies a gap > 30 minutes")
+  }
+
   test("approx_count_distinct tracks the exact distinct count within rsd bounds") {
     import org.apache.spark.sql.functions.col
     val exact = graft.ops.Relational.distinctUsers(spark, sf0001)

@@ -16,6 +16,24 @@ class ScaleOpsSpec extends SparkSpec {
     assert(joined.filter($"sum_qty" =!= $"sum_qty2" || $"n" =!= $"n2").isEmpty)
   }
 
+  test("curated corpus writer: (lang, split) layout, dynamic-overwrite idempotent") {
+    val out = java.nio.file.Files.createTempDirectory("graft_curated").toString + "/corpus"
+    ScaleOps.writeCurated(spark, sf0001, out)
+    val first = spark.read.parquet(out)
+    assert(first.count() > 0)
+    assert(first.columns.contains("lang") && first.columns.contains("split"))
+    // directory layout prunes by partition columns
+    val dirs = new java.io.File(out).listFiles().filter(_.isDirectory).map(_.getName)
+    assert(dirs.exists(_.startsWith("lang=")), s"expected lang= dirs, got ${dirs.mkString(",")}")
+    // matches the corpus_pipeline gate: survivors with quality >= 0.55
+    val expected = graft.ops.TextDedup.corpusPipeline(spark, sf0001)
+      .agg(sum("n_docs")).as[Long].collect()(0)
+    assert(first.count() == expected, "writer must land exactly the gated dedup survivors")
+    // re-run overwrites its own partitions, never duplicating
+    ScaleOps.writeCurated(spark, sf0001, out)
+    assert(spark.read.parquet(out).count() == expected)
+  }
+
   test("bucketed co-located join plans with zero exchanges") {
     ScaleOps.writeBucketed(spark, sf0001, "lineitem", "li_bucketed", "l_orderkey", 8)
     ScaleOps.writeBucketed(spark, sf0001, "orders", "ord_bucketed", "o_orderkey", 8)
