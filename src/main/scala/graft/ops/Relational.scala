@@ -305,7 +305,9 @@ object Relational extends QueryModule {
         max(col("ts")).as("session_end"))
   }
 
-  val userSessionsSql: String =
+  /** The sessions table as a reusable oracle CTE (shared by
+    * user_sessions and overlapping_sessions). */
+  private val sessionsCteSql: String =
     s"""WITH g AS (
        |  SELECT user_id, event_id, ts,
        |    CASE WHEN lag(ts) OVER w IS NULL
@@ -317,10 +319,58 @@ object Relational extends QueryModule {
        |  SELECT user_id, ts,
        |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
        |                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
-       |  FROM g)
-       |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
-       |  count(*) AS n_events, min(ts) AS session_start, max(ts) AS session_end
-       |FROM s GROUP BY 1, 2""".stripMargin
+       |  FROM g),
+       |sess AS (
+       |  SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+       |    count(*) AS n_events, min(ts) AS session_start, max(ts) AS session_end
+       |  FROM s GROUP BY 1, 2)""".stripMargin
+
+  val userSessionsSql: String =
+    s"""$sessionsCteSql
+       |SELECT user_id, session_id, n_events, session_start, session_end
+       |FROM sess""".stripMargin
+
+  /** Interval-OVERLAP range join (the brief's "range join" named
+    * operator, distinct from the point-in-window interval join J1):
+    * concurrent sessions of different users. The scale technique is
+    * bucket expansion — each session explodes to the 1-hour buckets it
+    * touches, turning the pure inequality join into an equi join on
+    * the bucket with the exact overlap predicate as a residual, then
+    * pair dedup (a pair can share several buckets). A plain inequality
+    * join would be a broadcast nested loop over all session pairs; the
+    * bucket key makes it hash-partitionable at 100 TB. Overlap is
+    * reported in exact integer microseconds. */
+  def overlappingSessions(spark: SparkSession, dir: String): DataFrame = {
+    val hourUs = 3600L * 1000000L
+    val s = userSessions(spark, dir)
+      .select(col("user_id"), col("session_id"),
+        col("session_start"), col("session_end"))
+    val withB = s.withColumn("bucket",
+      explode(sequence(
+        floor(unix_micros(col("session_start")) / lit(hourUs)).cast("long"),
+        floor(unix_micros(col("session_end")) / lit(hourUs)).cast("long"))))
+    withB.as("a").join(withB.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.user_id") < col("b.user_id") &&
+          col("a.session_start") <= col("b.session_end") &&
+          col("b.session_start") <= col("a.session_end"))
+      .select(col("a.user_id").as("user_a"), col("a.session_id").as("session_a"),
+        col("b.user_id").as("user_b"), col("b.session_id").as("session_b"),
+        (least(unix_micros(col("a.session_end")), unix_micros(col("b.session_end"))) -
+          greatest(unix_micros(col("a.session_start")), unix_micros(col("b.session_start"))))
+          .as("overlap_us"))
+      .distinct()
+  }
+
+  val overlappingSessionsSql: String =
+    s"""$sessionsCteSql
+       |SELECT a.user_id AS user_a, a.session_id AS session_a,
+       |  b.user_id AS user_b, b.session_id AS session_b,
+       |  least(epoch_us(a.session_end), epoch_us(b.session_end)) -
+       |    greatest(epoch_us(a.session_start), epoch_us(b.session_start)) AS overlap_us
+       |FROM sess a JOIN sess b
+       |  ON a.user_id < b.user_id
+       | AND a.session_start <= b.session_end
+       | AND b.session_start <= a.session_end""".stripMargin
 
   /** The 100 TB form of [[distinctUsers]]: HyperLogLog++ sketches
     * (approx_count_distinct) — mergeable fixed-size state instead of a
@@ -338,6 +388,7 @@ object Relational extends QueryModule {
     "value_quantiles" -> ((s, d) => valueQuantiles(s, d)),
     "revenue_rollup" -> ((s, d) => revenueRollup(s, d)),
     "user_sessions" -> ((s, d) => userSessions(s, d)),
+    "overlapping_sessions" -> ((s, d) => overlappingSessions(s, d)),
     "revenue_by_nation" -> ((s, d) => revenueByNation(s, d)),
     "latest_point" -> ((s, d) => latestPoint(s, d)),
     "dedup_rows" -> ((s, d) => dedupRows(s, d)),
@@ -353,6 +404,7 @@ object Relational extends QueryModule {
     "value_quantiles" -> valueQuantilesSql,
     "revenue_rollup" -> revenueRollupSql,
     "user_sessions" -> userSessionsSql,
+    "overlapping_sessions" -> overlappingSessionsSql,
     "revenue_by_nation" -> revenueByNationSql,
     "latest_point" -> latestPointSql,
     "dedup_rows" -> dedupRowsSql,

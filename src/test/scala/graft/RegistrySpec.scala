@@ -45,6 +45,25 @@ class RegistrySpec extends SparkSpec {
     assert(overlap.isEmpty, "a new session implies a gap > 30 minutes")
   }
 
+  test("bucket-expansion overlap join equals the direct inequality join") {
+    import org.apache.spark.sql.functions.{col, least, greatest, unix_micros}
+    import spark.implicits._
+    val banded = graft.ops.Relational.overlappingSessions(spark, sf0001)
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    val s = graft.ops.Relational.userSessions(spark, sf0001)
+    val direct = s.as("a").join(s.as("b"),
+        col("a.user_id") < col("b.user_id") &&
+          col("a.session_start") <= col("b.session_end") &&
+          col("b.session_start") <= col("a.session_end"))
+      .select(col("a.user_id"), col("a.session_id"), col("b.user_id"), col("b.session_id"),
+        least(unix_micros(col("a.session_end")), unix_micros(col("b.session_end"))) -
+          greatest(unix_micros(col("a.session_start")), unix_micros(col("b.session_start"))))
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(banded == direct,
+      s"bucket expansion must be exact: ${direct.diff(banded).size} missed, ${banded.diff(direct).size} extra")
+    assert(banded.forall(_._5 >= 0), "overlap must be non-negative")
+  }
+
   test("approx_count_distinct tracks the exact distinct count within rsd bounds") {
     import org.apache.spark.sql.functions.col
     val exact = graft.ops.Relational.distinctUsers(spark, sf0001)
