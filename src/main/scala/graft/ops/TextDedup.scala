@@ -392,15 +392,20 @@ object TextDedup extends QueryModule {
   /** Boilerplate detection: the 20 highest-document-frequency shingles
     * (headers/footers/templates repeat verbatim across documents; their
     * shingles top this list). Per-doc dedup is map-side; the count is
-    * one shuffle on the shingle; top-k is a tiny final sort. */
+    * one shuffle on the shingle; orderBy+limit plans as
+    * TakeOrderedAndProject (per-partition top-20 heaps + a 20-row
+    * driver merge — no global sort of the shingle table, unlike the
+    * row_number-window form this replaced). rnk is derived AFTER the
+    * limit, a window over 20 rows. */
   def boilerplateNgrams(spark: SparkSession, dir: String): DataFrame = {
-    val df = withNgramArr(Core.documents(spark, dir))
+    val top = withNgramArr(Core.documents(spark, dir))
       .select(explode(dng).as("ng"))
       .groupBy("ng").agg(count(lit(1)).as("doc_freq"))
+      .orderBy(col("doc_freq").desc, col("ng"))
+      .limit(20)
     val w = org.apache.spark.sql.expressions.Window
       .orderBy(col("doc_freq").desc, col("ng"))
-    df.withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= 20)
+    top.withColumn("rnk", row_number().over(w))
       .select(col("ng"), col("doc_freq"), col("rnk"))
   }
 

@@ -38,10 +38,14 @@ class RegistrySpec extends SparkSpec {
     // consecutive sessions of a user are separated by more than the gap
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("user_id").orderBy("session_id")
+    // compare in microseconds — the gap definition in userSessions;
+    // whole-second casts would truncate a genuine 1800.0001s gap to
+    // exactly 1800 and spuriously fail against sub-second timestamps
+    val um = org.apache.spark.sql.functions.unix_micros _
     val overlap = s.withColumn("prev_end",
         org.apache.spark.sql.functions.lag(col("session_end"), 1).over(w))
       .filter(col("prev_end").isNotNull &&
-        col("session_start").cast("long") - col("prev_end").cast("long") <= 30 * 60)
+        um(col("session_start")) - um(col("prev_end")) <= 30L * 60L * 1000000L)
     assert(overlap.isEmpty, "a new session implies a gap > 30 minutes")
   }
 

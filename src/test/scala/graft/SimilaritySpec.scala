@@ -39,6 +39,25 @@ class SimilaritySpec extends SparkSpec {
     assert(ivf.groupBy("qid").count().filter($"count" > 5).isEmpty)
   }
 
+  test("banded near-dup pairs: subset of exact pairs, identical cosines, measured recall") {
+    val banded = Similarity.cosineNearDupPairs(spark, sf0001)
+      .as[(Long, Long, Double)].collect().toSet
+    val exact = Similarity.cosineNearDupPairsExact(spark, sf0001)
+      .as[(Long, Long, Double)].collect().toSet
+    // soundness: every banded pair is a true >= t pair with the exact
+    // bit-identical cosine (the verify step recomputes, never estimates)
+    assert(banded.subsetOf(exact),
+      s"banded produced ${banded.diff(exact).size} pairs the exact join doesn't have")
+    // recall: threshold 0.4 is the hard boundary for hyperplane LSH
+    // (p_agree/plane ~0.63 -> expected band recall ~0.75 with 8x4);
+    // assert a conservative floor so a banding bug (wrong key packing,
+    // dropped band) fails loudly without making the test flaky
+    if (exact.nonEmpty) {
+      val recall = banded.size.toDouble / exact.size.toDouble
+      assert(recall >= 0.4, s"banded recall $recall (${banded.size}/${exact.size})")
+    }
+  }
+
   test("ann-lsh results are a subset of brute-force candidates' quality") {
     val ann = Similarity.annLshTopK(spark, sf0001).cache()
     // every ANN hit shares the query's bucket by construction; sanity:
