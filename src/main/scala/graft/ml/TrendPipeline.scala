@@ -32,13 +32,11 @@ object TrendPipeline {
     "stoch", "price_change", "atr")
 
   /** Feature matrix + the four reference labels, warmup rows dropped
-    * (lag/stoch nulls in the first window). */
-  def featureMatrix(spark: SparkSession, dir: String): DataFrame = {
-    val ind = Indicators.indicators(spark, dir)
-    val tgt = Indicators.targets(spark, dir)
-      .select("bucket", "up1", "up2", "down1", "down2")
-    ind.join(tgt, "bucket").na.drop(featureCols)
-  }
+    * (lag/stoch nulls in the first window). Delegates to the
+    * registered single-pass `feature_matrix` query — the oracle-checked
+    * form of the reference's view-join training table. */
+  def featureMatrix(spark: SparkSession, dir: String): DataFrame =
+    Indicators.featureMatrix(spark, dir)
 
   /** Time-ordered train/test split (the dataloader's chunk split
     * semantics: no shuffling across time, sql_pytorch_dataloader.py

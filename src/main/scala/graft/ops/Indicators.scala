@@ -142,6 +142,116 @@ object Indicators extends QueryModule {
        |  WINDOW w15 AS (ORDER BY bucket ROWS BETWEEN 14 PRECEDING AND CURRENT ROW)
        |)""".stripMargin
 
+  /** The reference's headline artifact: the training feature matrix
+    * (create_database.py:240-258 `join_statement` — a 7-way view join
+    * on Timestamp producing the wide training table). Every "view" is
+    * a window expression over the same bars here, so the join
+    * disappears entirely: indicators (W1-W7) + candle features (F1) +
+    * calendar one-hots (F9-F13, on the bar bucket) + forward-looking
+    * targets (W8) in ONE pass — one scan, one sort, zero joins.
+    *
+    * Warmup rows are dropped as the reference's dataloader does
+    * (sql_pytorch_dataloader.py drops NaNs): the first bar has no
+    * price_change and a degenerate stoch window, so any row with a
+    * null feature is filtered. Global ORDER BY mirrors the reference's
+    * single-series table; the partitioned-per-series twin of this
+    * shape is `indicators_by_type`. */
+  def featureMatrix(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.orderBy("bucket")
+    def fr(n: Int) = w.rowsBetween(-(n - 1), 0)
+    def cntd(n: Int) = count(lit(1)).over(fr(n)).cast("double")
+    val closeDec = col("close").cast("decimal(18,2)")
+    def volMa(n: Int) = sum(col("volume")).over(fr(n)).cast("double") / cntd(n)
+    val s1d = sum(closeDec).over(fr(20)).cast("double")
+    val s2d = sum(closeDec * closeDec).over(fr(20)).cast("double")
+    val c20 = cntd(20)
+    val avg20 = s1d / c20
+    val std20 = sqrt(greatest((s2d - s1d * s1d / c20) / c20, lit(0.0)))
+    val min15 = min(col("close")).over(fr(15))
+    val max15 = max(col("close")).over(fr(15))
+    val atr = sum((col("high") - col("low")).cast("decimal(18,6)")).over(fr(15))
+      .cast("double") / cntd(15)
+    val p8 = lead(col("close"), 8).over(w)
+    val p15 = lead(col("close"), 15).over(w)
+    val candle = col("high") - col("low")
+    val wick = when(col("close") >= col("open"), col("high") - col("close"))
+      .otherwise(col("low") - col("close"))
+    val womExpr = expr(
+      "CAST((day(bucket) - 1 + (dayofweek(trunc(bucket, 'MM')) - 1)) div 7 AS INT) + 1")
+    val dayHot = (1 to 4).map(k =>
+      when(weekday(col("bucket")) + lit(1) === k, 1).otherwise(0).as(s"day_$k"))
+    val weekHot = (1 to 4).map(k =>
+      when(womExpr === k, 1).otherwise(0).as(s"week_$k"))
+    bars(spark, dir).select(Seq(
+      col("bucket"), col("close"), col("volume"),
+      volMa(6).as("vol_ma6"),
+      volMa(20).as("vol_ma20"),
+      (sum(closeDec).over(fr(20)).cast("double") / c20).as("price_ma20"),
+      ((avg20 + lit(2.0) * std20) - col("close")).as("upper_bb_dist"),
+      (col("close") - (avg20 - lit(2.0) * std20)).as("lower_bb_dist"),
+      when(max15 === min15, lit(null).cast("double"))
+        .otherwise((col("close") - min15) / (max15 - min15)).as("stoch"),
+      (col("close") - lag(col("close"), 1).over(w)).as("price_change"),
+      atr.as("atr"),
+      candle.as("candle_size"),
+      wick.as("wick_size"),
+      when(candle === 0.0, lit(0.0)).otherwise(wick / candle).as("wick_prct"),
+      (weekday(col("bucket")) + lit(1)).as("week_day"),
+      womExpr.as("week_of_month")) ++ dayHot ++ weekHot ++ Seq(
+      when(p8 >= col("close") + lit(1.5) * atr, 1).otherwise(0).as("up1"),
+      when(p15 >= col("close") + lit(3.0) * atr, 1).otherwise(0).as("up2"),
+      when(p8 <= col("close") - lit(1.5) * atr, 1).otherwise(0).as("down1"),
+      when(p15 <= col("close") - lit(3.0) * atr, 1).otherwise(0).as("down2")): _*)
+      .na.drop(Seq("stoch", "price_change"))
+  }
+
+  val featureMatrixSql: String = {
+    val womSql = "CAST((day(bucket) - 1 + dayofweek(date_trunc('month', bucket))) // 7 AS INTEGER) + 1"
+    val dayHot = (1 to 4).map(k =>
+      s"CASE WHEN isodow(bucket) = $k THEN 1 ELSE 0 END AS day_$k").mkString(",\n  ")
+    val weekHot = (1 to 4).map(k =>
+      s"CASE WHEN $womSql = $k THEN 1 ELSE 0 END AS week_$k").mkString(",\n  ")
+    s"""WITH bars AS ($barsSql),
+       |ind AS (
+       |  SELECT *,
+       |    CAST(SUM(CAST("close" AS DECIMAL(18,2))) OVER w20 AS DOUBLE) AS s1d,
+       |    CAST(SUM(CAST("close" AS DECIMAL(18,2)) * CAST("close" AS DECIMAL(18,2))) OVER w20 AS DOUBLE) AS s2d,
+       |    CAST(COUNT(*) OVER w20 AS DOUBLE) AS c20,
+       |    MIN("close") OVER w15 AS min15, MAX("close") OVER w15 AS max15,
+       |    sqrt(greatest((s2d - s1d * s1d / c20) / c20, 0.0)) AS std20,
+       |    CAST(SUM(volume) OVER w6 AS DOUBLE) / CAST(COUNT(*) OVER w6 AS DOUBLE) AS vol_ma6,
+       |    CAST(SUM(volume) OVER w20 AS DOUBLE) / CAST(COUNT(*) OVER w20 AS DOUBLE) AS vol_ma20,
+       |    ("close" - LAG("close", 1) OVER (ORDER BY bucket)) AS price_change,
+       |    CAST(SUM(CAST(high - low AS DECIMAL(18,6))) OVER w15 AS DOUBLE) / CAST(COUNT(*) OVER w15 AS DOUBLE) AS atr,
+       |    LEAD("close", 8) OVER (ORDER BY bucket) AS p8,
+       |    LEAD("close", 15) OVER (ORDER BY bucket) AS p15
+       |  FROM bars
+       |  WINDOW w6 AS (ORDER BY bucket ROWS BETWEEN 5 PRECEDING AND CURRENT ROW),
+       |         w20 AS (ORDER BY bucket ROWS BETWEEN 19 PRECEDING AND CURRENT ROW),
+       |         w15 AS (ORDER BY bucket ROWS BETWEEN 14 PRECEDING AND CURRENT ROW)
+       |)
+       |SELECT bucket, "close", volume, vol_ma6, vol_ma20,
+       |  s1d / c20 AS price_ma20,
+       |  ((s1d / c20 + 2.0 * std20) - "close") AS upper_bb_dist,
+       |  ("close" - (s1d / c20 - 2.0 * std20)) AS lower_bb_dist,
+       |  ("close" - min15) / (max15 - min15) AS stoch,
+       |  price_change, atr,
+       |  high - low AS candle_size,
+       |  CASE WHEN "close" >= "open" THEN high - "close" ELSE low - "close" END AS wick_size,
+       |  CASE WHEN high - low = 0.0 THEN 0.0
+       |       ELSE (CASE WHEN "close" >= "open" THEN high - "close" ELSE low - "close" END) / (high - low) END AS wick_prct,
+       |  CAST(isodow(bucket) AS INTEGER) AS week_day,
+       |  $womSql AS week_of_month,
+       |  $dayHot,
+       |  $weekHot,
+       |  CASE WHEN p8 >= "close" + 1.5 * atr THEN 1 ELSE 0 END AS up1,
+       |  CASE WHEN p15 >= "close" + 3.0 * atr THEN 1 ELSE 0 END AS up2,
+       |  CASE WHEN p8 <= "close" - 1.5 * atr THEN 1 ELSE 0 END AS down1,
+       |  CASE WHEN p15 <= "close" - 3.0 * atr THEN 1 ELSE 0 END AS down2
+       |FROM ind
+       |WHERE max15 <> min15 AND price_change IS NOT NULL""".stripMargin
+  }
+
   /** Scalable variant: same indicators partitioned by a series key
     * (event_type stands in for symbol). This is the form that holds at
     * 100 TB — each series is an independent window partition, so the
@@ -207,6 +317,7 @@ object Indicators extends QueryModule {
   override def queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "bars_5min" -> ((s, d) => bars(s, d)),
     "indicators" -> ((s, d) => indicators(s, d)),
+    "feature_matrix" -> ((s, d) => featureMatrix(s, d)),
     "targets" -> ((s, d) => targets(s, d)),
     "indicators_by_type" -> ((s, d) => indicatorsBy(s, d)),
     "sliding_window_avg" -> ((s, d) => slidingWindowAvg(s, d)))
@@ -214,6 +325,7 @@ object Indicators extends QueryModule {
   override def oracle: Seq[(String, String)] = Seq(
     "bars_5min" -> barsSql,
     "indicators" -> indicatorsSql,
+    "feature_matrix" -> featureMatrixSql,
     "targets" -> targetsSql,
     "indicators_by_type" -> indicatorsBySql,
     "sliding_window_avg" -> slidingWindowAvgSql)

@@ -372,6 +372,63 @@ object Relational extends QueryModule {
        | AND a.session_start <= b.session_end
        | AND b.session_start <= a.session_end""".stripMargin
 
+  /** S4 — the market-calendar gate (producer.py:215-243 +
+    * getMarketData.py:251-257): the reference fetches a per-day market
+    * calendar, checks today's `status == 'open'`, builds the session's
+    * open/close datetimes (`market_hour_to_dt`), and only processes
+    * data inside them. Re-expressed relationally: a derived trading
+    * calendar (one row per date with open/close timestamps and an
+    * is_open flag) left_semi-gates `events` to in-session rows.
+    *
+    * The calendar feed is external in the reference (Tradier HTTP);
+    * with no network here the calendar is DERIVED deterministically
+    * from the event dates — weekends closed, plus the 1st of each
+    * month closed standing in for exchange holidays; open session
+    * 09:30-16:00. The gate itself (semi-join against a calendar table
+    * with an in-session range residual) is the operator under test
+    * and is exactly what a real calendar table would plug into.
+    *
+    * Scale: the calendar is O(days) — trivially broadcast; the plan is
+    * a broadcast left-semi hash join on the date key with the session
+    * range as residual. Events never shuffle. */
+  def marketCalendar(spark: SparkSession, dir: String): DataFrame =
+    Core.events(spark, dir)
+      .select(to_date(col("ts")).as("cal_date"))
+      .distinct()
+      .select(
+        col("cal_date"),
+        ((weekday(col("cal_date")) + lit(1)) <= 5 && dayofmonth(col("cal_date")) =!= 1)
+          .as("is_open"),
+        (to_timestamp(col("cal_date")) + expr("INTERVAL 570 MINUTES")).as("open_ts"),
+        (to_timestamp(col("cal_date")) + expr("INTERVAL 960 MINUTES")).as("close_ts"))
+
+  def calendarGate(spark: SparkSession, dir: String): DataFrame = {
+    val cal = marketCalendar(spark, dir).filter(col("is_open"))
+    Core.events(spark, dir).as("e")
+      .join(broadcast(cal).as("c"),
+        to_date(col("e.ts")) === col("c.cal_date") &&
+          col("e.ts") >= col("c.open_ts") && col("e.ts") < col("c.close_ts"),
+        "left_semi")
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+  }
+
+  val calendarGateSql: String =
+    s"""WITH cal AS (
+       |  SELECT DISTINCT CAST(ts AS DATE) AS cal_date FROM ${Core.sqlEvents}
+       |), open_cal AS (
+       |  SELECT cal_date,
+       |    CAST(cal_date AS TIMESTAMP) + INTERVAL 570 MINUTE AS open_ts,
+       |    CAST(cal_date AS TIMESTAMP) + INTERVAL 960 MINUTE AS close_ts
+       |  FROM cal
+       |  WHERE isodow(cal_date) <= 5 AND day(cal_date) <> 1
+       |)
+       |SELECT event_id, ts, user_id, event_type, value
+       |FROM ${Core.sqlEvents} e
+       |WHERE EXISTS (
+       |  SELECT 1 FROM open_cal c
+       |  WHERE CAST(e.ts AS DATE) = c.cal_date
+       |    AND e.ts >= c.open_ts AND e.ts < c.close_ts)""".stripMargin
+
   /** The 100 TB form of [[distinctUsers]]: HyperLogLog++ sketches
     * (approx_count_distinct) — mergeable fixed-size state instead of a
     * per-group distinct set, so memory is O(groups), not O(distinct
@@ -393,6 +450,7 @@ object Relational extends QueryModule {
     "latest_point" -> ((s, d) => latestPoint(s, d)),
     "dedup_rows" -> ((s, d) => dedupRows(s, d)),
     "anti_join_new" -> ((s, d) => antiJoinNew(s, d)),
+    "calendar_gate" -> ((s, d) => calendarGate(s, d)),
     "template_fill" -> ((s, d) => templateFill(s, d)),
     "json_decode" -> ((s, d) => jsonDecode(s, d)),
     "stale_filter" -> ((s, d) => staleFilter(s, d)),
@@ -409,6 +467,7 @@ object Relational extends QueryModule {
     "latest_point" -> latestPointSql,
     "dedup_rows" -> dedupRowsSql,
     "anti_join_new" -> antiJoinNewSql,
+    "calendar_gate" -> calendarGateSql,
     "template_fill" -> templateFillSql,
     "json_decode" -> jsonDecodeSql,
     "stale_filter" -> staleFilterSql,

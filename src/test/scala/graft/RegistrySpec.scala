@@ -68,6 +68,41 @@ class RegistrySpec extends SparkSpec {
     assert(banded.forall(_._5 >= 0), "overlap must be non-negative")
   }
 
+  test("calendar gate keeps exactly the in-session rows of open days") {
+    import org.apache.spark.sql.functions._
+    val ev = graft.ops.Core.events(spark, sf0001)
+    val gated = graft.ops.Relational.calendarGate(spark, sf0001).cache()
+    assert(gated.count() > 0, "some events fall inside open sessions")
+    assert(gated.count() < ev.count(), "the gate must actually remove rows")
+    // every surviving row: weekday, not a synthetic holiday (day 1),
+    // and inside the 09:30-16:00 session
+    val minutes = hour(col("ts")) * 60 + minute(col("ts"))
+    val bad = gated.filter(
+      (weekday(col("ts")) + lit(1)) > 5 || dayofmonth(col("ts")) === 1 ||
+        minutes < 570 || minutes >= 960)
+    assert(bad.isEmpty, "gated rows must all be in-session on open days")
+    // and the gate is complete: direct predicate filter gives the same ids
+    val direct = ev.filter(
+      (weekday(col("ts")) + lit(1)) <= 5 && dayofmonth(col("ts")) =!= 1 &&
+        minutes >= 570 && minutes < 960)
+    assert(gated.count() == direct.count(), "semi-join equals the direct gate")
+  }
+
+  test("feature matrix equals indicators joined with targets on shared columns") {
+    import org.apache.spark.sql.functions.col
+    val fm = graft.ops.Indicators.featureMatrix(spark, sf0001)
+    assert(fm.columns.length == 28, s"expected 28 cols, got ${fm.columns.mkString(",")}")
+    val ind = graft.ops.Indicators.indicators(spark, sf0001)
+    val tgt = graft.ops.Indicators.targets(spark, sf0001)
+      .select("bucket", "up1", "up2", "down1", "down2")
+    val joined = ind.join(tgt, "bucket")
+      .na.drop(Seq("stoch", "price_change"))
+    val shared = joined.columns.toSeq
+    assert(fm.select(shared.map(col): _*).exceptAll(joined).isEmpty &&
+      joined.exceptAll(fm.select(shared.map(col): _*)).isEmpty,
+      "single-pass matrix must equal the view-join form bit-for-bit")
+  }
+
   test("approx_count_distinct tracks the exact distinct count within rsd bounds") {
     import org.apache.spark.sql.functions.col
     val exact = graft.ops.Relational.distinctUsers(spark, sf0001)
