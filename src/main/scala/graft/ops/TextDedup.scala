@@ -191,9 +191,11 @@ object TextDedup extends QueryModule {
     // count-only aggregation: the pair groupBy gets no reduction from
     // partial aggregation (each pair shares ~1.14 ngrams), so both
     // hash-agg phases dominate the query — carrying only the count
-    // (not max(na)/max(nb) buffers) through them measured ~17% faster;
-    // the per-doc sizes re-attach afterwards via a broadcast of the
-    // tiny doc->size table
+    // (not max(na)/max(nb) buffers) through them measured ~17% faster
+    // same-JVM and confirmed cold-JVM at sf0.1 (7.36s vs 7.68s with
+    // the max-carrying agg; the r2 bench "regression" vs r1 did not
+    // reproduce cold — run-to-run variance); the per-doc sizes
+    // re-attach afterwards via a broadcast of the tiny doc->size table
     val inter = dn.as("a").join(dn.as("b"),
         col("a.ng") === col("b.ng") && col("a.doc_id") < col("b.doc_id") &&
           col("a.n") * 2 >= col("b.n") && col("b.n") * 2 >= col("a.n"))
@@ -309,60 +311,114 @@ object TextDedup extends QueryModule {
        |SELECT doc_id, $packed AS simhash FROM sums""".stripMargin
   }
 
-  /** SimHash near-dup pairs: hamming(bit_count(xor)) <= 4 over all
-    * pairs via a broadcast nested-loop join — the signature table is
-    * ~8 bytes/doc, so even a 10^8-doc corpus broadcasts in GBs and
-    * each executor streams its slice against it (no shuffle). On this
-    * corpus that beats the pigeonhole banding below ~3x: the synthetic
-    * vocabulary concentrates simhash bits, so 32-bit band keys collide
-    * heavily (measured 25.5M banded candidates vs 12.5M raw pairs at
-    * sf0.1). Banding ([[simhashPairsBanded]]) is the right shape once
-    * signatures are 64-bit and n makes O(n^2) infeasible. */
-  def simhashPairs(spark: SparkSession, dir: String): DataFrame = {
-    // uncached: the signature aggregation's exchange is shared by the
-    // broadcast build and the probe side (measured 6x faster uncached)
-    val s = simhash(spark, dir)
-    s.as("a").join(broadcast(s.as("b")), col("a.doc_id") < col("b.doc_id"))
-      .withColumn("hamming", bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))))
-      .filter(col("hamming") <= 4)
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"), col("hamming"))
+  /** 64-bit SimHash. The poly hash is mod P ~ 2^20, so it carries only
+    * ~20 informative bits — the 32-bit signature above wastes its top
+    * 12 bits (always the -1 vote) and its band keys collide en masse
+    * (r2 measurement: 25.5M banded candidates vs 12.5M raw pairs at
+    * sf0.1). Here four independent affine mixes of the shingle hash
+    * (gk = (h*ak+bk) mod P) each contribute their low 16 bits, giving
+    * 64 informative vote dimensions. All arithmetic stays < 2^28 —
+    * no BIGINT overflow for DuckDB — and packing uses bitwise OR of
+    * disjoint one-bit masks (no signed-sum edge case at bit 63). */
+  private val simhash64Mixes: Seq[(Long, Long)] =
+    Seq((131L, 7L), (151L, 19L), (173L, 37L), (193L, 53L))
+
+  def simhash64(spark: SparkSession, dir: String): DataFrame = {
+    val tok = withToks(Core.documents(spark, dir))
+      .select(col("doc_id"), explode(ngrams).as("t"))
+      .withColumn("h", charHash(col("t")))
+    // materialize the mixes as columns: HOF-free, but repeated (h*a+b)%P
+    // subtrees would re-evaluate per bit extraction otherwise
+    val withG = tok.select(Seq(col("doc_id")) ++ simhash64Mixes.zipWithIndex.map {
+      case ((a, b), k) => ((col("h") * lit(a) + lit(b)) % lit(P)).as(s"g$k")
+    }: _*)
+    val bitSums = (0 until 64).map { j =>
+      val (k, i) = (j / 16, j % 16)
+      sum(when(shiftright(col(s"g$k"), i).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L)).as(s"s$j")
+    }
+    val packed = (0 until 64).map { j =>
+      when(col(s"s$j") > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduceLeft[Column]((a, b) => a.bitwiseOR(b))
+    withG.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"), packed.as("simhash64"))
   }
 
-  /** EXACT pigeonhole banding form of [[simhashPairs]]: split the 32
-    * bits into 5 blocks (7,7,6,6,6) — a pair within hamming distance 4
-    * has its <=4 differing bits in at most 4 blocks, so at least one
-    * block matches exactly. Candidates come from an equi-join on
-    * (block, block-bits) — a hash shuffle linear in corpus size
-    * instead of O(n^2) pair enumeration — and the exact hamming filter
-    * keeps the result identical (tests assert equality). The scale
-    * path when the corpus outgrows the broadcast form. */
-  private val simhashBands: Seq[(Int, Int)] =
-    Seq((0, 7), (7, 7), (14, 6), (20, 6), (26, 6)) // (shift, width)
+  val simhash64Sql: String = {
+    val gCols = simhash64Mixes.zipWithIndex.map { case ((a, b), k) =>
+      s"(h * $a + $b) % $P AS g$k"
+    }.mkString(", ")
+    val bitSums = (0 until 64).map { j =>
+      val (k, i) = (j / 16, j % 16)
+      s"CAST(SUM(CASE WHEN ((g$k >> $i) & 1) = 1 THEN 1 ELSE -1 END) AS BIGINT) AS s$j"
+    }.mkString(", ")
+    val packed = (0 until 64).map { j =>
+      s"(CASE WHEN s$j > 0 THEN CAST(${1L << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+    }.mkString(" | ")
+    s"""WITH tok AS (
+       |  SELECT doc_id, ${charHashSql("t")} AS h FROM (
+       |    SELECT doc_id, unnest($ngramsSql) AS t FROM documents)),
+       |g AS (SELECT doc_id, $gCols FROM tok),
+       |sums AS (SELECT doc_id, $bitSums FROM g GROUP BY doc_id)
+       |SELECT doc_id, $packed AS simhash64 FROM sums""".stripMargin
+  }
 
-  def simhashPairsBanded(spark: SparkSession, dir: String): DataFrame = {
-    val s = simhash(spark, dir)
-    val bandStructs = simhashBands.zipWithIndex.map { case ((sh, w), j) =>
+  /** SimHash near-dup pairs over the 64-bit signature, via EXACT
+    * pigeonhole banding: the 64 bits split into 5 blocks (13,13,13,
+    * 13,12); a pair within hamming distance 4 differs in at most 4
+    * blocks, so at least one block matches exactly. Candidates come
+    * from an equi-join on (block, block-bits) — a hash shuffle linear
+    * in corpus size, no pair enumeration — and the exact hamming
+    * filter makes the result identical to the all-pairs scan
+    * ([[simhashPairsBroadcast]], equality-asserted in TextDedupSpec).
+    * The oracle computes the all-pairs form; banding must reproduce
+    * it bit-for-bit. 13-bit band keys give 8192 buckets per band —
+    * the collision collapse that made 32-bit banding lose (only ~20
+    * informative bits) is gone: cold-JVM at sf0.1 the banded form
+    * measures even with the broadcast scan (5.38s vs 5.25s, both
+    * signature-dominated), where the 32-bit banding was ~3x slower
+    * than broadcast. At 100x corpus size broadcast goes quadratic
+    * per executor; banded stays linear per bucket. */
+  private val simhash64Bands: Seq[(Int, Int)] =
+    Seq((0, 13), (13, 13), (26, 13), (39, 13), (52, 12)) // (shift, width)
+
+  def simhashPairs(spark: SparkSession, dir: String): DataFrame = {
+    // uncached: both band sides reuse the signature aggregation's
+    // exchange (cache measured slower on every signature self-join)
+    val s = simhash64(spark, dir)
+    val bandStructs = simhash64Bands.zipWithIndex.map { case ((sh, w), j) =>
       struct(lit(j).as("band"),
-        shiftright(col("simhash"), sh).bitwiseAND(lit((1L << w) - 1)).as("bkey"))
+        shiftright(col("simhash64"), sh).bitwiseAND(lit((1L << w) - 1)).as("bkey"))
     }
     val bands = s
-      .select(col("doc_id"), col("simhash"), explode(array(bandStructs: _*)).as("b"))
-      .select(col("doc_id"), col("simhash"), col("b.band").as("band"), col("b.bkey").as("bkey"))
+      .select(col("doc_id"), col("simhash64"), explode(array(bandStructs: _*)).as("b"))
+      .select(col("doc_id"), col("simhash64"), col("b.band").as("band"), col("b.bkey").as("bkey"))
     bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
-        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).as("hamming"))
+        bit_count(col("x.simhash64").bitwiseXOR(col("y.simhash64"))).as("hamming"))
       .filter(col("hamming") <= 4) // cheap + selective: filter before the pair dedup
       .distinct() // a pair can agree on several bands
   }
 
+  /** The broadcast all-pairs scan — the equality baseline for the
+    * banded form (the ~8-byte/doc signature table broadcasts even at
+    * 10^8 docs, but each executor still streams O(n^2) comparisons;
+    * banding is the scale path). Spec-only, not registered. */
+  def simhashPairsBroadcast(spark: SparkSession, dir: String): DataFrame = {
+    val s = simhash64(spark, dir)
+    s.as("a").join(broadcast(s.as("b")), col("a.doc_id") < col("b.doc_id"))
+      .withColumn("hamming", bit_count(col("a.simhash64").bitwiseXOR(col("b.simhash64"))))
+      .filter(col("hamming") <= 4)
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"), col("hamming"))
+  }
+
   val simhashPairsSql: String =
-    s"""WITH s AS ($simhashSql)
+    s"""WITH s AS ($simhash64Sql)
        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+       |  CAST(bit_count(xor(a.simhash64, b.simhash64)) AS INTEGER) AS hamming
        |FROM s a JOIN s b ON a.doc_id < b.doc_id
-       |WHERE bit_count(xor(a.simhash, b.simhash)) <= 4""".stripMargin
+       |WHERE bit_count(xor(a.simhash64, b.simhash64)) <= 4""".stripMargin
 
   /** Deterministic train/val/test split at scale: the reference's
     * TrainValTestSplit (sql_pytorch_dataloader.py:251-320, 0.80 /
@@ -471,6 +527,7 @@ object TextDedup extends QueryModule {
     "ngram_jaccard_pairs" -> ((s, d) => ngramJaccardPairs(s, d)),
     "minhash_lsh_candidates" -> ((s, d) => minhashLshCandidates(s, d)),
     "simhash" -> ((s, d) => simhash(s, d)),
+    "simhash64" -> ((s, d) => simhash64(s, d)),
     "simhash_pairs" -> ((s, d) => simhashPairs(s, d)),
     "dataset_split" -> ((s, d) => datasetSplit(s, d)),
     "boilerplate_ngrams" -> ((s, d) => boilerplateNgrams(s, d)),
@@ -485,6 +542,7 @@ object TextDedup extends QueryModule {
     "ngram_jaccard_pairs" -> ngramJaccardPairsSql,
     "minhash_lsh_candidates" -> minhashLshCandidatesSql,
     "simhash" -> simhashSql,
+    "simhash64" -> simhash64Sql,
     "simhash_pairs" -> simhashPairsSql,
     "dataset_split" -> datasetSplitSql,
     "boilerplate_ngrams" -> boilerplateNgramsSql,
