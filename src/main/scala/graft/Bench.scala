@@ -64,7 +64,77 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val streamingJson =
+      try streamingBench(spark)
+      catch { case t: Throwable =>
+        System.err.println(s"[bench] WARNING: streaming bench failed: $t"); "{}"
+      }
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"streaming":$streamingJson,"sf":"$sfDir"}""")
     spark.stop()
+  }
+
+  /** Streaming throughput signal: drive the two headline streaming
+    * plans from MemoryStream and report events/sec + micro-batch
+    * counts. MemoryStream feeds from the driver, so this measures the
+    * stateful-operator pipeline (watermark bookkeeping, windowed agg
+    * state, multi-way stream-stream join state), not source I/O —
+    * which is the part this library owns; Kafka ingest is the
+    * cluster's connector. */
+  private def streamingBench(spark: SparkSession): String = {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.StreamingPipeline
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    def events(n: Int, stepMs: Long) = (0 until n).map { i =>
+      (i.toLong, new java.sql.Timestamp(base + i * stepMs), "t" + (i % 4), (i % 1000).toDouble)
+    }
+
+    // 1) watermarked tumbling bars (the aggregation the reference
+    // pushed out to MariaDB), chunked into multiple micro-batches
+    val nBars = 200000
+    val ms = MemoryStream[(Long, java.sql.Timestamp, String, Double)]
+    val bars = StreamingPipeline.streamingBars(
+      ms.toDF().toDF("event_id", "ts", "event_type", "value"))
+    val q1 = bars.writeStream.format("memory").queryName("bench_bars")
+      .outputMode("append").start()
+    val barsSecs = try {
+      val t0 = System.nanoTime()
+      events(nBars, 100L).grouped(nBars / 8).foreach(ms.addData(_))
+      q1.processAllAvailable()
+      (System.nanoTime() - t0) / 1e9
+    } finally q1.stop()
+
+    // 2) the reference's full consumer DAG: deep joined with 4 aux
+    // streams on bucket + [ts, ts+3min], then watermark-bounded dedup.
+    // Aux cadence matters: one aux event per 5-min bucket per stream
+    // (the reference's polled feeds), so every join stage matches <= 1
+    // aux per deep row — a denser aux multiplies the 4-way join
+    // output combinatorially (~18^4 with 10s aux), which is an input
+    // bug, not a throughput signal
+    val nDeep = 20000
+    val deepMs = MemoryStream[(Long, java.sql.Timestamp, String, Double)]
+    val auxMs = (1 to 4).map(_ => MemoryStream[(java.sql.Timestamp, Double)])
+    val auxes = auxMs.zipWithIndex.map { case (m, i) =>
+      s"aux$i" -> m.toDF().toDF("ts", s"aux${i}_v")
+    }
+    val dag = StreamingPipeline.referenceDag(
+      deepMs.toDF().toDF("event_id", "ts", "event_type", "value"), auxes)
+    val q2 = dag.writeStream.format("memory").queryName("bench_dag")
+      .outputMode("append").start()
+    val auxIdx = 0 until nDeep by 300 // deep steps 1s -> one aux per bucket
+    val dagSecs = try {
+      val t0 = System.nanoTime()
+      events(nDeep, 1000L).grouped(nDeep / 4).foreach(deepMs.addData(_))
+      auxMs.foreach { m =>
+        m.addData(auxIdx.map(i => (new java.sql.Timestamp(base + i * 1000L + 30000L), i.toDouble)))
+      }
+      q2.processAllAvailable()
+      (System.nanoTime() - t0) / 1e9
+    } finally q2.stop()
+
+    val totalDagInput = nDeep + 4 * auxIdx.size
+    s"""{"bars_events":$nBars,"bars_sec":$barsSecs,"bars_events_per_sec":${nBars / barsSecs},""" +
+      s""""dag_events":$totalDagInput,"dag_sec":$dagSecs,"dag_events_per_sec":${totalDagInput / dagSecs}}"""
   }
 }
