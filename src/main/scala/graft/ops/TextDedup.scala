@@ -420,6 +420,74 @@ object TextDedup extends QueryModule {
        |FROM s a JOIN s b ON a.doc_id < b.doc_id
        |WHERE bit_count(xor(a.simhash64, b.simhash64)) <= 4""".stripMargin
 
+  /** Near-dup CLUSTERING — the step between candidate pairs and
+    * actually dropping rows: connected components over the MinHash+LSH
+    * candidate graph, survivor = min doc_id per component. Emits one
+    * row per clustered document (doc_id, cluster_id, cluster_size,
+    * is_survivor); documents with no near-dup candidate are unique and
+    * excluded (they'd be n singleton rows of no decision value).
+    *
+    * Spark-first iterative algorithm, no graph library: min-label
+    * propagation to fixpoint. Each round is one shuffle join of the
+    * edge list against the label table (both hash-partitioned on the
+    * node key) + a min-aggregate; rounds needed = component diameter,
+    * which for near-dup clusters is tiny (dup groups are cliques-ish,
+    * measured 1-2 rounds on this corpus). Lineage is truncated with
+    * localCheckpoint each round so the plan doesn't nest per
+    * iteration. The DuckDB oracle computes the same components via a
+    * recursive transitive-closure CTE — tractable because components
+    * are small, while the Spark side never materializes reachability.
+    *
+    * NOTE: the convergence loop runs Spark jobs eagerly at
+    * DataFrame-construction time (like ivfTopK's centroid sample). */
+  def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = minhashLshCandidates(spark, dir)
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .localCheckpoint(true) // reused every round: cut the LSH subtree once
+    val nodes = edges.select(col("src").as("doc_id")).distinct()
+    var labels = nodes.withColumn("label", col("doc_id")).localCheckpoint(true)
+    var converged = false
+    while (!converged) {
+      val nbrMin = edges
+        .join(labels.select(col("doc_id").as("src"), col("label").as("src_label")), "src")
+        .groupBy(col("dst").as("doc_id"))
+        .agg(min(col("src_label")).as("nbr_label"))
+      val next = labels
+        .join(nbrMin, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
+        .localCheckpoint(true)
+      converged = next.as("n")
+        .join(labels.as("o"), "doc_id")
+        .filter(col("n.label") =!= col("o.label"))
+        .isEmpty
+      labels = next
+    }
+    val sizes = labels.groupBy(col("label")).agg(count(lit(1)).as("cluster_size"))
+    labels
+      .join(sizes, "label")
+      .select(col("doc_id"), col("label").as("cluster_id"), col("cluster_size"),
+        (col("doc_id") === col("label")).as("is_survivor"))
+  }
+
+  val dedupClustersSql: String =
+    s"""WITH RECURSIVE cand AS ($minhashLshCandidatesSql),
+       |edges AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM cand
+       |  UNION ALL SELECT doc_b, doc_a FROM cand),
+       |reach(src, dst) AS (
+       |  SELECT src, dst FROM edges
+       |  UNION
+       |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+       |labels AS (
+       |  SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+       |  FROM reach GROUP BY src),
+       |sizes AS (SELECT cluster_id, count(*) AS cluster_size FROM labels GROUP BY 1)
+       |SELECT l.doc_id, l.cluster_id, s.cluster_size,
+       |  l.doc_id = l.cluster_id AS is_survivor
+       |FROM labels l JOIN sizes s USING (cluster_id)""".stripMargin
+
   /** Deterministic train/val/test split at scale: the reference's
     * TrainValTestSplit (sql_pytorch_dataloader.py:251-320, 0.80 /
     * 0.12 / 0.08) sliced a *chunk list* on the driver; the 100 TB
@@ -526,6 +594,7 @@ object TextDedup extends QueryModule {
     "dedup_exact" -> ((s, d) => dedupExact(s, d)),
     "ngram_jaccard_pairs" -> ((s, d) => ngramJaccardPairs(s, d)),
     "minhash_lsh_candidates" -> ((s, d) => minhashLshCandidates(s, d)),
+    "dedup_clusters" -> ((s, d) => dedupClusters(s, d)),
     "simhash" -> ((s, d) => simhash(s, d)),
     "simhash64" -> ((s, d) => simhash64(s, d)),
     "simhash_pairs" -> ((s, d) => simhashPairs(s, d)),
@@ -541,6 +610,7 @@ object TextDedup extends QueryModule {
     "dedup_exact" -> dedupExactSql,
     "ngram_jaccard_pairs" -> ngramJaccardPairsSql,
     "minhash_lsh_candidates" -> minhashLshCandidatesSql,
+    "dedup_clusters" -> dedupClustersSql,
     "simhash" -> simhashSql,
     "simhash64" -> simhash64Sql,
     "simhash_pairs" -> simhashPairsSql,

@@ -87,6 +87,36 @@ class TextDedupSpec extends SparkSpec {
     assert(hi > 1, "high 32 bits must be informative")
   }
 
+  test("dedup clusters: valid components of the candidate graph, min-id survivors") {
+    val pairs = TextDedup.minhashLshCandidates(spark, sf0001)
+      .as[(Long, Long)].collect()
+    val clusters = TextDedup.dedupClusters(spark, sf0001)
+      .select("doc_id", "cluster_id", "cluster_size", "is_survivor")
+      .as[(Long, Long, Long, Boolean)].collect()
+    val label = clusters.map(c => c._1 -> c._2).toMap
+    // every candidate edge is intra-cluster (labels propagated fully)
+    assert(pairs.forall { case (a, b) => label(a) == label(b) },
+      "an edge crossing two clusters means propagation stopped early")
+    // cluster_id is the min doc_id of its members; survivor flag matches
+    clusters.groupBy(_._2).foreach { case (cid, members) =>
+      assert(members.map(_._1).min == cid, s"cluster $cid not labeled by its min doc_id")
+      assert(members.count(_._4) == 1 && members.find(_._4).get._1 == cid)
+      assert(members.forall(_._3 == members.size), s"cluster_size wrong in $cid")
+    }
+    // exact duplicates (same text) must land in the same cluster when
+    // both appear in the candidate graph
+    val md5dups = graft.ops.Core.documents(spark, sf0001)
+      .groupBy(org.apache.spark.sql.functions.md5($"text".cast("binary")))
+      .agg(org.apache.spark.sql.functions.collect_list($"doc_id").as("ids"))
+      .filter(org.apache.spark.sql.functions.size($"ids") > 1)
+      .select("ids").as[Seq[Long]].collect()
+    md5dups.foreach { ids =>
+      val inGraph = ids.filter(label.contains)
+      assert(inGraph.map(label).distinct.size <= 1,
+        s"exact dups $ids split across clusters")
+    }
+  }
+
   test("dataset split partitions the corpus near 80/12/8") {
     val s = TextDedup.datasetSplit(spark, sf0001).cache()
     val total = s.agg(sum("n_docs")).as[Long].collect()(0)
