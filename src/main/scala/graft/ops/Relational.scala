@@ -250,6 +250,20 @@ object Relational extends QueryModule {
        |  quantile_disc(value, 0.95) AS p95
        |FROM ${Core.sqlEvents} GROUP BY 1""".stripMargin
 
+  /** The 100 TB form of [[valueQuantiles]]: approx_percentile runs a
+    * mergeable Greenwald-Khanna-style quantile summary — fixed-size
+    * per-group state combined map-side, so memory is O(groups * 1/eps)
+    * instead of the per-group sort/materialization exact
+    * percentile_disc needs. Sketches are engine-specific -> no oracle;
+    * the spec bounds rank error against the exact quantiles (the same
+    * pattern as approxDistinctUsers/HLL). */
+  def approxValueQuantiles(spark: SparkSession, dir: String, accuracy: Int = 1000): DataFrame =
+    Core.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        expr(s"approx_percentile(value, array(0.25, 0.5, 0.75, 0.95), $accuracy)")
+          .as("quantiles_approx"))
+
   /** ROLLUP aggregation (extension — no grouping sets anywhere in the
     * reference): revenue at (region, nation), per-region subtotal, and
     * grand total in one pass. Spark expands the grouping sets before

@@ -27,6 +27,32 @@ class RegistrySpec extends SparkSpec {
     assert(bad.isEmpty, "percentile_disc must be monotone in p")
   }
 
+  test("approx quantile sketch tracks the exact quantiles within rank-error bounds") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val exact = graft.ops.Relational.valueQuantiles(spark, sf0001)
+    val approx = graft.ops.Relational.approxValueQuantiles(spark, sf0001, accuracy = 1000)
+    val joined = exact.join(approx, "event_type")
+      .select(col("event_type"), col("p25"), col("p50"), col("p75"), col("p95"),
+        col("quantiles_approx"))
+      .as[(String, Double, Double, Double, Double, Seq[Double])].collect()
+    assert(joined.nonEmpty)
+    // GK sketch at accuracy=1000 bounds RANK error by n/1000; convert to a
+    // value-domain check via the per-group value spread (generous, not flaky)
+    val spreads = graft.ops.Core.events(spark, sf0001)
+      .groupBy("event_type")
+      .agg(org.apache.spark.sql.functions.max("value").as("mx"),
+        org.apache.spark.sql.functions.min("value").as("mn"))
+      .select(col("event_type"), (col("mx") - col("mn")).as("spread"))
+      .as[(String, Double)].collect().toMap
+    joined.foreach { case (et, p25, p50, p75, p95, appr) =>
+      val tol = spreads(et) * 0.05
+      Seq(p25, p50, p75, p95).zip(appr).foreach { case (e, a) =>
+        assert(math.abs(a - e) <= tol, s"$et: approx $a vs exact $e (tol $tol)")
+      }
+    }
+  }
+
   test("sessions partition each user's events and never overlap") {
     import org.apache.spark.sql.functions.{col, sum}
     import spark.implicits._
