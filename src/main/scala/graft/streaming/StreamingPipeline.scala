@@ -8,6 +8,34 @@ import org.apache.spark.sql.streaming.GroupStateTimeout
   * stateful-operator surface: KeyValueGroupedDataset.mapGroupsWithState). */
 case class RunningAgg(key: String, n: Long, sum: Double, maxValue: Double)
 
+/** transformWithState processor for [[StreamingPipeline.runningStatsTWS]]:
+  * one named ValueState variable per key, no TTL, no timers. */
+class RunningStatsProcessor
+    extends org.apache.spark.sql.streaming.StatefulProcessor[String, (String, Double), RunningAgg] {
+  @transient private var state: org.apache.spark.sql.streaming.ValueState[RunningAgg] = _
+
+  override def init(outputMode: org.apache.spark.sql.streaming.OutputMode,
+      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+    state = getHandle.getValueState[RunningAgg]("agg",
+      org.apache.spark.sql.Encoders.product[RunningAgg],
+      org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+  override def handleInputRows(key: String, rows: Iterator[(String, Double)],
+      timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[RunningAgg] = {
+    val prev = if (state.exists()) state.get()
+      else RunningAgg(key, 0L, 0.0, Double.MinValue)
+    var n = prev.n
+    var s = prev.sum
+    var mx = prev.maxValue
+    rows.foreach { r =>
+      n += 1; s += r._2; if (r._2 > mx) mx = r._2
+    }
+    val next = RunningAgg(key, n, s, mx)
+    state.update(next)
+    Iterator.single(next)
+  }
+}
+
 /** The reference's streaming layer (SURVEY.md §2.9) rebuilt on Spark 4
   * Structured Streaming. Works on any streaming DataFrame with
   * (event_id long, ts timestamp, event_type string, value double) —
@@ -163,6 +191,26 @@ object StreamingPipeline {
           state.update(next)
           next
       }
+  }
+
+  /** The Spark 4 successor of [[runningStats]]: the same per-key
+    * running aggregate through `transformWithState` — typed
+    * StatefulProcessor with named state variables instead of the
+    * single opaque GroupState blob. At scale this is the API that
+    * matters: state lives in the RocksDB state store (spills beyond
+    * heap; required by transformWithState), variables get independent
+    * TTLs, and timers replace the single timeout. Equality with the
+    * mapGroupsWithState form is asserted in StreamingSpec. */
+  def runningStatsTWS(df: DataFrame): Dataset[RunningAgg] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("event_type").cast("string"), col("value").cast("double"))
+      .as[(String, Double)]
+      .groupByKey(_._1)
+      .transformWithState(
+        new RunningStatsProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        org.apache.spark.sql.streaming.OutputMode.Update())
   }
 
   /** Sessionization in-stream: session_window merges events closer

@@ -235,6 +235,42 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("transformWithState twin equals mapGroupsWithState (RocksDB state store)") {
+    implicit val sqlCtx = spark.sqlContext
+    // transformWithState requires the RocksDB provider; scope it to
+    // this test and restore the default after
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProvider = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val src = MemoryStream[Ev]
+      val stats = StreamingPipeline.runningStatsTWS(src.toDF())
+      val q = stats.writeStream.format("memory").queryName("tws_out")
+        .outputMode("update").start()
+      try {
+        src.addData(
+          Ev(1, t("2024-01-01 10:00:00"), "a", 10.0),
+          Ev(2, t("2024-01-01 10:01:00"), "a", 30.0),
+          Ev(3, t("2024-01-01 10:02:00"), "b", 5.0))
+        q.processAllAvailable()
+        src.addData(Ev(4, t("2024-01-01 10:03:00"), "a", 2.0))
+        q.processAllAvailable()
+        // same per-key totals the mapGroupsWithState form produces
+        val last = spark.table("tws_out")
+          .groupBy($"key").agg(max($"n").as("n"), max($"maxValue").as("mx"),
+            max($"sum").as("s"))
+          .as[(String, Long, Double, Double)].collect().sortBy(_._1)
+        assert(last.toSeq == Seq(("a", 3L, 30.0, 42.0), ("b", 1L, 5.0, 5.0)))
+      } finally q.stop()
+    } finally {
+      prevProvider match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
+  }
+
   test("foreachBatch parquet sink: skips empty batches, stamps batch_id") {
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graft_sink").toString
