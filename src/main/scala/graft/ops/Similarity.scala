@@ -111,6 +111,34 @@ object Similarity extends QueryModule {
       s"(CASE WHEN (${planeDotSql(v, p)}) >= 0.0 THEN CAST(${1L << p} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
     }.mkString(" + ")
 
+  /** Per-vector scalar statistics — the feature-extraction pass a
+    * vector pipeline runs before indexing (norm for normalization,
+    * component min/max/mean for range checks and dead-dimension
+    * detection). Pure map-side, one scan, no shuffle; every value
+    * derives from the same left-to-right folds the oracle computes
+    * (sum via dot with the all-ones vector would reorder — the HOF
+    * fold keeps index order, and float->double casts are exact). */
+  def embedStats(spark: SparkSession, dir: String): DataFrame = {
+    val v = col("embedding")
+    val sumD = aggregate(v, lit(0.0), (acc, x) => acc + x.cast("double"))
+    Core.embeddings(spark, dir).select(
+      col("vec_id"),
+      sqrt(dot(v, v)).as("norm"),
+      array_min(v).cast("double").as("c_min"),
+      array_max(v).cast("double").as("c_max"),
+      (sumD / size(v).cast("double")).as("c_mean"))
+  }
+
+  val embedStatsSql: String =
+    s"""SELECT vec_id,
+       |  sqrt(${dotSql("embedding", "embedding")}) AS norm,
+       |  CAST(list_min(embedding) AS DOUBLE) AS c_min,
+       |  CAST(list_max(embedding) AS DOUBLE) AS c_max,
+       |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE))),
+       |    (acc, x) -> acc + x) / CAST(len(embedding) AS DOUBLE) AS c_mean
+       |FROM embeddings""".stripMargin
+
   /** Corpus bucketing (vec_id -> LSH bucket) — the index-build pass. */
   def lshBuckets(spark: SparkSession, dir: String): DataFrame =
     Core.embeddings(spark, dir)
@@ -362,6 +390,7 @@ object Similarity extends QueryModule {
 
   override def queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "embed_cosine_topk" -> ((s, d) => cosineTopK(s, d)),
+    "embed_stats" -> ((s, d) => embedStats(s, d)),
     "embed_lsh_buckets" -> ((s, d) => lshBuckets(s, d)),
     "embed_ann_lsh_topk" -> ((s, d) => annLshTopK(s, d)),
     "embed_ivf_topk" -> ((s, d) => ivfTopK(s, d)),
@@ -369,6 +398,7 @@ object Similarity extends QueryModule {
 
   override def oracle: Seq[(String, String)] = Seq(
     "embed_cosine_topk" -> cosineTopKSql,
+    "embed_stats" -> embedStatsSql,
     "embed_lsh_buckets" -> lshBucketsSql,
     "embed_ann_lsh_topk" -> annLshTopKSql,
     "embed_ivf_topk" -> ivfTopKSql,

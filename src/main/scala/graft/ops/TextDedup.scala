@@ -541,6 +541,25 @@ object TextDedup extends QueryModule {
        |  ROW_NUMBER() OVER (ORDER BY doc_freq DESC, ng) AS rnk FROM f)
        |SELECT ng, doc_freq, CAST(rnk AS INTEGER) AS rnk FROM r WHERE rnk <= 20""".stripMargin
 
+  /** Vocabulary building: the top-30 tokens by TOTAL occurrence count
+    * (token-level complement of [[boilerplateNgrams]]'s per-document
+    * shingle frequency) — the first pass of tokenizer training and the
+    * corpus-health histogram. One shuffle on the token with map-side
+    * partial counts; the top-k plans as TakeOrderedAndProject. */
+  def vocabTopK(spark: SparkSession, dir: String, k: Int = 30): DataFrame =
+    withToks(Core.documents(spark, dir))
+      .select(explode(toks).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("n_occurrences"))
+      .orderBy(col("n_occurrences").desc, col("token"))
+      .limit(k)
+
+  val vocabTopKSql: String =
+    s"""SELECT token, count(*) AS n_occurrences
+       |FROM (SELECT unnest($toksSql) AS token FROM documents)
+       |GROUP BY token
+       |ORDER BY n_occurrences DESC, token
+       |LIMIT 30""".stripMargin
+
   /** Capstone: the end-to-end training-data curation pipeline as ONE
     * query — quality gate -> exact-dedup survivors -> per-language
     * corpus budget (docs, tokens, mean quality). The shape a 100 TB
@@ -600,6 +619,7 @@ object TextDedup extends QueryModule {
     "simhash_pairs" -> ((s, d) => simhashPairs(s, d)),
     "dataset_split" -> ((s, d) => datasetSplit(s, d)),
     "boilerplate_ngrams" -> ((s, d) => boilerplateNgrams(s, d)),
+    "vocab_topk" -> ((s, d) => vocabTopK(s, d)),
     "corpus_pipeline" -> ((s, d) => corpusPipeline(s, d)))
 
   override def oracle: Seq[(String, String)] = Seq(
@@ -616,5 +636,6 @@ object TextDedup extends QueryModule {
     "simhash_pairs" -> simhashPairsSql,
     "dataset_split" -> datasetSplitSql,
     "boilerplate_ngrams" -> boilerplateNgramsSql,
+    "vocab_topk" -> vocabTopKSql,
     "corpus_pipeline" -> corpusPipelineSql)
 }
