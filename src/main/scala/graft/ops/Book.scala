@@ -60,9 +60,23 @@ object Book extends QueryModule {
     Core.events(spark, dir).select(cols: _*)
   }
 
-  /** F2-F8 — order-book scalar features (spark_consumer.py:320-400). */
-  def bookFeatures(spark: SparkSession, dir: String): DataFrame = {
-    val b = book(spark, dir)
+  /** Names of the F2-F8 scalar features in reference emission order
+    * (spark_consumer.py:320-400): 6 scalars + 12 relative levels. */
+  val featureNames: Seq[String] =
+    Seq("bids_ord_wa", "asks_ord_wa", "vol_imbalance", "delta", "micro_price", "spread") ++
+      (1 until nLevels).flatMap(i => Seq(s"bid_${i}_rel", s"ask_${i}_rel"))
+
+  /** The 14 per-level size columns the reference KEEPS in its training
+    * table (spark_consumer.py:379-400 drops only level-0 prices; sizes
+    * survive into stock_data_joined and are normalized later by the
+    * dataloader's book-wide pooling A2). */
+  val sizeNames: Seq[String] =
+    (0 until nLevels).flatMap(i => Seq(s"bid_${i}_size", s"ask_${i}_size"))
+
+  /** F2-F8 as named Columns over the wide book layout (shared by
+    * `bookFeatures` and `Indicators.featureMatrix`). Aligned 1:1 with
+    * `featureNames`. */
+  def featureCols: Seq[Column] = {
     def c(n: String) = col(n)
     // F2/F3: depth-weighted distance from best (quirk: distance, not price)
     val bidNum = (0 until nLevels).map(i =>
@@ -82,8 +96,7 @@ object Book extends QueryModule {
         when(c(s"bid_$i") =!= 0.0, c("bid_0") - c(s"bid_$i")).otherwise(0.0).as(s"bid_${i}_rel"),
         when(c(s"ask_$i") =!= 0.0, c("ask_0") - c(s"ask_$i")).otherwise(0.0).as(s"ask_${i}_rel"))
     }
-    b.select(Seq(
-      c("event_id"),
+    Seq(
       when(bidDen === 0, lit(0.0)).otherwise(bidNum / bidDen.cast("double")).as("bids_ord_wa"),
       when(askDen === 0, lit(0.0)).otherwise(askNum / askDen.cast("double")).as("asks_ord_wa"),
       when(imbDen === 0.0, lit(0.0)).otherwise((b0s - a0s) / imbDen).as("vol_imbalance"),
@@ -91,18 +104,27 @@ object Book extends QueryModule {
       when(imbDen === 0.0, lit(0.0))
         .otherwise(i01 * c("ask_0") + (lit(1.0) - i01) * c("bid_0")).as("micro_price"),
       when(c("ask_0") =!= 0.0 && c("bid_0") =!= 0.0, c("bid_0") - c("ask_0"))
-        .otherwise(0.0).as("spread")) ++ relCols: _*)
+        .otherwise(0.0).as("spread")) ++ relCols
   }
 
-  val bookFeaturesSql: String = {
-    def bidS(i: Int) = s"(value - ${bidOff(i)})"
-    def askS(i: Int) = s"(value + ${askOff(i)})"
-    def bidSzS(i: Int) = bidSizeSql(i)
-    def askSzS(i: Int) = askSizeSql(i)
+  /** F2-F8 — order-book scalar features (spark_consumer.py:320-400). */
+  def bookFeatures(spark: SparkSession, dir: String): DataFrame =
+    book(spark, dir).select(col("event_id") +: featureCols: _*)
+
+  /** The synthesized wide book as a DuckDB subquery (event_id, ts, value,
+    * bid_i/ask_i prices + sizes) — shared by bookFeatures and
+    * Indicators.featureMatrix oracles. */
+  val bookSqlFrom: String = {
     val bookCols = (Seq("event_id", "ts", "value") ++
       (0 until nLevels).flatMap(i => Seq(
-        s"${bidS(i)} AS bid_$i", s"${bidSzS(i)} AS bid_${i}_size",
-        s"${askS(i)} AS ask_$i", s"${askSzS(i)} AS ask_${i}_size"))).mkString(", ")
+        s"(value - ${bidOff(i)}) AS bid_$i", s"${bidSizeSql(i)} AS bid_${i}_size",
+        s"(value + ${askOff(i)}) AS ask_$i", s"${askSizeSql(i)} AS ask_${i}_size"))).mkString(", ")
+    s"(SELECT $bookCols FROM ${Core.sqlEvents})"
+  }
+
+  /** F2-F8 as `expr AS name` DuckDB select-list items over `bookSqlFrom`,
+    * aligned 1:1 with `featureNames`. */
+  val featureExprsSql: Seq[String] = {
     val bidNum = (0 until nLevels).map(i =>
       s"(bid_0 - bid_$i) * CAST(bid_${i}_size AS DOUBLE)").mkString(" + ")
     val bidDen = (0 until nLevels).map(i => s"bid_${i}_size").mkString(" + ")
@@ -113,20 +135,23 @@ object Book extends QueryModule {
       Seq(
         s"CASE WHEN bid_$i <> 0.0 THEN bid_0 - bid_$i ELSE 0.0 END AS bid_${i}_rel",
         s"CASE WHEN ask_$i <> 0.0 THEN ask_0 - ask_$i ELSE 0.0 END AS ask_${i}_rel")
-    }.mkString(",\n  ")
-    s"""SELECT event_id,
-       |  CASE WHEN ($bidDen) = 0 THEN 0.0 ELSE ($bidNum) / CAST($bidDen AS DOUBLE) END AS bids_ord_wa,
-       |  CASE WHEN ($askDen) = 0 THEN 0.0 ELSE ($askNum) / CAST($askDen AS DOUBLE) END AS asks_ord_wa,
-       |  CASE WHEN CAST(bid_0_size AS DOUBLE) + CAST(ask_0_size AS DOUBLE) = 0.0 THEN 0.0
-       |       ELSE (CAST(bid_0_size AS DOUBLE) - CAST(ask_0_size AS DOUBLE)) / (CAST(bid_0_size AS DOUBLE) + CAST(ask_0_size AS DOUBLE)) END AS vol_imbalance,
-       |  ($askDen) - ($bidDen) AS delta,
-       |  CASE WHEN CAST(bid_0_size AS DOUBLE) + CAST(ask_0_size AS DOUBLE) = 0.0 THEN 0.0
-       |       ELSE (CAST(bid_0_size AS DOUBLE) / (CAST(bid_0_size AS DOUBLE) + CAST(ask_0_size AS DOUBLE))) * ask_0
-       |            + (1.0 - (CAST(bid_0_size AS DOUBLE) / (CAST(bid_0_size AS DOUBLE) + CAST(ask_0_size AS DOUBLE)))) * bid_0 END AS micro_price,
-       |  CASE WHEN ask_0 <> 0.0 AND bid_0 <> 0.0 THEN bid_0 - ask_0 ELSE 0.0 END AS spread,
-       |  $relCols
-       |FROM (SELECT $bookCols FROM ${Core.sqlEvents})""".stripMargin
+    }
+    Seq(
+      s"CASE WHEN ($bidDen) = 0 THEN 0.0 ELSE ($bidNum) / CAST($bidDen AS DOUBLE) END AS bids_ord_wa",
+      s"CASE WHEN ($askDen) = 0 THEN 0.0 ELSE ($askNum) / CAST($askDen AS DOUBLE) END AS asks_ord_wa",
+      """CASE WHEN CAST(bid_0_size AS DOUBLE) + CAST(ask_0_size AS DOUBLE) = 0.0 THEN 0.0
+        |       ELSE (CAST(bid_0_size AS DOUBLE) - CAST(ask_0_size AS DOUBLE)) / (CAST(bid_0_size AS DOUBLE) + CAST(ask_0_size AS DOUBLE)) END AS vol_imbalance""".stripMargin,
+      s"($askDen) - ($bidDen) AS delta",
+      """CASE WHEN CAST(bid_0_size AS DOUBLE) + CAST(ask_0_size AS DOUBLE) = 0.0 THEN 0.0
+        |       ELSE (CAST(bid_0_size AS DOUBLE) / (CAST(bid_0_size AS DOUBLE) + CAST(ask_0_size AS DOUBLE))) * ask_0
+        |            + (1.0 - (CAST(bid_0_size AS DOUBLE) / (CAST(bid_0_size AS DOUBLE) + CAST(ask_0_size AS DOUBLE)))) * bid_0 END AS micro_price""".stripMargin,
+      "CASE WHEN ask_0 <> 0.0 AND bid_0 <> 0.0 THEN bid_0 - ask_0 ELSE 0.0 END AS spread") ++ relCols
   }
+
+  val bookFeaturesSql: String =
+    s"""SELECT event_id,
+       |  ${featureExprsSql.mkString(",\n  ")}
+       |FROM $bookSqlFrom""".stripMargin
 
   /** F1 — candle/wick features over 5-min bars (spark_consumer.py:187-193):
     * wick_prct NULL on zero candle, then filled 0 (P7). */

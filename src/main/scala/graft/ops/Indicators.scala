@@ -155,8 +155,20 @@ object Indicators extends QueryModule {
     * price_change and a degenerate stoch window, so any row with a
     * null feature is filtered. Global ORDER BY mirrors the reference's
     * single-series table; the partitioned-per-series twin of this
-    * shape is `indicators_by_type`. */
+    * shape is `indicators_by_type`.
+    *
+    * Full training surface (round 4): the reference's stock_data_joined
+    * carries the F2-F8 book block (spark_consumer.py:320-400 — WA
+    * distances, imbalance, delta, micro-price, spread, 12 relative
+    * levels), the 14 per-level sizes it keeps after dropping level-0
+    * prices, and the as-written session flag (spark_consumer.py:410-415)
+    * into training. Here the book is synthesized per event, features are
+    * computed map-side, and each bar takes its LAST book snapshot
+    * (max_by event_id — one DEEP snapshot per 5-min poll in the
+    * reference). Still one scan + one shuffle: the snapshot pick rides
+    * the same groupBy(bucket) partial aggregation as the OHLCV. */
   def featureMatrix(spark: SparkSession, dir: String): DataFrame = {
+    val bookCols: Seq[String] = Book.featureNames ++ Book.sizeNames
     val w = Window.orderBy("bucket")
     def fr(n: Int) = w.rowsBetween(-(n - 1), 0)
     def cntd(n: Int) = count(lit(1)).over(fr(n)).cast("double")
@@ -182,7 +194,22 @@ object Indicators extends QueryModule {
       when(weekday(col("bucket")) + lit(1) === k, 1).otherwise(0).as(s"day_$k"))
     val weekHot = (1 to 4).map(k =>
       when(womExpr === k, 1).otherwise(0).as(s"week_$k"))
-    bars(spark, dir).select(Seq(
+    // F11 as-written session flag, on the bar bucket
+    val sess = when(hour(col("bucket")) >= 11 && minute(col("bucket")) >= 30, 0)
+      .otherwise(1).as("session_start")
+    val ev = Book.book(spark, dir).select(
+      Seq(col("event_id"), col("ts"), col("value")) ++
+        Book.featureCols ++ Book.sizeNames.map(col): _*)
+    val aggs = Seq(
+      min_by(col("value"), col("event_id")).as("open"),
+      max(col("value")).as("high"),
+      min(col("value")).as("low"),
+      max_by(col("value"), col("event_id")).as("close"),
+      count(lit(1)).as("volume")) ++
+      bookCols.map(n => max_by(col(n), col("event_id")).as(n))
+    val b = ev.groupBy(Core.bucket5m(col("ts")).as("bucket"))
+      .agg(aggs.head, aggs.tail: _*)
+    b.select(Seq(
       col("bucket"), col("close"), col("volume"),
       volMa(6).as("vol_ma6"),
       volMa(20).as("vol_ma20"),
@@ -197,7 +224,8 @@ object Indicators extends QueryModule {
       wick.as("wick_size"),
       when(candle === 0.0, lit(0.0)).otherwise(wick / candle).as("wick_prct"),
       (weekday(col("bucket")) + lit(1)).as("week_day"),
-      womExpr.as("week_of_month")) ++ dayHot ++ weekHot ++ Seq(
+      womExpr.as("week_of_month"),
+      sess) ++ bookCols.map(col) ++ dayHot ++ weekHot ++ Seq(
       when(p8 >= col("close") + lit(1.5) * atr, 1).otherwise(0).as("up1"),
       when(p15 >= col("close") + lit(3.0) * atr, 1).otherwise(0).as("up2"),
       when(p8 <= col("close") - lit(1.5) * atr, 1).otherwise(0).as("down1"),
@@ -211,7 +239,22 @@ object Indicators extends QueryModule {
       s"CASE WHEN isodow(bucket) = $k THEN 1 ELSE 0 END AS day_$k").mkString(",\n  ")
     val weekHot = (1 to 4).map(k =>
       s"CASE WHEN $womSql = $k THEN 1 ELSE 0 END AS week_$k").mkString(",\n  ")
-    s"""WITH bars AS ($barsSql),
+    val bookCols = Book.featureNames ++ Book.sizeNames
+    val bookAggs = bookCols.map(n => s"arg_max($n, event_id) AS $n").mkString(",\n    ")
+    s"""WITH ev AS (
+       |  SELECT event_id, ts, value,
+       |    ${Book.sizeNames.mkString(", ")},
+       |    ${Book.featureExprsSql.mkString(",\n    ")}
+       |  FROM ${Book.bookSqlFrom}
+       |),
+       |bars AS (
+       |  SELECT ${Core.bucket5mSql} AS bucket,
+       |    arg_min(value, event_id) AS "open", max(value) AS high,
+       |    min(value) AS low, arg_max(value, event_id) AS "close",
+       |    count(*) AS volume,
+       |    $bookAggs
+       |  FROM ev GROUP BY 1
+       |),
        |ind AS (
        |  SELECT *,
        |    CAST(SUM(CAST("close" AS DECIMAL(18,2))) OVER w20 AS DOUBLE) AS s1d,
@@ -242,6 +285,8 @@ object Indicators extends QueryModule {
        |       ELSE (CASE WHEN "close" >= "open" THEN high - "close" ELSE low - "close" END) / (high - low) END AS wick_prct,
        |  CAST(isodow(bucket) AS INTEGER) AS week_day,
        |  $womSql AS week_of_month,
+       |  CASE WHEN hour(bucket) >= 11 AND minute(bucket) >= 30 THEN 0 ELSE 1 END AS session_start,
+       |  ${bookCols.mkString(", ")},
        |  $dayHot,
        |  $weekHot,
        |  CASE WHEN p8 >= "close" + 1.5 * atr THEN 1 ELSE 0 END AS up1,

@@ -117,7 +117,7 @@ class RegistrySpec extends SparkSpec {
   test("feature matrix equals indicators joined with targets on shared columns") {
     import org.apache.spark.sql.functions.col
     val fm = graft.ops.Indicators.featureMatrix(spark, sf0001)
-    assert(fm.columns.length == 28, s"expected 28 cols, got ${fm.columns.mkString(",")}")
+    assert(fm.columns.length == 61, s"expected 61 cols, got ${fm.columns.mkString(",")}")
     val ind = graft.ops.Indicators.indicators(spark, sf0001)
     val tgt = graft.ops.Indicators.targets(spark, sf0001)
       .select("bucket", "up1", "up2", "down1", "down2")
@@ -127,6 +127,26 @@ class RegistrySpec extends SparkSpec {
     assert(fm.select(shared.map(col): _*).exceptAll(joined).isEmpty &&
       joined.exceptAll(fm.select(shared.map(col): _*)).isEmpty,
       "single-pass matrix must equal the view-join form bit-for-bit")
+  }
+
+  test("feature matrix book snapshot equals last bookFeatures row per bucket") {
+    // Independent derivation: instead of the matrix's max_by aggregation,
+    // pick each bucket's max event_id via groupBy and JOIN bookFeatures on
+    // it — a different plan shape that must agree bit-for-bit.
+    import org.apache.spark.sql.functions._
+    val fm = graft.ops.Indicators.featureMatrix(spark, sf0001)
+    val featNames = graft.ops.Book.featureNames
+    val lastEvent = graft.ops.Core.events(spark, sf0001)
+      .groupBy(graft.ops.Core.bucket5m(col("ts")).as("bucket"))
+      .agg(max(col("event_id")).as("event_id"))
+    val expected = lastEvent
+      .join(graft.ops.Book.bookFeatures(spark, sf0001), "event_id")
+      .select(col("bucket") +: featNames.map(col): _*)
+    val got = fm.select(col("bucket") +: featNames.map(col): _*)
+    // fm drops warmup rows, so compare on fm's buckets only
+    val exp = expected.join(fm.select("bucket"), "bucket")
+    assert(got.exceptAll(exp).isEmpty && exp.exceptAll(got).isEmpty,
+      "matrix book block must equal the per-bucket last bookFeatures row")
   }
 
   test("approx_count_distinct tracks the exact distinct count within rsd bounds") {
