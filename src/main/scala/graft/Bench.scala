@@ -20,10 +20,19 @@ object Bench {
     // hardcoded path): on a different testdata layout a missing warm
     // dir is WARNED about, not silently swallowed — a no-op warmup
     // re-skews the first dedup/similarity query by ~4s of JIT.
-    val warmDir = {
+    // a missing warm dir is WARNED about and the family warmup is
+    // SKIPPED (not silently run at measured scale, which would both
+    // double bench time and pre-warm the page cache for the run)
+    val warmDirOpt = {
       val parent = new java.io.File(sfDir).getParentFile
       val candidate = new java.io.File(parent, "sf0.001")
-      if (candidate.isDirectory) candidate.getPath else sfDir
+      if (candidate.isDirectory) Some(candidate.getPath)
+      else {
+        System.err.println(
+          s"[bench] WARNING: no sf0.001 sibling of $sfDir — family warmup skipped, " +
+            "first dedup/similarity query will absorb ~4s of one-time JIT")
+        None
+      }
     }
     try {
       spark.range(1000000).selectExpr("sum(id)").collect()
@@ -46,15 +55,17 @@ object Bench {
       // dot_product codegen, and the pair joins each cost multiple
       // seconds of one-time compilation that would otherwise land on
       // whichever family query the measurement loop reaches first.
-      ops.TextDedup.ngramJaccardPairs(spark, warmDir).count()
-      ops.TextDedup.simhashPairs(spark, warmDir).count()
-      ops.TextDedup.boilerplateNgrams(spark, warmDir).count()
-      ops.Similarity.cosineTopK(spark, warmDir).count()
-      ops.Similarity.ivfTopK(spark, warmDir).count()
-      ops.Similarity.cosineNearDupPairs(spark, warmDir).count()
+      warmDirOpt.foreach { warmDir =>
+        ops.TextDedup.ngramJaccardPairs(spark, warmDir).count()
+        ops.TextDedup.simhashPairs(spark, warmDir).count()
+        ops.TextDedup.boilerplateNgrams(spark, warmDir).count()
+        ops.Similarity.cosineTopK(spark, warmDir).count()
+        ops.Similarity.ivfTopK(spark, warmDir).count()
+        ops.Similarity.cosineNearDupPairs(spark, warmDir).count()
+      }
     } catch {
       case t: Throwable =>
-        System.err.println(s"[bench] WARNING: warmup failed (dir=$warmDir): $t")
+        System.err.println(s"[bench] WARNING: warmup failed: $t")
     }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
@@ -130,28 +141,49 @@ object Bench {
     // output combinatorially (~18^4 with 10s aux), which is an input
     // bug, not a throughput signal
     val nDeep = 20000
-    val deepMs = MemoryStream[(Long, java.sql.Timestamp, String, Double)]
-    val auxMs = (1 to 4).map(_ => MemoryStream[(java.sql.Timestamp, Double)])
-    val auxes = auxMs.zipWithIndex.map { case (m, i) =>
-      s"aux$i" -> m.toDF().toDF("ts", s"aux${i}_v")
-    }
-    val dag = StreamingPipeline.referenceDag(
-      deepMs.toDF().toDF("event_id", "ts", "event_type", "value"), auxes)
-    val q2 = dag.writeStream.format("memory").queryName("bench_dag")
-      .outputMode("append").start()
     val auxIdx = 0 until nDeep by 300 // deep steps 1s -> one aux per bucket
-    val dagSecs = try {
-      val t0 = System.nanoTime()
-      events(nDeep, 1000L).grouped(nDeep / 4).foreach(deepMs.addData(_))
-      auxMs.foreach { m =>
-        m.addData(auxIdx.map(i => (new java.sql.Timestamp(base + i * 1000L + 30000L), i.toDouble)))
+    def runDag(queryName: String): Double = {
+      val deepMs = MemoryStream[(Long, java.sql.Timestamp, String, Double)]
+      val auxMs = (1 to 4).map(_ => MemoryStream[(java.sql.Timestamp, Double)])
+      val auxes = auxMs.zipWithIndex.map { case (m, i) =>
+        s"aux$i" -> m.toDF().toDF("ts", s"aux${i}_v")
       }
-      q2.processAllAvailable()
-      (System.nanoTime() - t0) / 1e9
-    } finally q2.stop()
+      val dag = StreamingPipeline.referenceDag(
+        deepMs.toDF().toDF("event_id", "ts", "event_type", "value"), auxes)
+      val q2 = dag.writeStream.format("memory").queryName(queryName)
+        .outputMode("append").start()
+      try {
+        val t0 = System.nanoTime()
+        events(nDeep, 1000L).grouped(nDeep / 4).foreach(deepMs.addData(_))
+        auxMs.foreach { m =>
+          m.addData(auxIdx.map(i => (new java.sql.Timestamp(base + i * 1000L + 30000L), i.toDouble)))
+        }
+        q2.processAllAvailable()
+        (System.nanoTime() - t0) / 1e9
+      } finally q2.stop()
+    }
+    // A/B the state-store backend on the 9-stateful-op DAG (5 joins +
+    // dedup): default HDFS-backed in-heap store vs RocksDB (the
+    // store that spills state beyond heap — at cluster scale the
+    // operational choice; here the same micro-batch cadence, so the
+    // comparison isolates per-batch store overhead: snapshot/commit
+    // cost per partition per operator).
+    val dagSecs = runDag("bench_dag")
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val dagRocksSecs = {
+      val prev = spark.conf.getOption(providerKey)
+      spark.conf.set(providerKey,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try runDag("bench_dag_rocks")
+      finally prev match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
 
     val totalDagInput = nDeep + 4 * auxIdx.size
     s"""{"bars_events":$nBars,"bars_sec":$barsSecs,"bars_events_per_sec":${nBars / barsSecs},""" +
-      s""""dag_events":$totalDagInput,"dag_sec":$dagSecs,"dag_events_per_sec":${totalDagInput / dagSecs}}"""
+      s""""dag_events":$totalDagInput,"dag_sec":$dagSecs,"dag_events_per_sec":${totalDagInput / dagSecs},""" +
+      s""""dag_rocksdb_sec":$dagRocksSecs,"dag_rocksdb_events_per_sec":${totalDagInput / dagRocksSecs}}"""
   }
 }

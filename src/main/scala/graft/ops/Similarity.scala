@@ -208,28 +208,55 @@ object Similarity extends QueryModule {
     * sizes bounded. */
   private val ndBands = 8
   private val ndRows = 4 // sign bits per band; plane index = band*ndRows + j
+  // single source for the registered query's threshold: the Scala
+  // default AND the oracle SQL interpolate this same constant, so a
+  // drift between them is impossible (ADVICE r3)
+  private val ndThreshold = 0.4
 
-  private def ndBandStructs(v: Column): Seq[Column] =
-    (0 until ndBands).map { b =>
-      val key = (0 until ndRows).map { j =>
-        when(dot(v, typedLit(planeCoefArr(b * ndRows + j))) >= 0.0, lit(1L << j))
+  private def ndBandStructs(v: Column, bands: Int, rows: Int): Seq[Column] =
+    (0 until bands).map { b =>
+      val key = (0 until rows).map { j =>
+        when(dot(v, typedLit(planeCoefArr(b * rows + j))) >= 0.0, lit(1L << j))
           .otherwise(lit(0L))
       }.reduceLeft[Column](_ + _)
       struct(lit(b).as("band"), key.as("bkey"))
     }
 
-  def cosineNearDupPairs(spark: SparkSession, dir: String, threshold: Double = 0.4): DataFrame = {
+  def cosineNearDupPairs(spark: SparkSession, dir: String,
+      threshold: Double = ndThreshold): DataFrame =
+    bandedNearDupPairs(spark, dir, threshold, ndBands, ndRows)
+
+  /** The recall knob of the same operator: the SAME 32 hyperplanes
+    * regrouped into 16 bands of 2 sign bits. At cosine c the per-plane
+    * agreement is p = 1 - arccos(c)/pi (~0.631 at the adversarial 0.4
+    * threshold), so band-hit probability rises from 1-(1-p^4)^8 ~ 0.76
+    * theoretical (measured 0.59 on this corpus's near-threshold tail)
+    * to 1-(1-p^2)^16 ~ 0.9996 — recall is asserted >= 0.8 in
+    * SimilaritySpec, and the output provably CONTAINS the 8x4 output
+    * (a pair agreeing on a 4-bit band agrees on both its 2-bit
+    * halves). The price is candidate volume: 2-bit keys give 4
+    * buckets/band, so each band's self-join streams ~n^2/4 pairs —
+    * the knob trades verify work for recall, and at 100 TB bits/band
+    * must grow with log(n) whichever point on the frontier you pick.
+    * Spec-measured variant; the registered oracle stays pinned to the
+    * 8x4 semantics. */
+  def cosineNearDupPairsHiRecall(spark: SparkSession, dir: String,
+      threshold: Double = ndThreshold): DataFrame =
+    bandedNearDupPairs(spark, dir, threshold, 16, 2)
+
+  private def bandedNearDupPairs(spark: SparkSession, dir: String,
+      threshold: Double, bands: Int, rows: Int): DataFrame = {
     val emb = Core.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding"),
         sqrt(dot(col("embedding"), col("embedding"))).as("norm"))
-    // band fan-out is map-side (ndBands rows/vec); both join sides
+    // band fan-out is map-side (`bands` rows/vec); both join sides
     // reuse the same exchange (uncached by measure — see memory notes)
-    val bands = emb
+    val banded = emb
       .select(col("vec_id"), col("embedding"), col("norm"),
-        explode(array(ndBandStructs(col("embedding")): _*)).as("b"))
+        explode(array(ndBandStructs(col("embedding"), bands, rows): _*)).as("b"))
       .select(col("vec_id"), col("embedding"), col("norm"),
         col("b.band").as("band"), col("b.bkey").as("bkey"))
-    bands.as("a").join(bands.as("b"),
+    banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
           col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
@@ -270,7 +297,7 @@ object Similarity extends QueryModule {
        |  FROM bands a JOIN bands b
        |    ON a.band = b.band AND a.bkey = b.bkey AND a.vec_id < b.vec_id
        |  WHERE ${dotSql("a.embedding", "b.embedding")} /
-       |      (sqrt(${dotSql("a.embedding", "a.embedding")}) * sqrt(${dotSql("b.embedding", "b.embedding")})) >= 0.4)
+       |      (sqrt(${dotSql("a.embedding", "a.embedding")}) * sqrt(${dotSql("b.embedding", "b.embedding")})) >= $ndThreshold)
        |SELECT vec_a, vec_b, cosine FROM cand""".stripMargin
   }
 

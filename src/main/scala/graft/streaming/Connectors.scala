@@ -60,6 +60,19 @@ object Connectors {
     trigger.fold(w)(w.trigger)
   }
 
+  /** K4 — the console debug sink (the reference tails its streams with
+    * format("console") while developing; spark_consumer.py keeps one
+    * commented out). Same builder shape as the Kafka/parquet sinks so
+    * the swap is one line in either direction. */
+  def consoleSink(df: DataFrame, numRows: Int = 20,
+      trigger: Option[Trigger] = None): DataStreamWriter[Row] = {
+    val w = df.writeStream.format("console")
+      .option("numRows", numRows.toString)
+      .option("truncate", "true")
+      .outputMode("append")
+    trigger.fold(w)(w.trigger)
+  }
+
   /** K1, JDBC form — the reference's foreachBatch JDBC append
     * (spark_consumer.py:68-84) was at-least-once: a micro-batch
     * replayed after a failure appended a second copy. This variant is
@@ -67,7 +80,14 @@ object Connectors {
     * by batch_id, and a replay first clears its own batch_id rows
     * (delete-then-append; the delete is a no-op first time through).
     * Scale note: the delete predicate hits one batch_id — an indexed
-    * point-range delete, not a table scan, on any real store. */
+    * point-range delete, not a table scan, on any real store.
+    *
+    * Crash window: the DELETE and the append run on separate
+    * connections without a wrapping transaction, so a crash between
+    * them leaves this batch's rows absent UNTIL Structured Streaming
+    * replays the micro-batch (the checkpoint only advances after the
+    * sink returns) — eventual exactly-once, with a transient gap
+    * rather than transient duplicates. */
   def writeBatchIdempotentJdbc(batch: DataFrame, batchId: Long, url: String,
       table: String, props: java.util.Properties): Unit =
     if (!batch.isEmpty) {
@@ -93,10 +113,14 @@ object Connectors {
           try rs.next() finally rs.close()
         }
         if (exists) {
-          val st = conn.createStatement()
-          try st.executeUpdate(
-            s"DELETE FROM $table WHERE ${dialect.quoteIdentifier("batch_id")} = $batchId")
-          finally st.close()
+          // parameterized batch_id: the value is a Long from the
+          // streaming engine, but a PreparedStatement keeps the
+          // statement text constant (plan cache friendly) and immune
+          // to any future widening of the key type
+          val ps = conn.prepareStatement(
+            s"DELETE FROM $table WHERE ${dialect.quoteIdentifier("batch_id")} = ?")
+          try { ps.setLong(1, batchId); ps.executeUpdate() }
+          finally ps.close()
         }
       } finally conn.close()
       batch.withColumn("batch_id", lit(batchId))

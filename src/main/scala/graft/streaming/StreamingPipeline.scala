@@ -160,6 +160,59 @@ object StreamingPipeline {
       .select(col("w10.start").as("bucket10"), col("high"), col("low"), col("volume"))
   }
 
+  /** The STREAMING indicator layer (W1/W2, create_database.py:76-103)
+    * — the README's headline unlock made concrete: the rolling 6-bar
+    * price/volume moving averages the reference computed in MariaDB
+    * views run in-stream as a SECOND windowed aggregation over the
+    * streaming bars. Row-frame windows (ROWS BETWEEN 5 PRECEDING)
+    * don't exist on streams, but on a gapless 5-minute bar series the
+    * 6-bar trailing frame IS the 30-minute sliding time window ending
+    * at the bar: window(window_time(w), "30 minutes", "5 minutes")
+    * puts bar B in exactly the windows [B-25m, B+5m) ... [B, B+30m),
+    * and the one that ENDS at B+5m is B's trailing frame. Emission is
+    * watermark-gated append; equality with the batch
+    * Indicators.withIndicators frame on the same data is asserted in
+    * StreamingSpec. Numeric treatment mirrors batch exactly: volume
+    * sums are long (exact), price sums go through DECIMAL(18,2). */
+  def streamingIndicators(events: DataFrame): DataFrame =
+    barsMovingAvg(barsKeepWindow(events.withWatermark("ts", "5 minutes")))
+
+  /** Third stateful depth: watermark-bounded dedup -> windowed bars ->
+    * sliding MA, all chained in one append-mode stream (Spark >= 3.4;
+    * each op on 2.4.4 would have thrown past the first). */
+  def streamingIndicatorDag(events: DataFrame): DataFrame =
+    barsMovingAvg(barsKeepWindow(
+      events.withWatermark("ts", "5 minutes")
+        .dropDuplicatesWithinWatermark(Seq("event_id"))))
+
+  /** [[streamingBars]] keeping the window struct (the event-time
+    * carrier a downstream windowed agg chains on). */
+  private def barsKeepWindow(events: DataFrame): DataFrame =
+    events.groupBy(window(col("ts"), "5 minutes").as("w"))
+      .agg(
+        max(col("value")).as("high"),
+        min(col("value")).as("low"),
+        max_by(col("value"), col("event_id")).as("close"),
+        count(lit(1)).as("volume"))
+
+  private def barsMovingAvg(bars: DataFrame): DataFrame =
+    bars
+      .groupBy(window(window_time(col("w")), "30 minutes", "5 minutes").as("wma"))
+      .agg(
+        (sum(col("volume")).cast("double") / count(lit(1)).cast("double")).as("vol_ma6"),
+        (sum(col("close").cast("decimal(18,2)")).cast("double") /
+          count(lit(1)).cast("double")).as("price_ma6"),
+        count(lit(1)).as("n_bars"),
+        max(col("w.start")).as("last_bar"))
+      // the window ending at B+5m is bar B's trailing 6-bar frame; a
+      // sliding window whose last contained bar is NOT its end bar is a
+      // trailing artifact (it "ends" at a bucket with no bar — the
+      // batch row frame has no such row), so it is filtered out
+      // post-agg (stateless, append-safe)
+      .filter(col("last_bar") === col("wma.end") - expr("INTERVAL 5 MINUTES"))
+      .select(col("last_bar").as("bucket"),
+        col("price_ma6"), col("vol_ma6"), col("n_bars"))
+
   /** K2 — the Kafka signal-sink projection (spark_consumer.py:490-502):
     * the joined timestamp JSON-encoded into a `value` column; the
     * writeStream target (format("kafka") + checkpointLocation) is the

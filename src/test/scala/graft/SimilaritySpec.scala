@@ -58,6 +58,25 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("hi-recall banding: recall >= 0.8 vs exact, superset of the 8x4 output") {
+    val hi = Similarity.cosineNearDupPairsHiRecall(spark, sf0001)
+      .as[(Long, Long, Double)].collect().toSet
+    val exact = Similarity.cosineNearDupPairsExact(spark, sf0001)
+      .as[(Long, Long, Double)].collect().toSet
+    val reg = Similarity.cosineNearDupPairs(spark, sf0001)
+      .as[(Long, Long, Double)].collect().toSet
+    // soundness: verify step recomputes exact cosines, never estimates
+    assert(hi.subsetOf(exact),
+      s"hi-recall produced ${hi.diff(exact).size} pairs the exact join doesn't have")
+    // same 32 planes, finer bands: every 4-bit band hit is two 2-bit hits
+    assert(reg.subsetOf(hi),
+      s"16x2 banding must contain the 8x4 output, missing ${reg.diff(hi).size}")
+    if (exact.nonEmpty) {
+      val recall = hi.size.toDouble / exact.size.toDouble
+      assert(recall >= 0.8, s"hi-recall banding recall $recall (${hi.size}/${exact.size})")
+    }
+  }
+
   test("ann-lsh results are a subset of brute-force candidates' quality") {
     val ann = Similarity.annLshTopK(spark, sf0001).cache()
     // every ANN hit shares the query's bucket by construction; sanity:

@@ -206,6 +206,55 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming indicator layer equals the batch W1/W2 frame (3 chained stateful ops)") {
+    implicit val sqlCtx = spark.sqlContext
+    val src = MemoryStream[Ev]
+    // dedup -> bars -> sliding MA: the full third-depth chain
+    val ma = StreamingPipeline.streamingIndicatorDag(src.toDF())
+    val q = ma.writeStream.format("memory").queryName("ma_out")
+      .outputMode("append").start()
+    try {
+      // gapless 10:00-11:55 series (the regime where the 6-bar row
+      // frame and the 30-min sliding window coincide), 2 events per
+      // bucket, plus replayed duplicates the dedup must drop
+      val evs = (0 until 48).map { i =>
+        Ev(i, new Timestamp(t("2024-01-01 10:00:00").getTime + i * 150000L),
+          "e", (i * 7 % 23).toDouble)
+      }
+      src.addData(evs)
+      src.addData(evs.take(10)) // duplicate event_ids within the watermark
+      q.processAllAvailable()
+      src.addData(Ev(99, t("2024-01-02 10:00:00"), "e", 1.0)) // flush watermark
+      q.processAllAvailable()
+      val got = spark.table("ma_out")
+        .select($"bucket".cast("string"), $"price_ma6", $"vol_ma6", $"n_bars")
+        .as[(String, Double, Double, Long)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+      // batch twin: bars + the exact W1/W2 trailing frame over the
+      // DEDUPED events (same decimal treatment as the streaming agg)
+      val w6 = org.apache.spark.sql.expressions.Window
+        .orderBy("bucket").rowsBetween(-5, 0)
+      val batch = evs.toDF()
+        .groupBy(graft.ops.Core.bucket5m($"ts").as("bucket"))
+        .agg(max_by($"value", $"event_id").as("close"), count(lit(1)).as("volume"))
+        .select($"bucket".cast("string").as("bucket"),
+          (sum($"close".cast("decimal(18,2)")).over(w6).cast("double") /
+            count(lit(1)).over(w6).cast("double")).as("price_ma6"),
+          (sum($"volume").over(w6).cast("double") /
+            count(lit(1)).over(w6).cast("double")).as("vol_ma6"),
+          count(lit(1)).over(w6).as("n_bars"))
+        .as[(String, Double, Double, Long)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+      assert(got.keySet == batch.keySet,
+        s"streamed buckets ${got.keySet} != batch ${batch.keySet}")
+      batch.foreach { case (b, exp) =>
+        assert(got(b) == exp, s"bucket $b: streaming ${got(b)} != batch $exp")
+      }
+      // steady state really is the 6-bar frame (not a lucky partial)
+      assert(got.values.count(_._3 == 6L) >= 6)
+    } finally q.stop()
+  }
+
   test("signal projection encodes the timestamp as a Kafka-value JSON") {
     val df = Seq(t("2024-01-01 10:05:00")).toDF("bucket")
     val out = StreamingPipeline.signalProjection(df, "bucket")
@@ -371,6 +420,19 @@ class StreamingSpec extends SparkSpec {
     implicit val sqlCtx = spark.sqlContext
     val ms = MemoryStream[(String, String)]
     Connectors.kafkaSink(ms.toDF().toDF("key", "value"), "broker:9092", "signal", "/tmp/ck")
+  }
+
+  test("console debug sink (K4) starts and drains a micro-batch") {
+    import graft.streaming.Connectors
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[Ev]
+    val q = Connectors.consoleSink(ms.toDF(), numRows = 5).start()
+    try {
+      ms.addData(Ev(1, t("2024-01-01 10:00:00"), "a", 1.0))
+      q.processAllAvailable()
+      assert(q.exception.isEmpty, s"console sink failed: ${q.exception}")
+      assert(q.lastProgress.numInputRows == 1)
+    } finally q.stop()
   }
 
   test("jdbc foreachBatch writer is idempotent against embedded Derby") {

@@ -23,6 +23,20 @@ class TextDedupSpec extends SparkSpec {
     assert(p.filter($"jaccard" <= 0.0 || $"jaccard" > 1.0).isEmpty)
   }
 
+  test("prefix-filtered jaccard join equals the all-pairs inverted index") {
+    // the prefix filter is a candidate PRUNE, not an approximation:
+    // under the rare-first global shingle order, every J >= 0.5 pair
+    // shares a prefix shingle, so output must match the r3 form exactly
+    val pruned = TextDedup.ngramJaccardPairs(spark, sf0001)
+      .select("doc_a", "doc_b", "n_shared", "jaccard")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    val full = TextDedup.ngramJaccardPairsAllPairs(spark, sf0001)
+      .select("doc_a", "doc_b", "n_shared", "jaccard")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(pruned == full,
+      s"prefix filter must be exact: ${full.diff(pruned).size} missed, ${pruned.diff(full).size} extra")
+  }
+
   test("exact dedup partitions the corpus (sum of copies = row count)") {
     val d = TextDedup.dedupExact(spark, sf0001)
     val total = d.agg(sum("n_copies")).as[Long].collect()(0)
