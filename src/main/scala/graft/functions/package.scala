@@ -14,6 +14,17 @@ package object functions {
   def dot_product(a: Column, b: Column): Column =
     GraftBridge.column(DotProduct(GraftBridge.expression(a), GraftBridge.expression(b)))
 
+  /** Per-document MinHash signature over a shingle array (codegen'd,
+    * map-side; one pass for all k permutations). combine > 1 folds
+    * each group of `combine` minima into one LSH band key. */
+  def min_hash_sig(c: Column, perms: Seq[(Long, Long)], combine: Int = 1): Column =
+    GraftBridge.column(MinHashSig(GraftBridge.expression(c), perms, combine))
+
+  /** Per-document packed SimHash over a shingle array (codegen'd,
+    * map-side; multiplicity-weighted majority votes). */
+  def simhash_pack(c: Column, mixes: Seq[(Long, Long)], width: Int): Column =
+    GraftBridge.column(SimHashPack(GraftBridge.expression(c), mixes, width))
+
   /** Register the custom expressions for SQL use in the given session. */
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(

@@ -289,28 +289,40 @@ object TextDedup extends QueryModule {
     (151L, 19L), (157L, 23L), (163L, 29L), (167L, 31L))
 
   def minhashLshCandidates(spark: SparkSession, dir: String): DataFrame = {
-    // signature aggregation: partial (map-side) min combine means the
-    // shuffle carries ~one row per doc per map partition, not the
-    // shingle stream — the groupBy form IS the scale shape. (A pure
-    // HOF array_min formulation re-evaluates the shingle-hash array
-    // once per permutation — Catalyst gives lambda aliases no CSE —
-    // and measured ~3x slower.)
-    val sh = withNgramArr(Core.documents(spark, dir))
-      .select(col("doc_id"), explode(dng).as("ng"))
-      .withColumn("h", charHash(col("ng")))
-    val minCols = perms.zipWithIndex.map { case ((a, b), j) =>
-      min((col("h") * lit(a) + lit(b)) % lit(P)).as(s"m$j")
-    }
-    val sig = sh.groupBy("doc_id").agg(minCols.head, minCols.tail: _*)
-    // bands as one generator fan-out (4 rows/doc), map-side
-    val bandStructs = (0 until 4).map { bnd =>
-      struct(lit(bnd).as("band"),
-        (col(s"m${2 * bnd}") * lit(P) + col(s"m${2 * bnd + 1}")).as("bkey"))
-    }
+    // signatures are computed MAP-SIDE by the codegen'd MinHashSig
+    // expression — one pass over each doc's shingle array for all 8
+    // permutations, no exploded-shingle aggregation at all (the r3
+    // groupBy form was already a partial-agg shuffle, but every
+    // exploded row paid a hash probe against the 8-min buffer; the
+    // sketch pass removes that stage entirely, and the first shuffle
+    // in the plan is now the band join — the first key-dependent
+    // step). Multiplicity needs no dedup: min() is invariant under
+    // repeats, so the raw ngram array feeds the sketch directly.
+    // filter(size(toks) > 2) preserves the exploded form's semantics
+    // (docs with no trigram emitted no rows, so they had no signature).
+    // the sketch emits the 4 band keys directly (combine=2: m0*P+m1),
+    // so the fan-out is ONE posexplode whose pos IS the band index —
+    // a single reference to the non-cheap sketch expression, immune
+    // to projection-collapse duplication.
+    // The cache is a PUSHDOWN BARRIER, not a convenience:
+    // InferFiltersFromGenerate synthesizes size(bkeys)>0 guards under
+    // the posexplode, and predicate pushdown then inlines the whole
+    // alias chain — sketch, trigram lambda, and a PER-ELEMENT re-split
+    // of the text (the O(len^2) trap) — into the scan's DataFilters on
+    // BOTH join sides: plan-audited, 8.7s vs 0.5s at sf0.1. Caching
+    // the 40-byte/doc signature table stops the push at the
+    // InMemoryRelation and materializes the self-join's common
+    // subtree once; at 100 TB the sketch table is ~3 orders smaller
+    // than the corpus, the standard cache-the-sketch trade.
+    val sig = withNgramArr(Core.documents(spark, dir))
+      .filter(size(toks) > 2)
+      .select(col("doc_id"),
+        graft.functions.min_hash_sig(col("ngarr"), perms, combine = 2).as("bkeys"))
+      .cache()
     val bands = sig
-      .select(col("doc_id"), explode(array(bandStructs: _*)).as("b"))
-      .select(col("doc_id"), col("b.band").as("band"), col("b.bkey").as("bkey"))
-    // uncached: both bucket-join sides reuse the signature shuffle
+      .select(col("doc_id"), posexplode(col("bkeys")))
+      .toDF("doc_id", "band", "bkey")
+    // uncached: both bucket-join sides reuse the same exchange
     bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
           col("x.doc_id") < col("y.doc_id"))
@@ -339,23 +351,17 @@ object TextDedup extends QueryModule {
     * tokens: the corpus vocabulary is tiny, so token-level votes are
     * correlated across unrelated docs; the ~10^4 shingle space
     * discriminates.) */
-  def simhash(spark: SparkSession, dir: String): DataFrame = {
-    val tok = withToks(Core.documents(spark, dir))
-      .select(col("doc_id"), explode(ngrams).as("t"))
-      .withColumn("h", charHash(col("t")))
-    // one-count form of the +1/-1 vote: s_j = 2*ones_j - n, so the sign
-    // test `s_j > 0` is `2*ones_j > n` — each bit's aggregate is the
-    // branch-free SUM of the bit itself instead of SUM(CASE ... +1/-1),
-    // halving the per-bit expression work in the agg (VERDICT r3 #5)
-    val bitSums = (0 until 32).map { j =>
-      sum(shiftright(col("h"), j).bitwiseAND(lit(1L))).as(s"s$j")
-    } :+ count(lit(1)).as("n_sh")
-    val packed = (0 until 32).map { j =>
-      when(col(s"s$j") * 2 > col("n_sh"), lit(1L << j)).otherwise(lit(0L))
-    }.reduceLeft[Column](_ + _)
-    tok.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
-      .select(col("doc_id"), packed.as("simhash"))
-  }
+  def simhash(spark: SparkSession, dir: String): DataFrame =
+    // map-side codegen'd sketch (graft.functions.SimHashPack): the
+    // majority votes for all 32 bits in one pass over the raw ngram
+    // array (multiplicity preserved — votes weight by occurrence).
+    // Identity mix (1,0) at width 32 = the low 32 bits of the poly
+    // hash itself. Replaces the exploded 32-SUM aggregation; the
+    // query is now a single scan with no shuffle at all.
+    withNgramArr(Core.documents(spark, dir))
+      .filter(size(toks) > 2)
+      .select(col("doc_id"),
+        graft.functions.simhash_pack(col("ngarr"), Seq((1L, 0L)), 32).as("simhash"))
 
   val simhashSql: String = {
     val bitSums = (0 until 32).map { j =>
@@ -383,29 +389,18 @@ object TextDedup extends QueryModule {
   private val simhash64Mixes: Seq[(Long, Long)] =
     Seq((131L, 7L), (151L, 19L), (173L, 37L), (193L, 53L))
 
-  def simhash64(spark: SparkSession, dir: String): DataFrame = {
-    val tok = withToks(Core.documents(spark, dir))
-      .select(col("doc_id"), explode(ngrams).as("t"))
-      .withColumn("h", charHash(col("t")))
-    // materialize the mixes as columns: HOF-free, but repeated (h*a+b)%P
-    // subtrees would re-evaluate per bit extraction otherwise
-    val withG = tok.select(Seq(col("doc_id")) ++ simhash64Mixes.zipWithIndex.map {
-      case ((a, b), k) => ((col("h") * lit(a) + lit(b)) % lit(P)).as(s"g$k")
-    }: _*)
-    // branch-free bit sums (same rewrite as [[simhash]]): the +1/-1
-    // majority vote equals `2*SUM(bit) > COUNT(*)` exactly, and the
-    // 64-wide agg was the r3 bench cost of simhash_pairs (1.93s) —
-    // cold-JVM A/B of the pair query at sf0.1 below
-    val bitSums = (0 until 64).map { j =>
-      val (k, i) = (j / 16, j % 16)
-      sum(shiftright(col(s"g$k"), i).bitwiseAND(lit(1L))).as(s"s$j")
-    } :+ count(lit(1)).as("n_sh")
-    val packed = (0 until 64).map { j =>
-      when(col(s"s$j") * 2 > col("n_sh"), lit(1L << j)).otherwise(lit(0L))
-    }.reduceLeft[Column]((a, b) => a.bitwiseOR(b))
-    withG.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
-      .select(col("doc_id"), packed.as("simhash64"))
-  }
+  def simhash64(spark: SparkSession, dir: String): DataFrame =
+    // map-side codegen'd sketch, four 16-bit mixes in one pass (see
+    // [[simhash]]). The r3 path here — explode + 64 SUM buffers +
+    // COUNT — was the measured cost of simhash_pairs, and rewriting
+    // the vote expressions alone moved nothing (the buffer update
+    // machinery dominated, not the votes); removing the aggregation
+    // stage is the fix. The pair query's first shuffle is now its
+    // band join.
+    withNgramArr(Core.documents(spark, dir))
+      .filter(size(toks) > 2)
+      .select(col("doc_id"),
+        graft.functions.simhash_pack(col("ngarr"), simhash64Mixes, 16).as("simhash64"))
 
   val simhash64Sql: String = {
     val gCols = simhash64Mixes.zipWithIndex.map { case ((a, b), k) =>
@@ -442,20 +437,21 @@ object TextDedup extends QueryModule {
     * signature-dominated), where the 32-bit banding was ~3x slower
     * than broadcast. At 100x corpus size broadcast goes quadratic
     * per executor; banded stays linear per bucket. */
-  private val simhash64Bands: Seq[(Int, Int)] =
-    Seq((0, 13), (13, 13), (26, 13), (39, 13), (52, 12)) // (shift, width)
-
   def simhashPairs(spark: SparkSession, dir: String): DataFrame = {
-    // uncached: both band sides reuse the signature aggregation's
-    // exchange (cache measured slower on every signature self-join)
-    val s = simhash64(spark, dir)
-    val bandStructs = simhash64Bands.zipWithIndex.map { case ((sh, w), j) =>
-      struct(lit(j).as("band"),
-        shiftright(col("simhash64"), sh).bitwiseAND(lit((1L << w) - 1)).as("bkey"))
-    }
+    // cached for the same two reasons as the MinHash band table: the
+    // posexplode's inferred size()>0 guard would otherwise push the
+    // sketch -> trigram-lambda -> split alias chain into the scan
+    // filters of both join sides (per-element re-split, plan-audited
+    // 8.7s vs ~1s), and the 16-byte/doc signature is the self-join's
+    // common subtree. The fan-out derives all 5 block keys inside ONE
+    // transform lambda (the per-band struct list collapsed into 6
+    // simhash_pack copies), with pos as the block index.
+    val s = simhash64(spark, dir).cache()
     val bands = s
-      .select(col("doc_id"), col("simhash64"), explode(array(bandStructs: _*)).as("b"))
-      .select(col("doc_id"), col("simhash64"), col("b.band").as("band"), col("b.bkey").as("bkey"))
+      .select(col("doc_id"), col("simhash64"), expr(
+        "posexplode(transform(sequence(0, 4), i -> " +
+          "shiftright(simhash64, cast(i * 13 AS INT)) & if(i = 4, 4095, 8191)))"))
+      .toDF("doc_id", "simhash64", "band", "bkey")
     bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
           col("x.doc_id") < col("y.doc_id"))

@@ -56,6 +56,60 @@ class FunctionsSpec extends SparkSpec {
       "typed Aggregator candles must equal the untyped min_by/max_by bars")
   }
 
+  test("min_hash_sig equals the exploded min-aggregation on the real corpus") {
+    import graft.functions.min_hash_sig
+    val perms = Seq((131L, 7L), (137L, 11L), (139L, 13L), (149L, 17L))
+    val P = 1000003L
+    val docs = graft.ops.Core.documents(spark, sf0001)
+      .withColumn("toks", split($"text", " "))
+      .withColumn("ngarr",
+        when(size($"toks") < 3, array().cast("array<string>")).otherwise(
+          transform(sequence(lit(1), size($"toks") - 2), i =>
+            concat_ws(" ", element_at($"toks", i), element_at($"toks", i + 1),
+              element_at($"toks", i + 2)))))
+      .filter(size($"toks") > 2)
+    val sketch = docs.select($"doc_id", min_hash_sig($"ngarr", perms).as("sig"))
+      .select($"doc_id" +: perms.indices.map(j =>
+        element_at($"sig", j + 1).as(s"m$j")): _*)
+    val minCols = perms.zipWithIndex.map { case ((a, b), j) =>
+      min((poly_hash($"ng") * lit(a) + lit(b)) % lit(P)).as(s"m$j")
+    }
+    val agg = docs.select($"doc_id", explode($"ngarr").as("ng"))
+      .groupBy("doc_id").agg(minCols.head, minCols.tail: _*)
+    assert(sketch.exceptAll(agg).isEmpty && agg.exceptAll(sketch).isEmpty,
+      "map-side MinHash sketch must equal the exploded min-aggregation")
+  }
+
+  test("simhash_pack equals the exploded vote-aggregation on the real corpus") {
+    import graft.functions.simhash_pack
+    val mixes = Seq((131L, 7L), (151L, 19L), (173L, 37L), (193L, 53L))
+    val P = 1000003L
+    val docs = graft.ops.Core.documents(spark, sf0001)
+      .withColumn("toks", split($"text", " "))
+      .withColumn("ngarr",
+        when(size($"toks") < 3, array().cast("array<string>")).otherwise(
+          transform(sequence(lit(1), size($"toks") - 2), i =>
+            concat_ws(" ", element_at($"toks", i), element_at($"toks", i + 1),
+              element_at($"toks", i + 2)))))
+      .filter(size($"toks") > 2)
+    val sketch = docs.select($"doc_id", simhash_pack($"ngarr", mixes, 16).as("sig"))
+    val withG = docs.select($"doc_id", explode($"ngarr").as("t"))
+      .select(Seq($"doc_id") ++ mixes.zipWithIndex.map { case ((a, b), k) =>
+        ((poly_hash($"t") * lit(a) + lit(b)) % lit(P)).as(s"g$k")
+      }: _*)
+    val bitSums = (0 until 64).map { j =>
+      val (k, i) = (j / 16, j % 16)
+      sum(shiftright(col(s"g$k"), i).bitwiseAND(lit(1L))).as(s"s$j")
+    } :+ count(lit(1)).as("n_sh")
+    val packed = (0 until 64).map { j =>
+      when(col(s"s$j") * 2 > col("n_sh"), lit(1L << j)).otherwise(lit(0L))
+    }.reduceLeft[org.apache.spark.sql.Column]((a, b) => a.bitwiseOR(b))
+    val agg = withG.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+      .select($"doc_id", packed.as("sig"))
+    assert(sketch.exceptAll(agg).isEmpty && agg.exceptAll(sketch).isEmpty,
+      "map-side SimHash sketch must equal the exploded vote-aggregation")
+  }
+
   test("dot_product rejects non-float arrays at analysis time") {
     graft.functions.register(spark)
     val doubles = Seq(Seq(1.0, 2.0)).toDF("a") // array<double>
