@@ -104,6 +104,61 @@ object MinHashSig {
   }
 }
 
+/** Token n-grams as strings: element i is elements [i, i+n) of the
+  * input joined with single spaces; fewer than n tokens yields an
+  * empty array. Semantically identical to the HOF form
+  * `transform(sequence(1, size(t)-n+1), i -> concat_ws(' ', t[i],
+  * t[i+1], ...))` guarded by a size() CASE, and to the DuckDB
+  * oracle's list_transform(range(...)) — but one codegen'd loop
+  * instead of three interpreted lambda layers per element, and (since
+  * HOFs have no codegen) it keeps the whole scan-side projection
+  * inside WholeStageCodegen. The shingle build feeds EVERY
+  * dedup-family query, so this is the hottest scan-side expression in
+  * the engine. */
+case class TokenNgrams(child: Expression, n: Int) extends UnaryExpression {
+  require(n >= 1, s"token_ngrams: n must be positive, got $n")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "token_ngrams"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"token_ngrams requires array<string>, got ${other.simpleString}")
+  }
+
+  protected override def nullSafeEval(input: Any): Any =
+    TokenNgrams.ngrams(input.asInstanceOf[ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TokenNgrams.ngrams($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): TokenNgrams =
+    copy(child = newChild)
+}
+
+object TokenNgrams {
+  private val SPACE = org.apache.spark.unsafe.types.UTF8String.fromString(" ")
+
+  def ngrams(arr: ArrayData, n: Int): ArrayData = {
+    val len = arr.numElements()
+    val out = if (len < n) new Array[AnyRef](0)
+    else {
+      val res = new Array[AnyRef](len - n + 1)
+      val parts = new Array[org.apache.spark.unsafe.types.UTF8String](n)
+      var i = 0
+      while (i <= len - n) {
+        var j = 0
+        while (j < n) { parts(j) = arr.getUTF8String(i + j); j += 1 }
+        res(i) = org.apache.spark.unsafe.types.UTF8String.concatWs(SPACE, parts: _*)
+        i += 1
+      }
+      res
+    }
+    new GenericArrayData(out)
+  }
+}
+
 /** SimHash packed signature: for each affine mix g_m = (h*a_m+b_m) mod
   * P, the low `width` bits vote with multiplicity; bit j of the result
   * is the majority vote 2*ones_j > n. With mixes = [(1,0)], width = 32

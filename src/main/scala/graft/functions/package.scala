@@ -25,6 +25,10 @@ package object functions {
   def simhash_pack(c: Column, mixes: Seq[(Long, Long)], width: Int): Column =
     GraftBridge.column(SimHashPack(GraftBridge.expression(c), mixes, width))
 
+  /** Token n-grams joined with spaces (codegen'd; empty below n). */
+  def token_ngrams(c: Column, n: Int): Column =
+    GraftBridge.column(TokenNgrams(GraftBridge.expression(c), n))
+
   /** Register the custom expressions for SQL use in the given session. */
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(

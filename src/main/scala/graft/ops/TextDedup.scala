@@ -71,11 +71,13 @@ object TextDedup extends QueryModule {
     withToks(df).withColumn("ngarr", ngrams)
   private val dng = array_distinct(col("ngarr"))
 
-  /** Token 3-grams as strings (guarded: <3 tokens -> empty). */
-  private val ngrams: Column =
-    when(size(toks) < 3, array().cast("array<string>")).otherwise(
-      transform(sequence(lit(1), size(toks) - 2), i =>
-        concat_ws(" ", element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2))))
+  /** Token 3-grams as strings (<3 tokens -> empty): native codegen'd
+    * expression (graft.functions.TokenNgrams) — the HOF composition
+    * (size-CASE + transform(sequence) + concat_ws) computes the same
+    * array but interprets three lambda layers per shingle AND breaks
+    * whole-stage codegen for the enclosing projection; the shingle
+    * build feeds every dedup-family scan. */
+  private val ngrams: Column = graft.functions.token_ngrams(toks, 3)
 
   private val ngramsSql: String =
     s"list_transform(range(1, len($toksSql) - 1), i -> $toksSql[i] || ' ' || $toksSql[i+1] || ' ' || $toksSql[i+2])"

@@ -56,6 +56,26 @@ class FunctionsSpec extends SparkSpec {
       "typed Aggregator candles must equal the untyped min_by/max_by bars")
   }
 
+  test("token_ngrams equals the HOF trigram build on the real corpus") {
+    import graft.functions.token_ngrams
+    val docs = graft.ops.Core.documents(spark, sf0001)
+      .withColumn("toks", split($"text", " "))
+    val hof = when(size($"toks") < 3, array().cast("array<string>")).otherwise(
+      transform(sequence(lit(1), size($"toks") - 2), i =>
+        concat_ws(" ", element_at($"toks", i), element_at($"toks", i + 1),
+          element_at($"toks", i + 2))))
+    val diff = docs.select(token_ngrams($"toks", 3).as("native"), hof.as("hofv"))
+      .filter($"native" =!= $"hofv")
+    assert(diff.isEmpty, "native and HOF trigram arrays must be identical")
+    // edge cases: below n -> empty; exactly n -> one gram; bigrams too
+    val edge = Seq(Seq("a"), Seq("a", "b"), Seq("a", "b", "c")).toDF("t")
+      .select(token_ngrams($"t", 3).as("g3"), token_ngrams($"t", 2).as("g2"))
+      .as[(Seq[String], Seq[String])].collect()
+    assert(edge(0) == ((Seq(), Seq())))
+    assert(edge(1) == ((Seq(), Seq("a b"))))
+    assert(edge(2) == ((Seq("a b c"), Seq("a b", "b c"))))
+  }
+
   test("min_hash_sig equals the exploded min-aggregation on the real corpus") {
     import graft.functions.min_hash_sig
     val perms = Seq((131L, 7L), (137L, 11L), (139L, 13L), (149L, 17L))
