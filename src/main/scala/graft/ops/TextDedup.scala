@@ -391,6 +391,12 @@ object TextDedup extends QueryModule {
   private val simhash64Mixes: Seq[(Long, Long)] =
     Seq((131L, 7L), (151L, 19L), (173L, 37L), (193L, 53L))
 
+  /** The 64-bit sketch as a reusable column over a shingle array —
+    * shared by the batch query below and the streaming near-dup
+    * ingest (StreamingPipeline.streamingNearDupIngest). */
+  def simhash64Col(ngarr: Column): Column =
+    graft.functions.simhash_pack(ngarr, simhash64Mixes, 16)
+
   def simhash64(spark: SparkSession, dir: String): DataFrame =
     // map-side codegen'd sketch, four 16-bit mixes in one pass (see
     // [[simhash]]). The r3 path here — explode + 64 SUM buffers +
@@ -401,8 +407,7 @@ object TextDedup extends QueryModule {
     // band join.
     withNgramArr(Core.documents(spark, dir))
       .filter(size(toks) > 2)
-      .select(col("doc_id"),
-        graft.functions.simhash_pack(col("ngarr"), simhash64Mixes, 16).as("simhash64"))
+      .select(col("doc_id"), simhash64Col(col("ngarr")).as("simhash64"))
 
   val simhash64Sql: String = {
     val gCols = simhash64Mixes.zipWithIndex.map { case ((a, b), k) =>

@@ -305,6 +305,38 @@ object StreamingPipeline {
       .dropDuplicatesWithinWatermark(Seq("digest"))
   }
 
+  /** NEAR-duplicate streaming dedup: the map-side SimHash64 sketch is
+    * a plain expression (graft.functions.SimHashPack via
+    * TextDedup.simhash64Col), so it composes with watermark-bounded
+    * dedup — a document whose 64-bit signature collides with one seen
+    * inside the watermark is dropped. Signature equality is the
+    * hamming-0 band of the batch simhash_pairs operator. What it
+    * provably catches beyond exact-digest dedup: any rewrite that
+    * preserves the shingle MULTISET — the bit votes are a commutative
+    * sum over shingles, so reordering sections around shared boundary
+    * context (the template/boilerplate-shuffle dup class) or
+    * re-serializing with new ids/timestamps yields the identical
+    * signature deterministically. What it does NOT promise: token-level
+    * edits change the multiset and, with ~64 bits over short docs, some
+    * zero-margin bit usually flips (measured while building the spec —
+    * a one-token edit in a 150-shingle doc flipped the signature), so
+    * edit-distance near-dups stay with the offline banded pipeline.
+    * With the same bounded state as digest dedup. The full batch
+    * near-dup pipeline (banded candidates -> clusters) needs the
+    * whole corpus; this is its ingest-time complement, standard in
+    * 100 TB pipelines: cheap sketch-equality gate in-stream, full
+    * clustering offline. Input schema: (doc_id long, ts timestamp,
+    * text string, lang string). */
+  def streamingNearDupIngest(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("toks", split(col("text"), " "))
+      .filter(size(col("toks")) > 2)
+      .withColumn("simhash64",
+        graft.ops.TextDedup.simhash64Col(graft.functions.token_ngrams(col("toks"), 3)))
+      .drop("toks")
+      .withWatermark("ts", "5 minutes")
+      .dropDuplicatesWithinWatermark(Seq("simhash64"))
+
   /** K1 — the foreachBatch sink shape (spark_consumer.py:68-84):
     * empty-batch skip + idempotent batchId-keyed write (the production
     * fix SURVEY §7.3 calls out: the reference's JDBC append was

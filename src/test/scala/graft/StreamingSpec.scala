@@ -385,6 +385,50 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming near-dup ingest drops signature-colliding docs within the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    // The signature is a commutative vote over the trigram MULTISET, so
+    // swapping two segments that are each flanked by the same 2-token
+    // anchor preserves every boundary trigram and hence the signature
+    // EXACTLY (section reordering around shared boilerplate — the dup
+    // class digest dedup misses). A token-level edit is NOT a reliable
+    // fixture: it shifts the multiset and some zero-margin bit usually
+    // flips (observed while building this spec).
+    val anchor = "market update"
+    val intro = "good morning readers here is the daily briefing"
+    val segX = "equities rallied strongly as tech earnings beat consensus estimates"
+    val segY = "bonds sold off after the auction drew unexpectedly weak demand"
+    val outro = "that concludes the summary see you tomorrow"
+    val a = s"$intro $anchor $segX $anchor $segY $anchor $outro"
+    val b = s"$intro $anchor $segY $anchor $segX $anchor $outro"
+    val c = ("completely different content about market data engines running " +
+      "windowed aggregations over partitioned parquet at considerable scale ") * 5
+    // precondition, asserted so the test can't silently weaken: the
+    // rewrite really is signature-equal, the distinct doc really isn't
+    val sigs = Seq(a, b, c).toDF("text")
+      .select(graft.ops.TextDedup.simhash64Col(
+        graft.functions.token_ngrams(split($"text", " "), 3)).as("s"))
+      .as[Long].collect()
+    assert(a != b, "the reordered doc must be textually distinct")
+    assert(sigs(0) == sigs(1), "segment swap must preserve the simhash signature")
+    assert(sigs(0) != sigs(2), "distinct content must differ in signature")
+    val src = MemoryStream[(Long, Timestamp, String, String)]
+    val out = StreamingPipeline.streamingNearDupIngest(
+      src.toDF().toDF("doc_id", "ts", "text", "lang"))
+    val q = out.writeStream.format("memory").queryName("neardup_out")
+      .outputMode("append").start()
+    try {
+      src.addData(
+        (1L, t("2024-01-01 10:00:00"), a, "en"),
+        (2L, t("2024-01-01 10:00:30"), b, "en"), // near-dup of 1 -> dropped
+        (3L, t("2024-01-01 10:01:00"), c, "en"))
+      q.processAllAvailable()
+      val kept = spark.table("neardup_out").select("doc_id").as[Long].collect().toSet
+      assert(kept == Set(1L, 3L),
+        s"expected the near-dup rewrite dropped and both originals kept, got $kept")
+    } finally q.stop()
+  }
+
   test("foreachBatch sink is idempotent: replaying a micro-batch leaves one copy") {
     val dir = java.nio.file.Files.createTempDirectory("graft_sink_replay").toString
     val batch = Seq(
