@@ -174,30 +174,36 @@ object TextDedup extends QueryModule {
       |FROM documents GROUP BY 1""".stripMargin
 
   /** N-gram Jaccard near-dup pairs via PREFIX-FILTERED set-similarity
-    * join (the All-Pairs/PPJoin prune; the r3 form indexed EVERY
-    * shingle and was the #1 bench cost at 5.08s): under a global
-    * rare-first shingle order (doc-frequency, then shingle), any pair
-    * with J >= 0.5 shares at least one shingle within the first
-    * n - ceil(0.5*n) + 1 of each document's ordered shingle set, so
-    * only that prefix enters the inverted index. Prefix-join
-    * candidates (plus the 2*min >= max length prune) are verified
-    * EXACTLY against the full shingle arrays, so the output — and the
-    * unchanged, unpruned DuckDB oracle — is identical (equality with
-    * the all-pairs form asserted in TextDedupSpec). The candidate set
-    * shrinks from every-shared-shingle to rare-prefix collisions:
-    * near-linear on low-similarity corpora, which is what makes this
-    * registrable as a scale operator rather than a verification twin. */
-  def ngramJaccardPairs(spark: SparkSession, dir: String): DataFrame = {
-    // the prefix theorem holds for ANY total order on shingles; the
-    // classic rare-first (doc-frequency) order minimizes candidates but
-    // costs a full-corpus frequency aggregation, a join, and a per-doc
-    // row_number window — measured cold-JVM at sf0.1 that variant ran
-    // 6.61s, SLOWER than the r3 all-shingles join (5.08s), because
-    // three extra shuffles of the shingle stream swamp the candidate
-    // savings. Lexicographic order is computed MAP-SIDE (array_sort +
-    // slice on the per-doc array): the only new work is sorting each
-    // doc's ~100-shingle array, and the index halves while the pair
-    // dedup shrinks from every-shared-shingle to prefix collisions.
+    * join (the All-Pairs/PPJoin prune): under a global shingle order,
+    * any pair with J >= 0.5 shares at least one shingle within the
+    * first n - ceil(0.5*n) + 1 of each document's ordered shingle set,
+    * so only that prefix enters the inverted index; prefix candidates
+    * (plus the 2*min >= max length prune) are verified EXACTLY against
+    * the full shingle arrays, so the output matches the unpruned form
+    * (asserted in TextDedupSpec).
+    *
+    * SPEC-ONLY VARIANT — measured SLOWER than the registered count-agg
+    * join on this corpus, and the reason is structural, not noise.
+    * QBench cold-JVM A/B at sf0.1 (reps): this form 6.25/4.94/4.13s vs
+    * the count-agg form 4.10/1.76/1.70s. The corpus's shingle frequency
+    * is near-uniform (27,213 distinct shingles over 5,000 docs, max
+    * doc-frequency 25, mean ~9.6 — no rare tail), so the prefix cuts
+    * join rows only ~2x (DuckDB-counted: 602k lexicographic-prefix join
+    * rows -> 567k DISTINCT candidates, vs 1.27M all-shingle join rows;
+    * rare-first ordering manages 430k/409k and pays three extra
+    * shuffles for it) — and every surviving candidate pays an
+    * array_intersect over ~52-string arrays, which costs far more than
+    * the count-agg's per-join-row partial aggregation. On a Zipfian
+    * real-text corpus the rare tail makes prefix candidates near-linear
+    * and this form wins; pick by corpus frequency profile. The 100 TB
+    * near-dup path is minhash_lsh_candidates + exact verify either way. */
+  def ngramJaccardPairsPrefix(spark: SparkSession, dir: String): DataFrame = {
+    // the prefix theorem holds for ANY total order on shingles;
+    // lexicographic order is computed MAP-SIDE (array_sort + slice on
+    // the per-doc array) — rare-first (doc-frequency) order would
+    // minimize candidates but costs a full-corpus frequency
+    // aggregation, a join, and a per-doc row_number window (measured
+    // cold-JVM at sf0.1: 6.61s)
     val docs = withNgramArr(Core.documents(spark, dir))
       .select(col("doc_id"), array_sort(dng).as("ngs"))
       .withColumn("n", size(col("ngs")))
@@ -229,10 +235,16 @@ object TextDedup extends QueryModule {
         (s.cast("double") / (col("na") + col("nb") - s).cast("double")).as("jaccard"))
   }
 
-  /** The r3 every-shingle inverted-index form (quadratic in shared
-    * shingles) — spec-only equality baseline for the prefix-filtered
-    * join above, like [[simhashPairsBroadcast]] for the banded pairs. */
-  def ngramJaccardPairsAllPairs(spark: SparkSession, dir: String): DataFrame = {
+  /** The REGISTERED form: every-shingle inverted index + count-only
+    * pair aggregation. "Quadratic in shared shingles" in principle,
+    * but on this corpus's near-uniform frequency profile it beats the
+    * prefix-filtered variant 2.4x steady-state (see
+    * [[ngramJaccardPairsPrefix]] for the full QBench A/B and
+    * DuckDB-counted candidate-set numbers refuting the prefix prune
+    * here) — the per-join-row cost of a counting aggregation is far
+    * below the per-candidate array_intersect verify, and with no rare
+    * tail the prefix only halves the candidates. */
+  def ngramJaccardPairs(spark: SparkSession, dir: String): DataFrame = {
     // set size n computed map-side from the deduped array — the
     // groupBy-count + broadcast-join-back of the naive form is a whole
     // extra aggregation pass the array form never pays

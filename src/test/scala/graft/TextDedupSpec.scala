@@ -23,14 +23,15 @@ class TextDedupSpec extends SparkSpec {
     assert(p.filter($"jaccard" <= 0.0 || $"jaccard" > 1.0).isEmpty)
   }
 
-  test("prefix-filtered jaccard join equals the all-pairs inverted index") {
+  test("prefix-filtered jaccard join equals the registered inverted index") {
     // the prefix filter is a candidate PRUNE, not an approximation:
-    // under the rare-first global shingle order, every J >= 0.5 pair
-    // shares a prefix shingle, so output must match the r3 form exactly
-    val pruned = TextDedup.ngramJaccardPairs(spark, sf0001)
+    // under the global shingle order, every J >= 0.5 pair shares a
+    // prefix shingle, so the Zipf-corpus variant must match the
+    // registered count-agg form exactly
+    val pruned = TextDedup.ngramJaccardPairsPrefix(spark, sf0001)
       .select("doc_a", "doc_b", "n_shared", "jaccard")
       .as[(Long, Long, Long, Double)].collect().toSet
-    val full = TextDedup.ngramJaccardPairsAllPairs(spark, sf0001)
+    val full = TextDedup.ngramJaccardPairs(spark, sf0001)
       .select("doc_a", "doc_b", "n_shared", "jaccard")
       .as[(Long, Long, Long, Double)].collect().toSet
     assert(pruned == full,
