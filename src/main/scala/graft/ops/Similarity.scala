@@ -415,13 +415,65 @@ object Similarity extends QueryModule {
       .select(col("qid"), col("vec_id"), col("cosine"), col("rank"))
   }
 
+  /** Int8 scalar quantization — the standard 4x memory reduction
+    * before indexing vectors at scale (a 100 TB float corpus becomes
+    * 25 TB of int8 codes; recall loss is typically <1% for SQ8).
+    * Per-dimension affine codebook from the corpus min/max:
+    * q = round((x - mn_d) / (mx_d - mn_d) * 254) - 127 in [-127, 127],
+    * plus the dequantized value and per-component reconstruction error
+    * so the codebook quality is a queryable artifact.
+    *
+    * Determinism: min/max are order-independent (no summation), the
+    * quantize/dequantize arithmetic is a fixed double expression tree
+    * mirrored in the oracle, and round() ties happen on non-negative
+    * arguments where Spark's HALF_UP and DuckDB's away-from-zero agree.
+    *
+    * Scale shape: two scans. Pass 1 posexplodes to (dim, x) and
+    * aggregates min/max — partial aggregation collapses each partition
+    * to `dims` rows, so the shuffle is dims x partitions rows, not
+    * n x dims. Pass 2 re-explodes and joins the dims-row codebook
+    * (explicit broadcast). Output is exploded (vec_id, dim, q) rather
+    * than a packed array: scalar columns hash in the oracle compare,
+    * and downstream packing is a groupBy(vec_id) collect away. */
+  def embedQuantize(spark: SparkSession, dir: String): DataFrame = {
+    val ex = Core.embeddings(spark, dir)
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "xf")))
+      .select(col("vec_id"), (col("pos") + 1).cast("int").as("dim"),
+        col("xf").cast("double").as("x"))
+    val codebook = ex.groupBy("dim").agg(min("x").as("mn"), max("x").as("mx"))
+    val mn = col("mn"); val mx = col("mx")
+    val q = when(mx === mn, lit(0))
+      .otherwise((round((col("x") - mn) / (mx - mn) * lit(254)).cast("int")) - lit(127))
+    ex.join(broadcast(codebook), "dim")
+      .withColumn("q", q)
+      .withColumn("dequant", mn + (col("q") + lit(127)).cast("double") / lit(254) * (mx - mn))
+      .select(col("vec_id"), col("dim"), col("q"), col("dequant"),
+        abs(col("x") - col("dequant")).as("abs_err"))
+  }
+
+  val embedQuantizeSql: String =
+    s"""WITH ex AS (
+       |  SELECT vec_id, CAST(i AS INTEGER) AS dim, CAST(embedding[i] AS DOUBLE) AS x
+       |  FROM embeddings, range(1, $dims + 1) t(i)),
+       |codebook AS (SELECT dim, min(x) AS mn, max(x) AS mx FROM ex GROUP BY dim),
+       |quant AS (
+       |  SELECT vec_id, dim, x, mn, mx,
+       |    CASE WHEN mx = mn THEN 0
+       |         ELSE CAST(round((x - mn) / (mx - mn) * 254) AS INTEGER) - 127 END AS q
+       |  FROM ex JOIN codebook USING (dim))
+       |SELECT vec_id, dim, q,
+       |  mn + CAST(q + 127 AS DOUBLE) / 254 * (mx - mn) AS dequant,
+       |  abs(x - (mn + CAST(q + 127 AS DOUBLE) / 254 * (mx - mn))) AS abs_err
+       |FROM quant""".stripMargin
+
   override def queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "embed_cosine_topk" -> ((s, d) => cosineTopK(s, d)),
     "embed_stats" -> ((s, d) => embedStats(s, d)),
     "embed_lsh_buckets" -> ((s, d) => lshBuckets(s, d)),
     "embed_ann_lsh_topk" -> ((s, d) => annLshTopK(s, d)),
     "embed_ivf_topk" -> ((s, d) => ivfTopK(s, d)),
-    "embed_near_dup_pairs" -> ((s, d) => cosineNearDupPairs(s, d)))
+    "embed_near_dup_pairs" -> ((s, d) => cosineNearDupPairs(s, d)),
+    "embed_quantize" -> ((s, d) => embedQuantize(s, d)))
 
   override def oracle: Seq[(String, String)] = Seq(
     "embed_cosine_topk" -> cosineTopKSql,
@@ -429,5 +481,6 @@ object Similarity extends QueryModule {
     "embed_lsh_buckets" -> lshBucketsSql,
     "embed_ann_lsh_topk" -> annLshTopKSql,
     "embed_ivf_topk" -> ivfTopKSql,
-    "embed_near_dup_pairs" -> cosineNearDupPairsSql)
+    "embed_near_dup_pairs" -> cosineNearDupPairsSql,
+    "embed_quantize" -> embedQuantizeSql)
 }

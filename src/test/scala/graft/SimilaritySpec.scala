@@ -77,6 +77,18 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("int8 quantization: codes in [-127,127], error within half a step per dim") {
+    val qz = Similarity.embedQuantize(spark, sf0001).cache()
+    assert(qz.filter($"q" < -127 || $"q" > 127).isEmpty)
+    // per dim the min/max component quantize exactly onto the codebook
+    // ends (q = -127 / +127), so min/max of dequant recover mn/mx and
+    // the half-step bound (mx-mn)/254/2 is derivable from the output
+    val bound = qz.groupBy("dim")
+      .agg(((max($"dequant") - min($"dequant")) / lit(508.0)).as("half_step"))
+    val bad = qz.join(bound, "dim").filter($"abs_err" > $"half_step" + lit(1e-12))
+    assert(bad.isEmpty, "reconstruction error exceeded half a quantization step")
+  }
+
   test("ann-lsh results are a subset of brute-force candidates' quality") {
     val ann = Similarity.annLshTopK(spark, sf0001).cache()
     // every ANN hit shares the query's bucket by construction; sanity:
