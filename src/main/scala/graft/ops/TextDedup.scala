@@ -597,6 +597,58 @@ object TextDedup extends QueryModule {
        |SELECT split, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS total_tokens
        |FROM d GROUP BY 1""".stripMargin
 
+  /** Decontamination: test-split documents sharing a shingle with the
+    * train split — the standard pre-training hygiene check (an eval
+    * document whose n-grams leak into the training set inflates the
+    * benchmark). Shingles with doc-frequency > `dfCap` are excluded:
+    * boilerplate shingles are not contamination evidence (they repeat
+    * by template, not by copying), and the cap is ALSO what bounds the
+    * join — per-shingle fanout is at most cap^2 pairs, so the
+    * candidate stream is linear in corpus size where an uncapped
+    * equi-join would go quadratic on hot shingles. Same split
+    * assignment as [[datasetSplit]] (content hash — stable across
+    * runs, so contamination findings are reproducible).
+    * Output per contaminated test doc: distinct leaked shingles,
+    * distinct train docs involved, and the leaked fraction of the
+    * doc's shingle set. */
+  private val contamDfCap = 10
+
+  def splitContamination(spark: SparkSession, dir: String): DataFrame = {
+    val dn = withNgramArr(Core.documents(spark, dir))
+      .select(col("doc_id"), (charHash(col("text")) % lit(100L)).as("h"),
+        size(dng).as("n_shingles"), explode(dng).as("ng"))
+    val rare = dn.groupBy("ng").agg(count(lit(1)).as("doc_freq"))
+      .filter(col("doc_freq") <= contamDfCap)
+    val dnRare = dn.join(rare.select("ng"), "ng")
+    val test = dnRare.filter(col("h") >= 92)
+      .select(col("doc_id"), col("n_shingles"), col("ng"))
+    val train = dnRare.filter(col("h") < 80)
+      .select(col("doc_id").as("train_doc"), col("ng"))
+    test.join(train, "ng")
+      .groupBy(col("doc_id"), col("n_shingles"))
+      .agg(countDistinct(col("ng")).as("n_leaked"),
+        countDistinct(col("train_doc")).as("n_train_docs"))
+      .select(col("doc_id"), col("n_shingles"), col("n_leaked"), col("n_train_docs"),
+        (col("n_leaked").cast("double") / col("n_shingles").cast("double"))
+          .as("leak_ratio"))
+  }
+
+  val splitContaminationSql: String =
+    s"""WITH dn AS (
+       |  SELECT doc_id, ${charHashSql("text")} % 100 AS h,
+       |    len(list_distinct($ngramsSql)) AS n_shingles,
+       |    unnest(list_distinct($ngramsSql)) AS ng
+       |  FROM documents),
+       |rare AS (SELECT ng FROM dn GROUP BY ng HAVING count(*) <= $contamDfCap),
+       |test AS (SELECT doc_id, n_shingles, ng FROM dn JOIN rare USING (ng) WHERE h >= 92),
+       |train AS (SELECT doc_id AS train_doc, ng FROM dn JOIN rare USING (ng) WHERE h < 80)
+       |SELECT t.doc_id, CAST(t.n_shingles AS INTEGER) AS n_shingles,
+       |  count(DISTINCT t.ng) AS n_leaked,
+       |  count(DISTINCT tr.train_doc) AS n_train_docs,
+       |  CAST(count(DISTINCT t.ng) AS DOUBLE) / CAST(t.n_shingles AS DOUBLE) AS leak_ratio
+       |FROM test t JOIN train tr USING (ng)
+       |GROUP BY t.doc_id, t.n_shingles""".stripMargin
+
   /** Boilerplate detection: the 20 highest-document-frequency shingles
     * (headers/footers/templates repeat verbatim across documents; their
     * shingles top this list). Per-doc dedup is map-side; the count is
@@ -704,6 +756,7 @@ object TextDedup extends QueryModule {
     "simhash64" -> ((s, d) => simhash64(s, d)),
     "simhash_pairs" -> ((s, d) => simhashPairs(s, d)),
     "dataset_split" -> ((s, d) => datasetSplit(s, d)),
+    "split_contamination" -> ((s, d) => splitContamination(s, d)),
     "boilerplate_ngrams" -> ((s, d) => boilerplateNgrams(s, d)),
     "vocab_topk" -> ((s, d) => vocabTopK(s, d)),
     "corpus_pipeline" -> ((s, d) => corpusPipeline(s, d)))
@@ -721,6 +774,7 @@ object TextDedup extends QueryModule {
     "simhash64" -> simhash64Sql,
     "simhash_pairs" -> simhashPairsSql,
     "dataset_split" -> datasetSplitSql,
+    "split_contamination" -> splitContaminationSql,
     "boilerplate_ngrams" -> boilerplateNgramsSql,
     "vocab_topk" -> vocabTopKSql,
     "corpus_pipeline" -> corpusPipelineSql)

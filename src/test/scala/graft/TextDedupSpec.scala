@@ -38,6 +38,18 @@ class TextDedupSpec extends SparkSpec {
       s"prefix filter must be exact: ${full.diff(pruned).size} missed, ${pruned.diff(full).size} extra")
   }
 
+  test("split contamination: only test-split docs, leak bounded by shingle count") {
+    val c = TextDedup.splitContamination(spark, sf0001).cache()
+    assert(c.filter($"n_leaked" < 1 || $"n_leaked" > $"n_shingles").isEmpty)
+    assert(c.filter($"leak_ratio" <= 0.0 || $"leak_ratio" > 1.0).isEmpty)
+    // every flagged doc really is in the test split under the same
+    // content-hash assignment datasetSplit uses
+    val testIds = TextDedup.docFingerprint(spark, sf0001)
+      .filter(pmod($"fingerprint", lit(100L)) >= 92).select($"doc_id")
+    val notTest = c.join(testIds, Seq("doc_id"), "left_anti")
+    assert(notTest.isEmpty, "contamination flagged a non-test-split doc")
+  }
+
   test("exact dedup partitions the corpus (sum of copies = row count)") {
     val d = TextDedup.dedupExact(spark, sf0001)
     val total = d.agg(sum("n_copies")).as[Long].collect()(0)
