@@ -435,20 +435,50 @@ object Similarity extends QueryModule {
     * (explicit broadcast). Output is exploded (vec_id, dim, q) rather
     * than a packed array: scalar columns hash in the oracle compare,
     * and downstream packing is a groupBy(vec_id) collect away. */
-  def embedQuantize(spark: SparkSession, dir: String): DataFrame = {
-    val ex = Core.embeddings(spark, dir)
+  private def explodedEmbeddings(spark: SparkSession, dir: String): DataFrame =
+    Core.embeddings(spark, dir)
       .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "xf")))
       .select(col("vec_id"), (col("pos") + 1).cast("int").as("dim"),
         col("xf").cast("double").as("x"))
-    val codebook = ex.groupBy("dim").agg(min("x").as("mn"), max("x").as("mx"))
+
+  /** The per-dimension (dim, mn, mx) codebook frame — dims rows. */
+  def quantizeCodebook(spark: SparkSession, dir: String): DataFrame =
+    explodedEmbeddings(spark, dir)
+      .groupBy("dim").agg(min("x").as("mn"), max("x").as("mx"))
+
+  def embedQuantize(spark: SparkSession, dir: String): DataFrame = {
+    val ex = explodedEmbeddings(spark, dir)
     val mn = col("mn"); val mx = col("mx")
     val q = when(mx === mn, lit(0))
       .otherwise((round((col("x") - mn) / (mx - mn) * lit(254)).cast("int")) - lit(127))
-    ex.join(broadcast(codebook), "dim")
+    ex.join(broadcast(quantizeCodebook(spark, dir)), "dim")
       .withColumn("q", q)
       .withColumn("dequant", mn + (col("q") + lit(127)).cast("double") / lit(254) * (mx - mn))
       .select(col("vec_id"), col("dim"), col("q"), col("dequant"),
         abs(col("x") - col("dequant")).as("abs_err"))
+  }
+
+  /** The storage form of the same quantization: one row per vector,
+    * codes packed as array<tinyint> — 64 bytes where the float corpus
+    * had 256, which is why SQ8 exists. The codebook (dims rows — the
+    * same data a broadcast would ship) is collected and folded into a
+    * single map-side transform() against array literals, so the
+    * encode pass is one scan with no join at all; agreement with the
+    * exploded oracle-checked query is asserted in SimilaritySpec.
+    * Like ivfTopK's centroid sample, the collect happens EAGERLY at
+    * DataFrame-construction time. */
+  def quantizeVectorsPacked(spark: SparkSession, dir: String): DataFrame = {
+    val cb = quantizeCodebook(spark, dir).orderBy("dim").collect()
+    val mnArr = cb.map(_.getDouble(1))
+    val mxArr = cb.map(_.getDouble(2))
+    val mnLit = typedLit(mnArr); val mxLit = typedLit(mxArr)
+    Core.embeddings(spark, dir).select(col("vec_id"),
+      transform(col("embedding"), (x, i) => {
+        val mn = element_at(mnLit, i + 1)
+        val mx = element_at(mxLit, i + 1)
+        when(mx === mn, lit(0))
+          .otherwise(round((x.cast("double") - mn) / (mx - mn) * lit(254)).cast("int") - lit(127))
+      }).cast("array<tinyint>").as("codes"))
   }
 
   val embedQuantizeSql: String =

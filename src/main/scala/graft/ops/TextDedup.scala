@@ -597,6 +597,51 @@ object TextDedup extends QueryModule {
        |SELECT split, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS total_tokens
        |FROM d GROUP BY 1""".stripMargin
 
+  /** Stratified sampling: rebalance the language mixture by
+    * down-sampling every language toward the smallest one's count —
+    * the mixture-reweighting step a multilingual pre-training pipeline
+    * runs before tokenization (an 'en'-heavy crawl would otherwise set
+    * the mixture by accident). The keep-gate is a content-hash
+    * threshold (keep iff hash % 1e6 < target/n_lang * 1e6): fully
+    * deterministic, so the sample is reproducible run-to-run and
+    * membership is decidable per-row with no global state — the same
+    * property [[datasetSplit]] relies on. Per-language kept counts are
+    * hash-binomial around the target, not exact (exact-N sampling
+    * needs a global rank per language; the gate is one map-side
+    * comparison instead), and the output reports the achieved
+    * fraction so the calibration is queryable.
+    * Plan shape: one scan + a 5-row count aggregate broadcast back —
+    * the gate itself never shuffles. */
+  def stratifiedSample(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Core.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), (charHash(col("text")) % lit(1000000L)).as("h"))
+    val counts = docs.groupBy("lang").agg(count(lit(1)).as("n_lang"))
+    val target = counts.agg(min(col("n_lang")).as("n_target"))
+    docs.join(broadcast(counts), "lang").crossJoin(broadcast(target))
+      .withColumn("keep",
+        col("h").cast("double") <
+          col("n_target").cast("double") / col("n_lang").cast("double") * lit(1000000.0))
+      .groupBy(col("lang"), col("n_lang"), col("n_target"))
+      .agg(sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"))
+      .select(col("lang"), col("n_lang"), col("n_target"), col("n_kept"),
+        (col("n_kept").cast("double") / col("n_lang").cast("double")).as("kept_fraction"))
+  }
+
+  val stratifiedSampleSql: String =
+    s"""WITH docs AS (
+       |  SELECT doc_id, lang, ${charHashSql("text")} % 1000000 AS h FROM documents),
+       |counts AS (SELECT lang, count(*) AS n_lang FROM docs GROUP BY 1),
+       |target AS (SELECT min(n_lang) AS n_target FROM counts)
+       |SELECT lang, n_lang, n_target,
+       |  CAST(sum(CASE WHEN CAST(h AS DOUBLE) <
+       |    CAST(n_target AS DOUBLE) / CAST(n_lang AS DOUBLE) * 1000000.0
+       |    THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       |  CAST(sum(CASE WHEN CAST(h AS DOUBLE) <
+       |    CAST(n_target AS DOUBLE) / CAST(n_lang AS DOUBLE) * 1000000.0
+       |    THEN 1 ELSE 0 END) AS DOUBLE) / CAST(n_lang AS DOUBLE) AS kept_fraction
+       |FROM docs JOIN counts USING (lang) CROSS JOIN target
+       |GROUP BY lang, n_lang, n_target""".stripMargin
+
   /** Decontamination: test-split documents sharing a shingle with the
     * train split — the standard pre-training hygiene check (an eval
     * document whose n-grams leak into the training set inflates the
@@ -756,6 +801,7 @@ object TextDedup extends QueryModule {
     "simhash64" -> ((s, d) => simhash64(s, d)),
     "simhash_pairs" -> ((s, d) => simhashPairs(s, d)),
     "dataset_split" -> ((s, d) => datasetSplit(s, d)),
+    "stratified_sample" -> ((s, d) => stratifiedSample(s, d)),
     "split_contamination" -> ((s, d) => splitContamination(s, d)),
     "boilerplate_ngrams" -> ((s, d) => boilerplateNgrams(s, d)),
     "vocab_topk" -> ((s, d) => vocabTopK(s, d)),
@@ -774,6 +820,7 @@ object TextDedup extends QueryModule {
     "simhash64" -> simhash64Sql,
     "simhash_pairs" -> simhashPairsSql,
     "dataset_split" -> datasetSplitSql,
+    "stratified_sample" -> stratifiedSampleSql,
     "split_contamination" -> splitContaminationSql,
     "boilerplate_ngrams" -> boilerplateNgramsSql,
     "vocab_topk" -> vocabTopKSql,

@@ -89,6 +89,17 @@ class SimilaritySpec extends SparkSpec {
     assert(bad.isEmpty, "reconstruction error exceeded half a quantization step")
   }
 
+  test("packed int8 codes agree with the exploded quantization query") {
+    val packed = Similarity.quantizeVectorsPacked(spark, sf0001)
+      .select($"vec_id", posexplode($"codes").as(Seq("pos", "qp")))
+      .select($"vec_id", ($"pos" + 1).cast("int").as("dim"), $"qp".cast("int").as("qp"))
+    val exploded = Similarity.embedQuantize(spark, sf0001)
+      .select($"vec_id", $"dim", $"q")
+    val joined = packed.join(exploded, Seq("vec_id", "dim"), "full_outer")
+    assert(joined.filter($"qp".isNull || $"q".isNull || $"qp" =!= $"q").isEmpty,
+      "packed codes diverge from the oracle-checked exploded quantization")
+  }
+
   test("ann-lsh results are a subset of brute-force candidates' quality") {
     val ann = Similarity.annLshTopK(spark, sf0001).cache()
     // every ANN hit shares the query's bucket by construction; sanity:
