@@ -662,6 +662,11 @@ object TextDedup extends QueryModule {
     val dn = withNgramArr(Core.documents(spark, dir))
       .select(col("doc_id"), (charHash(col("text")) % lit(100L)).as("h"),
         size(dng).as("n_shingles"), explode(dng).as("ng"))
+    // deliberately UNCACHED despite three consumers: QBench cold-JVM
+    // at sf0.1 measured cache() at 3.58s first-run vs 1.81s uncached —
+    // materializing the exploded shingle stream costs more than the
+    // recompute it saves (exchange reuse already shares one side), and
+    // a registered query runs once per job
     val rare = dn.groupBy("ng").agg(count(lit(1)).as("doc_freq"))
       .filter(col("doc_freq") <= contamDfCap)
     val dnRare = dn.join(rare.select("ng"), "ng")
