@@ -22,25 +22,39 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
   override def dataType: DataType = DoubleType
   override def prettyName: String = "dot_product"
 
-  /** Registered as a SQL function, so misuse (e.g. array<double>)
-    * must fail analysis — the per-element reads below are
-    * float-specific and would silently return garbage otherwise. */
+  /** Registered as a SQL function, so misuse must fail analysis — the
+    * per-element reads below are type-specific and would silently
+    * return garbage otherwise. Both sides array<float> (the raw
+    * embedding path) or both array<double> (the dequantized SQ8 path);
+    * mixed inputs take an explicit cast, keeping the IEEE sequence
+    * visible in the plan. */
   override def checkInputDataTypes(): TypeCheckResult = {
-    val ok = Seq(left, right).forall(_.dataType match {
-      case ArrayType(FloatType, _) => true
-      case _ => false
-    })
-    if (ok) TypeCheckResult.TypeCheckSuccess
-    else TypeCheckResult.TypeCheckFailure(
-      s"dot_product requires two array<float> inputs, got " +
-        s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
+    def elem(e: Expression) = e.dataType match {
+      case ArrayType(t, _) => Some(t)
+      case _ => None
+    }
+    (elem(left), elem(right)) match {
+      case (Some(FloatType), Some(FloatType)) => TypeCheckResult.TypeCheckSuccess
+      case (Some(DoubleType), Some(DoubleType)) => TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"dot_product requires two array<float> or two array<double> inputs, got " +
+          s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
+    }
+  }
+
+  private def isDoubleInput: Boolean = left.dataType match {
+    case ArrayType(DoubleType, _) => true
+    case _ => false
   }
 
   protected override def nullSafeEval(a: Any, b: Any): Any =
-    DotProduct.dotFloat(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    if (isDoubleInput) DotProduct.dotDouble(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    else DotProduct.dotFloat(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.DotProduct.dotFloat($a, $b)")
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val method = if (isDoubleInput) "dotDouble" else "dotFloat"
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.DotProduct.$method($a, $b)")
+  }
 
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): DotProduct =
     copy(left = newLeft, right = newRight)
@@ -55,6 +69,17 @@ object DotProduct {
     var i = 0
     while (i < n) {
       acc += a.getFloat(i).toDouble * b.getFloat(i).toDouble
+      i += 1
+    }
+    acc
+  }
+
+  def dotDouble(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      acc += a.getDouble(i) * b.getDouble(i)
       i += 1
     }
     acc

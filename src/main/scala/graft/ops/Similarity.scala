@@ -496,6 +496,102 @@ object Similarity extends QueryModule {
        |  abs(x - (mn + CAST(q + 127 AS DOUBLE) / 254 * (mx - mn))) AS abs_err
        |FROM quant""".stripMargin
 
+  /** SQ8 two-stage retrieval (asymmetric distance computation): score
+    * the whole corpus against each query with DEQUANTIZED int8 codes
+    * (the 64-byte representation quantizeVectorsPacked stores — 4x
+    * less scan bandwidth than floats at 100 TB), take the top-20
+    * candidates per query, then rerank the short list with exact
+    * full-precision cosine and emit the top-5. This is the standard
+    * compressed-index pattern (FAISS's SQ8 flat + rerank): the
+    * expensive O(Q x N) stage touches only codes, full vectors are
+    * read for Q x 20 rows. Here the dequantized array is re-derived
+    * map-side from the float column (same arithmetic as decoding the
+    * stored codes — SimilaritySpec ties codes to the exploded
+    * quantization query, and dequantization from q is the identical
+    * expression on both paths), so the registered result is
+    * bit-identical to scoring a stored code table.
+    *
+    * Scale notes: candidate generation carries both vectors through
+    * one top-k shuffle per query set (TakeOrdered-like via window over
+    * qid); composing with IVF cells (ivfTopK) divides the ADC scan by
+    * the cell count — the two operators factor. Exact rerank keeps the
+    * output immune to quantization ranking noise beyond candidate 20. */
+  def annSq8TopK(spark: SparkSession, dir: String): DataFrame = {
+    val cb = quantizeCodebook(spark, dir).orderBy("dim").collect()
+    val mnArr = cb.map(_.getDouble(1))
+    val mxArr = cb.map(_.getDouble(2))
+    val mnLit = typedLit(mnArr); val mxLit = typedLit(mxArr)
+    // decode(encode(x)) per component, map-side: mn + round01*step where
+    // round01 = round((x-mn)/(mx-mn)*254) = q + 127 — identical doubles
+    // to decoding the stored int8 code
+    val dq = transform(col("embedding"), (x, i) => {
+      val mn = element_at(mnLit, i + 1)
+      val mx = element_at(mxLit, i + 1)
+      when(mx === mn, mn).otherwise(
+        mn + round((x.cast("double") - mn) / (mx - mn) * lit(254)).cast("int").cast("double")
+          / lit(254) * (mx - mn))
+    })
+    val emb = Core.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"), dq.as("dq"))
+      .withColumn("dqnorm", sqrt(dot(col("dq"), col("dq"))))
+    val q = Core.embeddings(spark, dir).filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"),
+        col("embedding").cast("array<double>").as("qvecd"),
+        sqrt(dot(col("embedding"), col("embedding"))).as("qnorm"))
+    val adc = emb.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"), col("embedding"), col("qvec"), col("qnorm"),
+        (dot(col("qvecd"), col("dq")) / (col("qnorm") * col("dqnorm"))).as("adc_cos"))
+    val wAdc = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("adc_cos").desc, col("vec_id"))
+    val cand = adc.withColumn("rn", row_number().over(wAdc)).filter(col("rn") <= 20)
+    val rer = cand.select(col("qid"), col("vec_id"),
+      (dot(col("qvec"), col("embedding")) /
+        (col("qnorm") * sqrt(dot(col("embedding"), col("embedding"))))).as("cosine"))
+    val wEx = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("cosine").desc, col("vec_id"))
+    rer.withColumn("rank", row_number().over(wEx))
+      .filter(col("rank") <= 5)
+      .select(col("qid"), col("vec_id"), col("cosine"), col("rank"))
+  }
+
+  val annSq8TopKSql: String = {
+    val dqExpr =
+      s"""list_transform(range(1, $dims + 1), i ->
+         | CASE WHEN mx_arr[i] = mn_arr[i] THEN mn_arr[i]
+         |      ELSE mn_arr[i] + CAST(CAST(round((CAST(embedding[i] AS DOUBLE) - mn_arr[i])
+         |             / (mx_arr[i] - mn_arr[i]) * 254) AS INTEGER) AS DOUBLE)
+         |           / 254 * (mx_arr[i] - mn_arr[i]) END)""".stripMargin.replace("\n", " ")
+    s"""WITH ex AS (
+       |  SELECT vec_id, CAST(i AS INTEGER) AS dim, CAST(embedding[i] AS DOUBLE) AS x
+       |  FROM embeddings, range(1, $dims + 1) t(i)),
+       |codebook AS (SELECT dim, min(x) AS mn, max(x) AS mx FROM ex GROUP BY dim),
+       |arrs AS (SELECT list(mn ORDER BY dim) AS mn_arr, list(mx ORDER BY dim) AS mx_arr FROM codebook),
+       |dqv AS (
+       |  SELECT vec_id, embedding, $dqExpr AS dq
+       |  FROM embeddings CROSS JOIN arrs),
+       |q AS (SELECT vec_id AS qid, embedding AS qvec,
+       |        sqrt(${dotSql("embedding", "embedding")}) AS qnorm
+       |      FROM embeddings WHERE vec_id % 50 = 0),
+       |adc AS (
+       |  SELECT q.qid, e.vec_id, e.embedding, q.qvec, q.qnorm,
+       |    ${dotSql("q.qvec", "e.dq")} / (q.qnorm * sqrt(${dotSql("e.dq", "e.dq")})) AS adc_cos
+       |  FROM dqv e CROSS JOIN q WHERE e.vec_id <> q.qid),
+       |cand AS (
+       |  SELECT * FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adc_cos DESC, vec_id) AS rn
+       |    FROM adc) WHERE rn <= 20),
+       |rer AS (
+       |  SELECT qid, vec_id,
+       |    ${dotSql("qvec", "embedding")} / (qnorm * sqrt(${dotSql("embedding", "embedding")})) AS cosine
+       |  FROM cand),
+       |ranked AS (
+       |  SELECT qid, vec_id, cosine,
+       |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS "rank"
+       |  FROM rer)
+       |SELECT qid, vec_id, cosine, CAST("rank" AS INTEGER) AS "rank" FROM ranked WHERE "rank" <= 5""".stripMargin
+  }
+
   override def queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "embed_cosine_topk" -> ((s, d) => cosineTopK(s, d)),
     "embed_stats" -> ((s, d) => embedStats(s, d)),
@@ -503,7 +599,8 @@ object Similarity extends QueryModule {
     "embed_ann_lsh_topk" -> ((s, d) => annLshTopK(s, d)),
     "embed_ivf_topk" -> ((s, d) => ivfTopK(s, d)),
     "embed_near_dup_pairs" -> ((s, d) => cosineNearDupPairs(s, d)),
-    "embed_quantize" -> ((s, d) => embedQuantize(s, d)))
+    "embed_quantize" -> ((s, d) => embedQuantize(s, d)),
+    "embed_ann_sq8_topk" -> ((s, d) => annSq8TopK(s, d)))
 
   override def oracle: Seq[(String, String)] = Seq(
     "embed_cosine_topk" -> cosineTopKSql,
@@ -512,5 +609,6 @@ object Similarity extends QueryModule {
     "embed_ann_lsh_topk" -> annLshTopKSql,
     "embed_ivf_topk" -> ivfTopKSql,
     "embed_near_dup_pairs" -> cosineNearDupPairsSql,
-    "embed_quantize" -> embedQuantizeSql)
+    "embed_quantize" -> embedQuantizeSql,
+    "embed_ann_sq8_topk" -> annSq8TopKSql)
 }

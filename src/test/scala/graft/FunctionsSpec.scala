@@ -130,12 +130,22 @@ class FunctionsSpec extends SparkSpec {
       "map-side SimHash sketch must equal the exploded vote-aggregation")
   }
 
-  test("dot_product rejects non-float arrays at analysis time") {
+  test("dot_product on double arrays equals the HOF fold; mixed types rejected") {
     graft.functions.register(spark)
-    val doubles = Seq(Seq(1.0, 2.0)).toDF("a") // array<double>
-    doubles.createOrReplaceTempView("dp_doubles")
+    // double path (the dequantized SQ8 scoring shape)
+    val emb = graft.ops.Core.embeddings(spark, sf0001).limit(50)
+      .select($"embedding".cast("array<double>").as("d"))
+    val hof = aggregate(zip_with($"d", $"d", (x, y) => x * y),
+      lit(0.0), (acc, x) => acc + x)
+    val diff = emb.select(dot_product($"d", $"d").as("native"), hof.as("hofv"))
+      .filter($"native" =!= $"hofv")
+    assert(diff.isEmpty, "double-array native and HOF dots must be bit-identical")
+    // mixed float/double and non-numeric-array inputs still fail analysis
+    val mixed = graft.ops.Core.embeddings(spark, sf0001).limit(1)
+      .select($"embedding".as("f"), $"embedding".cast("array<double>").as("d"))
+    mixed.createOrReplaceTempView("dp_mixed")
     val ex = intercept[Exception] {
-      spark.sql("SELECT dot_product(a, a) FROM dp_doubles").collect()
+      spark.sql("SELECT dot_product(f, d) FROM dp_mixed").collect()
     }
     assert(ex.getMessage.contains("array<float>"),
       s"expected an analysis-time type error, got: ${ex.getMessage}")

@@ -100,6 +100,17 @@ class SimilaritySpec extends SparkSpec {
       "packed codes diverge from the oracle-checked exploded quantization")
   }
 
+  test("sq8 rerank retrieval: recall vs full-precision top-5") {
+    val sq8 = Similarity.annSq8TopK(spark, sf0001)
+      .select($"qid", $"vec_id").as[(Long, Long)].collect().toSet
+    val exact = Similarity.cosineTopK(spark, sf0001)
+      .select($"qid", $"vec_id").as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty)
+    val recall = sq8.intersect(exact).size.toDouble / exact.size.toDouble
+    info(s"sq8 top-5 recall vs exact: $recall (${sq8.intersect(exact).size}/${exact.size})")
+    assert(recall >= 0.8, s"sq8 rerank recall $recall below floor")
+  }
+
   test("ann-lsh results are a subset of brute-force candidates' quality") {
     val ann = Similarity.annLshTopK(spark, sf0001).cache()
     // every ANN hit shares the query's bucket by construction; sanity:
