@@ -17,12 +17,10 @@ object Bench {
     // Warm up JIT/codegen + parquet reader paths so the first measured
     // query doesn't absorb one-time session cost (~7s on this box).
     // Warm at the smallest sibling scale factor of the bench dir (not a
-    // hardcoded path): on a different testdata layout a missing warm
-    // dir is WARNED about, not silently swallowed — a no-op warmup
-    // re-skews the first dedup/similarity query by ~4s of JIT.
-    // a missing warm dir is WARNED about and the family warmup is
-    // SKIPPED (not silently run at measured scale, which would both
-    // double bench time and pre-warm the page cache for the run)
+    // hardcoded path): a missing warm dir is WARNED about and the
+    // family warmup is SKIPPED (not silently run at measured scale,
+    // which would both double bench time and pre-warm the page cache
+    // for the run).
     val warmDirOpt = {
       val parent = new java.io.File(sfDir).getParentFile
       val candidate = new java.io.File(parent, "sf0.001")
@@ -142,7 +140,8 @@ object Bench {
     // bug, not a throughput signal
     val nDeep = 20000
     val auxIdx = 0 until nDeep by 300 // deep steps 1s -> one aux per bucket
-    def runDag(queryName: String): Double = {
+    def runDag(queryName: String, n: Int): Double = {
+      val aIdx = 0 until n by 300
       val deepMs = MemoryStream[(Long, java.sql.Timestamp, String, Double)]
       val auxMs = (1 to 4).map(_ => MemoryStream[(java.sql.Timestamp, Double)])
       val auxes = auxMs.zipWithIndex.map { case (m, i) =>
@@ -154,9 +153,9 @@ object Bench {
         .outputMode("append").start()
       try {
         val t0 = System.nanoTime()
-        events(nDeep, 1000L).grouped(nDeep / 4).foreach(deepMs.addData(_))
+        events(n, 1000L).grouped(math.max(n / 4, 1)).foreach(deepMs.addData(_))
         auxMs.foreach { m =>
-          m.addData(auxIdx.map(i => (new java.sql.Timestamp(base + i * 1000L + 30000L), i.toDouble)))
+          m.addData(aIdx.map(i => (new java.sql.Timestamp(base + i * 1000L + 30000L), i.toDouble)))
         }
         q2.processAllAvailable()
         (System.nanoTime() - t0) / 1e9
@@ -168,22 +167,35 @@ object Bench {
     // operational choice; here the same micro-batch cadence, so the
     // comparison isolates per-batch store overhead: snapshot/commit
     // cost per partition per operator).
-    val dagSecs = runDag("bench_dag")
+    // UNTIMED warm pass first: both timed runs share one JVM, so
+    // without it the first backend measured would absorb all
+    // whole-stage-codegen/JIT for the 9-operator DAG and the second
+    // would be systematically flattered — the same-JVM ordering bias
+    // QBench exists to avoid.
+    runDag("bench_dag_warm", nDeep / 10)
+    val dagSecs = runDag("bench_dag", nDeep)
     val providerKey = "spark.sql.streaming.stateStore.providerClass"
-    val dagRocksSecs = {
+    // isolated failure domain: a RocksDB-only problem (e.g. no
+    // rocksdbjni) reports -1 for the rocks numbers instead of
+    // discarding the bars/dag metrics already measured
+    val dagRocksSecs = try {
       val prev = spark.conf.getOption(providerKey)
       spark.conf.set(providerKey,
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-      try runDag("bench_dag_rocks")
+      try runDag("bench_dag_rocks", nDeep)
       finally prev match {
         case Some(v) => spark.conf.set(providerKey, v)
         case None => spark.conf.unset(providerKey)
       }
+    } catch {
+      case t: Throwable =>
+        System.err.println(s"[bench] WARNING: RocksDB DAG run failed: $t"); -1.0
     }
 
     val totalDagInput = nDeep + 4 * auxIdx.size
+    val rocksEps = if (dagRocksSecs > 0) totalDagInput / dagRocksSecs else -1.0
     s"""{"bars_events":$nBars,"bars_sec":$barsSecs,"bars_events_per_sec":${nBars / barsSecs},""" +
       s""""dag_events":$totalDagInput,"dag_sec":$dagSecs,"dag_events_per_sec":${totalDagInput / dagSecs},""" +
-      s""""dag_rocksdb_sec":$dagRocksSecs,"dag_rocksdb_events_per_sec":${totalDagInput / dagRocksSecs}}"""
+      s""""dag_rocksdb_sec":$dagRocksSecs,"dag_rocksdb_events_per_sec":$rocksEps}"""
   }
 }

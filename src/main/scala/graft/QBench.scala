@@ -29,6 +29,7 @@ object QBench {
     val sfDir = args(0)
     val name = args(1)
     val reps = if (args.length > 2) args(2).toInt else 3
+    require(reps >= 1, s"QBench: reps must be >= 1, got $reps")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -43,6 +44,8 @@ object QBench {
         (SparkEntry.queries.keys ++ variants.keys).toSeq.sorted.mkString(", ")))
     val warm = new java.io.File(new java.io.File(sfDir).getParentFile, "sf0.001")
     if (warm.isDirectory) fn(spark, warm.getPath).count()
+    else System.err.println(
+      s"[qbench] WARNING: no sf0.001 sibling of $sfDir — warmup skipped, rep0 absorbs JIT")
     val times = (0 until reps).map { _ =>
       val t0 = System.nanoTime()
       val n = fn(spark, sfDir).count()

@@ -44,14 +44,29 @@ case class MinHashSig(child: Expression, perms: Seq[(Long, Long)], combine: Int 
   @transient private lazy val as: Array[Long] = perms.map(_._1).toArray
   @transient private lazy val bs: Array[Long] = perms.map(_._2).toArray
 
-  protected override def nullSafeEval(input: Any): Any =
-    MinHashSig.sig(input.asInstanceOf[ArrayData], as, bs, combine)
+  /** Empty input -> NULL, not a sentinel: with no elements the minima
+    * stay Long.MaxValue and the band fold would overflow into an
+    * arbitrary-but-deterministic key shared by every empty doc — all
+    * empty inputs would become LSH candidates of each other. The
+    * registered queries filter short docs before sketching; the null
+    * makes the expression safe for call sites that don't. */
+  override def nullable: Boolean = true
+
+  protected override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    if (arr.numElements() == 0) null
+    else MinHashSig.sig(arr, as, bs, combine)
+  }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val asRef = ctx.addReferenceObj("as", as, "long[]")
     val bsRef = ctx.addReferenceObj("bs", bs, "long[]")
-    defineCodeGen(ctx, ev, c =>
-      s"graft.functions.MinHashSig.sig($c, $asRef, $bsRef, $combine)")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""if ($c.numElements() == 0) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = graft.functions.MinHashSig.sig($c, $asRef, $bsRef, $combine);
+         |}""".stripMargin)
   }
 
   override protected def withNewChildInternal(newChild: Expression): MinHashSig =
@@ -67,8 +82,8 @@ object MinHashSig {
     * with ONE posexplode reference (pos = band index), so the
     * non-cheap sketch is never duplicated by projection collapse.
     * Equals the groupBy(doc).agg(min((h*a+b)%P)...) form element for
-    * element. Empty input yields Long.MaxValue minima (callers
-    * filter). */
+    * element. Callers guarantee non-empty input (the expression
+    * returns NULL for empty arrays before reaching here). */
   def sig(arr: ArrayData, as: Array[Long], bs: Array[Long], combine: Int): ArrayData = {
     val k = as.length
     val mins = new Array[Long](k)
@@ -182,14 +197,27 @@ case class SimHashPack(child: Expression, mixes: Seq[(Long, Long)], width: Int)
   @transient private lazy val as: Array[Long] = mixes.map(_._1).toArray
   @transient private lazy val bs: Array[Long] = mixes.map(_._2).toArray
 
-  protected override def nullSafeEval(input: Any): Any =
-    SimHashPack.pack(input.asInstanceOf[ArrayData], as, bs, width)
+  /** Empty input -> NULL (see [[MinHashSig.nullable]]): the vote loop
+    * would otherwise emit signature 0 for every empty doc, silently
+    * collapsing them into one dedup survivor at any signature-equality
+    * call site that forgot the short-doc filter. */
+  override def nullable: Boolean = true
+
+  protected override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    if (arr.numElements() == 0) null
+    else SimHashPack.pack(arr, as, bs, width)
+  }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val asRef = ctx.addReferenceObj("as", as, "long[]")
     val bsRef = ctx.addReferenceObj("bs", bs, "long[]")
-    defineCodeGen(ctx, ev, c =>
-      s"graft.functions.SimHashPack.pack($c, $asRef, $bsRef, $width)")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""if ($c.numElements() == 0) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = graft.functions.SimHashPack.pack($c, $asRef, $bsRef, $width);
+         |}""".stripMargin)
   }
 
   override protected def withNewChildInternal(newChild: Expression): SimHashPack =

@@ -270,7 +270,8 @@ object Similarity extends QueryModule {
     * is measured against in SimilaritySpec. Deliberately NOT registered:
     * its plan is a broadcast nested-loop join, quadratic in corpus
     * size. */
-  def cosineNearDupPairsExact(spark: SparkSession, dir: String, threshold: Double = 0.4): DataFrame = {
+  def cosineNearDupPairsExact(spark: SparkSession, dir: String,
+      threshold: Double = ndThreshold): DataFrame = {
     val emb = Core.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding"),
         sqrt(dot(col("embedding"), col("embedding"))).as("norm"))
@@ -446,13 +447,36 @@ object Similarity extends QueryModule {
     explodedEmbeddings(spark, dir)
       .groupBy("dim").agg(min("x").as("mn"), max("x").as("mx"))
 
+  /** The collected codebook as two array literals (mn, mx), index =
+    * dim — the dims-row collect a broadcast would ship, shared by the
+    * map-side encode/decode paths below. */
+  private def codebookLits(spark: SparkSession, dir: String): (Column, Column) = {
+    val cb = quantizeCodebook(spark, dir).orderBy("dim").collect()
+    (typedLit(cb.map(_.getDouble(1))), typedLit(cb.map(_.getDouble(2))))
+  }
+
+  /** THE affine int8 code — q = round((x-mn)/(mx-mn)*254) - 127 — as
+    * one shared column builder: embedQuantize (exploded, oracle
+    * vehicle), quantizeVectorsPacked (storage) and annSq8TopK
+    * (retrieval) must stay bit-identical to each other and to the
+    * oracle SQL, so the arithmetic exists exactly once. */
+  private def quantizeCode(x: Column, mn: Column, mx: Column): Column =
+    when(mx === mn, lit(0))
+      .otherwise(round((x.cast("double") - mn) / (mx - mn) * lit(254)).cast("int") - lit(127))
+
+  /** decode(encode(x)) in one step: mn + round01/254*(mx-mn) where
+    * round01 = q + 127 is the raw rounded value — identical doubles to
+    * decoding the stored int8 code. */
+  private def dequantized(x: Column, mn: Column, mx: Column): Column =
+    when(mx === mn, mn).otherwise(
+      mn + round((x.cast("double") - mn) / (mx - mn) * lit(254)).cast("int").cast("double")
+        / lit(254) * (mx - mn))
+
   def embedQuantize(spark: SparkSession, dir: String): DataFrame = {
     val ex = explodedEmbeddings(spark, dir)
     val mn = col("mn"); val mx = col("mx")
-    val q = when(mx === mn, lit(0))
-      .otherwise((round((col("x") - mn) / (mx - mn) * lit(254)).cast("int")) - lit(127))
     ex.join(broadcast(quantizeCodebook(spark, dir)), "dim")
-      .withColumn("q", q)
+      .withColumn("q", quantizeCode(col("x"), mn, mx))
       .withColumn("dequant", mn + (col("q") + lit(127)).cast("double") / lit(254) * (mx - mn))
       .select(col("vec_id"), col("dim"), col("q"), col("dequant"),
         abs(col("x") - col("dequant")).as("abs_err"))
@@ -468,17 +492,11 @@ object Similarity extends QueryModule {
     * Like ivfTopK's centroid sample, the collect happens EAGERLY at
     * DataFrame-construction time. */
   def quantizeVectorsPacked(spark: SparkSession, dir: String): DataFrame = {
-    val cb = quantizeCodebook(spark, dir).orderBy("dim").collect()
-    val mnArr = cb.map(_.getDouble(1))
-    val mxArr = cb.map(_.getDouble(2))
-    val mnLit = typedLit(mnArr); val mxLit = typedLit(mxArr)
+    val (mnLit, mxLit) = codebookLits(spark, dir)
     Core.embeddings(spark, dir).select(col("vec_id"),
-      transform(col("embedding"), (x, i) => {
-        val mn = element_at(mnLit, i + 1)
-        val mx = element_at(mxLit, i + 1)
-        when(mx === mn, lit(0))
-          .otherwise(round((x.cast("double") - mn) / (mx - mn) * lit(254)).cast("int") - lit(127))
-      }).cast("array<tinyint>").as("codes"))
+      transform(col("embedding"), (x, i) =>
+        quantizeCode(x, element_at(mnLit, i + 1), element_at(mxLit, i + 1)))
+        .cast("array<tinyint>").as("codes"))
   }
 
   val embedQuantizeSql: String =
@@ -511,43 +529,45 @@ object Similarity extends QueryModule {
     * expression on both paths), so the registered result is
     * bit-identical to scoring a stored code table.
     *
-    * Scale notes: candidate generation carries both vectors through
-    * one top-k shuffle per query set (TakeOrdered-like via window over
-    * qid); composing with IVF cells (ivfTopK) divides the ADC scan by
-    * the cell count — the two operators factor. Exact rerank keeps the
-    * output immune to quantization ranking noise beyond candidate 20. */
+    * Scale notes: the Q x N ADC stage carries ONLY (qid, vec_id,
+    * adc_cos) through its top-k window shuffle — full vectors are
+    * re-joined for the Q x 20 survivors afterwards (the second,
+    * vector-bearing scan touches rows the broadcast candidate set
+    * selects). Composing with IVF cells (ivfTopK) divides the ADC
+    * scan by the cell count — the two operators factor. Exact rerank
+    * keeps the output immune to quantization ranking noise beyond
+    * candidate 20. */
   def annSq8TopK(spark: SparkSession, dir: String): DataFrame = {
-    val cb = quantizeCodebook(spark, dir).orderBy("dim").collect()
-    val mnArr = cb.map(_.getDouble(1))
-    val mxArr = cb.map(_.getDouble(2))
-    val mnLit = typedLit(mnArr); val mxLit = typedLit(mxArr)
-    // decode(encode(x)) per component, map-side: mn + round01*step where
-    // round01 = round((x-mn)/(mx-mn)*254) = q + 127 — identical doubles
-    // to decoding the stored int8 code
-    val dq = transform(col("embedding"), (x, i) => {
-      val mn = element_at(mnLit, i + 1)
-      val mx = element_at(mxLit, i + 1)
-      when(mx === mn, mn).otherwise(
-        mn + round((x.cast("double") - mn) / (mx - mn) * lit(254)).cast("int").cast("double")
-          / lit(254) * (mx - mn))
-    })
+    val (mnLit, mxLit) = codebookLits(spark, dir)
+    val dq = transform(col("embedding"), (x, i) =>
+      dequantized(x, element_at(mnLit, i + 1), element_at(mxLit, i + 1)))
     val emb = Core.embeddings(spark, dir)
-      .select(col("vec_id"), col("embedding"), dq.as("dq"))
+      .select(col("vec_id"), dq.as("dq"))
       .withColumn("dqnorm", sqrt(dot(col("dq"), col("dq"))))
-    val q = Core.embeddings(spark, dir).filter(col("vec_id") % 50 === 0)
-      .select(col("vec_id").as("qid"), col("embedding").as("qvec"),
+    val qSlim = Core.embeddings(spark, dir).filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("qid"),
         col("embedding").cast("array<double>").as("qvecd"),
         sqrt(dot(col("embedding"), col("embedding"))).as("qnorm"))
-    val adc = emb.crossJoin(broadcast(q))
+    val adc = emb.crossJoin(broadcast(qSlim))
       .filter(col("vec_id") =!= col("qid"))
-      .select(col("qid"), col("vec_id"), col("embedding"), col("qvec"), col("qnorm"),
+      .select(col("qid"), col("vec_id"),
         (dot(col("qvecd"), col("dq")) / (col("qnorm") * col("dqnorm"))).as("adc_cos"))
     val wAdc = org.apache.spark.sql.expressions.Window
       .partitionBy("qid").orderBy(col("adc_cos").desc, col("vec_id"))
     val cand = adc.withColumn("rn", row_number().over(wAdc)).filter(col("rn") <= 20)
-    val rer = cand.select(col("qid"), col("vec_id"),
-      (dot(col("qvec"), col("embedding")) /
-        (col("qnorm") * sqrt(dot(col("embedding"), col("embedding"))))).as("cosine"))
+      .select(col("qid"), col("vec_id"))
+    // rerank: full-precision vectors fetched only for the Q x 20
+    // survivors — broadcast the tiny candidate set into the corpus
+    // scan, then broadcast the query vectors back on
+    val corpus = Core.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"),
+        sqrt(dot(col("embedding"), col("embedding"))).as("norm"))
+    val qFull = Core.embeddings(spark, dir).filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"),
+        sqrt(dot(col("embedding"), col("embedding"))).as("qnorm"))
+    val rer = corpus.join(broadcast(cand), "vec_id").join(broadcast(qFull), "qid")
+      .select(col("qid"), col("vec_id"),
+        (dot(col("qvec"), col("embedding")) / (col("qnorm") * col("norm"))).as("cosine"))
     val wEx = org.apache.spark.sql.expressions.Window
       .partitionBy("qid").orderBy(col("cosine").desc, col("vec_id"))
     rer.withColumn("rank", row_number().over(wEx))

@@ -326,16 +326,28 @@ object StreamingPipeline {
     * whole corpus; this is its ingest-time complement, standard in
     * 100 TB pipelines: cheap sketch-equality gate in-stream, full
     * clustering offline. Input schema: (doc_id long, ts timestamp,
-    * text string, lang string). */
+    * text string, lang string).
+    *
+    * Documents too short to shingle (< 3 tokens) PASS THROUGH: they
+    * get a per-doc dedup key instead of a signature, so the gate never
+    * deletes a document it cannot fingerprint (an earlier draft's
+    * filter dropped them from the corpus entirely — data loss, not
+    * dedup; and a shared null/zero signature would have collapsed all
+    * short docs to one survivor). The key is a tagged string, so a
+    * signature can never collide with a doc id. */
   def streamingNearDupIngest(docs: DataFrame): DataFrame =
     docs
       .withColumn("toks", split(col("text"), " "))
-      .filter(size(col("toks")) > 2)
       .withColumn("simhash64",
-        graft.ops.TextDedup.simhash64Col(graft.functions.token_ngrams(col("toks"), 3)))
+        when(size(col("toks")) > 2,
+          graft.ops.TextDedup.simhash64Col(graft.functions.token_ngrams(col("toks"), 3))))
+      .withColumn("dedup_key",
+        when(col("simhash64").isNotNull, concat(lit("s:"), col("simhash64")))
+          .otherwise(concat(lit("d:"), col("doc_id"))))
       .drop("toks")
       .withWatermark("ts", "5 minutes")
-      .dropDuplicatesWithinWatermark(Seq("simhash64"))
+      .dropDuplicatesWithinWatermark(Seq("dedup_key"))
+      .drop("dedup_key")
 
   /** K1 — the foreachBatch sink shape (spark_consumer.py:68-84):
     * empty-batch skip + idempotent batchId-keyed write (the production

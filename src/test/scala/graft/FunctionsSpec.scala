@@ -100,6 +100,22 @@ class FunctionsSpec extends SparkSpec {
       "map-side MinHash sketch must equal the exploded min-aggregation")
   }
 
+  test("sketch expressions return NULL for empty arrays, not sentinel keys") {
+    import graft.functions.{min_hash_sig, simhash_pack}
+    // an empty shingle set has no signature: a sentinel (MaxValue
+    // minima folding into wrapped band keys, or an all-zero vote word)
+    // would make every empty doc a candidate pair of every other
+    val df = Seq(Seq.empty[String], Seq("a b c")).toDF("ngarr")
+      .select(
+        min_hash_sig($"ngarr", Seq((131L, 7L), (137L, 11L)), 2).as("mh"),
+        simhash_pack($"ngarr", Seq((131L, 7L)), 32).as("sh"))
+    val rows = df.collect()
+    assert(rows(0).isNullAt(0) && rows(0).isNullAt(1),
+      "empty input must yield null sketches")
+    assert(!rows(1).isNullAt(0) && !rows(1).isNullAt(1),
+      "non-empty input must yield non-null sketches")
+  }
+
   test("simhash_pack equals the exploded vote-aggregation on the real corpus") {
     import graft.functions.simhash_pack
     val mixes = Seq((131L, 7L), (151L, 19L), (173L, 37L), (193L, 53L))

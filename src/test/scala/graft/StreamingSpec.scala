@@ -421,11 +421,15 @@ class StreamingSpec extends SparkSpec {
       src.addData(
         (1L, t("2024-01-01 10:00:00"), a, "en"),
         (2L, t("2024-01-01 10:00:30"), b, "en"), // near-dup of 1 -> dropped
-        (3L, t("2024-01-01 10:01:00"), c, "en"))
+        (3L, t("2024-01-01 10:01:00"), c, "en"),
+        // too short to shingle: must pass through, never be dropped —
+        // two of them, to prove short docs don't dedup against each other
+        (4L, t("2024-01-01 10:01:30"), "buy now", "en"),
+        (5L, t("2024-01-01 10:02:00"), "sell later", "en"))
       q.processAllAvailable()
       val kept = spark.table("neardup_out").select("doc_id").as[Long].collect().toSet
-      assert(kept == Set(1L, 3L),
-        s"expected the near-dup rewrite dropped and both originals kept, got $kept")
+      assert(kept == Set(1L, 3L, 4L, 5L),
+        s"expected the near-dup rewrite dropped, originals and short docs kept, got $kept")
     } finally q.stop()
   }
 
