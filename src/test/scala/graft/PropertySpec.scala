@@ -48,6 +48,47 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("token_ngrams / simhash_pack / min_hash_sig match pure-Scala references on generated docs") {
+    import graft.functions.{token_ngrams, simhash_pack, min_hash_sig}
+    val mixes = Seq((131L, 7L), (151L, 19L))
+    val perms = Seq((131L, 7L), (137L, 11L), (139L, 13L), (149L, 17L))
+    def refHash(s: String): Long = PolyHash.hash(UTF8String.fromString(s))
+    def refNgrams(toks: Seq[String]): Seq[String] =
+      if (toks.size < 3) Seq.empty else toks.sliding(3).map(_.mkString(" ")).toSeq
+    def refSimhash(sh: Seq[String]): Long = {
+      var packed = 0L
+      for (((a, b), m) <- mixes.zipWithIndex; bit <- 0 until 16) {
+        val ones = sh.count(s => ((((refHash(s) * a + b) % PolyHash.P) >>> bit) & 1L) == 1L)
+        if (2L * ones > sh.size) packed |= 1L << (m * 16 + bit)
+      }
+      packed
+    }
+    def refMinhashBands(sh: Seq[String]): Seq[Long] = {
+      val mins = perms.map { case (a, b) => sh.map(s => (refHash(s) * a + b) % PolyHash.P).min }
+      mins.grouped(2).map(g => g(0) * PolyHash.P + g(1)).toSeq
+    }
+    // token alphabet excludes spaces (the tokenizer's delimiter)
+    val tokGen = Gen.nonEmptyListOf(Gen.alphaNumChar).map(_.mkString)
+    val docGen = Gen.choose(0, 12).flatMap(n => Gen.listOfN(n, tokGen))
+    val docs = samples(docGen, 120)
+    val got = docs.map(_.toArray).toSeq.toDF("toks")
+      .select(
+        token_ngrams($"toks", 3).as("ng"),
+        simhash_pack(token_ngrams($"toks", 3), mixes, 16).as("sh"),
+        min_hash_sig(token_ngrams($"toks", 3), perms, 2).as("mh"))
+      .collect()
+    docs.zip(got).foreach { case (toks, row) =>
+      val ng = refNgrams(toks)
+      assert(row.getSeq[String](0) == ng, s"ngrams mismatch for $toks")
+      if (ng.isEmpty) {
+        assert(row.isNullAt(1) && row.isNullAt(2), s"empty shingles must be null for $toks")
+      } else {
+        assert(row.getLong(1) == refSimhash(ng), s"simhash mismatch for $toks")
+        assert(row.getSeq[Long](2) == refMinhashBands(ng), s"minhash mismatch for $toks")
+      }
+    }
+  }
+
   test("min-max normalization maps into [0,1] under the reference epsilon bump") {
     samples(Gen.nonEmptyListOf(Gen.choose(-1000.0, 1000.0)), 50).foreach { xs =>
       val mn = xs.min
