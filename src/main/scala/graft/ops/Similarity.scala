@@ -612,6 +612,32 @@ object Similarity extends QueryModule {
        |SELECT qid, vec_id, cosine, CAST("rank" AS INTEGER) AS "rank" FROM ranked WHERE "rank" <= 5""".stripMargin
   }
 
+  /** Semantic dedup end-to-end: connected components over the
+    * banded-LSH cosine near-dup edges, same min-label propagation and
+    * survivor election as the text `dedup_clusters` (shared
+    * Components.clusterPairs). This is the decision layer that turns
+    * embedding near-dup PAIRS into per-vector drop/keep — paraphrase
+    * clusters collapse to their min-id representative. */
+  def embedDedupClusters(spark: SparkSession, dir: String): DataFrame =
+    Components.clusterPairs(cosineNearDupPairs(spark, dir), "vec_a", "vec_b", "vec_id")
+
+  val embedDedupClustersSql: String =
+    s"""WITH RECURSIVE cand AS ($cosineNearDupPairsSql),
+       |edges AS (
+       |  SELECT vec_a AS src, vec_b AS dst FROM cand
+       |  UNION ALL SELECT vec_b, vec_a FROM cand),
+       |reach(src, dst) AS (
+       |  SELECT src, dst FROM edges
+       |  UNION
+       |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+       |labels AS (
+       |  SELECT src AS vec_id, least(src, min(dst)) AS cluster_id
+       |  FROM reach GROUP BY src),
+       |sizes AS (SELECT cluster_id, count(*) AS cluster_size FROM labels GROUP BY 1)
+       |SELECT l.vec_id, l.cluster_id, s.cluster_size,
+       |  l.vec_id = l.cluster_id AS is_survivor
+       |FROM labels l JOIN sizes s USING (cluster_id)""".stripMargin
+
   override def queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "embed_cosine_topk" -> ((s, d) => cosineTopK(s, d)),
     "embed_stats" -> ((s, d) => embedStats(s, d)),
@@ -620,7 +646,8 @@ object Similarity extends QueryModule {
     "embed_ivf_topk" -> ((s, d) => ivfTopK(s, d)),
     "embed_near_dup_pairs" -> ((s, d) => cosineNearDupPairs(s, d)),
     "embed_quantize" -> ((s, d) => embedQuantize(s, d)),
-    "embed_ann_sq8_topk" -> ((s, d) => annSq8TopK(s, d)))
+    "embed_ann_sq8_topk" -> ((s, d) => annSq8TopK(s, d)),
+    "embed_dedup_clusters" -> ((s, d) => embedDedupClusters(s, d)))
 
   override def oracle: Seq[(String, String)] = Seq(
     "embed_cosine_topk" -> cosineTopKSql,
@@ -630,5 +657,6 @@ object Similarity extends QueryModule {
     "embed_ivf_topk" -> ivfTopKSql,
     "embed_near_dup_pairs" -> cosineNearDupPairsSql,
     "embed_quantize" -> embedQuantizeSql,
-    "embed_ann_sq8_topk" -> annSq8TopKSql)
+    "embed_ann_sq8_topk" -> annSq8TopKSql,
+    "embed_dedup_clusters" -> embedDedupClustersSql)
 }

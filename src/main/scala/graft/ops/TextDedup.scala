@@ -519,41 +519,11 @@ object TextDedup extends QueryModule {
     *
     * NOTE: the convergence loop runs Spark jobs eagerly at
     * DataFrame-construction time (like ivfTopK's centroid sample). */
-  def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = minhashLshCandidates(spark, dir)
-    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .localCheckpoint(true) // reused every round: cut the LSH subtree once
-    val nodes = edges.select(col("src").as("doc_id")).distinct()
-    var labels = nodes.withColumn("label", col("doc_id")).localCheckpoint(true)
-    var converged = false
-    while (!converged) {
-      val nbrMin = edges
-        .join(labels.select(col("doc_id").as("src"), col("label").as("src_label")), "src")
-        .groupBy(col("dst").as("doc_id"))
-        .agg(min(col("src_label")).as("nbr_label"))
-      // carry the convergence signal THROUGH the checkpoint instead of
-      // re-deriving it: `changed` is computed in the same join pass that
-      // builds the new labels, so the per-round work is the one eager
-      // localCheckpoint job plus an isEmpty scan of the already-cached
-      // blocks (which short-circuits on the first changed row). The r3
-      // form re-joined next against labels per round — two extra
-      // full-shuffle driver-blocking jobs (VERDICT r3 #4).
-      val next = labels
-        .join(nbrMin, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"),
-          (coalesce(col("nbr_label"), col("label")) < col("label")).as("changed"))
-        .localCheckpoint(true)
-      converged = next.filter(col("changed")).isEmpty
-      labels = next.select(col("doc_id"), col("label"))
-    }
-    val sizes = labels.groupBy(col("label")).agg(count(lit(1)).as("cluster_size"))
-    labels
-      .join(sizes, "label")
-      .select(col("doc_id"), col("label").as("cluster_id"), col("cluster_size"),
-        (col("doc_id") === col("label")).as("is_survivor"))
-  }
+  def dedupClusters(spark: SparkSession, dir: String): DataFrame =
+    // propagation loop + one-job-per-round convergence carry live in
+    // the shared Components.clusterPairs (also drives the embedding
+    // semantic-dedup clusters)
+    Components.clusterPairs(minhashLshCandidates(spark, dir), "doc_a", "doc_b", "doc_id")
 
   val dedupClustersSql: String =
     s"""WITH RECURSIVE cand AS ($minhashLshCandidatesSql),
