@@ -57,9 +57,12 @@ object Bench {
         ops.TextDedup.ngramJaccardPairs(spark, warmDir).count()
         ops.TextDedup.simhashPairs(spark, warmDir).count()
         ops.TextDedup.boilerplateNgrams(spark, warmDir).count()
+        ops.TextDedup.splitContamination(spark, warmDir).count()
         ops.Similarity.cosineTopK(spark, warmDir).count()
         ops.Similarity.ivfTopK(spark, warmDir).count()
         ops.Similarity.cosineNearDupPairs(spark, warmDir).count()
+        ops.Similarity.annSq8TopK(spark, warmDir).count()
+        ops.Similarity.embedDedupClusters(spark, warmDir).count()
       }
     } catch {
       case t: Throwable =>
