@@ -15,6 +15,7 @@ object SparkEntry {
     Joins,
     Normalize,
     TextDedup,
+    TrainingData,
     Similarity,
     Multimodal,
     ScaleOps)

@@ -1,0 +1,220 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-data shaping ops beyond the dedup/similarity family
+  * (builder brief: "the operations a large-scale training-data
+  * pipeline would need"): repetition-based quality signals (the
+  * Gopher rules of Rae et al. 2021, §A1.1), span-level exact dedup
+  * (the fixed-window analogue of substring dedup, Lee et al. 2022),
+  * and greedy sequence packing (document concatenation into
+  * fixed-length training sequences).
+  *
+  * All metrics are derived from exact integer intermediates (counts,
+  * sizes) combined in identical IEEE-754 expression trees on both
+  * engines, so the DuckDB oracle hash-matches bit-exactly.
+  */
+object TrainingData extends QueryModule {
+
+  private val toksSql = "string_split(text, ' ')"
+
+  /** Token array materialized once as a column (see TextDedup.withToks:
+    * HOF lambdas get no CSE, so an inline split would re-split per
+    * lambda element). */
+  private def withToks(df: DataFrame): DataFrame =
+    df.withColumn("toks", split(col("text"), " "))
+  private val toks = col("toks")
+
+  // --- repetition metrics (Gopher rules) ---------------------------------
+
+  /** Per-document repetition signals, all map-side (no shuffle — the
+    * 100 TB form is a pure scan):
+    *   - top_token_cnt/frac: occurrences of the modal token. Computed
+    *     as the longest run in the SORTED token array — one
+    *     O(n log n) sort + one linear fold, vs the O(n·distinct)
+    *     count-per-distinct-token form the oracle uses (the oracle
+    *     only runs at sf0.01; the engine side must survive
+    *     100k-token documents).
+    *   - dup_bigram_frac / dup_trigram_frac: 1 − distinct/total
+    *     n-grams — the verbatim-loop signal.
+    *   - gopher_ok: the composite keep gate (thresholds from Rae et
+    *     al. 2021 table A1: top-token ≤ 0.2, dup-2gram ≤ 0.2,
+    *     dup-3gram ≤ 0.18, plus a token-count range gate).
+    */
+  def repetitionMetrics(spark: SparkSession, dir: String): DataFrame = {
+    val base = withToks(Core.documents(spark, dir))
+      .withColumn("bg", graft.functions.token_ngrams(toks, 2))
+      .withColumn("tg", graft.functions.token_ngrams(toks, 3))
+    val n = size(toks)
+    // longest run in the sorted array == modal count; init prev="" is
+    // safe (a leading empty token yields run 1 either way)
+    val topCnt = aggregate(
+      array_sort(toks),
+      struct(lit("").as("prev"), lit(0).as("run"), lit(0).as("best")),
+      (acc, t) => {
+        val run = when(t === acc.getField("prev"), acc.getField("run") + 1)
+          .otherwise(lit(1))
+        struct(t.as("prev"), run.as("run"),
+          greatest(acc.getField("best"), run).as("best"))
+      },
+      acc => acc.getField("best"))
+    def dupFrac(arr: Column): Column =
+      when(size(arr) > 0,
+        lit(1.0) - size(array_distinct(arr)).cast("double") / size(arr).cast("double"))
+        .otherwise(lit(0.0))
+    base.select(
+      col("doc_id"),
+      n.as("n_tokens"),
+      topCnt.as("top_token_cnt"),
+      (topCnt.cast("double") / n.cast("double")).as("top_token_frac"),
+      dupFrac(col("bg")).as("dup_bigram_frac"),
+      dupFrac(col("tg")).as("dup_trigram_frac"))
+      .withColumn("gopher_ok",
+        when(col("top_token_frac") <= 0.2 && col("dup_bigram_frac") <= 0.2 &&
+          col("dup_trigram_frac") <= 0.18 && col("n_tokens").between(8, 100000),
+          lit(1)).otherwise(lit(0)))
+  }
+
+  val repetitionMetricsSql: String = {
+    val bg = s"list_transform(range(1, len($toksSql)), i -> $toksSql[i] || ' ' || $toksSql[i+1])"
+    val tg = s"list_transform(range(1, len($toksSql) - 1), i -> $toksSql[i] || ' ' || $toksSql[i+1] || ' ' || $toksSql[i+2])"
+    def dupFrac(arr: String) =
+      s"(CASE WHEN len($arr) > 0 THEN CAST(1.0 AS DOUBLE) - CAST(len(list_distinct($arr)) AS DOUBLE) / CAST(len($arr) AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END)"
+    // O(n·distinct) modal count — oracle-only; the engine uses the
+    // sorted-run fold
+    val topCnt = s"list_max(list_transform(list_distinct(toks), d -> len(list_filter(toks, t -> t = d))))"
+    s"""WITH base AS (SELECT doc_id, $toksSql AS toks, text FROM documents)
+       |SELECT doc_id,
+       |  CAST(len(toks) AS INTEGER) AS n_tokens,
+       |  CAST($topCnt AS INTEGER) AS top_token_cnt,
+       |  CAST($topCnt AS DOUBLE) / CAST(len(toks) AS DOUBLE) AS top_token_frac,
+       |  ${dupFrac(bg)} AS dup_bigram_frac,
+       |  ${dupFrac(tg)} AS dup_trigram_frac,
+       |  CAST(CASE WHEN CAST($topCnt AS DOUBLE) / CAST(len(toks) AS DOUBLE) <= 0.2
+       |    AND ${dupFrac(bg)} <= 0.2 AND ${dupFrac(tg)} <= 0.18
+       |    AND len(toks) BETWEEN 8 AND 100000 THEN 1 ELSE 0 END AS INTEGER) AS gopher_ok
+       |FROM base""".stripMargin
+  }
+
+  // --- span-level exact dedup --------------------------------------------
+
+  /** Non-overlapping W-token windows per document; a span is
+    * "duplicated" when its content hash occurs more than once in the
+    * corpus (any document, including re-occurrence within one). The
+    * fixed-window form of exact substring dedup (Lee et al. 2022):
+    * linear explode (n/W spans per doc), one shuffle on the span hash
+    * for the occurrence count, one shuffle back on doc_id for the
+    * per-doc summary — every step linear at 100 TB, unlike a
+    * suffix-array build. Docs shorter than W tokens carry zero spans
+    * (kept in the output with n_spans = 0 via the left join — the
+    * short-doc data-loss trap). */
+  private val spanW = 16
+
+  def dupSpans(spark: SparkSession, dir: String): DataFrame = {
+    val base = withToks(Core.documents(spark, dir))
+      .select(col("doc_id"), toks, size(toks).as("n"))
+    val spans = base.filter(col("n") >= spanW)
+      .select(col("doc_id"), toks,
+        explode(sequence(lit(0), (col("n") / spanW).cast("int") - 1)).as("span_idx"))
+      .select(col("doc_id"), col("span_idx"),
+        graft.functions.poly_hash(
+          concat_ws(" ", slice(toks, col("span_idx") * spanW + 1, lit(spanW)))).as("h"))
+    val counts = spans.groupBy("h").agg(count(lit(1)).as("n_occ"))
+    val perDoc = spans.join(counts, "h")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_spans"),
+        sum(when(col("n_occ") > 1, 1L).otherwise(0L)).as("n_dup_spans"))
+    base.select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"),
+        when(col("n_spans").isNotNull,
+          col("n_dup_spans").cast("double") / col("n_spans").cast("double"))
+          .otherwise(lit(0.0)).as("dup_span_frac"))
+  }
+
+  val dupSpansSql: String = {
+    val spanHash = TextDedup.charHashSql("sp")
+    s"""WITH base AS (SELECT doc_id, $toksSql AS t FROM documents),
+       |idx AS (
+       |  SELECT doc_id, t, unnest(range(0, len(t) // $spanW)) AS i FROM base),
+       |sptxt AS (
+       |  SELECT doc_id, i AS span_idx,
+       |    array_to_string(t[(i*$spanW+1):(i*$spanW+$spanW)], ' ') AS sp FROM idx),
+       |spans AS (SELECT doc_id, span_idx, $spanHash AS h FROM sptxt),
+       |counts AS (SELECT h, count(*) AS n_occ FROM spans GROUP BY 1),
+       |perdoc AS (
+       |  SELECT doc_id, count(*) AS n_spans,
+       |    sum(CASE WHEN n_occ > 1 THEN 1 ELSE 0 END) AS n_dup_spans
+       |  FROM spans JOIN counts USING (h) GROUP BY 1)
+       |SELECT b.doc_id,
+       |  CAST(coalesce(p.n_spans, 0) AS BIGINT) AS n_spans,
+       |  CAST(coalesce(p.n_dup_spans, 0) AS BIGINT) AS n_dup_spans,
+       |  CASE WHEN p.n_spans IS NOT NULL
+       |    THEN CAST(p.n_dup_spans AS DOUBLE) / CAST(p.n_spans AS DOUBLE)
+       |    ELSE CAST(0.0 AS DOUBLE) END AS dup_span_frac
+       |FROM base b LEFT JOIN perdoc p USING (doc_id)""".stripMargin
+  }
+
+  // --- sequence packing ----------------------------------------------------
+
+  /** Greedy document packing into fixed-length training sequences
+    * (GPT-style concatenation with boundary splitting): within a
+    * shard, documents are laid end-to-end in doc_id order over a
+    * token stream chopped into L-token sequences; each doc reports
+    * the sequence it starts in, the sequence it ends in, and its
+    * offset inside the starting sequence.
+    *
+    * The shard is the scale unit: the window is PARTITIONED (by
+    * doc_id mod S), so no global sort exists and shard count scales
+    * with the cluster — the 100 TB layout is thousands of shards,
+    * each packed independently and written as one file group.
+    * Integer `div`/`%` on the running BIGINT total (not double
+    * division) — per-shard token counts can pass 2^53. */
+  private val seqLen = 256
+  private val nShards = 8
+
+  def seqPacking(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    withToks(Core.documents(spark, dir))
+      .select(col("doc_id"), (col("doc_id") % nShards).as("shard"),
+        size(toks).as("n_tokens"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .select(
+        col("doc_id"), col("shard"), col("n_tokens"),
+        expr(s"(cum_tokens - n_tokens) div $seqLen").as("seq_first"),
+        expr(s"(cum_tokens - 1) div $seqLen").as("seq_last"),
+        expr(s"(cum_tokens - n_tokens) % $seqLen").as("seq_offset"))
+  }
+
+  val seqPackingSql: String =
+    s"""WITH base AS (
+       |  SELECT doc_id, doc_id % $nShards AS shard,
+       |    CAST(len($toksSql) AS INTEGER) AS n_tokens
+       |  FROM documents),
+       |cum AS (
+       |  SELECT doc_id, shard, n_tokens,
+       |    CAST(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+       |  FROM base)
+       |SELECT doc_id, shard, n_tokens,
+       |  (cum_tokens - n_tokens) // $seqLen AS seq_first,
+       |  (cum_tokens - 1) // $seqLen AS seq_last,
+       |  (cum_tokens - n_tokens) % $seqLen AS seq_offset
+       |FROM cum""".stripMargin
+
+  override def queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    "repetition_metrics" -> ((s, d) => repetitionMetrics(s, d)),
+    "dup_spans" -> ((s, d) => dupSpans(s, d)),
+    "seq_packing" -> ((s, d) => seqPacking(s, d)))
+
+  override def oracle: Seq[(String, String)] = Seq(
+    "repetition_metrics" -> repetitionMetricsSql,
+    "dup_spans" -> dupSpansSql,
+    "seq_packing" -> seqPackingSql)
+}

@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.{Core, TrainingData}
+
+class TrainingDataSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("repetition metrics: modal count matches an explode-groupBy recount") {
+    // the sorted-run fold is the map-side O(n log n) form; recount the
+    // modal token the slow way (explode + groupBy + max) and compare
+    val fast = TrainingData.repetitionMetrics(spark, sf0001)
+      .select("doc_id", "top_token_cnt")
+    val slow = Core.documents(spark, sf0001)
+      .select($"doc_id", explode(split($"text", " ")).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(max($"c").cast("int").as("expected"))
+    val bad = fast.join(slow, "doc_id")
+      .filter($"top_token_cnt" =!= $"expected")
+    assert(bad.isEmpty, s"sorted-run modal count diverged: ${bad.count()} docs")
+  }
+
+  test("repetition metrics: fractions bounded, gate consistent with its inputs") {
+    val m = TrainingData.repetitionMetrics(spark, sf0001).cache()
+    assert(m.filter($"top_token_frac" <= 0.0 || $"top_token_frac" > 1.0).isEmpty)
+    assert(m.filter($"dup_bigram_frac" < 0.0 || $"dup_bigram_frac" >= 1.0).isEmpty)
+    val inconsistent = m.filter(
+      ($"gopher_ok" === 1) =!= ($"top_token_frac" <= 0.2 && $"dup_bigram_frac" <= 0.2 &&
+        $"dup_trigram_frac" <= 0.18 && $"n_tokens".between(8, 100000)))
+    assert(inconsistent.isEmpty, "gopher_ok disagrees with its component thresholds")
+  }
+
+  test("dup spans: every doc present, span counts match token counts") {
+    val d = TrainingData.dupSpans(spark, sf0001).cache()
+    val docs = Core.documents(spark, sf0001)
+    assert(d.count() == docs.count(), "short docs must not drop out")
+    // n_spans = floor(n_tokens / 16) for every doc (including 0)
+    val expected = docs.select($"doc_id",
+      (size(split($"text", " ")) / 16).cast("long").as("exp_spans"))
+    val bad = d.join(expected, "doc_id").filter($"n_spans" =!= $"exp_spans")
+    assert(bad.isEmpty, "span count must be floor(n_tokens/16)")
+    assert(d.filter($"n_dup_spans" > $"n_spans").isEmpty)
+  }
+
+  test("dup spans: exact duplicate docs have all spans flagged") {
+    // dedupExact's multi-copy groups share full text -> every span of
+    // every copy collides; such docs must report dup_span_frac = 1
+    // (when they have at least one span)
+    val copies = graft.ops.TextDedup.dedupExact(spark, sf0001)
+      .filter($"n_copies" > 1).select($"keep_id".as("doc_id"))
+    val d = TrainingData.dupSpans(spark, sf0001)
+    val unflagged = d.join(copies, "doc_id")
+      .filter($"n_spans" > 0 && $"dup_span_frac" < 1.0)
+    assert(unflagged.isEmpty, "a verbatim-duplicated doc has an unflagged span")
+  }
+
+  test("seq packing: per-shard token stream is gapless and ordered") {
+    val p = TrainingData.seqPacking(spark, sf0001).cache()
+    // reconstruct each shard's stream: sequences advance monotonically
+    // with doc_id, offsets stay within [0, L), and the packed token
+    // total equals the corpus total
+    assert(p.filter($"seq_offset" < 0 || $"seq_offset" >= 256).isEmpty)
+    assert(p.filter($"seq_last" < $"seq_first").isEmpty)
+    val totTokens = p.agg(sum($"n_tokens")).as[Long].collect()(0)
+    val expTokens = Core.documents(spark, sf0001)
+      .agg(sum(size(split($"text", " ")))).as[Long].collect()(0)
+    assert(totTokens == expTokens, "packing must conserve every token")
+    // a doc starts exactly where the previous doc in its shard ended
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"shard").orderBy($"doc_id")
+    val chained = p.withColumn("prev_end",
+        lag($"seq_last" * 256 + ($"seq_offset" + $"n_tokens" - 1) % 256 + 1, 1, 0).over(w))
+      .filter($"seq_first" * 256 + $"seq_offset" =!= $"prev_end")
+    assert(chained.isEmpty, "gap or overlap in a shard's packed stream")
+  }
+}
