@@ -416,6 +416,73 @@ object Similarity extends QueryModule {
       .select(col("qid"), col("vec_id"), col("cosine"), col("rank"))
   }
 
+  /** Diversity (coverage) sampling: one representative per IVF cell —
+    * the curation pass that keeps a training subset spread over
+    * embedding space instead of clumped where the corpus is dense.
+    * Reuses the deterministic coarse quantizer of [[ivfTopK]]; the
+    * representative is the cell medoid-to-centroid (min squared
+    * distance |x|^2 + (|c|^2 - 2 x.c), vec_id tie-break — the
+    * struct-min is lexicographic, identical to the oracle's
+    * ROW_NUMBER ORDER BY dist2, vec_id pick).
+    *
+    * Scale shape: the assignment is ONE map-side least() over
+    * broadcast-sized centroid literals, then one groupBy(cell) with
+    * partial aggregation — linear scan, shuffle of cells x partitions
+    * rows. Cell count scales with the corpus (the sample rate is
+    * representatives/cells, not a fixed fraction). */
+  def diversitySample(spark: SparkSession, dir: String, cells: Int = 16): DataFrame = {
+    val emb = Core.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"),
+        dot(col("embedding"), col("embedding")).as("xx"))
+    val seedRows = emb.filter(col("vec_id") < cells)
+      .select(col("vec_id"), col("embedding"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1)))
+      .sortBy(_._1)
+    require(seedRows.nonEmpty,
+      s"diversitySample: no centroid seeds (no rows with vec_id < $cells in $dir/embeddings)")
+    val scoreStructs = seedRows.map { case (sid, semb) =>
+      val sembLit = typedLit(semb)
+      val ss = dot(sembLit, sembLit)
+      struct((ss - lit(2.0) * dot(col("embedding"), sembLit)).as("score"),
+        lit(sid).as("sid"))
+    }
+    val assigned = emb
+      .withColumn("best", least(scoreStructs: _*))
+      .select(col("vec_id"), col("best.sid").as("cell"),
+        (col("xx") + col("best.score")).as("dist2"))
+    assigned.groupBy("cell").agg(
+        count(lit(1)).as("n_members"),
+        min(struct(col("dist2"), col("vec_id"))).as("rep"))
+      .select(col("cell"), col("n_members"),
+        col("rep.vec_id").as("rep_vec_id"), col("rep.dist2").as("rep_dist2"))
+  }
+
+  val diversitySampleSql: String = {
+    val cells = 16
+    s"""WITH seeds AS (
+       |  SELECT vec_id AS sid, embedding AS semb,
+       |    ${dotSql("embedding", "embedding")} AS ss
+       |  FROM embeddings WHERE vec_id < $cells),
+       |scored AS (
+       |  SELECT e.vec_id, s.sid,
+       |    s.ss - 2.0 * ${dotSql("e.embedding", "s.semb")} AS score,
+       |    ${dotSql("e.embedding", "e.embedding")} AS xx
+       |  FROM embeddings e CROSS JOIN seeds s),
+       |assigned AS (
+       |  SELECT vec_id, sid AS cell, xx + score AS dist2 FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY score, sid) AS rn
+       |    FROM scored) WHERE rn = 1),
+       |ranked AS (
+       |  SELECT cell, vec_id, dist2,
+       |    ROW_NUMBER() OVER (PARTITION BY cell ORDER BY dist2, vec_id) AS rn,
+       |    COUNT(*) OVER (PARTITION BY cell) AS n_members
+       |  FROM assigned)
+       |SELECT cell, CAST(n_members AS BIGINT) AS n_members,
+       |  vec_id AS rep_vec_id, dist2 AS rep_dist2
+       |FROM ranked WHERE rn = 1""".stripMargin
+  }
+
   /** Int8 scalar quantization — the standard 4x memory reduction
     * before indexing vectors at scale (a 100 TB float corpus becomes
     * 25 TB of int8 codes; recall loss is typically <1% for SQ8).
@@ -647,7 +714,8 @@ object Similarity extends QueryModule {
     "embed_near_dup_pairs" -> ((s, d) => cosineNearDupPairs(s, d)),
     "embed_quantize" -> ((s, d) => embedQuantize(s, d)),
     "embed_ann_sq8_topk" -> ((s, d) => annSq8TopK(s, d)),
-    "embed_dedup_clusters" -> ((s, d) => embedDedupClusters(s, d)))
+    "embed_dedup_clusters" -> ((s, d) => embedDedupClusters(s, d)),
+    "diversity_sample" -> ((s, d) => diversitySample(s, d)))
 
   override def oracle: Seq[(String, String)] = Seq(
     "embed_cosine_topk" -> cosineTopKSql,
@@ -658,5 +726,6 @@ object Similarity extends QueryModule {
     "embed_near_dup_pairs" -> cosineNearDupPairsSql,
     "embed_quantize" -> embedQuantizeSql,
     "embed_ann_sq8_topk" -> annSq8TopKSql,
-    "embed_dedup_clusters" -> embedDedupClustersSql)
+    "embed_dedup_clusters" -> embedDedupClustersSql,
+    "diversity_sample" -> diversitySampleSql)
 }

@@ -208,13 +208,51 @@ object TrainingData extends QueryModule {
        |  (cum_tokens - n_tokens) % $seqLen AS seq_offset
        |FROM cum""".stripMargin
 
+  // --- tokenizer training: BPE pair counts --------------------------------
+
+  /** The inner loop of byte-pair-encoding tokenizer training: count
+    * adjacent symbol pairs across the corpus with multiplicity (the
+    * highest count is the next merge). Starting from character
+    * symbols, the pair stream is a map-side explode (token length − 1
+    * pairs per token), one count shuffle on the pair, and a
+    * TakeOrderedAndProject top-k — per-partition heaps, no global
+    * sort, same shape as vocab_topk. Single-char tokens contribute no
+    * pairs (filtered before the lambda — Spark's sequence() runs
+    * DESCENDING when stop < start, so an unguarded length−1 bound
+    * would fabricate pairs for empty tokens). */
+  private val defaultBpeK = 20
+
+  def bpePairs(spark: SparkSession, dir: String, k: Int = defaultBpeK): DataFrame = {
+    val tok = col("tok")
+    withToks(Core.documents(spark, dir))
+      .select(explode(toks).as("tok"))
+      .filter(length(tok) >= 2)
+      .select(explode(transform(
+        sequence(lit(1), length(tok) - 1),
+        i => concat(tok.substr(i, lit(1)), tok.substr(i + 1, lit(1))))).as("pair"))
+      .groupBy("pair").agg(count(lit(1)).as("n_occurrences"))
+      .orderBy(col("n_occurrences").desc, col("pair"))
+      .limit(k)
+  }
+
+  val bpePairsSql: String =
+    s"""SELECT pair, count(*) AS n_occurrences FROM (
+       |  SELECT unnest(list_transform(range(1, length(tok)), i -> tok[i] || tok[i+1])) AS pair
+       |  FROM (SELECT unnest($toksSql) AS tok FROM documents)
+       |  WHERE length(tok) >= 2)
+       |GROUP BY pair
+       |ORDER BY n_occurrences DESC, pair
+       |LIMIT $defaultBpeK""".stripMargin
+
   override def queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "repetition_metrics" -> ((s, d) => repetitionMetrics(s, d)),
     "dup_spans" -> ((s, d) => dupSpans(s, d)),
-    "seq_packing" -> ((s, d) => seqPacking(s, d)))
+    "seq_packing" -> ((s, d) => seqPacking(s, d)),
+    "bpe_pairs" -> ((s, d) => bpePairs(s, d)))
 
   override def oracle: Seq[(String, String)] = Seq(
     "repetition_metrics" -> repetitionMetricsSql,
     "dup_spans" -> dupSpansSql,
-    "seq_packing" -> seqPackingSql)
+    "seq_packing" -> seqPackingSql,
+    "bpe_pairs" -> bpePairsSql)
 }

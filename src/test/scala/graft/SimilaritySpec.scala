@@ -121,4 +121,36 @@ class SimilaritySpec extends SparkSpec {
     val viol = exact1.join(ann1, "qid").filter($"annbest" > $"best" + 1e-12)
     assert(viol.isEmpty)
   }
+
+  test("diversity sample: cells partition the corpus, rep is its cell's closest member") {
+    val d = Similarity.diversitySample(spark, sf0001).cache()
+    val total = graft.ops.Core.embeddings(spark, sf0001).count()
+    assert(d.agg(sum($"n_members")).as[Long].collect()(0) == total,
+      "cell member counts must partition the corpus")
+    assert(d.count() <= 16 && d.select("cell").distinct().count() == d.count())
+    // independent slow-path recompute: explicit crossJoin + window argmin
+    // for the assignment, then the per-cell (dist2, vec_id) minimum
+    val dot = (a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =>
+      graft.functions.dot_product(a, b)
+    val emb = graft.ops.Core.embeddings(spark, sf0001)
+      .select($"vec_id", $"embedding", dot($"embedding", $"embedding").as("xx"))
+    val seeds = emb.filter($"vec_id" < 16)
+      .select($"vec_id".as("sid"), $"embedding".as("semb"), $"xx".as("ss"))
+    val scored = emb.crossJoin(seeds)
+      .select($"vec_id", $"sid",
+        ($"ss" - lit(2.0) * dot($"embedding", $"semb")).as("score"), $"xx")
+    val wAssign = org.apache.spark.sql.expressions.Window
+      .partitionBy("vec_id").orderBy($"score", $"sid")
+    val assigned = scored.withColumn("rn", row_number().over(wAssign))
+      .filter($"rn" === 1)
+      .select($"vec_id", $"sid".as("cell"), ($"xx" + $"score").as("dist2"))
+    val wRep = org.apache.spark.sql.expressions.Window
+      .partitionBy("cell").orderBy($"dist2", $"vec_id")
+    val slow = assigned.withColumn("rn", row_number().over(wRep))
+      .filter($"rn" === 1)
+      .select($"cell", $"vec_id".as("exp_rep"), $"dist2".as("exp_dist2"))
+    val bad = d.join(slow, "cell")
+      .filter($"rep_vec_id" =!= $"exp_rep" || $"rep_dist2" =!= $"exp_dist2")
+    assert(bad.isEmpty, "medoid election diverged from the window-argmin recompute")
+  }
 }

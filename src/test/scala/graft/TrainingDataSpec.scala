@@ -54,6 +54,24 @@ class TrainingDataSpec extends SparkSpec {
     assert(unflagged.isEmpty, "a verbatim-duplicated doc has an unflagged span")
   }
 
+  test("bpe pairs: counts match a substring recount, pairs are 2 chars") {
+    val top = TrainingData.bpePairs(spark, sf0001).cache()
+    assert(top.filter(length($"pair") =!= 2).isEmpty)
+    // independent recount: posexplode each token's characters, join
+    // adjacent positions instead of slicing inside a lambda
+    val chars = Core.documents(spark, sf0001)
+      .select(explode(split($"text", " ")).as("tok"))
+      .withColumn("tid", monotonically_increasing_id())
+      .select($"tid", posexplode(split($"tok", "")))
+      .toDF("tid", "pos", "ch")
+    val slow = chars.as("a")
+      .join(chars.as("b"), $"a.tid" === $"b.tid" && $"a.pos" + 1 === $"b.pos")
+      .select(concat($"a.ch", $"b.ch").as("pair"))
+      .groupBy("pair").agg(count(lit(1)).as("expected"))
+    val bad = top.join(slow, "pair").filter($"n_occurrences" =!= $"expected")
+    assert(bad.isEmpty, "bpe pair count diverged from the positional recount")
+  }
+
   test("seq packing: per-shard token stream is gapless and ordered") {
     val p = TrainingData.seqPacking(spark, sf0001).cache()
     // reconstruct each shard's stream: sequences advance monotonically
