@@ -208,6 +208,84 @@ object TrainingData extends QueryModule {
        |  (cum_tokens - n_tokens) % $seqLen AS seq_offset
        |FROM cum""".stripMargin
 
+  // --- content-defined chunking dedup ------------------------------------
+
+  /** Content-defined chunking: a token ENDS a chunk when its content
+    * hash lands in 1/8 of the hash space (FastCDC-style gear
+    * boundaries, token granularity — expected chunk ~8 tokens). Unlike
+    * the fixed windows of [[dupSpans]], boundaries move WITH the
+    * content, so an insertion near the start of a copied document
+    * shifts only the chunk containing it — every later chunk still
+    * collides with the original (asserted in the spec). Same linear
+    * scale shape as dupSpans: map-side chunk build (one filter + one
+    * transform over the token array), explode, count shuffle on the
+    * chunk hash, per-doc summary. Every doc has >= 1 chunk (the head
+    * chunk starts at token 1), so no doc drops from the summary. */
+  private val cdcModulus = 8
+
+  /** Per-chunk stream (doc_id, chunk_idx, h) — shared by the query and
+    * the boundary-invariance spec. `df` needs doc_id + text. */
+  private[graft] def cdcChunkStream(df: DataFrame): DataFrame = {
+    val base = withToks(df).select(col("doc_id"), toks, size(toks).as("n"))
+    // 1-based positions of boundary tokens; poly_hash is in [0, P) so
+    // plain % matches DuckDB on the non-negative range
+    val withB = base.withColumn("bpos",
+      filter(sequence(lit(1), col("n")),
+        p => graft.functions.poly_hash(element_at(toks, p)) % cdcModulus === 0))
+    val nb = size(col("bpos"))
+    val slots = transform(sequence(lit(0), nb), k => struct(
+      k.as("idx"),
+      when(k === 0, lit(1)).otherwise(element_at(col("bpos"), k) + 1).as("s"),
+      when(k === nb, col("n")).otherwise(element_at(col("bpos"), k + 1)).as("e")))
+    withB
+      .select(col("doc_id"), toks, explode(slots).as("c"))
+      .filter(col("c.s") <= col("c.e")) // tail slot is empty when the last token is a boundary
+      .select(col("doc_id"), col("c.idx").as("chunk_idx"),
+        graft.functions.poly_hash(
+          concat_ws(" ", slice(toks, col("c.s"), col("c.e") - col("c.s") + 1))).as("h"))
+  }
+
+  def cdcChunks(spark: SparkSession, dir: String): DataFrame = {
+    val chunks = cdcChunkStream(Core.documents(spark, dir))
+    val counts = chunks.groupBy("h").agg(count(lit(1)).as("n_occ"))
+    chunks.join(counts, "h")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("n_occ") > 1, 1L).otherwise(0L)).as("n_dup_chunks"))
+      .select(col("doc_id"), col("n_chunks"), col("n_dup_chunks"),
+        (col("n_dup_chunks").cast("double") / col("n_chunks").cast("double"))
+          .as("dup_chunk_frac"))
+  }
+
+  val cdcChunksSql: String = {
+    val tokHash = TextDedup.charHashSql("t[p]")
+    val chunkHash = TextDedup.charHashSql("ctxt")
+    s"""WITH base AS (
+       |  SELECT doc_id, $toksSql AS t, len($toksSql) AS n FROM documents),
+       |bp AS (
+       |  SELECT doc_id, t, n,
+       |    list_filter(range(1, n + 1), p -> ($tokHash) % $cdcModulus = 0) AS bpos
+       |  FROM base),
+       |slots AS (
+       |  SELECT doc_id, t, n, bpos, unnest(range(0, len(bpos) + 1)) AS k FROM bp),
+       |ranges AS (
+       |  SELECT doc_id, t,
+       |    CASE WHEN k = 0 THEN 1 ELSE bpos[k] + 1 END AS s,
+       |    CASE WHEN k = len(bpos) THEN n ELSE bpos[k + 1] END AS e
+       |  FROM slots),
+       |chunks AS (
+       |  SELECT doc_id, array_to_string(t[s:e], ' ') AS ctxt
+       |  FROM ranges WHERE s <= e),
+       |hashed AS (SELECT doc_id, $chunkHash AS h FROM chunks),
+       |counts AS (SELECT h, count(*) AS n_occ FROM hashed GROUP BY 1)
+       |SELECT doc_id,
+       |  CAST(count(*) AS BIGINT) AS n_chunks,
+       |  CAST(sum(CASE WHEN n_occ > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks,
+       |  CAST(sum(CASE WHEN n_occ > 1 THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS dup_chunk_frac
+       |FROM hashed JOIN counts USING (h)
+       |GROUP BY doc_id""".stripMargin
+  }
+
   // --- tokenizer training: BPE pair counts --------------------------------
 
   /** The inner loop of byte-pair-encoding tokenizer training: count
@@ -248,11 +326,13 @@ object TrainingData extends QueryModule {
     "repetition_metrics" -> ((s, d) => repetitionMetrics(s, d)),
     "dup_spans" -> ((s, d) => dupSpans(s, d)),
     "seq_packing" -> ((s, d) => seqPacking(s, d)),
-    "bpe_pairs" -> ((s, d) => bpePairs(s, d)))
+    "bpe_pairs" -> ((s, d) => bpePairs(s, d)),
+    "cdc_chunks" -> ((s, d) => cdcChunks(s, d)))
 
   override def oracle: Seq[(String, String)] = Seq(
     "repetition_metrics" -> repetitionMetricsSql,
     "dup_spans" -> dupSpansSql,
     "seq_packing" -> seqPackingSql,
-    "bpe_pairs" -> bpePairsSql)
+    "bpe_pairs" -> bpePairsSql,
+    "cdc_chunks" -> cdcChunksSql)
 }

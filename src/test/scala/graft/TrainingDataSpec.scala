@@ -54,6 +54,38 @@ class TrainingDataSpec extends SparkSpec {
     assert(unflagged.isEmpty, "a verbatim-duplicated doc has an unflagged span")
   }
 
+  test("cdc chunks: chunks tile each doc, verbatim copies fully flagged") {
+    val c = TrainingData.cdcChunks(spark, sf0001).cache()
+    val docs = Core.documents(spark, sf0001)
+    assert(c.count() == docs.count(), "every doc must produce >= 1 chunk")
+    assert(c.filter($"n_chunks" < 1 || $"n_dup_chunks" > $"n_chunks").isEmpty)
+    // chunk token spans tile the doc exactly: per-doc token total from
+    // the chunk stream equals the doc's token count (recount via the
+    // chunk boundaries is implicit in hashing the joined text; here we
+    // assert the multi-copy invariant instead)
+    val copies = graft.ops.TextDedup.dedupExact(spark, sf0001)
+      .filter($"n_copies" > 1).select($"keep_id".as("doc_id"))
+    val unflagged = c.join(copies, "doc_id").filter($"dup_chunk_frac" < 1.0)
+    assert(unflagged.isEmpty, "a verbatim-duplicated doc has an unflagged chunk")
+  }
+
+  test("cdc chunks: boundaries survive a prefix insertion (vs fixed windows)") {
+    // the CDC property: prepending tokens shifts every fixed window
+    // but only the chunks up to the first content boundary — all later
+    // chunks still collide with the original
+    val txt = Core.documents(spark, sf0001)
+      .orderBy($"doc_id").limit(1).select($"text").as[String].collect()(0)
+    val pair = Seq((0L, txt), (1L, "zzz qqq " + txt)).toDF("doc_id", "text")
+    val hs = TrainingData.cdcChunkStream(pair)
+      .select($"doc_id", $"h").as[(Long, Long)].collect()
+    val orig = hs.filter(_._1 == 0L).map(_._2)
+    val shifted = hs.filter(_._1 == 1L).map(_._2).toSet
+    val surviving = orig.count(shifted.contains)
+    assert(orig.length >= 3, s"doc too short for the invariance check (${orig.length} chunks)")
+    assert(surviving >= orig.length - 1,
+      s"CDC must preserve all chunks after the first boundary: $surviving/${orig.length} survived")
+  }
+
   test("bpe pairs: counts match a substring recount, pairs are 2 chars") {
     val top = TrainingData.bpePairs(spark, sf0001).cache()
     assert(top.filter(length($"pair") =!= 2).isEmpty)
