@@ -21,7 +21,8 @@ object QBench {
     "ngram_jaccard_prefix" -> ((s, d) => ops.TextDedup.ngramJaccardPairsPrefix(s, d)),
     "simhash_pairs_broadcast" -> ((s, d) => ops.TextDedup.simhashPairsBroadcast(s, d)),
     "embed_near_dup_exact" -> ((s, d) => ops.Similarity.cosineNearDupPairsExact(s, d)),
-    "embed_near_dup_16x2" -> ((s, d) => ops.Similarity.cosineNearDupPairsHiRecall(s, d))
+    "embed_near_dup_16x2" -> ((s, d) => ops.Similarity.cosineNearDupPairsHiRecall(s, d)),
+    "cdc_chunks_hof" -> ((s, d) => ops.TrainingData.cdcChunksHof(s, d))
   )
 
   def main(args: Array[String]): Unit = {

@@ -174,6 +174,65 @@ object TokenNgrams {
   }
 }
 
+/** Content-defined chunk hashes: split the token array after every
+  * token whose poly-hash lands in 1/modulus of the hash space, and
+  * emit the poly-hash of each chunk (tokens joined with single
+  * spaces). Element i is the i-th non-empty chunk in document order —
+  * identical to the HOF form (filter(sequence) boundary positions +
+  * transform slot ranges + poly_hash(concat_ws(slice))) kept as the
+  * QBench baseline `cdc_chunks_hof`, but one codegen'd pass instead
+  * of two interpreted lambda layers hashing every token. Empty input
+  * yields an empty array (no chunks), mirroring the HOF form, which
+  * never sees n = 0 from split(). */
+case class CdcChunkHashes(child: Expression, modulus: Int) extends UnaryExpression {
+  require(modulus >= 2, s"cdc_chunk_hashes: modulus must be >= 2, got $modulus")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "cdc_chunk_hashes"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"cdc_chunk_hashes requires array<string>, got ${other.simpleString}")
+  }
+
+  protected override def nullSafeEval(input: Any): Any =
+    CdcChunkHashes.chunks(input.asInstanceOf[ArrayData], modulus)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.CdcChunkHashes.chunks($c, $modulus)")
+
+  override protected def withNewChildInternal(newChild: Expression): CdcChunkHashes =
+    copy(child = newChild)
+}
+
+object CdcChunkHashes {
+  private val SPACE = org.apache.spark.unsafe.types.UTF8String.fromString(" ")
+
+  def chunks(arr: ArrayData, modulus: Int): ArrayData = {
+    val n = arr.numElements()
+    val out = new java.util.ArrayList[AnyRef]
+    var start = 0
+    var i = 0
+    while (i < n) {
+      if (PolyHash.hash(arr.getUTF8String(i)) % modulus == 0) {
+        out.add(java.lang.Long.valueOf(hashChunk(arr, start, i)))
+        start = i + 1
+      }
+      i += 1
+    }
+    if (start < n) out.add(java.lang.Long.valueOf(hashChunk(arr, start, n - 1)))
+    new GenericArrayData(out.toArray)
+  }
+
+  private def hashChunk(arr: ArrayData, s: Int, e: Int): Long = {
+    val parts = new Array[org.apache.spark.unsafe.types.UTF8String](e - s + 1)
+    var j = s
+    while (j <= e) { parts(j - s) = arr.getUTF8String(j); j += 1 }
+    PolyHash.hash(org.apache.spark.unsafe.types.UTF8String.concatWs(SPACE, parts: _*))
+  }
+}
+
 /** SimHash packed signature: for each affine mix g_m = (h*a_m+b_m) mod
   * P, the low `width` bits vote with multiplicity; bit j of the result
   * is the majority vote 2*ones_j > n. With mixes = [(1,0)], width = 32

@@ -29,6 +29,11 @@ package object functions {
   def token_ngrams(c: Column, n: Int): Column =
     GraftBridge.column(TokenNgrams(GraftBridge.expression(c), n))
 
+  /** Content-defined chunk hashes over a token array (codegen'd;
+    * boundary after tokens hashing to 0 mod `modulus`). */
+  def cdc_chunk_hashes(c: Column, modulus: Int): Column =
+    GraftBridge.column(CdcChunkHashes(GraftBridge.expression(c), modulus))
+
   /** Register the custom expressions for SQL use in the given session. */
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(

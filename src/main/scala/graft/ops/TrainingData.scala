@@ -224,8 +224,24 @@ object TrainingData extends QueryModule {
   private val cdcModulus = 8
 
   /** Per-chunk stream (doc_id, chunk_idx, h) — shared by the query and
-    * the boundary-invariance spec. `df` needs doc_id + text. */
-  private[graft] def cdcChunkStream(df: DataFrame): DataFrame = {
+    * the boundary-invariance spec. `df` needs doc_id + text. One
+    * codegen'd pass (graft.functions.CdcChunkHashes) + posexplode.
+    * QBench cold-JVM A/B at sf0.1 (reps): kernel 0.87/0.78/0.71s vs
+    * HOF 1.22/0.94/0.74s — the kernel removes the per-token lambda
+    * interpretation and its one-time codegen, while the steady state
+    * is dominated by the downstream count join either way. */
+  private[graft] def cdcChunkStream(df: DataFrame): DataFrame =
+    withToks(df).select(col("doc_id"),
+      posexplode(graft.functions.cdc_chunk_hashes(toks, cdcModulus))
+        .as(Seq("chunk_idx", "h")))
+
+  /** The HOF baseline the native kernel replaced: boundary positions
+    * via filter(sequence) — an interpreted poly_hash per token — then
+    * slot ranges via transform and a second poly_hash over each
+    * chunk's concat_ws(slice). Kept spec-equal + QBench-reachable
+    * (`cdc_chunks_hof`); the tail slot is empty exactly when the last
+    * token is a boundary, hence the s <= e filter. */
+  private[graft] def cdcChunkStreamHof(df: DataFrame): DataFrame = {
     val base = withToks(df).select(col("doc_id"), toks, size(toks).as("n"))
     // 1-based positions of boundary tokens; poly_hash is in [0, P) so
     // plain % matches DuckDB on the non-negative range
@@ -239,14 +255,13 @@ object TrainingData extends QueryModule {
       when(k === nb, col("n")).otherwise(element_at(col("bpos"), k + 1)).as("e")))
     withB
       .select(col("doc_id"), toks, explode(slots).as("c"))
-      .filter(col("c.s") <= col("c.e")) // tail slot is empty when the last token is a boundary
+      .filter(col("c.s") <= col("c.e"))
       .select(col("doc_id"), col("c.idx").as("chunk_idx"),
         graft.functions.poly_hash(
           concat_ws(" ", slice(toks, col("c.s"), col("c.e") - col("c.s") + 1))).as("h"))
   }
 
-  def cdcChunks(spark: SparkSession, dir: String): DataFrame = {
-    val chunks = cdcChunkStream(Core.documents(spark, dir))
+  private def cdcSummary(chunks: DataFrame): DataFrame = {
     val counts = chunks.groupBy("h").agg(count(lit(1)).as("n_occ"))
     chunks.join(counts, "h")
       .groupBy("doc_id")
@@ -256,6 +271,13 @@ object TrainingData extends QueryModule {
         (col("n_dup_chunks").cast("double") / col("n_chunks").cast("double"))
           .as("dup_chunk_frac"))
   }
+
+  def cdcChunks(spark: SparkSession, dir: String): DataFrame =
+    cdcSummary(cdcChunkStream(Core.documents(spark, dir)))
+
+  /** QBench twin of [[cdcChunks]] over the interpreted HOF chunk build. */
+  private[graft] def cdcChunksHof(spark: SparkSession, dir: String): DataFrame =
+    cdcSummary(cdcChunkStreamHof(Core.documents(spark, dir)))
 
   val cdcChunksSql: String = {
     val tokHash = TextDedup.charHashSql("t[p]")

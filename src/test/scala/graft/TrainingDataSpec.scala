@@ -69,6 +69,16 @@ class TrainingDataSpec extends SparkSpec {
     assert(unflagged.isEmpty, "a verbatim-duplicated doc has an unflagged chunk")
   }
 
+  test("cdc chunks: native kernel equals the interpreted HOF chunk build") {
+    val docs = Core.documents(spark, sf0001)
+    val fast = TrainingData.cdcChunkStream(docs)
+      .as[(Long, Int, Long)].collect().toSet
+    val slow = TrainingData.cdcChunkStreamHof(docs)
+      .as[(Long, Int, Long)].collect().toSet
+    assert(fast == slow,
+      s"kernel/HOF divergence: ${slow.diff(fast).size} missing, ${fast.diff(slow).size} extra")
+  }
+
   test("cdc chunks: boundaries survive a prefix insertion (vs fixed windows)") {
     // the CDC property: prepending tokens shifts every fixed window
     // but only the chunks up to the first content boundary — all later
