@@ -175,13 +175,19 @@ object TrainingData extends QueryModule {
     * each packed independently and written as one file group.
     * Integer `div`/`%` on the running BIGINT total (not double
     * division) — per-shard token counts can pass 2^53. */
-  private val seqLen = 256
-  private val nShards = 8
+  private[graft] val seqLen = 256
+  private[graft] val nShards = 8
 
-  def seqPacking(spark: SparkSession, dir: String): DataFrame = {
+  def seqPacking(spark: SparkSession, dir: String): DataFrame =
+    seqPackingFrom(Core.documents(spark, dir))
+
+  /** Batch core over any (doc_id, text) frame — shared with the
+    * StreamingSpec equality assertion against
+    * [[graft.streaming.StreamingPipeline.streamingSeqPacking]]. */
+  private[graft] def seqPackingFrom(df: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    withToks(Core.documents(spark, dir))
+    withToks(df)
       .select(col("doc_id"), (col("doc_id") % nShards).as("shard"),
         size(toks).as("n_tokens"))
       .withColumn("cum_tokens", sum(col("n_tokens")).over(w))

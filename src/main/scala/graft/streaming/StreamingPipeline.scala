@@ -8,6 +8,12 @@ import org.apache.spark.sql.streaming.GroupStateTimeout
   * stateful-operator surface: KeyValueGroupedDataset.mapGroupsWithState). */
 case class RunningAgg(key: String, n: Long, sum: Double, maxValue: Double)
 
+/** Output row of [[StreamingPipeline.streamingSeqPacking]] — the
+  * training-sequence coordinates of one packed document (same columns
+  * as the batch `seq_packing` query). */
+case class PackedDoc(doc_id: Long, shard: Long, n_tokens: Int,
+  seq_first: Long, seq_last: Long, seq_offset: Long)
+
 /** transformWithState processor for [[StreamingPipeline.runningStatsTWS]]:
   * one named ValueState variable per key, no TTL, no timers. */
 class RunningStatsProcessor
@@ -348,6 +354,45 @@ object StreamingPipeline {
       .withWatermark("ts", "5 minutes")
       .dropDuplicatesWithinWatermark(Seq("dedup_key"))
       .drop("dedup_key")
+
+  /** STREAMING sequence packing: the batch
+    * [[graft.ops.TrainingData.seqPacking]] layout computed as
+    * documents arrive — each shard's packing cursor (ONE long: the
+    * cumulative token count) is the only cross-batch state, carried by
+    * flatMapGroupsWithState. A continuously-fed corpus can therefore
+    * emit training-sequence coordinates at ingest: thousands of shards
+    * cost kilobytes of state, nothing like the windowed-agg state the
+    * other stateful ops hold. Within a micro-batch the group's rows
+    * sort by doc_id (iterator order is not contractual); ACROSS
+    * batches the packing order is arrival order — equality with the
+    * batch window form holds when docs arrive in doc_id order per
+    * shard (asserted in StreamingSpec over multiple batches). No
+    * watermark: the state never expires by design (a packing cursor is
+    * meaningful for the stream's lifetime). Input: (doc_id, text). */
+  def streamingSeqPacking(docs: DataFrame): Dataset[PackedDoc] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val L = graft.ops.TrainingData.seqLen
+    val S = graft.ops.TrainingData.nShards
+    docs
+      .select(col("doc_id").cast("long"),
+        size(split(col("text"), " ")).as("n_tokens"))
+      .as[(Long, Int)]
+      .groupByKey { case (id, _) => id % S }
+      .flatMapGroupsWithState[Long, PackedDoc](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.NoTimeout) {
+        (shard, rows, state) =>
+          var cum = state.getOption.getOrElse(0L)
+          val out = rows.toSeq.sortBy(_._1).map { case (id, n) =>
+            val start = cum
+            cum += n
+            PackedDoc(id, shard, n, start / L, (cum - 1) / L, start % L)
+          }
+          state.update(cum)
+          out.iterator
+      }
+  }
 
   /** K1 — the foreachBatch sink shape (spark_consumer.py:68-84):
     * empty-batch skip + idempotent batchId-keyed write (the production

@@ -114,6 +114,32 @@ class TrainingDataSpec extends SparkSpec {
     assert(bad.isEmpty, "bpe pair count diverged from the positional recount")
   }
 
+  test("seq packing: streaming cursor form equals the batch window form") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    // 20 docs over 8 shards, fed in doc_id order across TWO micro-batches
+    // (the equality precondition: per-shard arrival order = doc_id order)
+    val texts = (0L until 20L).map(i => (i, Seq.fill(3 + (i % 5).toInt)("w").mkString(" ")))
+    val src = MemoryStream[(Long, String)]
+    val packed = graft.streaming.StreamingPipeline
+      .streamingSeqPacking(src.toDF().toDF("doc_id", "text"))
+    val q = packed.writeStream.format("memory").queryName("pack_out")
+      .outputMode("append").start()
+    try {
+      src.addData(texts.take(10): _*)
+      q.processAllAvailable()
+      src.addData(texts.drop(10): _*)
+      q.processAllAvailable()
+      val got = spark.table("pack_out")
+        .select("doc_id", "shard", "n_tokens", "seq_first", "seq_last", "seq_offset")
+        .as[(Long, Long, Int, Long, Long, Long)].collect().toSet
+      val batch = TrainingData.seqPackingFrom(texts.toDF("doc_id", "text"))
+        .as[(Long, Long, Int, Long, Long, Long)].collect().toSet
+      assert(got == batch,
+        s"streaming/batch packing divergence: ${batch.diff(got).size} missing, ${got.diff(batch).size} extra")
+    } finally q.stop()
+  }
+
   test("seq packing: per-shard token stream is gapless and ordered") {
     val p = TrainingData.seqPacking(spark, sf0001).cache()
     // reconstruct each shard's stream: sequences advance monotonically
