@@ -314,6 +314,94 @@ object TrainingData extends QueryModule {
        |GROUP BY doc_id""".stripMargin
   }
 
+  // --- winnowing fingerprints ---------------------------------------------
+
+  /** Winnowing (Schleimer/Wilkerson/Aiken 2003, the MOSS algorithm):
+    * from each document's shingle-hash sequence, select the minimum
+    * hash of every `winnowW` consecutive hashes, dedup the selections
+    * — a position-independent fingerprint SAMPLE with the guarantee
+    * that any shared token run of >= winnowW + 2 tokens (window + the
+    * 3-gram tail) produces at least one shared fingerprint
+    * (spec-asserted on a planted copy). The per-doc sample is ~2/(w+1)
+    * of the shingles, so the cross-doc match join runs on a fraction
+    * of [[dupSpans]]'s stream while still catching partial overlap
+    * inside documents, which whole-chunk hashing misses when the
+    * overlap straddles chunk boundaries.
+    *
+    * Min-by-VALUE (not the rightmost-min positional rule) keeps the
+    * selection expressible as an order-free fold in both engines; ties
+    * between equal hash values select identically by construction.
+    * Scale shape: map-side selection (one lambda pass over the hash
+    * array), explode of the sampled fingerprints, one count shuffle,
+    * per-doc summary with a left join so fingerprint-less docs (< 3
+    * tokens) survive. Per-doc fingerprints are deduped, so the plain
+    * count per fingerprint IS its distinct-doc count minus nothing —
+    * no countDistinct buffer needed. */
+  private val winnowW = 4
+
+  /** The selected-fingerprint stream (doc_id, f) — shared with the
+    * planted-copy guarantee spec. `df` needs doc_id + text. */
+  private[graft] def winnowSelect(df: DataFrame): DataFrame = {
+    val base = withToks(df)
+      .withColumn("hs", transform(
+        graft.functions.token_ngrams(toks, 3),
+        s => graft.functions.poly_hash(s)))
+    val m = size(col("hs"))
+    val sel = when(m >= winnowW,
+        array_distinct(transform(sequence(lit(1), m - winnowW + 1),
+          j => array_min(slice(col("hs"), j, lit(winnowW))))))
+      .when(m >= 1, array(array_min(col("hs"))))
+      .otherwise(array().cast("array<bigint>"))
+    base.select(col("doc_id"), explode(sel).as("f"))
+  }
+
+  def winnowFingerprints(spark: SparkSession, dir: String): DataFrame = {
+    val base = Core.documents(spark, dir)
+    val fps = winnowSelect(base)
+    val counts = fps.groupBy("f").agg(count(lit(1)).as("nd"))
+    val perDoc = fps.join(counts, "f")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_fps"),
+        sum(when(col("nd") > 1, 1L).otherwise(0L)).as("n_shared"))
+    base.select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_fps"), lit(0L)).as("n_fingerprints"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared_fps"),
+        when(col("n_fps").isNotNull,
+          col("n_shared").cast("double") / col("n_fps").cast("double"))
+          .otherwise(lit(0.0)).as("shared_frac"))
+  }
+
+  val winnowFingerprintsSql: String = {
+    val ngramsSql =
+      s"list_transform(range(1, len($toksSql) - 1), i -> $toksSql[i] || ' ' || $toksSql[i+1] || ' ' || $toksSql[i+2])"
+    val sHash = TextDedup.charHashSql("s")
+    val w = winnowW
+    s"""WITH base AS (
+       |  SELECT doc_id, list_transform($ngramsSql, s -> ($sHash)) AS h FROM documents),
+       |sel AS (
+       |  SELECT doc_id,
+       |    CASE WHEN len(h) >= $w THEN
+       |      list_distinct(list_transform(range(1, len(h) - $w + 2), j -> list_min(h[j:j+${w - 1}])))
+       |    WHEN len(h) >= 1 THEN [list_min(h)]
+       |    ELSE CAST([] AS BIGINT[]) END AS fps
+       |  FROM base),
+       |fp AS (SELECT doc_id, unnest(fps) AS f FROM sel),
+       |cnt AS (SELECT f, count(*) AS nd FROM fp GROUP BY 1),
+       |perdoc AS (
+       |  SELECT doc_id, count(*) AS n_fps,
+       |    sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS n_shared
+       |  FROM fp JOIN cnt USING (f) GROUP BY 1)
+       |SELECT b.doc_id,
+       |  CAST(coalesce(p.n_fps, 0) AS BIGINT) AS n_fingerprints,
+       |  CAST(coalesce(p.n_shared, 0) AS BIGINT) AS n_shared_fps,
+       |  CASE WHEN p.n_fps IS NOT NULL
+       |    THEN CAST(p.n_shared AS DOUBLE) / CAST(p.n_fps AS DOUBLE)
+       |    ELSE CAST(0.0 AS DOUBLE) END AS shared_frac
+       |FROM base b LEFT JOIN perdoc p USING (doc_id)""".stripMargin
+  }
+
   // --- tokenizer training: BPE pair counts --------------------------------
 
   /** The inner loop of byte-pair-encoding tokenizer training: count
@@ -355,12 +443,14 @@ object TrainingData extends QueryModule {
     "dup_spans" -> ((s, d) => dupSpans(s, d)),
     "seq_packing" -> ((s, d) => seqPacking(s, d)),
     "bpe_pairs" -> ((s, d) => bpePairs(s, d)),
-    "cdc_chunks" -> ((s, d) => cdcChunks(s, d)))
+    "cdc_chunks" -> ((s, d) => cdcChunks(s, d)),
+    "winnow_fingerprints" -> ((s, d) => winnowFingerprints(s, d)))
 
   override def oracle: Seq[(String, String)] = Seq(
     "repetition_metrics" -> repetitionMetricsSql,
     "dup_spans" -> dupSpansSql,
     "seq_packing" -> seqPackingSql,
     "bpe_pairs" -> bpePairsSql,
-    "cdc_chunks" -> cdcChunksSql)
+    "cdc_chunks" -> cdcChunksSql,
+    "winnow_fingerprints" -> winnowFingerprintsSql)
 }

@@ -89,6 +89,38 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("cdc_chunk_hashes matches a pure-Scala reference and tiles every token") {
+    import graft.functions.cdc_chunk_hashes
+    def refHash(s: String): Long = PolyHash.hash(UTF8String.fromString(s))
+    def refChunks(toks: Seq[String], m: Int): Seq[Long] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[Long]
+      var start = 0
+      toks.zipWithIndex.foreach { case (t, i) =>
+        if (refHash(t) % m == 0) {
+          out += refHash(toks.slice(start, i + 1).mkString(" "))
+          start = i + 1
+        }
+      }
+      if (start < toks.size) out += refHash(toks.drop(start).mkString(" "))
+      out.toSeq
+    }
+    val tokGen = Gen.nonEmptyListOf(Gen.alphaNumChar).map(_.mkString)
+    // small modulus 2 makes boundary-at-last-token and consecutive
+    // boundaries common; include the empty doc
+    val docGen = Gen.choose(0, 15).flatMap(n => Gen.listOfN(n, tokGen))
+    val docs = samples(docGen, 150)
+    val got = docs.map(_.toArray).toSeq.toDF("toks")
+      .select(cdc_chunk_hashes($"toks", 2).as("c2"),
+        cdc_chunk_hashes($"toks", 8).as("c8"))
+      .collect()
+    docs.zip(got).foreach { case (toks, row) =>
+      assert(row.getSeq[Long](0) == refChunks(toks, 2), s"m=2 mismatch for $toks")
+      assert(row.getSeq[Long](1) == refChunks(toks, 8), s"m=8 mismatch for $toks")
+      // every doc with tokens yields >= 1 chunk; empty docs yield none
+      assert(row.getSeq[Long](0).nonEmpty == toks.nonEmpty)
+    }
+  }
+
   test("min-max normalization maps into [0,1] under the reference epsilon bump") {
     samples(Gen.nonEmptyListOf(Gen.choose(-1000.0, 1000.0)), 50).foreach { xs =>
       val mn = xs.min

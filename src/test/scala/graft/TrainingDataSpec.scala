@@ -96,6 +96,34 @@ class TrainingDataSpec extends SparkSpec {
       s"CDC must preserve all chunks after the first boundary: $surviving/${orig.length} survived")
   }
 
+  test("winnowing: every doc kept, exact copies share all fingerprints") {
+    val wf = TrainingData.winnowFingerprints(spark, sf0001).cache()
+    val docs = Core.documents(spark, sf0001)
+    assert(wf.count() == docs.count())
+    assert(wf.filter($"n_shared_fps" > $"n_fingerprints").isEmpty)
+    val copies = graft.ops.TextDedup.dedupExact(spark, sf0001)
+      .filter($"n_copies" > 1).select($"keep_id".as("doc_id"))
+    val unflagged = wf.join(copies, "doc_id")
+      .filter($"n_fingerprints" > 0 && $"shared_frac" < 1.0)
+    assert(unflagged.isEmpty, "a verbatim copy has an unshared fingerprint")
+  }
+
+  test("winnowing guarantee: a planted >= w+2 token overlap shares a fingerprint") {
+    // MOSS guarantee: a shared token run of >= winnowW + 2 tokens (one
+    // full window of 3-gram hashes) must yield >= 1 shared fingerprint
+    // even though the copy sits at a different offset in unrelated text
+    val run = "alpha beta gamma delta epsilon zeta eta theta" // 8 tokens > 4+2
+    val a = "one two three " + run + " four five six"
+    val b = "p q r s t u v w x y z " + run
+    val pair = Seq((0L, a), (1L, b)).toDF("doc_id", "text")
+    val fps = TrainingData.winnowSelect(pair)
+      .as[(Long, Long)].collect()
+    val fa = fps.filter(_._1 == 0L).map(_._2).toSet
+    val fb = fps.filter(_._1 == 1L).map(_._2).toSet
+    assert(fa.intersect(fb).nonEmpty,
+      s"planted overlap produced no shared fingerprint (|a|=${fa.size}, |b|=${fb.size})")
+  }
+
   test("bpe pairs: counts match a substring recount, pairs are 2 chars") {
     val top = TrainingData.bpePairs(spark, sf0001).cache()
     assert(top.filter(length($"pair") =!= 2).isEmpty)
