@@ -16,6 +16,7 @@ object SparkEntry {
     Normalize,
     TextDedup,
     TrainingData,
+    Mixture,
     Similarity,
     Multimodal,
     ScaleOps)

@@ -67,7 +67,7 @@ object TextDedup extends QueryModule {
     * trigram lambda (O(len^2) per doc — measured 17x slower at
     * sf0.1); aliasing the raw ngram array and wrapping the column
     * reference keeps every layer single-evaluation. */
-  private def withNgramArr(df: DataFrame): DataFrame =
+  private[ops] def withNgramArr(df: DataFrame): DataFrame =
     withToks(df).withColumn("ngarr", ngrams)
   private val dng = array_distinct(col("ngarr"))
 
@@ -79,7 +79,7 @@ object TextDedup extends QueryModule {
     * build feeds every dedup-family scan. */
   private val ngrams: Column = graft.functions.token_ngrams(toks, 3)
 
-  private val ngramsSql: String =
+  private[ops] val ngramsSql: String =
     s"list_transform(range(1, len($toksSql) - 1), i -> $toksSql[i] || ' ' || $toksSql[i+1] || ' ' || $toksSql[i+2])"
 
   // --- text analysis ------------------------------------------------------

@@ -1,0 +1,99 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.{Core, Mixture, TextDedup}
+
+class MixtureSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("source caps: exactly min(capK, n_source) kept per source, ranks are a permutation") {
+    val out = Mixture.sourceCaps(spark, sf0001).cache()
+    val perSource = out.groupBy("source")
+      .agg(count(lit(1)).as("n"),
+        sum("kept").as("n_kept"),
+        max("src_rank").as("max_rank"),
+        countDistinct("src_rank").as("n_ranks"))
+      .as[(String, Long, Long, Int, Long)].collect()
+    assert(perSource.nonEmpty)
+    perSource.foreach { case (src, n, kept, maxRank, nRanks) =>
+      assert(kept == math.min(15L, n), s"$src kept $kept of $n")
+      // ranks 1..n with no gaps or repeats (the window is a total order)
+      assert(maxRank.toLong == n && nRanks == n, s"$src ranks not a permutation")
+    }
+    out.unpersist()
+  }
+
+  test("temperature sample keeps more than hard stratification, less than everything") {
+    val temp = Mixture.temperatureSample(spark, sf0001)
+      .select("lang", "n_lang", "n_kept").as[(String, Long, Long)]
+      .collect().map(r => r._1 -> (r._2, r._3)).toMap
+    val hard = TextDedup.stratifiedSample(spark, sf0001)
+      .select("lang", "n_kept").as[(String, Long)].collect().toMap
+    val nMin = temp.values.map(_._1).min
+    temp.foreach { case (lang, (nLang, kept)) =>
+      assert(kept <= nLang)
+      if (nLang == nMin) assert(kept == nLang, s"smallest lang $lang must keep all")
+      // soft flattening admits at least the hard-stratified sample size
+      // (rate sqrt(m/n) >= m/n) up to hash-binomial noise on tiny langs
+      else assert(kept >= hard(lang) - 2, s"$lang temp $kept < hard ${hard(lang)}")
+    }
+  }
+
+  test("keep_rate is the exact sqrt ratio (the cross-engine-exact contract)") {
+    val rows = Mixture.temperatureSample(spark, sf0001)
+      .select("n_lang", "keep_rate").as[(Long, Double)].collect()
+    val nMin = rows.map(_._1).min
+    rows.foreach { case (n, r) =>
+      assert(r == math.sqrt(nMin.toDouble / n.toDouble), s"rate for n=$n")
+    }
+  }
+
+  test("source similarity: planted near-mirror source ranks above the background") {
+    // build a corpus where srcX is a shuffled copy of src0's docs (same
+    // shingles, new doc ids) and srcY is unrelated
+    val docs = Core.documents(spark, sf0001)
+    val base = docs.filter($"source" === "src0")
+    val mirror = base.withColumn("doc_id", $"doc_id" + 100000L)
+      .withColumn("source", lit("srcX"))
+    val planted = docs.unionByName(mirror)
+    val sim = Mixture.sourceSimilarityFrom(planted)
+      .select("src_a", "src_b", "jaccard_est")
+      .as[(String, String, Double)].collect()
+    val mirrorEst = sim.collectFirst {
+      case ("src0", "srcX", j) => j case ("srcX", "src0", j) => j
+    }.get
+    val background = sim.collect {
+      case (a, b, j) if Set(a, b) != Set("src0", "srcX") => j
+    }
+    // identical shingle sets -> estimator is exactly 1; background
+    // sources share only generator vocabulary-level trigrams
+    assert(mirrorEst == 1.0, s"mirror pair estimated $mirrorEst")
+    assert(background.forall(_ < mirrorEst),
+      s"background max ${background.max} >= mirror $mirrorEst")
+  }
+
+  test("bottom-k union estimator is within s.e. bounds on a half-overlap plant") {
+    // srcZ copies half of src0's docs: true Jaccard of shingle sets
+    // ~0.5 (plus vocabulary background); k=64 gives s.e. ~ 1/8
+    val docs = Core.documents(spark, sf0001)
+    val base = docs.filter($"source" === "src0")
+    val ids = base.select("doc_id").as[Long].collect().sorted
+    val half = ids.take(ids.length / 2).toSet
+    val partial = base.filter($"doc_id".isin(half.toSeq: _*))
+      .withColumn("doc_id", $"doc_id" + 200000L)
+      .withColumn("source", lit("srcZ"))
+    val planted = docs.filter($"source" === "src0").unionByName(partial)
+    val est = Mixture.sourceSimilarityFrom(planted)
+      .select("jaccard_est").as[Double].collect().head
+    // true J = |half| / |full| over distinct shingle hashes; compute it
+    val arr = planted
+      .withColumn("toks", split($"text", " "))
+      .select($"source",
+        explode(array_distinct(graft.functions.token_ngrams($"toks", 3))).as("ng"))
+      .select($"source", graft.functions.poly_hash($"ng").as("h")).distinct()
+    val a = arr.filter($"source" === "src0").select("h").as[Long].collect().toSet
+    val b = arr.filter($"source" === "srcZ").select("h").as[Long].collect().toSet
+    val trueJ = a.intersect(b).size.toDouble / a.union(b).size.toDouble
+    assert(math.abs(est - trueJ) <= 3.0 / 8.0, s"est $est vs true $trueJ")
+  }
+}
