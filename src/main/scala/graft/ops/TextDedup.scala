@@ -147,6 +147,58 @@ object TextDedup extends QueryModule {
        |FROM documents""".stripMargin
   }
 
+  /** Quality pruning (the FineWeb-style selection step downstream of
+    * scoring): within each (lang, source) cell, rank documents by
+    * [[textQuality]]'s score and keep the top half. Ranking per CELL
+    * rather than per language is the scale decision: window
+    * parallelism grows with the domain count (millions at web scale),
+    * where a per-language rank would collapse each language into one
+    * sort task. The keep gate is pure integer math on the rank
+    * (q_rank * 2 <= n_cell + 1, i.e. rank <= ceil(n/2)) — no
+    * double-threshold comparison to drift cross-engine; the score
+    * ordering itself is deterministic (exact ratios, doc_id
+    * tie-break). Emits every doc with its rank and decision, like
+    * [[graft.ops.Mixture.sourceCaps]]. */
+  def qualityPrune(spark: SparkSession, dir: String): DataFrame = {
+    val nTok = size(toks).cast("double")
+    val uniq = size(array_distinct(toks)).cast("double") / nTok
+    val stop = size(filter(toks, t => t === "the" || t === "a")).cast("double") / nTok
+    val lenOk = when(length(col("text")).between(100, 400), lit(1.0)).otherwise(lit(0.0))
+    val score = lit(0.5) * uniq + lit(0.2) * (lit(1.0) - stop) + lit(0.3) * lenOk
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang"), col("source"))
+      .orderBy(col("quality_score").desc, col("doc_id"))
+    val wc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang"), col("source"))
+    withToks(Core.documents(spark, dir))
+      .select(col("doc_id"), col("lang"), col("source"), score.as("quality_score"))
+      .withColumn("q_rank", row_number().over(w))
+      .withColumn("n_cell", count(lit(1)).over(wc))
+      .select(col("doc_id"), col("lang"), col("source"), col("quality_score"),
+        col("q_rank"),
+        when(col("q_rank") * 2 <= col("n_cell") + 1, 1).otherwise(0).as("kept"))
+  }
+
+  val qualityPruneSql: String = {
+    val nTok = s"CAST(len($toksSql) AS DOUBLE)"
+    val uniq = s"(CAST(len(list_distinct($toksSql)) AS DOUBLE) / $nTok)"
+    val stop = s"(CAST(len(list_filter($toksSql, t -> t = 'the' OR t = 'a')) AS DOUBLE) / $nTok)"
+    val lenOk = "(CASE WHEN length(text) BETWEEN 100 AND 400 THEN 1.0 ELSE 0.0 END)"
+    s"""WITH q AS (
+       |  SELECT doc_id, lang, source,
+       |    0.5 * $uniq + 0.2 * (1.0 - $stop) + 0.3 * CAST($lenOk AS DOUBLE) AS quality_score
+       |  FROM documents),
+       |r AS (
+       |  SELECT *,
+       |    ROW_NUMBER() OVER (PARTITION BY lang, source ORDER BY quality_score DESC, doc_id) AS q_rank,
+       |    COUNT(*) OVER (PARTITION BY lang, source) AS n_cell
+       |  FROM q)
+       |SELECT doc_id, lang, source, quality_score,
+       |  CAST(q_rank AS INTEGER) AS q_rank,
+       |  CAST(CASE WHEN q_rank * 2 <= n_cell + 1 THEN 1 ELSE 0 END AS INTEGER) AS kept
+       |FROM r""".stripMargin
+  }
+
   /** Document fingerprint: rolling polynomial hash of the full text. */
   def docFingerprint(spark: SparkSession, dir: String): DataFrame =
     withToks(Core.documents(spark, dir)).select(
@@ -767,6 +819,7 @@ object TextDedup extends QueryModule {
     "text_tokens" -> ((s, d) => textTokens(s, d)),
     "lang_id" -> ((s, d) => langId(s, d)),
     "text_quality" -> ((s, d) => textQuality(s, d)),
+    "quality_prune" -> ((s, d) => qualityPrune(s, d)),
     "doc_fingerprint" -> ((s, d) => docFingerprint(s, d)),
     "dedup_exact" -> ((s, d) => dedupExact(s, d)),
     "ngram_jaccard_pairs" -> ((s, d) => ngramJaccardPairs(s, d)),
@@ -786,6 +839,7 @@ object TextDedup extends QueryModule {
     "text_tokens" -> textTokensSql,
     "lang_id" -> langIdSql,
     "text_quality" -> textQualitySql,
+    "quality_prune" -> qualityPruneSql,
     "doc_fingerprint" -> docFingerprintSql,
     "dedup_exact" -> dedupExactSql,
     "ngram_jaccard_pairs" -> ngramJaccardPairsSql,

@@ -167,4 +167,23 @@ class TextDedupSpec extends SparkSpec {
     assert(q.filter($"unique_ratio" <= 0.0 || $"unique_ratio" > 1.0).isEmpty)
     assert(q.filter($"quality_score" < 0.0 || $"quality_score" > 1.0).isEmpty)
   }
+
+  test("quality prune keeps the top half per (lang, source) cell") {
+    val p = TextDedup.qualityPrune(spark, sf0001).cache()
+    // per cell: kept count is exactly ceil(n/2)
+    val cells = p.groupBy("lang", "source")
+      .agg(count(lit(1)).as("n"), sum("kept").as("n_kept"),
+        min(when($"kept" === 1, $"quality_score")).as("min_kept"),
+        max(when($"kept" === 0, $"quality_score")).as("max_dropped"))
+      .as[(String, String, Long, Long, Option[Double], Option[Double])].collect()
+    assert(cells.nonEmpty)
+    cells.foreach { case (lang, src, n, kept, minKept, maxDropped) =>
+      assert(kept == (n + 1) / 2, s"($lang,$src) kept $kept of $n")
+      // no dropped doc outranks a kept doc (ties broken by doc_id can
+      // leave equal scores on both sides)
+      for (mk <- minKept; md <- maxDropped)
+        assert(mk >= md, s"($lang,$src) kept min $mk < dropped max $md")
+    }
+    p.unpersist()
+  }
 }
