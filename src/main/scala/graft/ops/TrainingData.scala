@@ -438,13 +438,68 @@ object TrainingData extends QueryModule {
        |ORDER BY n_occurrences DESC, pair
        |LIMIT $defaultBpeK""".stripMargin
 
+  // --- n-gram language-model estimation -----------------------------------
+
+  /** The count stage of a distributed n-gram LM (the classic
+    * large-scale text op — Brants et al. 2007 built stupid-backoff LMs
+    * over trillions of tokens with exactly this shape): trigram counts,
+    * their bigram-prefix counts, and the MLE conditional
+    * p(w3 | w1 w2) = C3 / C2_prefix, reported for the top `lmK`
+    * trigrams. Probabilities are single divisions of exact integer
+    * counts, so the oracle hash-matches bit-exactly.
+    *
+    * Scale shape: two linear count shuffles (trigram key, bigram key)
+    * and one join of the trigram table against the bigram table ON THE
+    * PREFIX — both sides hash-partitioned by (w1, w2), so the join
+    * co-locates without an extra exchange on the trigram side. The
+    * top-k plans as TakeOrderedAndProject (per-partition heaps); the
+    * full un-truncated table is what a backoff LM would persist,
+    * sharded by prefix. Prefix/suffix slicing reuses the one
+    * token_ngrams pass: a trigram's prefix is tokens [i, i+1], cheaper
+    * re-derived from the trigram string than re-exploded. */
+  private val lmK = 50
+
+  def ngramLm(spark: SparkSession, dir: String, k: Int = lmK): DataFrame = {
+    val base = withToks(Core.documents(spark, dir))
+    val tri = base.select(explode(graft.functions.token_ngrams(toks, 3)).as("tri"))
+      .groupBy("tri").agg(count(lit(1)).as("c3"))
+      // prefix = the trigram minus its last token (tokens carry no
+      // spaces, so the cut at the last space is exact)
+      .withColumn("prefix", expr("substring(tri, 1, length(tri) - length(element_at(split(tri, ' '), 3)) - 1)"))
+    val bi = base.select(explode(graft.functions.token_ngrams(toks, 2)).as("prefix"))
+      .groupBy("prefix").agg(count(lit(1)).as("c2"))
+    tri.join(bi, "prefix")
+      .select(col("tri").as("trigram"), col("c3"), col("c2").as("c2_prefix"),
+        (col("c3").cast("double") / col("c2").cast("double")).as("p_mle"))
+      .orderBy(col("c3").desc, col("trigram"))
+      .limit(k)
+  }
+
+  val ngramLmSql: String = {
+    val tg = s"list_transform(range(1, len($toksSql) - 1), i -> $toksSql[i] || ' ' || $toksSql[i+1] || ' ' || $toksSql[i+2])"
+    val bg = s"list_transform(range(1, len($toksSql)), i -> $toksSql[i] || ' ' || $toksSql[i+1])"
+    s"""WITH tri AS (
+       |  SELECT tri, count(*) AS c3,
+       |    substring(tri, 1, length(tri) - length(string_split(tri, ' ')[3]) - 1) AS prefix
+       |  FROM (SELECT unnest($tg) AS tri FROM documents) GROUP BY tri),
+       |bi AS (
+       |  SELECT prefix, count(*) AS c2
+       |  FROM (SELECT unnest($bg) AS prefix FROM documents) GROUP BY prefix)
+       |SELECT tri AS trigram, c3, c2 AS c2_prefix,
+       |  CAST(c3 AS DOUBLE) / CAST(c2 AS DOUBLE) AS p_mle
+       |FROM tri JOIN bi USING (prefix)
+       |ORDER BY c3 DESC, trigram
+       |LIMIT $lmK""".stripMargin
+  }
+
   override def queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "repetition_metrics" -> ((s, d) => repetitionMetrics(s, d)),
     "dup_spans" -> ((s, d) => dupSpans(s, d)),
     "seq_packing" -> ((s, d) => seqPacking(s, d)),
     "bpe_pairs" -> ((s, d) => bpePairs(s, d)),
     "cdc_chunks" -> ((s, d) => cdcChunks(s, d)),
-    "winnow_fingerprints" -> ((s, d) => winnowFingerprints(s, d)))
+    "winnow_fingerprints" -> ((s, d) => winnowFingerprints(s, d)),
+    "ngram_lm" -> ((s, d) => ngramLm(s, d)))
 
   override def oracle: Seq[(String, String)] = Seq(
     "repetition_metrics" -> repetitionMetricsSql,
@@ -452,5 +507,6 @@ object TrainingData extends QueryModule {
     "seq_packing" -> seqPackingSql,
     "bpe_pairs" -> bpePairsSql,
     "cdc_chunks" -> cdcChunksSql,
-    "winnow_fingerprints" -> winnowFingerprintsSql)
+    "winnow_fingerprints" -> winnowFingerprintsSql,
+    "ngram_lm" -> ngramLmSql)
 }

@@ -187,4 +187,27 @@ class TrainingDataSpec extends SparkSpec {
       .filter($"seq_first" * 256 + $"seq_offset" =!= $"prev_end")
     assert(chained.isEmpty, "gap or overlap in a shard's packed stream")
   }
+
+  test("ngram lm: p_mle is a conditional probability with exact-count support") {
+    val lm = TrainingData.ngramLm(spark, sf0001).cache()
+    assert(lm.count() == 50)
+    assert(lm.filter($"p_mle" <= 0.0 || $"p_mle" > 1.0).isEmpty,
+      "MLE must lie in (0, 1]")
+    assert(lm.filter($"c3" > $"c2_prefix").isEmpty,
+      "a trigram cannot outnumber its own prefix bigram")
+    // spot-check one row against direct recounts of the raw corpus
+    val (tri, c3, c2) = lm.select("trigram", "c3", "c2_prefix")
+      .as[(String, Long, Long)].collect().head
+    val toksCol = split($"text", " ")
+    val base = Core.documents(spark, sf0001).select(toksCol.as("toks"))
+    val c3Direct = base
+      .select(explode(graft.functions.token_ngrams($"toks", 3)).as("t"))
+      .filter($"t" === tri).count()
+    val prefix = tri.split(" ").take(2).mkString(" ")
+    val c2Direct = base
+      .select(explode(graft.functions.token_ngrams($"toks", 2)).as("b"))
+      .filter($"b" === prefix).count()
+    assert(c3 == c3Direct && c2 == c2Direct, s"counts for '$tri': $c3/$c3Direct $c2/$c2Direct")
+    lm.unpersist()
+  }
 }
