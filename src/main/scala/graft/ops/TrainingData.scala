@@ -449,14 +449,17 @@ object TrainingData extends QueryModule {
     * counts, so the oracle hash-matches bit-exactly.
     *
     * Scale shape: two linear count shuffles (trigram key, bigram key)
-    * and one join of the trigram table against the bigram table ON THE
-    * PREFIX — both sides hash-partitioned by (w1, w2), so the join
-    * co-locates without an extra exchange on the trigram side. The
-    * top-k plans as TakeOrderedAndProject (per-partition heaps); the
-    * full un-truncated table is what a backoff LM would persist,
-    * sharded by prefix. Prefix/suffix slicing reuses the one
-    * token_ngrams pass: a trigram's prefix is tokens [i, i+1], cheaper
-    * re-derived from the trigram string than re-exploded. */
+    * join the REDUCED tables — distinct n-grams, not occurrences — on
+    * the prefix. Executed-plan audit at sf0.1: the 931-row bigram side
+    * broadcasts (BroadcastHashJoin, zero extra exchange on the 27k-row
+    * trigram side); at corpus scale the (n-1)-gram table outgrows the
+    * broadcast threshold and the same join hash-shuffles both reduced
+    * tables on the prefix — linear either way, the Brants-et-al.
+    * sharding. The top-k plans as TakeOrderedAndProject (per-partition
+    * heaps); the full un-truncated join is what a backoff LM would
+    * persist, sharded by prefix. The trigram's prefix is re-derived
+    * from the trigram string (cut at the last space — tokens carry no
+    * spaces), cheaper than a second explode. */
   private val lmK = 50
 
   def ngramLm(spark: SparkSession, dir: String, k: Int = lmK): DataFrame = {
