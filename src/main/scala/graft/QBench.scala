@@ -22,7 +22,8 @@ object QBench {
     "simhash_pairs_broadcast" -> ((s, d) => ops.TextDedup.simhashPairsBroadcast(s, d)),
     "embed_near_dup_exact" -> ((s, d) => ops.Similarity.cosineNearDupPairsExact(s, d)),
     "embed_near_dup_16x2" -> ((s, d) => ops.Similarity.cosineNearDupPairsHiRecall(s, d)),
-    "cdc_chunks_hof" -> ((s, d) => ops.TrainingData.cdcChunksHof(s, d))
+    "cdc_chunks_hof" -> ((s, d) => ops.TrainingData.cdcChunksHof(s, d)),
+    "bpe_pairs_hof" -> ((s, d) => ops.TrainingData.bpePairsHof(s, d))
   )
 
   def main(args: Array[String]): Unit = {

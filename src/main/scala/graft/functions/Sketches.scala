@@ -174,6 +174,51 @@ object TokenNgrams {
   }
 }
 
+/** Character n-grams of a string: element i is code points [i, i+n)
+  * of the input; strings shorter than n yield an empty array.
+  * Semantically identical to the HOF form `transform(sequence(1,
+  * length(s)-n+1), i -> concat(substr(s,i,1), ...))` (kept as the
+  * QBench baseline `bpe_pairs_hof`) and to the DuckDB oracle's
+  * `s[i] || s[i+1]` — but one codegen'd loop instead of n interpreted
+  * substr calls per position, keeping the tokenizer-training pair
+  * explode inside WholeStageCodegen. substring() is code-point-based
+  * (matches SQL substr semantics for non-ASCII). */
+case class CharNgrams(child: Expression, n: Int) extends UnaryExpression {
+  require(n >= 1, s"char_ngrams: n must be positive, got $n")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "char_ngrams"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"char_ngrams requires string, got ${other.simpleString}")
+  }
+
+  protected override def nullSafeEval(input: Any): Any =
+    CharNgrams.ngrams(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.CharNgrams.ngrams($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): CharNgrams =
+    copy(child = newChild)
+}
+
+object CharNgrams {
+  def ngrams(s: org.apache.spark.unsafe.types.UTF8String, n: Int): ArrayData = {
+    val len = s.numChars()
+    val out = if (len < n) new Array[AnyRef](0)
+    else {
+      val res = new Array[AnyRef](len - n + 1)
+      var i = 0
+      while (i <= len - n) { res(i) = s.substring(i, i + n); i += 1 }
+      res
+    }
+    new GenericArrayData(out)
+  }
+}
+
 /** Content-defined chunk hashes: split the token array after every
   * token whose poly-hash lands in 1/modulus of the hash space, and
   * emit the poly-hash of each chunk (tokens joined with single

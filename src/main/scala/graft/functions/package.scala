@@ -34,6 +34,10 @@ package object functions {
   def cdc_chunk_hashes(c: Column, modulus: Int): Column =
     GraftBridge.column(CdcChunkHashes(GraftBridge.expression(c), modulus))
 
+  /** Character n-grams of a string (codegen'd; empty below n chars). */
+  def char_ngrams(c: Column, n: Int): Column =
+    GraftBridge.column(CharNgrams(GraftBridge.expression(c), n))
+
   /** Register the custom expressions for SQL use in the given session. */
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(

@@ -416,14 +416,29 @@ object TrainingData extends QueryModule {
     * would fabricate pairs for empty tokens). */
   private val defaultBpeK = 20
 
-  def bpePairs(spark: SparkSession, dir: String, k: Int = defaultBpeK): DataFrame = {
+  def bpePairs(spark: SparkSession, dir: String, k: Int = defaultBpeK): DataFrame =
+    bpePairsCore(spark, dir, k,
+      tok => graft.functions.char_ngrams(tok, 2))
+
+  /** The interpreted-HOF pair build the native char_ngrams kernel
+    * replaced (QBench `bpe_pairs_hof`): one substr-concat lambda per
+    * position. Cold-JVM A/B at sf0.1 (reps): kernel 0.64/0.54/0.47s vs
+    * HOF 1.39/0.99/0.90s — the explode feeds straight from the
+    * codegen'd scan either way; the win is the per-position lambda
+    * interpretation. */
+  private[graft] def bpePairsHof(spark: SparkSession, dir: String): DataFrame =
+    bpePairsCore(spark, dir, defaultBpeK,
+      tok => transform(
+        sequence(lit(1), length(tok) - 1),
+        i => concat(tok.substr(i, lit(1)), tok.substr(i + 1, lit(1)))))
+
+  private def bpePairsCore(spark: SparkSession, dir: String, k: Int,
+      pairsOf: Column => Column): DataFrame = {
     val tok = col("tok")
     withToks(Core.documents(spark, dir))
       .select(explode(toks).as("tok"))
       .filter(length(tok) >= 2)
-      .select(explode(transform(
-        sequence(lit(1), length(tok) - 1),
-        i => concat(tok.substr(i, lit(1)), tok.substr(i + 1, lit(1))))).as("pair"))
+      .select(explode(pairsOf(tok)).as("pair"))
       .groupBy("pair").agg(count(lit(1)).as("n_occurrences"))
       .orderBy(col("n_occurrences").desc, col("pair"))
       .limit(k)

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.functions.{dot_product, poly_hash, PolyHash}
+import graft.functions.{char_ngrams, dot_product, poly_hash, PolyHash}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Custom Catalyst expressions: Column API, SQL registration, and
@@ -165,5 +165,24 @@ class FunctionsSpec extends SparkSpec {
     }
     assert(ex.getMessage.contains("array<float>"),
       s"expected an analysis-time type error, got: ${ex.getMessage}")
+  }
+
+  test("char_ngrams equals the HOF substr build on real tokens; boundary cases") {
+    val toks = graft.ops.Core.documents(spark, sf0001)
+      .select(explode(split($"text", " ")).as("tok"))
+    val hof = transform(
+      sequence(lit(1), length($"tok") - 1),
+      i => concat($"tok".substr(i, lit(1)), $"tok".substr(i + 1, lit(1))))
+    val diff = toks.filter(length($"tok") >= 2)
+      .select(char_ngrams($"tok", 2).as("native"), hof.as("hofv"))
+      .filter($"native" =!= $"hofv")
+    assert(diff.isEmpty, "native and HOF char pairs must match on every token")
+    // below-n strings yield empty arrays; n = length yields one gram
+    val edge = spark.range(1).select(
+      char_ngrams(lit("x"), 2).as("short"),
+      char_ngrams(lit("ab"), 2).as("exact"),
+      char_ngrams(lit(""), 1).as("empty"))
+      .as[(Seq[String], Seq[String], Seq[String])].collect().head
+    assert(edge == ((Seq(), Seq("ab"), Seq())))
   }
 }
