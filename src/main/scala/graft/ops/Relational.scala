@@ -294,6 +294,47 @@ object Relational extends QueryModule {
       |JOIN region ON n_regionkey = r_regionkey
       |GROUP BY ROLLUP(r_name, n_name)""".stripMargin
 
+  /** Shipping-priority top-k (extension; the TPC-H Q3 shape): segment
+    * filter on customer, date range split across orders/lineitem, then
+    * revenue per open order and the k hottest orders. The selective
+    * filters sit directly on the scans (with native TIMESTAMP parquet
+    * the date ranges push down to row-group pruning; the driver
+    * testdata stores nanos-as-long, so the cast runs post-scan — noted,
+    * not hidden). Revenue ranks by TakeOrderedAndProject: per-partition
+    * k-heaps + a k-row driver merge, no global sort. The grouped key
+    * (l_orderkey) rides the same shuffle as the join, and AQE
+    * broadcasts the filtered customer side at bench scale. */
+  private val topOrdersCutoff = "1998-06-01"
+  private val topOrdersK = 10
+
+  def topOrders(spark: SparkSession, dir: String, k: Int = topOrdersK): DataFrame = {
+    val cut = lit(topOrdersCutoff).cast("timestamp")
+    val li = Core.lineitem(spark, dir).filter(col("l_shipdate") > cut)
+    val o = Core.orders(spark, dir).filter(col("o_orderdate") < cut)
+    val c = Core.customer(spark, dir).filter(col("c_mktsegment") === "BUILDING")
+    val rev = price * (one - disc)
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(sum(rev).cast("double").as("revenue"), count(lit(1)).as("n_items"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(k)
+  }
+
+  val topOrdersSql: String =
+    s"""SELECT l_orderkey, o_orderdate, o_orderpriority,
+       |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+       |  COUNT(*) AS n_items
+       |FROM ${Core.sqlLineitem} li
+       |JOIN ${Core.sqlOrders} o ON l_orderkey = o_orderkey
+       |JOIN customer ON o_custkey = c_custkey
+       |WHERE l_shipdate > TIMESTAMP '$topOrdersCutoff'
+       |  AND o_orderdate < TIMESTAMP '$topOrdersCutoff'
+       |  AND c_mktsegment = 'BUILDING'
+       |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+       |ORDER BY revenue DESC, l_orderkey
+       |LIMIT $topOrdersK""".stripMargin
+
   /** Sessionization (extension): classic gap-based sessions — a new
     * session starts after a >30 min silence. Two window passes
     * partitioned BY USER (scales horizontally, unlike the
@@ -458,6 +499,7 @@ object Relational extends QueryModule {
     "distinct_users" -> ((s, d) => distinctUsers(s, d)),
     "value_quantiles" -> ((s, d) => valueQuantiles(s, d)),
     "revenue_rollup" -> ((s, d) => revenueRollup(s, d)),
+    "top_orders" -> ((s, d) => topOrders(s, d)),
     "user_sessions" -> ((s, d) => userSessions(s, d)),
     "overlapping_sessions" -> ((s, d) => overlappingSessions(s, d)),
     "revenue_by_nation" -> ((s, d) => revenueByNation(s, d)),
@@ -475,6 +517,7 @@ object Relational extends QueryModule {
     "distinct_users" -> distinctUsersSql,
     "value_quantiles" -> valueQuantilesSql,
     "revenue_rollup" -> revenueRollupSql,
+    "top_orders" -> topOrdersSql,
     "user_sessions" -> userSessionsSql,
     "overlapping_sessions" -> overlappingSessionsSql,
     "revenue_by_nation" -> revenueByNationSql,

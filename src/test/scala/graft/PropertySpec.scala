@@ -24,6 +24,26 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("char_ngrams matches a pure-Scala sliding window for any string, incl. non-ASCII") {
+    // pieces include 2-, 3-, and 4-byte UTF-8 code points (the last is
+    // a supplementary-plane emoji — two UTF-16 chars, ONE code point)
+    val pieceGen = Gen.oneOf(
+      Gen.asciiPrintableChar.map(_.toString),
+      Gen.oneOf("é", "ß", "中", "文", new String(Character.toChars(0x1F600))))
+    val gen = Gen.oneOf(Gen.asciiPrintableStr, Gen.listOf(pieceGen).map(_.mkString))
+    samples(gen, 200).foreach { s =>
+      val got = graft.functions.CharNgrams
+        .ngrams(UTF8String.fromString(s), 2)
+      val gotStrs = (0 until got.numElements()).map(got.getUTF8String(_).toString)
+      // sliding on code points, not UTF-16 chars — supplementary-plane
+      // code points are single "characters" to SQL substr
+      val cps = s.codePoints().toArray.toSeq
+      val ref = if (cps.length < 2) Seq()
+        else cps.sliding(2).map(w => new String(w.toArray, 0, 2)).toSeq
+      assert(gotStrs == ref, s"mismatch for ${s.take(40)}")
+    }
+  }
+
   private def mkBars(closes: Seq[Double], spread: Double) =
     closes.zipWithIndex.map { case (c, i) =>
       (java.sql.Timestamp.valueOf(f"2024-01-01 ${i * 5 / 60}%02d:${i * 5 % 60}%02d:00"),

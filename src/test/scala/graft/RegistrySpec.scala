@@ -27,6 +27,18 @@ class RegistrySpec extends SparkSpec {
     assert(bad.isEmpty, "percentile_disc must be monotone in p")
   }
 
+  test("top orders: k rows, revenue-ranked, and every order inside the date split") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val t = graft.ops.Relational.topOrders(spark, sf0001).cache()
+    assert(t.count() == 10)
+    val revs = t.orderBy(col("revenue").desc, col("l_orderkey"))
+      .select("revenue").collect().map(_.getDouble(0))
+    assert(revs.zip(revs.tail).forall { case (a, b) => a >= b }, "revenue must be non-increasing")
+    assert(t.filter(col("o_orderdate") >= lit("1998-06-01").cast("timestamp")).isEmpty,
+      "only orders placed before the cutoff qualify")
+    t.unpersist()
+  }
+
   test("approx quantile sketch tracks the exact quantiles within rank-error bounds") {
     import org.apache.spark.sql.functions.col
     import spark.implicits._
