@@ -594,6 +594,48 @@ object TextDedup extends QueryModule {
        |  l.doc_id = l.cluster_id AS is_survivor
        |FROM labels l JOIN sizes s USING (cluster_id)""".stripMargin
 
+  /** The dedup DECISION layer applied to the corpus: one verdict per
+    * document, layering exact dedup over near-dup clustering the way a
+    * production pipeline drops rows —
+    *   'exact_dup' — not the min-doc_id holder of its md5 digest;
+    *   'near_dup'  — exact survivor, but a clustered non-survivor;
+    *   'kept'      — everything else (incl. cluster survivors).
+    * Exact takes precedence (a byte-identical copy is dropped by the
+    * cheap digest pass before any sketch runs). The verdict table is
+    * what downstream stages filter on (`verdict = 'kept'`) while audits
+    * retain the why.
+    *
+    * Plan shape: digest min-agg (one shuffle on the digest) joined back
+    * to the corpus on digest, left-joined to the cluster labels on
+    * doc_id — all linear, the cluster side is [[dedupClusters]]'s
+    * output (clustered docs only, so the left join's null case IS the
+    * unique-document case). */
+  def dedupApply(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Core.documents(spark, dir)
+      .select(col("doc_id"), md5(col("text").cast("binary")).as("digest"))
+    val exactKeep = docs.groupBy("digest").agg(min(col("doc_id")).as("keep_id"))
+    val clusters = dedupClusters(spark, dir)
+      .select(col("doc_id"), col("is_survivor"))
+    docs.join(exactKeep, "digest")
+      .join(clusters, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("doc_id") =!= col("keep_id"), lit("exact_dup"))
+          .when(col("is_survivor") === false, lit("near_dup"))
+          .otherwise(lit("kept")).as("verdict"))
+  }
+
+  val dedupApplySql: String =
+    s"""WITH clusters AS ($dedupClustersSql),
+       |d AS (SELECT doc_id, md5(text) AS digest FROM documents),
+       |ek AS (SELECT digest, min(doc_id) AS keep_id FROM d GROUP BY 1)
+       |SELECT d.doc_id,
+       |  CASE WHEN d.doc_id <> ek.keep_id THEN 'exact_dup'
+       |       WHEN c.is_survivor = false THEN 'near_dup'
+       |       ELSE 'kept' END AS verdict
+       |FROM d
+       |JOIN ek USING (digest)
+       |LEFT JOIN clusters c ON c.doc_id = d.doc_id""".stripMargin
+
   /** Deterministic train/val/test split at scale: the reference's
     * TrainValTestSplit (sql_pytorch_dataloader.py:251-320, 0.80 /
     * 0.12 / 0.08) sliced a *chunk list* on the driver; the 100 TB
@@ -825,6 +867,7 @@ object TextDedup extends QueryModule {
     "ngram_jaccard_pairs" -> ((s, d) => ngramJaccardPairs(s, d)),
     "minhash_lsh_candidates" -> ((s, d) => minhashLshCandidates(s, d)),
     "dedup_clusters" -> ((s, d) => dedupClusters(s, d)),
+    "dedup_apply" -> ((s, d) => dedupApply(s, d)),
     "simhash" -> ((s, d) => simhash(s, d)),
     "simhash64" -> ((s, d) => simhash64(s, d)),
     "simhash_pairs" -> ((s, d) => simhashPairs(s, d)),
@@ -845,6 +888,7 @@ object TextDedup extends QueryModule {
     "ngram_jaccard_pairs" -> ngramJaccardPairsSql,
     "minhash_lsh_candidates" -> minhashLshCandidatesSql,
     "dedup_clusters" -> dedupClustersSql,
+    "dedup_apply" -> dedupApplySql,
     "simhash" -> simhashSql,
     "simhash64" -> simhash64Sql,
     "simhash_pairs" -> simhashPairsSql,

@@ -168,6 +168,25 @@ class TextDedupSpec extends SparkSpec {
     assert(q.filter($"quality_score" < 0.0 || $"quality_score" > 1.0).isEmpty)
   }
 
+  test("dedup apply: one verdict per doc, counts tie out to the layer queries") {
+    val v = TextDedup.dedupApply(spark, sf0001).cache()
+    val total = ops.Core.documents(spark, sf0001).count()
+    assert(v.count() == total, "exactly one verdict per document")
+    // exact_dup count = docs minus distinct digests
+    val nDigests = ops.Core.documents(spark, sf0001)
+      .select(md5($"text".cast("binary"))).distinct().count()
+    val byVerdict = v.groupBy("verdict").count()
+      .as[(String, Long)].collect().toMap
+    assert(byVerdict.getOrElse("exact_dup", 0L) == total - nDigests)
+    // near_dup = clustered non-survivors that survived the exact layer
+    val exactDups = v.filter($"verdict" === "exact_dup").select("doc_id")
+    val expectedNearDup = TextDedup.dedupClusters(spark, sf0001)
+      .filter(!$"is_survivor").select("doc_id")
+      .join(exactDups, Seq("doc_id"), "left_anti").count()
+    assert(byVerdict.getOrElse("near_dup", 0L) == expectedNearDup)
+    v.unpersist()
+  }
+
   test("quality prune keeps the top half per (lang, source) cell") {
     val p = TextDedup.qualityPrune(spark, sf0001).cache()
     // per cell: kept count is exactly ceil(n/2)
