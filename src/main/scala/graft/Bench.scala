@@ -63,6 +63,8 @@ object Bench {
         ops.Similarity.cosineNearDupPairs(spark, warmDir).count()
         ops.Similarity.annSq8TopK(spark, warmDir).count()
         ops.Similarity.embedDedupClusters(spark, warmDir).count()
+        ops.Mixture.sourceSimilarity(spark, warmDir).count()
+        ops.TextDedup.dedupApply(spark, warmDir).count()
       }
     } catch {
       case t: Throwable =>
