@@ -1,0 +1,83 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Landed-corpus ingestion edges (builder brief "another source
+  * format"): web-scale text corpora arrive as JSONL / CSV drops long
+  * before they are columnar. These readers pin three decisions a
+  * 100 TB ingest cannot leave to defaults:
+  *
+  *   1. EXPLICIT schema, never inference — schema inference runs a
+  *      whole extra pass over the input (doubling ingest I/O) and
+  *      silently widens types per-drop (an all-null day turns a column
+  *      to string and poisons downstream casts).
+  *   2. Line-level decode via the TEXT source + from_json/from_csv,
+  *      not the format readers' internal corrupt-record machinery: the
+  *      internal `_corrupt_record` column cannot be queried on its own
+  *      (Spark raises QUERY_ONLY_CORRUPT_RECORD_COLUMN because column
+  *      pruning would leave nothing parsed), while a parse STRUCT with
+  *      a corrupt field is just another column — prunable, cacheable,
+  *      and the raw line stays addressable for quarantine/replay.
+  *      Text-source lines are also splittable exactly like the format
+  *      readers' (and a .gz drop is one task either way — shard drops
+  *      at the producer).
+  *   3. Convert to parquet EARLY: text formats parse every byte of
+  *      every line per query — no column pruning, no predicate
+  *      pushdown, no row-group skipping. The read path here exists to
+  *      feed a parquet landing write, after which every graft op gets
+  *      the columnar scan it was planned for.
+  */
+object CorpusSources {
+
+  val corruptCol = "_corrupt_record"
+
+  /** The documents-table schema as a landed-drop contract. */
+  val documentsSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType),
+    StructField("lang", StringType),
+    StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
+  private def decoded(raw: DataFrame, parse: org.apache.spark.sql.Column): DataFrame =
+    raw.select(col("value").as("raw_line"), parse.as("r"))
+      .select(col("raw_line"), col("r.*"))
+
+  /** Read a JSONL drop under an explicit schema; lines that fail to
+    * parse carry their raw text in `_corrupt_record` (data columns
+    * null), everything else decodes typed. */
+  def readJsonl(spark: SparkSession, path: String,
+      schema: StructType = documentsSchema): DataFrame = {
+    val full = schema.add(corruptCol, StringType)
+    decoded(spark.read.text(path),
+      from_json(col("value"), full,
+        Map("mode" -> "PERMISSIVE", "columnNameOfCorruptRecord" -> corruptCol)))
+  }
+
+  /** Read a headered CSV drop under an explicit schema, same corrupt
+    * capture. The header line is recognized by its literal text and
+    * dropped before decode (from_csv sees data lines only). Multi-line
+    * records are out of contract: they would make the drop
+    * non-splittable (one parser must see the whole file), so the
+    * producer contract is one record per line with newlines escaped. */
+  def readCsv(spark: SparkSession, path: String,
+      schema: StructType = documentsSchema): DataFrame = {
+    val full = schema.add(corruptCol, StringType)
+    val header = schema.fieldNames.mkString(",")
+    decoded(spark.read.text(path).filter(col("value") =!= lit(header)),
+      from_csv(col("value"), full,
+        Map("mode" -> "PERMISSIVE", "columnNameOfCorruptRecord" -> corruptCol)))
+  }
+
+  /** Split a decoded drop into (clean, quarantine): clean rows drop
+    * the raw line and corrupt column; quarantine keeps only the raw
+    * line for inspection/replay. Both sides are filters over one scan
+    * — the quarantine side is near-empty on a healthy drop. */
+  def splitCorrupt(df: DataFrame): (DataFrame, DataFrame) = {
+    val clean = df.filter(col(corruptCol).isNull).drop(corruptCol, "raw_line")
+    val bad = df.filter(col(corruptCol).isNotNull).select(col("raw_line"))
+    (clean, bad)
+  }
+}

@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.sources.CorpusSources
+
+class SourcesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def writeLines(name: String, lines: Seq[String]): String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_src")
+    val f = dir.resolve(name)
+    java.nio.file.Files.write(f, String.join("\n", lines: _*).getBytes("UTF-8"))
+    f.toString
+  }
+
+  test("jsonl roundtrip: parquet documents -> jsonl -> same rows under the pinned schema") {
+    val docs = graft.ops.Core.documents(spark, sf0001)
+    val out = java.nio.file.Files.createTempDirectory("graft_jsonl").toString + "/docs"
+    docs.write.json(out)
+    val (clean, bad) = CorpusSources.splitCorrupt(CorpusSources.readJsonl(spark, out))
+    assert(bad.isEmpty, "a clean export must quarantine nothing")
+    assert(clean.count() == docs.count())
+    // column-sorted anti-join in both directions == exact row equality
+    val reread = clean.select(docs.columns.map(col): _*)
+    assert(reread.exceptAll(docs).isEmpty && docs.exceptAll(reread).isEmpty)
+  }
+
+  test("malformed jsonl lines land whole in quarantine, valid lines decode") {
+    val path = writeLines("drop.jsonl", Seq(
+      """{"doc_id": 1, "text": "alpha beta", "lang": "en", "source": "s0", "n_chars": 10}""",
+      """{"doc_id": 2, "text": "gamma", "lang": "de"""", // truncated record
+      """not json at all""",
+      """{"doc_id": 3, "text": "delta", "lang": "fr", "source": "s1", "n_chars": 5}"""))
+    val (clean, bad) = CorpusSources.splitCorrupt(CorpusSources.readJsonl(spark, path))
+    assert(clean.count() == 2)
+    assert(clean.select("doc_id").as[Long].collect().toSet == Set(1L, 3L))
+    val quarantined = bad.as[String].collect()
+    assert(quarantined.length == 2)
+    assert(quarantined.exists(_.contains("not json at all")),
+      "the raw malformed line must be preserved for replay")
+  }
+
+  test("csv with a corrupt row: typed columns survive, bad row quarantines") {
+    val path = writeLines("drop.csv", Seq(
+      "doc_id,text,lang,source,n_chars",
+      "1,alpha beta,en,s0,10",
+      "oops,this row has,a,non-numeric,id",
+      "3,delta,fr,s1,5"))
+    val (clean, bad) = CorpusSources.splitCorrupt(CorpusSources.readCsv(spark, path))
+    assert(clean.count() == 2 && bad.count() == 1)
+    assert(clean.schema("doc_id").dataType == org.apache.spark.sql.types.LongType)
+  }
+}
