@@ -71,6 +71,27 @@ object CorpusSources {
         Map("mode" -> "PERMISSIVE", "columnNameOfCorruptRecord" -> corruptCol)))
   }
 
+  /** Incremental drop processing: the STREAMING twin of [[readJsonl]]
+    * — Structured Streaming's file source watches the drop directory
+    * and each new file becomes (part of) a micro-batch, giving
+    * exactly-once ingest over landed files with zero extra
+    * infrastructure (no broker: the filesystem is the queue; the
+    * checkpoint tracks which files are consumed). Decode is the
+    * identical from_json projection, so the batch and streaming paths
+    * cannot drift. `maxFilesPerTrigger` bounds micro-batch size — the
+    * backpressure knob for a backlog of drops. */
+  def streamJsonl(spark: SparkSession, path: String,
+      schema: StructType = documentsSchema,
+      maxFilesPerTrigger: Int = 16): DataFrame = {
+    val full = schema.add(corruptCol, StringType)
+    decoded(
+      spark.readStream
+        .option("maxFilesPerTrigger", maxFilesPerTrigger)
+        .text(path),
+      from_json(col("value"), full,
+        Map("mode" -> "PERMISSIVE", "columnNameOfCorruptRecord" -> corruptCol)))
+  }
+
   /** Split a decoded drop into (clean, quarantine): clean rows drop
     * the raw line and corrupt column; quarantine keeps only the raw
     * line for inspection/replay. Both sides are filters over one scan

@@ -40,6 +40,30 @@ class SourcesSpec extends SparkSpec {
       "the raw malformed line must be preserved for replay")
   }
 
+  test("streaming jsonl ingest: files become micro-batches, corrupt lines survive the split") {
+    val dropDir = java.nio.file.Files.createTempDirectory("graft_drops")
+    def drop(name: String, lines: Seq[String]): Unit =
+      java.nio.file.Files.write(dropDir.resolve(name),
+        String.join("\n", lines: _*).getBytes("UTF-8"))
+    drop("d0.jsonl", Seq(
+      """{"doc_id": 1, "text": "alpha", "lang": "en", "source": "s0", "n_chars": 5}""",
+      """broken line"""))
+    val stream = CorpusSources.streamJsonl(spark, dropDir.toString)
+    assert(stream.isStreaming)
+    val q = stream.writeStream.format("memory").queryName("src_ingest")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // a second drop arrives: the file source picks it up incrementally
+      drop("d1.jsonl", Seq(
+        """{"doc_id": 2, "text": "beta", "lang": "de", "source": "s1", "n_chars": 4}"""))
+      q.processAllAvailable()
+      val (clean, bad) = CorpusSources.splitCorrupt(spark.table("src_ingest"))
+      assert(clean.select("doc_id").as[Long].collect().toSet == Set(1L, 2L))
+      assert(bad.as[String].collect().toSeq == Seq("broken line"))
+    } finally q.stop()
+  }
+
   test("csv with a corrupt row: typed columns survive, bad row quarantines") {
     val path = writeLines("drop.csv", Seq(
       "doc_id,text,lang,source,n_chars",
