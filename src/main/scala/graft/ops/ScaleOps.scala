@@ -86,6 +86,31 @@ object ScaleOps extends QueryModule {
       .parquet(outDir)
   }
 
+  /** Heavy-hitter detection without a full shuffle-count: a count-min
+    * sketch over the exploded token stream. The sketch is a fixed-size
+    * MERGEABLE state (d x w counter matrix; here w = ceil(e/eps),
+    * d = ceil(ln(1/(1-conf)))), so map-side partials combine
+    * associatively and only kilobytes cross the wire — the hot-key
+    * probe a 100 TB pipeline runs BEFORE choosing salting widths,
+    * where an exact token count would itself be the skewed shuffle it
+    * is trying to diagnose. Spark's builtin count_min_sketch agg
+    * (functions-not-UDFs); estimates are one-sided: est >= true, and
+    * est <= true + eps * N with prob >= conf (asserted in
+    * ScaleOpsSpec against exact counts). No DuckDB oracle — the sketch
+    * binary is engine-internal; the error-bound spec is the check,
+    * like the HLL/approx-quantile twins. */
+  def tokenCountSketch(spark: SparkSession, dir: String,
+      eps: Double = 0.001, confidence: Double = 0.99, seed: Int = 42)
+      : org.apache.spark.util.sketch.CountMinSketch = {
+    val bytes = Core.documents(spark, dir)
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .agg(count_min_sketch(col("tok"), lit(eps), lit(confidence), lit(seed))
+        .as("sk"))
+      .head().getAs[Array[Byte]]("sk")
+    org.apache.spark.util.sketch.CountMinSketch.readFrom(
+      new java.io.ByteArrayInputStream(bytes))
+  }
+
   override def queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "salted_agg" -> ((s, d) => saltedAgg(s, d)))
 

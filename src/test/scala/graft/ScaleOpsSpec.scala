@@ -81,4 +81,22 @@ class ScaleOpsSpec extends SparkSpec {
       assert(n == expected)
     } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
   }
+
+  test("count-min sketch bounds every top-token estimate (one-sided, eps*N slack)") {
+    val eps = 0.001
+    val sk = ScaleOps.tokenCountSketch(spark, sf0001, eps = eps)
+    val toks = graft.ops.Core.documents(spark, sf0001)
+      .select(explode(split($"text", " ")).as("tok"))
+    val totalN = toks.count()
+    val exact = toks.groupBy("tok").count()
+      .orderBy($"count".desc, $"tok").limit(20)
+      .as[(String, Long)].collect()
+    assert(sk.totalCount() == totalN, "sketch must have absorbed every token")
+    exact.foreach { case (tok, trueCnt) =>
+      val est = sk.estimateCount(tok)
+      assert(est >= trueCnt, s"CMS is one-sided: est $est < true $trueCnt for '$tok'")
+      assert(est <= trueCnt + (eps * totalN).ceil.toLong,
+        s"est $est exceeds eps*N slack over $trueCnt for '$tok'")
+    }
+  }
 }
