@@ -317,7 +317,10 @@ object Similarity extends QueryModule {
     * DataFrame-construction time (it parameterizes the argmin
     * expression), so even a plan-only dump of this query runs one
     * small Spark job. */
-  def ivfTopK(spark: SparkSession, dir: String, cells: Int = 16): DataFrame = {
+  /** The deterministic cell assignment shared by [[ivfTopK]] and the
+    * persisted-index pair [[writeIvfIndex]]/[[probeIvfIndex]]:
+    * (vec_id, embedding, norm, cell). */
+  private def ivfAssigned(spark: SparkSession, dir: String, cells: Int): DataFrame = {
     val emb = Core.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding"),
         sqrt(dot(col("embedding"), col("embedding"))).as("norm"))
@@ -334,15 +337,18 @@ object Similarity extends QueryModule {
       .map(r => (r.getLong(0), r.getSeq[Float](1)))
       .sortBy(_._1)
     require(seedRows.nonEmpty,
-      s"ivfTopK: no centroid seeds (no rows with vec_id < $cells in $dir/embeddings)")
+      s"ivfAssigned: no centroid seeds (no rows with vec_id < $cells in $dir/embeddings)")
     val scoreStructs = seedRows.map { case (sid, semb) =>
       val sembLit = typedLit(semb)
       val ss = dot(sembLit, sembLit)
       struct((ss - lit(2.0) * dot(col("embedding"), sembLit)).as("score"),
         lit(sid).as("sid"))
     }
-    val assigned = emb
-      .withColumn("cell", least(scoreStructs: _*).getField("sid"))
+    emb.withColumn("cell", least(scoreStructs: _*).getField("sid"))
+  }
+
+  def ivfTopK(spark: SparkSession, dir: String, cells: Int = 16): DataFrame = {
+    val assigned = ivfAssigned(spark, dir, cells)
     val q = assigned.filter(col("vec_id") % 50 === 0)
       .select(col("vec_id").as("qid"), col("embedding").as("qvec"),
         col("norm").as("qnorm"), col("cell"))
@@ -383,6 +389,47 @@ object Similarity extends QueryModule {
        |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS "rank"
        |  FROM pairs)
        |SELECT qid, vec_id, cosine, CAST("rank" AS INTEGER) AS "rank" FROM ranked WHERE "rank" <= 5""".stripMargin
+  }
+
+  /** IVF index PERSISTENCE — the production ANN lifecycle, where the
+    * index is built once and probed by many later jobs instead of
+    * being rebuilt per query ([[ivfTopK]] is the inline form). The
+    * vectors land partitioned BY CELL, so a probe's `cell IN (...)`
+    * filter prunes at the DIRECTORY level: with nprobe = 1 of 16
+    * cells, a probe job reads ~1/16 of the index bytes — at 100 TB
+    * that partition layout IS the index, and adding cells scales the
+    * pruning ratio. Asserted in SimilaritySpec: probe output equals
+    * the inline query bit-for-bit and the probe scan carries the cell
+    * PartitionFilters. */
+  def writeIvfIndex(spark: SparkSession, dir: String, outDir: String,
+      cells: Int = 16): Unit =
+    ivfAssigned(spark, dir, cells).write
+      .partitionBy("cell")
+      .mode("overwrite")
+      .parquet(outDir)
+
+  /** Probe the persisted index with the same query rule as [[ivfTopK]]
+    * (vec_id % 50 = 0, nprobe = 1). The probed cell set is collected
+    * from the tiny query side and pushed as a LITERAL isin filter so
+    * Catalyst turns it into partition pruning — a join predicate alone
+    * would read every cell directory. */
+  def probeIvfIndex(spark: SparkSession, indexDir: String): DataFrame = {
+    val idx = spark.read.parquet(indexDir)
+    val q = idx.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"),
+        col("norm").as("qnorm"), col("cell"))
+    val probedCells = q.select("cell").distinct().collect().map(_.get(0))
+    val joined = idx.filter(col("cell").isin(probedCells.toSeq: _*))
+      .join(broadcast(q), Seq("cell"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        (dot(col("qvec"), col("embedding")) / (col("qnorm") * col("norm")))
+          .as("cosine"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("cosine").desc, col("vec_id"))
+    joined.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("qid"), col("vec_id"), col("cosine"), col("rank"))
   }
 
   /** MLlib-KMeans flavor of the IVF quantizer (trained centroids).

@@ -153,4 +153,25 @@ class SimilaritySpec extends SparkSpec {
       .filter($"rep_vec_id" =!= $"exp_rep" || $"rep_dist2" =!= $"exp_dist2")
     assert(bad.isEmpty, "medoid election diverged from the window-argmin recompute")
   }
+
+  test("persisted ivf index: probe equals the inline query, scan prunes to probed cells") {
+    val idxDir = java.nio.file.Files.createTempDirectory("graft_ivf").toString + "/idx"
+    Similarity.writeIvfIndex(spark, sf0001, idxDir)
+    val probe = Similarity.probeIvfIndex(spark, idxDir)
+    val inline = Similarity.ivfTopK(spark, sf0001)
+      .select("qid", "vec_id", "cosine", "rank")
+      .as[(Long, Long, Double, Int)].collect().toSet
+    val probed = probe.select("qid", "vec_id", "cosine", "rank")
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(probed == inline,
+      s"probe/inline divergence: ${inline.diff(probed).size} missing, ${probed.diff(inline).size} extra")
+    // the isin literal must reach the file index as a PartitionFilter
+    // (anchored to the PartitionFilters line — 'cell' also appears in
+    // the output schema, so a whole-plan regex would pass vacuously)
+    val explained = probe.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    val pf = explained.linesIterator.filter(_.contains("PartitionFilters")).toSeq
+    assert(pf.exists(l => l.contains("cell") && l.contains("IN")),
+      s"probe must prune on cell, got:\n${pf.mkString("\n")}")
+  }
 }
