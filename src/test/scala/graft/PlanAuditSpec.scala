@@ -1,0 +1,44 @@
+package graft
+
+/** Scale-killer regression gate: no registered query may PLAN a
+  * quadratic join — CartesianProduct never, BroadcastNestedLoopJoin
+  * only where a documented reason bounds one side to scalar/tiny size
+  * or the query IS the exact-baseline twin of a banded scale path.
+  * A new query that accidentally falls off the equi-join path (a typo
+  * in a join key, a non-equi predicate Catalyst can't hash) fails here
+  * with its name, instead of surfacing as a bench cliff two rounds
+  * later. */
+class PlanAuditSpec extends SparkSpec {
+
+  /** BNLJ allowlist — every entry carries the reason its BNLJ is NOT a
+    * scale risk (verified against the scaladoc of each operator). */
+  private val bnljAllowed: Map[String, String] = Map(
+    "stale_filter" -> "scalar broadcast: the 1-row global max-ts bound",
+    "stratified_sample" -> "scalar broadcast: the 1-row min-language count",
+    "temperature_sample" -> "scalar broadcast: the 1-row min-language count",
+    "source_similarity" -> "pair build over the source LIST (sources^2 rows, corpus-size-independent)",
+    "embed_cosine_topk" -> "the documented exact brute-force baseline of the ANN family",
+    "embed_ann_sq8_topk" -> "ADC stage: tiny query set against codes, documented two-stage design")
+
+  test("no registered query plans a cartesian product or an unjustified BNLJ") {
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      val plan = fn(spark, sf0001).queryExecution.sparkPlan.toString
+      val cart = plan.contains("CartesianProduct")
+      val bnlj = plan.contains("BroadcastNestedLoopJoin") && !bnljAllowed.contains(name)
+      if (cart) Some(s"$name: CartesianProduct")
+      else if (bnlj) Some(s"$name: unallowlisted BroadcastNestedLoopJoin")
+      else None
+    }
+    assert(offenders.isEmpty,
+      s"quadratic plan shapes detected:\n${offenders.mkString("\n")}")
+  }
+
+  test("the BNLJ allowlist carries no dead entries") {
+    val stillBnlj = bnljAllowed.keys.filter { name =>
+      SparkEntry.queries(name)(spark, sf0001)
+        .queryExecution.sparkPlan.toString.contains("BroadcastNestedLoopJoin")
+    }
+    assert(stillBnlj.toSet == bnljAllowed.keySet,
+      s"allowlist entries no longer needed (remove them): ${bnljAllowed.keySet -- stillBnlj}")
+  }
+}
