@@ -92,6 +92,52 @@ object CorpusSources {
         Map("mode" -> "PERMISSIVE", "columnNameOfCorruptRecord" -> corruptCol)))
   }
 
+  /** End-to-end landed-drop curation — the composition a continuously
+    * fed corpus actually runs, wiring this module's edges to the
+    * engine's gates and writer:
+    *
+    *   file-drop micro-batches ([[streamJsonl]])
+    *     -> corrupt-line quarantine ([[splitCorrupt]])
+    *     -> quality gate (the corpus_pipeline score, stateless map work)
+    *     -> within-batch exact dedup on the content digest
+    *     -> idempotent batch-partitioned parquet landing
+    *        (StreamingPipeline.writeBatchIdempotent: a replayed batch
+    *        rewrites its own batch_id=N/ partition, never duplicates)
+    *
+    * One foreachBatch produces BOTH outputs from one pass over each
+    * micro-batch: `outDir/corpus/` (curated rows) and
+    * `outDir/quarantine/` (raw malformed lines for replay). Dedup here
+    * is within-batch only — each landed file is deduped as it arrives;
+    * CROSS-batch dedup is the stateful path
+    * (StreamingPipeline.streamingCorpusIngest / streamingNearDupIngest)
+    * whose watermark state a landing writer deliberately does not
+    * carry. Returns the started query; callers own its lifecycle. */
+  def curateDrops(spark: SparkSession, dropDir: String, outDir: String,
+      checkpoint: String, minQuality: Double = 0.55)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.streaming.StreamingPipeline.writeBatchIdempotent
+    streamJsonl(spark, dropDir).writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val (clean, bad) = splitCorrupt(batch)
+        val toks = split(col("text"), " ")
+        val nTok = size(toks).cast("double")
+        val uniq = size(array_distinct(toks)).cast("double") / nTok
+        val stop = size(filter(toks, t => t === "the" || t === "a")).cast("double") / nTok
+        val lenOk = when(length(col("text")).between(100, 400), lit(1.0)).otherwise(lit(0.0))
+        val curated = clean
+          .withColumn("quality_score",
+            lit(0.5) * uniq + lit(0.2) * (lit(1.0) - stop) + lit(0.3) * lenOk)
+          .filter(col("quality_score") >= minQuality)
+          .withColumn("digest", md5(col("text").cast("binary")))
+          .dropDuplicates("digest")
+        writeBatchIdempotent(curated, batchId, s"$outDir/corpus")
+        writeBatchIdempotent(bad, batchId, s"$outDir/quarantine")
+      }
+      .start()
+  }
+
   /** Split a decoded drop into (clean, quarantine): clean rows drop
     * the raw line and corrupt column; quarantine keeps only the raw
     * line for inspection/replay. Both sides are filters over one scan

@@ -64,6 +64,33 @@ class SourcesSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("curate drops end-to-end: corpus lands curated+deduped, quarantine keeps raw lines") {
+    val dropDir = java.nio.file.Files.createTempDirectory("graft_curate_in")
+    val outDir = java.nio.file.Files.createTempDirectory("graft_curate_out").toString
+    val ck = java.nio.file.Files.createTempDirectory("graft_curate_ck").toString
+    // good docs need quality_score >= 0.55: mid-length unique-ish text
+    val goodText = (1 to 30).map(i => s"tok$i").mkString(" ") // ~180 chars, all unique
+    val junkText = Seq.fill(40)("a").mkString(" ")            // stopword soup
+    def js(id: Int, text: String) =
+      s"""{"doc_id": $id, "text": "$text", "lang": "en", "source": "s0", "n_chars": ${text.length}}"""
+    java.nio.file.Files.write(dropDir.resolve("d0.jsonl"),
+      String.join("\n",
+        js(1, goodText),
+        js(2, goodText), // exact duplicate of 1 (by text) -> deduped in-batch
+        js(3, junkText), // fails the quality gate
+        """half a record"""
+      ).getBytes("UTF-8"))
+    val q = CorpusSources.curateDrops(spark, dropDir.toString, outDir, ck)
+    try q.processAllAvailable() finally q.stop()
+    val corpus = spark.read.parquet(s"$outDir/corpus")
+    assert(corpus.count() == 1, "dup and junk must not land")
+    // dropDuplicates keeps ONE arbitrary row per digest — either dup id
+    assert(Set(1L, 2L).contains(corpus.select("doc_id").as[Long].collect().head))
+    assert(corpus.columns.contains("quality_score") && corpus.columns.contains("batch_id"))
+    val quarantine = spark.read.parquet(s"$outDir/quarantine")
+    assert(quarantine.select("raw_line").as[String].collect().toSeq == Seq("half a record"))
+  }
+
   test("csv with a corrupt row: typed columns survive, bad row quarantines") {
     val path = writeLines("drop.csv", Seq(
       "doc_id,text,lang,source,n_chars",
