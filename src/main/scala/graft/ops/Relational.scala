@@ -335,6 +335,45 @@ object Relational extends QueryModule {
        |ORDER BY revenue DESC, l_orderkey
        |LIMIT $topOrdersK""".stripMargin
 
+  /** Large-volume orders (extension; the TPC-H Q18 shape): orders
+    * whose total lineitem quantity exceeds a threshold, with customer
+    * context. The HAVING-subquery becomes aggregate-then-join: the
+    * quantity aggregate keys on l_orderkey and the join back keys on
+    * the SAME column, so the aggregated side never re-shuffles
+    * (contrast ngram_lm, where the count key and join key differ).
+    * Executed-plan audit at sf0.1: the ONLY exchange is the quantity
+    * aggregation; AQE broadcasts orders and customer against the
+    * HAVING-filtered stream (2,285 of 147k orders survive). At
+    * fact-scale orders the same plan hash-joins on the shared
+    * orderkey partitioning instead of broadcasting. Decimal sums
+    * keep the oracle exact. */
+  private val bigOrdersMinQty = 250
+
+  def bigOrders(spark: SparkSession, dir: String): DataFrame = {
+    val li = Core.lineitem(spark, dir)
+    val o = Core.orders(spark, dir)
+    val c = Core.customer(spark, dir)
+    val qty = li.groupBy(col("l_orderkey"))
+      .agg(sum(Core.dec2(col("l_quantity"))).as("total_qty"))
+      .filter(col("total_qty") > bigOrdersMinQty)
+    o.join(qty, col("o_orderkey") === col("l_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+        col("o_orderdate"), col("o_totalprice"),
+        col("total_qty").cast("double").as("total_qty"))
+  }
+
+  val bigOrdersSql: String =
+    s"""SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+       |  CAST(total_qty AS DOUBLE) AS total_qty
+       |FROM ${Core.sqlOrders} o
+       |JOIN (
+       |  SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(18,2))) AS total_qty
+       |  FROM lineitem GROUP BY l_orderkey
+       |  HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > $bigOrdersMinQty
+       |) q ON o_orderkey = l_orderkey
+       |JOIN customer ON o_custkey = c_custkey""".stripMargin
+
   /** Sessionization (extension): classic gap-based sessions — a new
     * session starts after a >30 min silence. Two window passes
     * partitioned BY USER (scales horizontally, unlike the
@@ -500,6 +539,7 @@ object Relational extends QueryModule {
     "value_quantiles" -> ((s, d) => valueQuantiles(s, d)),
     "revenue_rollup" -> ((s, d) => revenueRollup(s, d)),
     "top_orders" -> ((s, d) => topOrders(s, d)),
+    "big_orders" -> ((s, d) => bigOrders(s, d)),
     "user_sessions" -> ((s, d) => userSessions(s, d)),
     "overlapping_sessions" -> ((s, d) => overlappingSessions(s, d)),
     "revenue_by_nation" -> ((s, d) => revenueByNation(s, d)),
@@ -518,6 +558,7 @@ object Relational extends QueryModule {
     "value_quantiles" -> valueQuantilesSql,
     "revenue_rollup" -> revenueRollupSql,
     "top_orders" -> topOrdersSql,
+    "big_orders" -> bigOrdersSql,
     "user_sessions" -> userSessionsSql,
     "overlapping_sessions" -> overlappingSessionsSql,
     "revenue_by_nation" -> revenueByNationSql,
