@@ -86,6 +86,31 @@ object ScaleOps extends QueryModule {
       .parquet(outDir)
   }
 
+  /** Small-file compaction: the maintenance pass every
+    * streaming-ingested corpus needs — idempotent per-batch writers
+    * (foreachBatchParquetSink, curateDrops) land one file group per
+    * micro-batch, and a month of 1-minute batches is 40k+ tiny files
+    * whose per-file open/footer cost dominates later scans. Rewrite
+    * into ~`targetRowsPerFile` files: one repartition shuffle sized
+    * from an exact count, plus `maxRecordsPerFile` as the hard cap so
+    * skewed partitions split instead of ballooning. Partition columns
+    * are preserved (the (lang, split) layout keeps its directory
+    * pruning). Writes to a NEW directory — at 100 TB compaction swaps
+    * directories atomically at the catalog/symlink level rather than
+    * rewriting in place under readers. */
+  def compactParquet(spark: SparkSession, inDir: String, outDir: String,
+      partitionCols: Seq[String] = Nil, targetRowsPerFile: Long = 1000000L): Unit = {
+    val df = spark.read.parquet(inDir)
+    val n = df.count()
+    val files = math.max(1, math.ceil(n.toDouble / targetRowsPerFile).toInt)
+    val w = df.repartition(files)
+      .write
+      .option("maxRecordsPerFile", targetRowsPerFile)
+      .mode("overwrite")
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
+      .parquet(outDir)
+  }
+
   /** Heavy-hitter detection without a full shuffle-count: a count-min
     * sketch over the exploded token stream. The sketch is a fixed-size
     * MERGEABLE state (d x w counter matrix; here w = ceil(e/eps),

@@ -82,6 +82,32 @@ class ScaleOpsSpec extends SparkSpec {
     } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
   }
 
+  test("compaction collapses a fragmented layout, preserves rows and pruning columns") {
+    val frag = java.nio.file.Files.createTempDirectory("graft_frag").toString + "/d"
+    val out = java.nio.file.Files.createTempDirectory("graft_compact").toString + "/d"
+    // simulate a micro-batch-fragmented landing: 16 file groups
+    graft.ops.Core.documents(spark, sf0001)
+      .repartition(16)
+      .write.partitionBy("lang").parquet(frag)
+    def parquetFiles(dir: String) = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(dir)).filter(_.getName.endsWith(".parquet"))
+    }
+    val nFragFiles = parquetFiles(frag).size
+    ScaleOps.compactParquet(spark, frag, out, partitionCols = Seq("lang"))
+    val nCompactFiles = parquetFiles(out).size
+    assert(nCompactFiles < nFragFiles,
+      s"compaction must reduce files: $nFragFiles -> $nCompactFiles")
+    val before = spark.read.parquet(frag)
+    val after = spark.read.parquet(out)
+    assert(after.count() == before.count())
+    assert(after.select(before.columns.map(col): _*).exceptAll(before).isEmpty,
+      "compaction must be a pure rewrite")
+    // the partition layout survives: lang is still a directory column
+    assert(parquetFiles(out).forall(_.getPath.contains("lang=")))
+  }
+
   test("count-min sketch bounds every top-token estimate (one-sided, eps*N slack)") {
     val eps = 0.001
     val sk = ScaleOps.tokenCountSketch(spark, sf0001, eps = eps)
