@@ -140,15 +140,73 @@ object Joins extends QueryModule {
        |FROM deep d ASOF LEFT JOIN views v
        |  ON d.user_id = v.user_id AND d.ts >= v.ts""".stripMargin
 
+  /** As-of join with a TOLERANCE bound (pandas merge_asof(tolerance=),
+    * QuestDB/kdb aj within-window semantics): a match older than
+    * `toleranceUs` is no match at all — both the value and its
+    * timestamp come back null, exactly as if the series had no prior
+    * point. The reference's own 3-minute interval join is this idea
+    * expressed as a range predicate; here it composes onto the
+    * carry-forward as-of by ALSO carrying the matched timestamp and
+    * gating both outputs on the age, integer microsecond math on both
+    * engines. Same per-user partitioned window as [[asofJoinByUser]]
+    * — the 100 TB form. */
+  private val defaultTolUs = 10L * 60L * 1000000L // 10 minutes
+
+  def asofJoinTolerance(spark: SparkSession, dir: String,
+      toleranceUs: Long = defaultTolUs): DataFrame = {
+    val ev = Core.events(spark, dir)
+    val deep = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("deep_id"), col("ts"),
+        col("value").as("deep_value"), lit(1).as("tag"),
+        lit(null).cast("double").as("view_raw"))
+    val views = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max_by(col("value"), col("event_id")).as("view_raw"))
+      .select(col("user_id"), lit(null).cast("long").as("deep_id"), col("ts"),
+        lit(null).cast("double").as("deep_value"), lit(0).as("tag"), col("view_raw"))
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts"), col("tag"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val fresh = col("matched_ts").isNotNull &&
+      unix_micros(col("ts")) - unix_micros(col("matched_ts")) <= toleranceUs
+    deep.unionByName(views)
+      .withColumn("carried_value", last(col("view_raw"), ignoreNulls = true).over(w))
+      .withColumn("matched_ts",
+        last(when(col("tag") === 0, col("ts")), ignoreNulls = true).over(w))
+      .filter(col("tag") === 1)
+      .select(col("user_id"), col("deep_id"), col("ts").as("deep_ts"),
+        col("deep_value"),
+        when(fresh, col("matched_ts")).as("view_ts"),
+        when(fresh, col("carried_value")).as("view_value"))
+  }
+
+  val asofJoinToleranceSql: String =
+    s"""WITH e AS (SELECT * FROM ${Core.sqlEvents}),
+       |deep AS (
+       |  SELECT user_id, event_id AS deep_id, ts, value AS deep_value
+       |  FROM e WHERE event_type = 'purchase'),
+       |views AS (
+       |  SELECT user_id, ts, arg_max(value, event_id) AS view_value
+       |  FROM e WHERE event_type = 'view' GROUP BY user_id, ts)
+       |SELECT d.user_id, d.deep_id, d.ts AS deep_ts, d.deep_value,
+       |  CASE WHEN v.ts IS NOT NULL AND epoch_us(d.ts) - epoch_us(v.ts) <= $defaultTolUs
+       |       THEN v.ts END AS view_ts,
+       |  CASE WHEN v.ts IS NOT NULL AND epoch_us(d.ts) - epoch_us(v.ts) <= $defaultTolUs
+       |       THEN v.view_value END AS view_value
+       |FROM deep d ASOF LEFT JOIN views v
+       |  ON d.user_id = v.user_id AND d.ts >= v.ts""".stripMargin
+
   override def queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "interval_join" -> ((s, d) => intervalJoin(s, d)),
     "interval_join_dedup" -> ((s, d) => intervalJoinDedup(s, d)),
     "asof_join" -> ((s, d) => asofJoin(s, d)),
-    "asof_join_by_user" -> ((s, d) => asofJoinByUser(s, d)))
+    "asof_join_by_user" -> ((s, d) => asofJoinByUser(s, d)),
+    "asof_join_tolerance" -> ((s, d) => asofJoinTolerance(s, d)))
 
   override def oracle: Seq[(String, String)] = Seq(
     "interval_join" -> intervalJoinSql,
     "interval_join_dedup" -> intervalJoinDedupSql,
     "asof_join" -> asofJoinSql,
-    "asof_join_by_user" -> asofJoinByUserSql)
+    "asof_join_by_user" -> asofJoinByUserSql,
+    "asof_join_tolerance" -> asofJoinToleranceSql)
 }
