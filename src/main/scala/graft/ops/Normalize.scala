@@ -106,6 +106,47 @@ object Normalize extends QueryModule {
        |FROM (SELECT *, CAST(event_id // 1000 AS BIGINT) AS chunk FROM ${Core.sqlEvents}) e
        |JOIN params p USING (chunk)""".stripMargin
 
+  /** Z-score normalization per series — the standardization twin of the
+    * reference's min-max (the other normalizer every feature pipeline
+    * offers; min-max is what the reference ships, z-score is what its
+    * biGRU's tanh gates usually want). Mean and population stddev are
+    * derived from EXACT decimal sums with the same s2 - s1^2/c tree the
+    * indicator layer uses, so the doubles match the oracle bit-for-bit.
+    * One grouped aggregation (map-side partials, keys = event types)
+    * joined back — AQE broadcasts the handful of param rows. Degenerate
+    * series (zero variance) yield null, not a division blow-up. */
+  def zscoreNormalize(spark: SparkSession, dir: String): DataFrame = {
+    val vDec = Core.dec2(col("value"))
+    val g = Core.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(sum(vDec).as("s1"), sum(vDec * vDec).as("s2"), count(lit(1)).as("c"))
+    val s1d = col("s1").cast("double")
+    val s2d = col("s2").cast("double")
+    val cd = col("c").cast("double")
+    val mean = s1d / cd
+    val std = sqrt(greatest((s2d - s1d * s1d / cd) / cd, lit(0.0)))
+    val params = g.select(col("event_type"), mean.as("mean"), std.as("std"))
+    Core.events(spark, dir)
+      .join(params, "event_type")
+      .select(col("event_id"), col("event_type"),
+        when(col("std") > 0.0, (col("value") - col("mean")) / col("std")).as("value_z"))
+  }
+
+  val zscoreNormalizeSql: String =
+    s"""WITH g AS (
+       |  SELECT event_type,
+       |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS s1d,
+       |    CAST(SUM(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS s2d,
+       |    CAST(COUNT(*) AS DOUBLE) AS cd
+       |  FROM ${Core.sqlEvents} GROUP BY 1),
+       |params AS (
+       |  SELECT event_type, s1d / cd AS mean,
+       |    sqrt(greatest((s2d - s1d * s1d / cd) / cd, 0.0)) AS std
+       |  FROM g)
+       |SELECT e.event_id, e.event_type,
+       |  CASE WHEN p.std > 0.0 THEN (e.value - p.mean) / p.std END AS value_z
+       |FROM ${Core.sqlEvents} e JOIN params p USING (event_type)""".stripMargin
+
   /** The dataloader's sliding-window batch extraction
     * (sql_pytorch_dataloader.py:8-18 window_indices: width-5 trailing
     * slices, stride 1): per 5-min bar, the trailing window of closes
@@ -133,10 +174,12 @@ object Normalize extends QueryModule {
   override def queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "chunk_minmax" -> ((s, d) => chunkMinmax(s, d)),
     "minmax_normalize" -> ((s, d) => minmaxNormalize(s, d)),
+    "zscore_normalize" -> ((s, d) => zscoreNormalize(s, d)),
     "window_slices" -> ((s, d) => windowSlices(s, d)))
 
   override def oracle: Seq[(String, String)] = Seq(
     "chunk_minmax" -> chunkMinmaxSql,
     "minmax_normalize" -> minmaxNormalizeSql,
+    "zscore_normalize" -> zscoreNormalizeSql,
     "window_slices" -> windowSlicesSql)
 }

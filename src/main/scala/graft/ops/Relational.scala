@@ -335,6 +335,55 @@ object Relational extends QueryModule {
        |ORDER BY revenue DESC, l_orderkey
        |LIMIT $topOrdersK""".stripMargin
 
+  /** Data-quality constraint checking (the Deequ-style validation
+    * stage a pipeline runs on every landed drop before spending
+    * compute on it): one row per declared constraint with its
+    * violation count. All five constraints evaluate in a single
+    * aggregation pass over the table (sum-of-CASE partials combine
+    * map-side; the uniqueness check rides the same pass as a distinct
+    * count), then unpivot to the per-constraint report — constant
+    * output size regardless of input scale. */
+  def dataQuality(spark: SparkSession, dir: String): DataFrame =
+    dataQualityFrom(Core.documents(spark, dir))
+
+  /** The constraint pass over any documents-shaped frame — shared with
+    * RegistrySpec's tampered-corpus assertions. */
+  def dataQualityFrom(d: DataFrame): DataFrame = {
+    val agg = d.agg(
+      count(lit(1)).as("n_rows"),
+      sum(when(col("doc_id").isNull, 1L).otherwise(0L)).as("v_null_id"),
+      countDistinct(col("doc_id")).as("n_distinct_id"),
+      sum(when(col("text").isNull || length(col("text")) === 0, 1L).otherwise(0L))
+        .as("v_empty_text"),
+      sum(when(col("n_chars") =!= length(col("text")), 1L).otherwise(0L)).as("v_chars"),
+      sum(when(!col("lang").isin("en", "de", "es", "fr", "zh"), 1L).otherwise(0L))
+        .as("v_lang"))
+    agg.select(col("n_rows"), expr(
+      """stack(5,
+        |  'doc_id_not_null', v_null_id,
+        |  'doc_id_unique', n_rows - n_distinct_id - v_null_id,
+        |  'text_nonempty', v_empty_text,
+        |  'n_chars_consistent', v_chars,
+        |  'lang_in_domain', v_lang) AS (constraint, n_violations)""".stripMargin))
+      .select(col("constraint"), col("n_rows"), col("n_violations"),
+        (col("n_violations") === 0L).as("pass"))
+  }
+
+  val dataQualitySql: String =
+    """WITH a AS (
+      |  SELECT count(*) AS n_rows,
+      |    sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS v_null_id,
+      |    count(DISTINCT doc_id) AS n_distinct_id,
+      |    sum(CASE WHEN text IS NULL OR length(text) = 0 THEN 1 ELSE 0 END) AS v_empty_text,
+      |    sum(CASE WHEN n_chars <> length(text) THEN 1 ELSE 0 END) AS v_chars,
+      |    sum(CASE WHEN lang NOT IN ('en','de','es','fr','zh') THEN 1 ELSE 0 END) AS v_lang
+      |  FROM documents)
+      |SELECT 'doc_id_not_null' AS constraint, n_rows, CAST(v_null_id AS BIGINT) AS n_violations, v_null_id = 0 AS pass FROM a
+      |UNION ALL SELECT 'doc_id_unique', n_rows, CAST(n_rows - n_distinct_id - v_null_id AS BIGINT), n_rows - n_distinct_id - v_null_id = 0 FROM a
+      |UNION ALL SELECT 'text_nonempty', n_rows, CAST(v_empty_text AS BIGINT), v_empty_text = 0 FROM a
+      |UNION ALL SELECT 'n_chars_consistent', n_rows, CAST(v_chars AS BIGINT), v_chars = 0 FROM a
+      |UNION ALL SELECT 'lang_in_domain', n_rows, CAST(v_lang AS BIGINT), v_lang = 0 FROM a""".stripMargin
+
   /** Large-volume orders (extension; the TPC-H Q18 shape): orders
     * whose total lineitem quantity exceeds a threshold, with customer
     * context. The HAVING-subquery becomes aggregate-then-join: the
@@ -540,6 +589,7 @@ object Relational extends QueryModule {
     "revenue_rollup" -> ((s, d) => revenueRollup(s, d)),
     "top_orders" -> ((s, d) => topOrders(s, d)),
     "big_orders" -> ((s, d) => bigOrders(s, d)),
+    "data_quality" -> ((s, d) => dataQuality(s, d)),
     "user_sessions" -> ((s, d) => userSessions(s, d)),
     "overlapping_sessions" -> ((s, d) => overlappingSessions(s, d)),
     "revenue_by_nation" -> ((s, d) => revenueByNation(s, d)),
@@ -559,6 +609,7 @@ object Relational extends QueryModule {
     "revenue_rollup" -> revenueRollupSql,
     "top_orders" -> topOrdersSql,
     "big_orders" -> bigOrdersSql,
+    "data_quality" -> dataQualitySql,
     "user_sessions" -> userSessionsSql,
     "overlapping_sessions" -> overlappingSessionsSql,
     "revenue_by_nation" -> revenueByNationSql,

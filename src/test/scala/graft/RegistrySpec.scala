@@ -39,6 +39,43 @@ class RegistrySpec extends SparkSpec {
     t.unpersist()
   }
 
+  test("data quality: clean corpus passes all constraints, tampering is counted exactly") {
+    import org.apache.spark.sql.functions._
+    val clean = graft.ops.Relational.dataQuality(spark, sf0001)
+    assert(clean.filter(!col("pass")).isEmpty, "driver corpus must be clean")
+    val docs = graft.ops.Core.documents(spark, sf0001)
+    // tamper: duplicate 3 doc_ids, corrupt 2 n_chars, 1 off-domain lang
+    val dups = docs.limit(3)
+    val tampered = docs.unionByName(dups)
+      .withColumn("n_chars",
+        when(col("doc_id") < 2, col("n_chars") + 1).otherwise(col("n_chars")))
+      .withColumn("lang", when(col("doc_id") === 7, lit("xx")).otherwise(col("lang")))
+    val report = graft.ops.Relational.dataQualityFrom(tampered)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(report("doc_id_unique") == 3, s"got $report")
+    // the 3 duplicated rows double-count their tampered fields too
+    val dupIds = dups.select("doc_id").collect().map(_.getLong(0)).toSet
+    val expChars = 2 + dupIds.count(_ < 2)
+    val expLang = 1 + (if (dupIds.contains(7L)) 1 else 0)
+    assert(report("n_chars_consistent") == expChars, s"got $report")
+    assert(report("lang_in_domain") == expLang, s"got $report")
+    assert(report("doc_id_not_null") == 0 && report("text_nonempty") == 0)
+  }
+
+  test("zscore normalize: per-series mean 0, population stddev 1") {
+    import org.apache.spark.sql.functions._
+    val df = graft.ops.Normalize.zscoreNormalize(spark, sf0001)
+    val stats = df.groupBy("event_type")
+      .agg(avg("value_z").as("m"), stddev_pop("value_z").as("s"), count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2), r.getLong(3)))
+    assert(stats.nonEmpty)
+    stats.foreach { case (t, m, s, n) =>
+      assert(math.abs(m) < 1e-9, s"$t mean $m")
+      assert(math.abs(s - 1.0) < 1e-9, s"$t std $s")
+      assert(n > 0)
+    }
+  }
+
   test("approx quantile sketch tracks the exact quantiles within rank-error bounds") {
     import org.apache.spark.sql.functions.col
     import spark.implicits._
