@@ -85,10 +85,17 @@ object Joins extends QueryModule {
     val w = org.apache.spark.sql.expressions.Window
       .orderBy(col("ts"), col("tag"))
       .rowsBetween(Window.unboundedPreceding, 0)
+    // carry the latest RIGHT ROW as a struct, not its bare value: a
+    // bare last(value, ignoreNulls) would skip null-VALUED right rows
+    // and resurface an older value, where the ASOF oracle pairs with
+    // the latest row regardless of its value's nullness
     deep.unionByName(vix)
-      .withColumn("vix_value", last(col("vix_raw"), ignoreNulls = true).over(w))
+      .withColumn("m",
+        last(when(col("tag") === 0, struct(col("vix_raw").as("mval"))),
+          ignoreNulls = true).over(w))
       .filter(col("tag") === 1)
-      .select(col("deep_id"), col("ts").as("deep_ts"), col("deep_value"), col("vix_value"))
+      .select(col("deep_id"), col("ts").as("deep_ts"), col("deep_value"),
+        col("m.mval").as("vix_value"))
   }
 
   val asofJoinSql: String =
@@ -102,13 +109,19 @@ object Joins extends QueryModule {
        |SELECT d.deep_id, d.ts AS deep_ts, d.deep_value, v.vix_value
        |FROM deep d ASOF LEFT JOIN vix v ON d.ts >= v.ts""".stripMargin
 
-  /** Partitioned as-of join — the 100 TB form of `asofJoin`: each
-    * user's purchases pick up that user's latest prior view. The
-    * window partitions by the series key, so the sort parallelizes
-    * across executors (no global order). Oracle: DuckDB ASOF LEFT
-    * JOIN with an equality condition. */
-  def asofJoinByUser(spark: SparkSession, dir: String): DataFrame = {
+  /** The shared per-user as-of core: union purchases with per-ts
+    * deduped views and carry the latest PRIOR VIEW ROW forward as ONE
+    * (ts, value) struct — the struct is non-null for every view row
+    * even when its VALUE is null, so the matched timestamp and the
+    * matched value can never desynchronize (two parallel
+    * `last(ignoreNulls)` carries would skip null-VALUED views for the
+    * value while still advancing the timestamp — a stale value passed
+    * off under a fresh timestamp, and a divergence from the ASOF
+    * oracle, which always takes the latest ROW). Both the unbounded
+    * and the tolerance form project from this frame. */
+  private def asofByUserCarried(spark: SparkSession, dir: String): DataFrame = {
     val ev = Core.events(spark, dir)
+    val matched = struct(col("ts").as("mts"), col("view_raw").as("mval"))
     val deep = ev.filter(col("event_type") === "purchase")
       .select(col("user_id"), col("event_id").as("deep_id"), col("ts"),
         col("value").as("deep_value"), lit(1).as("tag"),
@@ -122,11 +135,23 @@ object Joins extends QueryModule {
       .orderBy(col("ts"), col("tag"))
       .rowsBetween(Window.unboundedPreceding, 0)
     deep.unionByName(views)
-      .withColumn("view_value", last(col("view_raw"), ignoreNulls = true).over(w))
+      .withColumn("m",
+        last(when(col("tag") === 0, matched), ignoreNulls = true).over(w))
       .filter(col("tag") === 1)
       .select(col("user_id"), col("deep_id"), col("ts").as("deep_ts"),
-        col("deep_value"), col("view_value"))
+        col("deep_value"), col("m.mts").as("matched_ts"),
+        col("m.mval").as("matched_value"))
   }
+
+  /** Partitioned as-of join — the 100 TB form of `asofJoin`: each
+    * user's purchases pick up that user's latest prior view. The
+    * window partitions by the series key, so the sort parallelizes
+    * across executors (no global order). Oracle: DuckDB ASOF LEFT
+    * JOIN with an equality condition. */
+  def asofJoinByUser(spark: SparkSession, dir: String): DataFrame =
+    asofByUserCarried(spark, dir)
+      .select(col("user_id"), col("deep_id"), col("deep_ts"),
+        col("deep_value"), col("matched_value").as("view_value"))
 
   val asofJoinByUserSql: String =
     s"""WITH e AS (SELECT * FROM ${Core.sqlEvents}),
@@ -154,30 +179,12 @@ object Joins extends QueryModule {
 
   def asofJoinTolerance(spark: SparkSession, dir: String,
       toleranceUs: Long = defaultTolUs): DataFrame = {
-    val ev = Core.events(spark, dir)
-    val deep = ev.filter(col("event_type") === "purchase")
-      .select(col("user_id"), col("event_id").as("deep_id"), col("ts"),
-        col("value").as("deep_value"), lit(1).as("tag"),
-        lit(null).cast("double").as("view_raw"))
-    val views = ev.filter(col("event_type") === "view")
-      .groupBy(col("user_id"), col("ts"))
-      .agg(max_by(col("value"), col("event_id")).as("view_raw"))
-      .select(col("user_id"), lit(null).cast("long").as("deep_id"), col("ts"),
-        lit(null).cast("double").as("deep_value"), lit(0).as("tag"), col("view_raw"))
-    val w = Window.partitionBy("user_id")
-      .orderBy(col("ts"), col("tag"))
-      .rowsBetween(Window.unboundedPreceding, 0)
     val fresh = col("matched_ts").isNotNull &&
-      unix_micros(col("ts")) - unix_micros(col("matched_ts")) <= toleranceUs
-    deep.unionByName(views)
-      .withColumn("carried_value", last(col("view_raw"), ignoreNulls = true).over(w))
-      .withColumn("matched_ts",
-        last(when(col("tag") === 0, col("ts")), ignoreNulls = true).over(w))
-      .filter(col("tag") === 1)
-      .select(col("user_id"), col("deep_id"), col("ts").as("deep_ts"),
-        col("deep_value"),
+      unix_micros(col("deep_ts")) - unix_micros(col("matched_ts")) <= toleranceUs
+    asofByUserCarried(spark, dir)
+      .select(col("user_id"), col("deep_id"), col("deep_ts"), col("deep_value"),
         when(fresh, col("matched_ts")).as("view_ts"),
-        when(fresh, col("carried_value")).as("view_value"))
+        when(fresh, col("matched_value")).as("view_value"))
   }
 
   val asofJoinToleranceSql: String =

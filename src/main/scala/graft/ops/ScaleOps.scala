@@ -103,8 +103,15 @@ object ScaleOps extends QueryModule {
     val df = spark.read.parquet(inDir)
     val n = df.count()
     val files = math.max(1, math.ceil(n.toDouble / targetRowsPerFile).toInt)
-    val w = df.repartition(files)
-      .write
+    // with partition columns, repartition BY them: a round-robin
+    // repartition would scatter every directory's rows across all
+    // tasks, and partitionBy then opens one writer per (task,
+    // directory) — files x nPartitionValues fragments of ~1/nValues
+    // the target size, re-fragmenting what compaction exists to fix
+    val repart =
+      if (partitionCols.nonEmpty) df.repartition(files, partitionCols.map(col): _*)
+      else df.repartition(files)
+    val w = repart.write
       .option("maxRecordsPerFile", targetRowsPerFile)
       .mode("overwrite")
     (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)

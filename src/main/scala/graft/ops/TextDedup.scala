@@ -123,6 +123,21 @@ object TextDedup extends QueryModule {
        |       THEN 'en' ELSE 'unk' END AS lang_pred
        |FROM documents""".stripMargin
 
+  /** THE quality-score definition — single source for every consumer
+    * (the registered [[textQuality]]/[[qualityPrune]], the streaming
+    * gate in StreamingPipeline.streamingCorpusIngest, and the landing
+    * writer CorpusSources.curateDrops): tuning a weight, the stopword
+    * list, or the length band here re-syncs all of them at once
+    * instead of silently diverging per copy. `tokens` must be the
+    * split-on-space array of `text`. */
+  private[graft] def qualityScoreCol(text: Column, tokens: Column): Column = {
+    val nTok = size(tokens).cast("double")
+    val uniq = size(array_distinct(tokens)).cast("double") / nTok
+    val stop = size(filter(tokens, t => t === "the" || t === "a")).cast("double") / nTok
+    val lenOk = when(length(text).between(100, 400), lit(1.0)).otherwise(lit(0.0))
+    lit(0.5) * uniq + lit(0.2) * (lit(1.0) - stop) + lit(0.3) * lenOk
+  }
+
   /** Quality scoring: unique-token ratio, stopword ratio, length gate,
     * combined as a weighted score (all exact ratios -> deterministic). */
   def textQuality(spark: SparkSession, dir: String): DataFrame = {
@@ -133,7 +148,7 @@ object TextDedup extends QueryModule {
     withToks(Core.documents(spark, dir)).select(
       col("doc_id"),
       uniq.as("unique_ratio"), stop.as("stop_ratio"), lenOk.as("len_ok"),
-      (lit(0.5) * uniq + lit(0.2) * (lit(1.0) - stop) + lit(0.3) * lenOk).as("quality_score"))
+      qualityScoreCol(col("text"), toks).as("quality_score"))
   }
 
   val textQualitySql: String = {
@@ -160,11 +175,7 @@ object TextDedup extends QueryModule {
     * tie-break). Emits every doc with its rank and decision, like
     * [[graft.ops.Mixture.sourceCaps]]. */
   def qualityPrune(spark: SparkSession, dir: String): DataFrame = {
-    val nTok = size(toks).cast("double")
-    val uniq = size(array_distinct(toks)).cast("double") / nTok
-    val stop = size(filter(toks, t => t === "the" || t === "a")).cast("double") / nTok
-    val lenOk = when(length(col("text")).between(100, 400), lit(1.0)).otherwise(lit(0.0))
-    val score = lit(0.5) * uniq + lit(0.2) * (lit(1.0) - stop) + lit(0.3) * lenOk
+    val score = qualityScoreCol(col("text"), toks)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("lang"), col("source"))
       .orderBy(col("quality_score").desc, col("doc_id"))
@@ -611,8 +622,15 @@ object TextDedup extends QueryModule {
     * output (clustered docs only, so the left join's null case IS the
     * unique-document case). */
   def dedupApply(spark: SparkSession, dir: String): DataFrame = {
+    // null text gets a sentinel digest class (all null-text docs are
+    // byte-identical to each other): md5(NULL) is NULL, and a NULL key
+    // never matches an inner equi-join, so without the coalesce a
+    // null-text document would silently receive NO verdict row at all
+    // — breaking the one-verdict-per-document contract this table
+    // exists to provide
     val docs = Core.documents(spark, dir)
-      .select(col("doc_id"), md5(col("text").cast("binary")).as("digest"))
+      .select(col("doc_id"),
+        coalesce(md5(col("text").cast("binary")), lit("(null-text)")).as("digest"))
     val exactKeep = docs.groupBy("digest").agg(min(col("doc_id")).as("keep_id"))
     val clusters = dedupClusters(spark, dir)
       .select(col("doc_id"), col("is_survivor"))
@@ -626,7 +644,7 @@ object TextDedup extends QueryModule {
 
   val dedupApplySql: String =
     s"""WITH clusters AS ($dedupClustersSql),
-       |d AS (SELECT doc_id, md5(text) AS digest FROM documents),
+       |d AS (SELECT doc_id, coalesce(md5(text), '(null-text)') AS digest FROM documents),
        |ek AS (SELECT digest, min(doc_id) AS keep_id FROM d GROUP BY 1)
        |SELECT d.doc_id,
        |  CASE WHEN d.doc_id <> ek.keep_id THEN 'exact_dup'

@@ -41,9 +41,26 @@ object CorpusSources {
     StructField("source", StringType),
     StructField("n_chars", LongType)))
 
-  private def decoded(raw: DataFrame, parse: org.apache.spark.sql.Column): DataFrame =
-    raw.select(col("value").as("raw_line"), parse.as("r"))
+  /** Decode one-line records. Blank/whitespace-only lines are NOT
+    * records (shard-concatenation separators) and are dropped before
+    * decode; any other line whose parse comes back as a NULL struct —
+    * from_json returns null rather than a corrupt-record struct for
+    * inputs like a bare whitespace payload — is routed to quarantine
+    * rather than leaking through as an all-null "clean" row (the
+    * failure mode a blank-line drop exposed: such rows passed the
+    * corrupt filter, then vanished in the quality gate — in neither
+    * corpus nor quarantine). */
+  private def decoded(raw: DataFrame, parse: org.apache.spark.sql.Column,
+      full: StructType): DataFrame = {
+    val quarantined = struct(full.fields.map { f =>
+      (if (f.name == corruptCol) col("raw_line") else lit(null).cast(f.dataType))
+        .as(f.name)
+    }: _*)
+    raw.filter(trim(col("value")) =!= "")
+      .select(col("value").as("raw_line"), parse.as("r"))
+      .withColumn("r", when(col("r").isNull, quarantined).otherwise(col("r")))
       .select(col("raw_line"), col("r.*"))
+  }
 
   /** Read a JSONL drop under an explicit schema; lines that fail to
     * parse carry their raw text in `_corrupt_record` (data columns
@@ -53,7 +70,8 @@ object CorpusSources {
     val full = schema.add(corruptCol, StringType)
     decoded(spark.read.text(path),
       from_json(col("value"), full,
-        Map("mode" -> "PERMISSIVE", "columnNameOfCorruptRecord" -> corruptCol)))
+        Map("mode" -> "PERMISSIVE", "columnNameOfCorruptRecord" -> corruptCol)),
+      full)
   }
 
   /** Read a headered CSV drop under an explicit schema, same corrupt
@@ -68,7 +86,8 @@ object CorpusSources {
     val header = schema.fieldNames.mkString(",")
     decoded(spark.read.text(path).filter(col("value") =!= lit(header)),
       from_csv(col("value"), full,
-        Map("mode" -> "PERMISSIVE", "columnNameOfCorruptRecord" -> corruptCol)))
+        Map("mode" -> "PERMISSIVE", "columnNameOfCorruptRecord" -> corruptCol)),
+      full)
   }
 
   /** Incremental drop processing: the STREAMING twin of [[readJsonl]]
@@ -89,7 +108,8 @@ object CorpusSources {
         .option("maxFilesPerTrigger", maxFilesPerTrigger)
         .text(path),
       from_json(col("value"), full,
-        Map("mode" -> "PERMISSIVE", "columnNameOfCorruptRecord" -> corruptCol)))
+        Map("mode" -> "PERMISSIVE", "columnNameOfCorruptRecord" -> corruptCol)),
+      full)
   }
 
   /** End-to-end landed-drop curation — the composition a continuously
@@ -120,20 +140,21 @@ object CorpusSources {
       .option("checkpointLocation", checkpoint)
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val (clean, bad) = splitCorrupt(batch)
-        val toks = split(col("text"), " ")
-        val nTok = size(toks).cast("double")
-        val uniq = size(array_distinct(toks)).cast("double") / nTok
-        val stop = size(filter(toks, t => t === "the" || t === "a")).cast("double") / nTok
-        val lenOk = when(length(col("text")).between(100, 400), lit(1.0)).otherwise(lit(0.0))
-        val curated = clean
-          .withColumn("quality_score",
-            lit(0.5) * uniq + lit(0.2) * (lit(1.0) - stop) + lit(0.3) * lenOk)
-          .filter(col("quality_score") >= minQuality)
-          .withColumn("digest", md5(col("text").cast("binary")))
-          .dropDuplicates("digest")
-        writeBatchIdempotent(curated, batchId, s"$outDir/corpus")
-        writeBatchIdempotent(bad, batchId, s"$outDir/quarantine")
+        // two sinks + the writer's isEmpty probes would otherwise
+        // re-read and re-parse the drop files up to 4x per batch — the
+        // standard multi-sink foreachBatch persist
+        batch.persist()
+        try {
+          val (clean, bad) = splitCorrupt(batch)
+          val curated = clean
+            .withColumn("quality_score", graft.ops.TextDedup.qualityScoreCol(
+              col("text"), split(col("text"), " ")))
+            .filter(col("quality_score") >= minQuality)
+            .withColumn("digest", md5(col("text").cast("binary")))
+            .dropDuplicates("digest")
+          writeBatchIdempotent(curated, batchId, s"$outDir/corpus")
+          writeBatchIdempotent(bad, batchId, s"$outDir/quarantine")
+        } finally { batch.unpersist(); () }
       }
       .start()
   }

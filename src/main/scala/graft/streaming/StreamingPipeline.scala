@@ -295,17 +295,12 @@ object StreamingPipeline {
     * (doc_id long, ts timestamp, text string, lang string). */
   def streamingCorpusIngest(docs: DataFrame, minQuality: Double = 0.55): DataFrame = {
     val toks = col("toks")
-    val nTok = size(toks).cast("double")
-    val uniq = size(array_distinct(toks)).cast("double") / nTok
-    val stop = size(filter(toks, t => t === "the" || t === "a")).cast("double") / nTok
-    val lenOk = when(length(col("text")).between(100, 400), lit(1.0)).otherwise(lit(0.0))
     docs
       .withColumn("toks", split(col("text"), " "))
       .select(col("doc_id"), col("ts"), col("lang"),
         md5(col("text").cast("binary")).as("digest"),
         size(toks).as("n_tokens"),
-        (lit(0.5) * uniq + lit(0.2) * (lit(1.0) - stop) + lit(0.3) * lenOk)
-          .as("quality_score"))
+        graft.ops.TextDedup.qualityScoreCol(col("text"), toks).as("quality_score"))
       .filter(col("quality_score") >= minQuality)
       .withWatermark("ts", "5 minutes")
       .dropDuplicatesWithinWatermark(Seq("digest"))

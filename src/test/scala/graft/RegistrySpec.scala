@@ -44,8 +44,12 @@ class RegistrySpec extends SparkSpec {
     val clean = graft.ops.Relational.dataQuality(spark, sf0001)
     assert(clean.filter(!col("pass")).isEmpty, "driver corpus must be clean")
     val docs = graft.ops.Core.documents(spark, sf0001)
-    // tamper: duplicate 3 doc_ids, corrupt 2 n_chars, 1 off-domain lang
-    val dups = docs.limit(3)
+    // tamper: duplicate 3 doc_ids, corrupt 2 n_chars, 1 off-domain lang.
+    // Pin WHICH 3 rows by collecting ids once — an unordered limit(3)
+    // evaluated twice may pick different rows per action
+    val dupIds = docs.orderBy("doc_id").limit(3)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val dups = docs.filter(col("doc_id").isin(dupIds.toSeq: _*))
     val tampered = docs.unionByName(dups)
       .withColumn("n_chars",
         when(col("doc_id") < 2, col("n_chars") + 1).otherwise(col("n_chars")))
@@ -54,7 +58,6 @@ class RegistrySpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
     assert(report("doc_id_unique") == 3, s"got $report")
     // the 3 duplicated rows double-count their tampered fields too
-    val dupIds = dups.select("doc_id").collect().map(_.getLong(0)).toSet
     val expChars = 2 + dupIds.count(_ < 2)
     val expLang = 1 + (if (dupIds.contains(7L)) 1 else 0)
     assert(report("n_chars_consistent") == expChars, s"got $report")

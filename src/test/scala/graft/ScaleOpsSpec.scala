@@ -106,6 +106,12 @@ class ScaleOpsSpec extends SparkSpec {
       "compaction must be a pure rewrite")
     // the partition layout survives: lang is still a directory column
     assert(parquetFiles(out).forall(_.getPath.contains("lang=")))
+    // and each directory is CONSOLIDATED: hash-repartition by the
+    // partition columns means one writer per directory here (rows <<
+    // targetRowsPerFile), not one per (task, directory)
+    val perDir = parquetFiles(out).groupBy(_.getParentFile.getName)
+    assert(perDir.values.forall(_.size == 1),
+      s"per-dir file counts: ${perDir.view.mapValues(_.size).toMap}")
   }
 
   test("count-min sketch bounds every top-token estimate (one-sided, eps*N slack)") {
