@@ -73,9 +73,22 @@ object Bench {
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val sec = (System.nanoTime() - t0) / 1e9
+      // per-query progress on stderr: survives even if the stdout JSON
+      // line is cut, and shows live progress during the ~8 min run
+      System.err.println(f"[bench] $name%s ${sec}%.3f s")
+      name -> sec
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // Round 4's capture lost the HEAD of this line (a bounded tail
+    // window kept only the last ~3 KB: the leading "metric":"total"
+    // and the first 17 per-query timings were cut). Two fixes:
+    // (1) compact per-query format — 4-decimal seconds instead of
+    // full double repr roughly halves the map; (2) field ORDER puts
+    // the per-query map first and the headline totals/streaming LAST,
+    // so any head-truncation eats oldest timings, never the totals.
+    // JSON parsers are order-insensitive, so the driver is unaffected.
+    def f4(v: Double): String = f"$v%.4f"
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + f4(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val streamingJson =
@@ -83,7 +96,7 @@ object Bench {
       catch { case t: Throwable =>
         System.err.println(s"[bench] WARNING: streaming bench failed: $t"); "{}"
       }
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"streaming":$streamingJson,"sf":"$sfDir"}""")
+    println(s"""{"queries":$qs,"streaming":$streamingJson,"metric":"total","value":${f4(total)},"unit":"sec","sf":"$sfDir"}""")
     spark.stop()
   }
 

@@ -177,10 +177,13 @@ object Joins extends QueryModule {
     * — the 100 TB form. */
   private val defaultTolUs = 10L * 60L * 1000000L // 10 minutes
 
-  def asofJoinTolerance(spark: SparkSession, dir: String,
-      toleranceUs: Long = defaultTolUs): DataFrame = {
+  // no tolerance parameter on the registered form: the oracle SQL bakes
+  // in defaultTolUs, so a runtime override would silently diverge from
+  // the registered oracle pair (ADVICE r4). Engine and oracle read the
+  // same constant; a differently-bounded as-of is a new query pair.
+  def asofJoinTolerance(spark: SparkSession, dir: String): DataFrame = {
     val fresh = col("matched_ts").isNotNull &&
-      unix_micros(col("deep_ts")) - unix_micros(col("matched_ts")) <= toleranceUs
+      unix_micros(col("deep_ts")) - unix_micros(col("matched_ts")) <= defaultTolUs
     asofByUserCarried(spark, dir)
       .select(col("user_id"), col("deep_id"), col("deep_ts"), col("deep_value"),
         when(fresh, col("matched_ts")).as("view_ts"),

@@ -307,7 +307,10 @@ object Relational extends QueryModule {
   private val topOrdersCutoff = "1998-06-01"
   private val topOrdersK = 10
 
-  def topOrders(spark: SparkSession, dir: String, k: Int = topOrdersK): DataFrame = {
+  // k is NOT a parameter: the oracle SQL bakes in topOrdersK, so a
+  // runtime override would silently diverge from the registered pair
+  // (ADVICE r4); both sides read the same constant.
+  def topOrders(spark: SparkSession, dir: String): DataFrame = {
     val cut = lit(topOrdersCutoff).cast("timestamp")
     val li = Core.lineitem(spark, dir).filter(col("l_shipdate") > cut)
     val o = Core.orders(spark, dir).filter(col("o_orderdate") < cut)
@@ -318,7 +321,7 @@ object Relational extends QueryModule {
       .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
       .agg(sum(rev).cast("double").as("revenue"), count(lit(1)).as("n_items"))
       .orderBy(col("revenue").desc, col("l_orderkey"))
-      .limit(k)
+      .limit(topOrdersK)
   }
 
   val topOrdersSql: String =
@@ -355,8 +358,16 @@ object Relational extends QueryModule {
       countDistinct(col("doc_id")).as("n_distinct_id"),
       sum(when(col("text").isNull || length(col("text")) === 0, 1L).otherwise(0L))
         .as("v_empty_text"),
-      sum(when(col("n_chars") =!= length(col("text")), 1L).otherwise(0L)).as("v_chars"),
-      sum(when(!col("lang").isin("en", "de", "es", "fr", "zh"), 1L).otherwise(0L))
+      // explicit null policy (ADVICE r4): a constraint that cannot be
+      // VERIFIED is a violation. Without the isNull arms, `<>` and
+      // NOT IN yield NULL on null input and the otherwise(0) swallows
+      // it — rows missing lang/n_chars/text would silently PASS the
+      // very check that exists to catch incomplete rows. Oracle SQL
+      // carries the identical CASE arms so both engines agree.
+      sum(when(col("n_chars").isNull || col("text").isNull ||
+          col("n_chars") =!= length(col("text")), 1L).otherwise(0L)).as("v_chars"),
+      sum(when(col("lang").isNull ||
+          !col("lang").isin("en", "de", "es", "fr", "zh"), 1L).otherwise(0L))
         .as("v_lang"))
     agg.select(col("n_rows"), expr(
       """stack(5,
@@ -375,8 +386,8 @@ object Relational extends QueryModule {
       |    sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS v_null_id,
       |    count(DISTINCT doc_id) AS n_distinct_id,
       |    sum(CASE WHEN text IS NULL OR length(text) = 0 THEN 1 ELSE 0 END) AS v_empty_text,
-      |    sum(CASE WHEN n_chars <> length(text) THEN 1 ELSE 0 END) AS v_chars,
-      |    sum(CASE WHEN lang NOT IN ('en','de','es','fr','zh') THEN 1 ELSE 0 END) AS v_lang
+      |    sum(CASE WHEN n_chars IS NULL OR text IS NULL OR n_chars <> length(text) THEN 1 ELSE 0 END) AS v_chars,
+      |    sum(CASE WHEN lang IS NULL OR lang NOT IN ('en','de','es','fr','zh') THEN 1 ELSE 0 END) AS v_lang
       |  FROM documents)
       |SELECT 'doc_id_not_null' AS constraint, n_rows, CAST(v_null_id AS BIGINT) AS n_violations, v_null_id = 0 AS pass FROM a
       |UNION ALL SELECT 'doc_id_unique', n_rows, CAST(n_rows - n_distinct_id - v_null_id AS BIGINT), n_rows - n_distinct_id - v_null_id = 0 FROM a

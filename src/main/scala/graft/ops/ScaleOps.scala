@@ -91,31 +91,59 @@ object ScaleOps extends QueryModule {
     * (foreachBatchParquetSink, curateDrops) land one file group per
     * micro-batch, and a month of 1-minute batches is 40k+ tiny files
     * whose per-file open/footer cost dominates later scans. Rewrite
-    * into ~`targetRowsPerFile` files: one repartition shuffle sized
-    * from an exact count, plus `maxRecordsPerFile` as the hard cap so
-    * skewed partitions split instead of ballooning. Partition columns
-    * are preserved (the (lang, split) layout keeps its directory
-    * pruning). Writes to a NEW directory — at 100 TB compaction swaps
+    * into ~`targetRowsPerFile`-row files: one repartition shuffle
+    * sized from exact per-partition-value counts, with a per-value
+    * SALT so a dominant partition value fans across ceil(rows/target)
+    * writers instead of serializing through one task (see inline
+    * comment), plus `maxRecordsPerFile` as the hard cap. Partition
+    * columns are preserved (the (lang, split) layout keeps its
+    * directory pruning). Writes to a NEW directory — at 100 TB compaction swaps
     * directories atomically at the catalog/symlink level rather than
     * rewriting in place under readers. */
   def compactParquet(spark: SparkSession, inDir: String, outDir: String,
       partitionCols: Seq[String] = Nil, targetRowsPerFile: Long = 1000000L): Unit = {
     val df = spark.read.parquet(inDir)
-    val n = df.count()
-    val files = math.max(1, math.ceil(n.toDouble / targetRowsPerFile).toInt)
-    // with partition columns, repartition BY them: a round-robin
-    // repartition would scatter every directory's rows across all
-    // tasks, and partitionBy then opens one writer per (task,
-    // directory) — files x nPartitionValues fragments of ~1/nValues
-    // the target size, re-fragmenting what compaction exists to fix
-    val repart =
-      if (partitionCols.nonEmpty) df.repartition(files, partitionCols.map(col): _*)
-      else df.repartition(files)
-    val w = repart.write
-      .option("maxRecordsPerFile", targetRowsPerFile)
-      .mode("overwrite")
-    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
-      .parquet(outDir)
+    if (partitionCols.isEmpty) {
+      val n = df.count()
+      val files = math.max(1, math.ceil(n.toDouble / targetRowsPerFile).toInt)
+      df.repartition(files).write
+        .option("maxRecordsPerFile", targetRowsPerFile)
+        .mode("overwrite").parquet(outDir)
+    } else {
+      // Repartition BY the partition columns so each directory is
+      // consolidated (round-robin would open one writer per (task,
+      // directory): files x nValues re-fragmentation) — but partition
+      // values are skewed BY CONSTRUCTION at corpus scale (lang=en is
+      // most of a 100 TB crawl), and hashing on the partition columns
+      // alone serializes each value through ONE task: maxRecordsPerFile
+      // then splits the FILES but not the WORK (ADVICE r4). So salt
+      // each value with a width sized from its own row count: width =
+      // ceil(rows/targetRowsPerFile), so hot values fan across that
+      // many writers (each producing ~one target-size file) while
+      // small values keep width 1 and still consolidate to a single
+      // file. The per-value count collect is one row per partition
+      // value — broadcast-equivalent driver state (same class as the
+      // IVF centroid collects), and the counts ride a scan of the
+      // partition columns only.
+      val pcols = partitionCols.map(col)
+      val widths = df.groupBy(pcols: _*)
+        .agg(ceil(count(lit(1)).cast("double") / targetRowsPerFile)
+          .cast("int").as("_salt_w"))
+      val totalFiles = math.max(1,
+        widths.agg(sum(greatest(col("_salt_w"), lit(1)))).head().getLong(0).toInt)
+      // deterministic spread: hash the DATA columns (retry-stable,
+      // unlike rand()), modulo the per-value width
+      val dataCols = df.columns.filterNot(partitionCols.contains).map(col)
+      df.join(broadcast(widths), partitionCols)
+        .withColumn("_salt",
+          pmod(hash(dataCols: _*), greatest(col("_salt_w"), lit(1))))
+        .repartition(totalFiles, pcols :+ col("_salt"): _*)
+        .drop("_salt_w", "_salt")
+        .write
+        .partitionBy(partitionCols: _*)
+        .option("maxRecordsPerFile", targetRowsPerFile)
+        .mode("overwrite").parquet(outDir)
+    }
   }
 
   /** Heavy-hitter detection without a full shuffle-count: a count-min

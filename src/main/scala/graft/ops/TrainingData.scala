@@ -477,7 +477,10 @@ object TrainingData extends QueryModule {
     * spaces), cheaper than a second explode. */
   private val lmK = 50
 
-  def ngramLm(spark: SparkSession, dir: String, k: Int = lmK): DataFrame = {
+  // k is NOT a parameter: the oracle SQL bakes in lmK, so a runtime
+  // override would silently diverge from the registered pair (ADVICE
+  // r4); both sides read the same constant.
+  def ngramLm(spark: SparkSession, dir: String): DataFrame = {
     val base = withToks(Core.documents(spark, dir))
     val tri = base.select(explode(graft.functions.token_ngrams(toks, 3)).as("tri"))
       .groupBy("tri").agg(count(lit(1)).as("c3"))
@@ -490,7 +493,7 @@ object TrainingData extends QueryModule {
       .select(col("tri").as("trigram"), col("c3"), col("c2").as("c2_prefix"),
         (col("c3").cast("double") / col("c2").cast("double")).as("p_mle"))
       .orderBy(col("c3").desc, col("trigram"))
-      .limit(k)
+      .limit(lmK)
   }
 
   val ngramLmSql: String = {

@@ -145,11 +145,23 @@ object CorpusSources {
         // standard multi-sink foreachBatch persist
         batch.persist()
         try {
-          val (clean, bad) = splitCorrupt(batch)
-          val curated = clean
-            .withColumn("quality_score", graft.ops.TextDedup.qualityScoreCol(
-              col("text"), split(col("text"), " ")))
-            .filter(col("quality_score") >= minQuality)
+          // Every input line must land in exactly one of corpus /
+          // quarantine / (legitimately) the quality-gate floor. A line
+          // that parses clean but carries null text ({"doc_id":1})
+          // gets a null quality_score; the bare >= gate would drop it
+          // via three-valued logic — in neither corpus nor quarantine,
+          // the silent-vanish failure mode this module exists to
+          // prevent (ADVICE r4). So: malformed = failed parse OR null
+          // text OR null score; only scoreable rows face the quality
+          // gate.
+          val scored = batch.withColumn("quality_score",
+            when(col("text").isNotNull, graft.ops.TextDedup.qualityScoreCol(
+              col("text"), split(col("text"), " "))))
+          val malformed = col(corruptCol).isNotNull || col("quality_score").isNull
+          val bad = scored.filter(malformed).select(col("raw_line"))
+          val curated = scored
+            .filter(!malformed && col("quality_score") >= minQuality)
+            .drop(corruptCol, "raw_line")
             .withColumn("digest", md5(col("text").cast("binary")))
             .dropDuplicates("digest")
           writeBatchIdempotent(curated, batchId, s"$outDir/corpus")

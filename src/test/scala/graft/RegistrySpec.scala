@@ -54,12 +54,18 @@ class RegistrySpec extends SparkSpec {
       .withColumn("n_chars",
         when(col("doc_id") < 2, col("n_chars") + 1).otherwise(col("n_chars")))
       .withColumn("lang", when(col("doc_id") === 7, lit("xx")).otherwise(col("lang")))
+      // null policy: unverifiable rows must COUNT as violations (a null
+      // lang used to slip through NOT IN's three-valued logic — ADVICE r4)
+      .withColumn("lang", when(col("doc_id") === 11, lit(null)).otherwise(col("lang")))
+      .withColumn("n_chars", when(col("doc_id") === 12,
+        lit(null).cast("long")).otherwise(col("n_chars")))
     val report = graft.ops.Relational.dataQualityFrom(tampered)
       .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
     assert(report("doc_id_unique") == 3, s"got $report")
     // the 3 duplicated rows double-count their tampered fields too
-    val expChars = 2 + dupIds.count(_ < 2)
-    val expLang = 1 + (if (dupIds.contains(7L)) 1 else 0)
+    val expChars = 2 + dupIds.count(_ < 2) + 1 + (if (dupIds.contains(12L)) 1 else 0)
+    val expLang = 1 + (if (dupIds.contains(7L)) 1 else 0) +
+      1 + (if (dupIds.contains(11L)) 1 else 0)
     assert(report("n_chars_consistent") == expChars, s"got $report")
     assert(report("lang_in_domain") == expLang, s"got $report")
     assert(report("doc_id_not_null") == 0 && report("text_nonempty") == 0)

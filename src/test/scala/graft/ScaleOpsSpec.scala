@@ -114,6 +114,35 @@ class ScaleOpsSpec extends SparkSpec {
       s"per-dir file counts: ${perDir.view.mapValues(_.size).toMap}")
   }
 
+  test("compaction salts a dominant partition value across writers, small values consolidate") {
+    val frag = java.nio.file.Files.createTempDirectory("graft_skewfrag").toString + "/d"
+    val out = java.nio.file.Files.createTempDirectory("graft_skewcompact").toString + "/d"
+    // skewed layout: one value dominates (the lang=en of a crawl)
+    val hot = (1 to 350).map(i => (i.toLong, s"doc $i", "en"))
+    val cold = (351 to 400).map(i => (i.toLong, s"doc $i", "de"))
+    (hot ++ cold).toDF("doc_id", "text", "lang")
+      .repartition(8).write.partitionBy("lang").parquet(frag)
+    ScaleOps.compactParquet(spark, frag, out,
+      partitionCols = Seq("lang"), targetRowsPerFile = 100L)
+    def parquetFiles(dir: String) = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(dir)).filter(_.getName.endsWith(".parquet"))
+    }
+    val perDir = parquetFiles(out).groupBy(_.getParentFile.getName)
+      .view.mapValues(_.size).toMap
+    // hot value: width ceil(350/100)=4 salted writers -> >1 file and
+    // no file above the cap; cold value: width 1 -> exactly 1 file
+    assert(perDir("lang=en") > 1, s"hot value must fan out, got $perDir")
+    assert(perDir("lang=en") <= 8, s"fan-out stays ~width+collisions, got $perDir")
+    assert(perDir("lang=de") == 1, s"small value must consolidate, got $perDir")
+    val before = spark.read.parquet(frag)
+    val after = spark.read.parquet(out)
+    assert(after.count() == before.count())
+    assert(after.select(before.columns.map(col): _*).exceptAll(before).isEmpty,
+      "salted compaction must stay a pure rewrite")
+  }
+
   test("count-min sketch bounds every top-token estimate (one-sided, eps*N slack)") {
     val eps = 0.001
     val sk = ScaleOps.tokenCountSketch(spark, sf0001, eps = eps)

@@ -78,17 +78,22 @@ class SourcesSpec extends SparkSpec {
         js(1, goodText),
         js(2, goodText), // exact duplicate of 1 (by text) -> deduped in-batch
         js(3, junkText), // fails the quality gate
-        """half a record"""
+        """half a record""",
+        // parses CLEAN but text is null: the silent-vanish row (ADVICE
+        // r4) — must land in quarantine, not disappear between sinks
+        """{"doc_id": 4}"""
       ).getBytes("UTF-8"))
     val q = CorpusSources.curateDrops(spark, dropDir.toString, outDir, ck)
     try q.processAllAvailable() finally q.stop()
     val corpus = spark.read.parquet(s"$outDir/corpus")
-    assert(corpus.count() == 1, "dup and junk must not land")
+    assert(corpus.count() == 1, "dup, junk and null-text must not land")
     // dropDuplicates keeps ONE arbitrary row per digest — either dup id
     assert(Set(1L, 2L).contains(corpus.select("doc_id").as[Long].collect().head))
     assert(corpus.columns.contains("quality_score") && corpus.columns.contains("batch_id"))
     val quarantine = spark.read.parquet(s"$outDir/quarantine")
-    assert(quarantine.select("raw_line").as[String].collect().toSeq == Seq("half a record"))
+    assert(quarantine.select("raw_line").as[String].collect().toSet ==
+      Set("half a record", """{"doc_id": 4}"""),
+      "malformed AND unscoreable lines both quarantine")
   }
 
   test("csv with a corrupt row: typed columns survive, bad row quarantines") {
