@@ -110,14 +110,19 @@ object Indicators extends QueryModule {
   /** W8 — forward-looking multi-label targets (create_database.py:166-190):
     * LEAD(close,8/15) vs close +/- n*ATR, n1=1.5 n2=3.0; NULL comparisons
     * at the series tail fall to ELSE 0, as in the reference. */
-  def targets(spark: SparkSession, dir: String): DataFrame = {
+  def targets(spark: SparkSession, dir: String): DataFrame =
+    withTargets(bars(spark, dir))
+
+  /** The W8 pass over any bars-shaped frame (bucket/high/low/close) —
+    * shared with StreamingSpec's batch-equality assertions. */
+  def withTargets(b: DataFrame): DataFrame = {
     val w = Window.orderBy("bucket")
     def fr(n: Int) = w.rowsBetween(-(n - 1), 0)
     val atr = sum((col("high") - col("low")).cast("decimal(18,6)")).over(fr(15))
       .cast("double") / count(lit(1)).over(fr(15)).cast("double")
     val p8 = lead(col("close"), 8).over(w)
     val p15 = lead(col("close"), 15).over(w)
-    bars(spark, dir).select(
+    b.select(
       col("bucket"), col("close").as("p0_close"),
       p8.as("p8_close"), p15.as("p15_close"), atr.as("atr"),
       when(p8 >= col("close") + lit(1.5) * atr, 1).otherwise(0).as("up1"),

@@ -219,6 +219,150 @@ object StreamingPipeline {
       .select(col("last_bar").as("bucket"),
         col("price_ma6"), col("vol_ma6"), col("n_bars"))
 
+  /** The FULL streaming indicator stack (W1-W7) — Bollinger(20,2),
+    * stochastic(15-row), ATR(15-row) and the moving averages, matching
+    * batch [[graft.ops.Indicators.withIndicators]] column-for-column
+    * and bit-for-bit (asserted in StreamingSpec). This closes the
+    * round-4 gap: the headline "fold the MariaDB views back into the
+    * stream" claim now covers every indicator view
+    * (create_database.py:120-164), not just the MAs.
+    *
+    * How: [[streamingIndicators]]' sliding-window trick, widened to
+    * the LONGEST frame. On a gapless 5-minute bar series the 20-bar
+    * trailing row frame IS the 100-minute sliding time window ending
+    * at the bar, so ONE second stateful agg per 100-min window carries
+    * a collect_list of the (bucket, high, low, close, volume) structs
+    * inside it; the window that ENDS at bar B+5m holds exactly B's
+    * trailing 20 bars. Every sub-frame indicator then derives
+    * STATELESSLY post-agg from the sorted array — the 6-bar MA from
+    * the last 6 elements, stoch/ATR from the last 15, Bollinger from
+    * all 20, lag(1) from the last two — instead of chaining three
+    * differently-sized windowed aggs and two stream-stream joins to
+    * re-align them. Numeric treatment is the batch decimal discipline
+    * run inside array-aggregate lambdas: price sums accumulate in
+    * DECIMAL (exact, so HOF fold order vs window-frame order cannot
+    * matter), doubles derive from the exact sums with the identical
+    * IEEE expression trees.
+    *
+    * Scale shape: bars are one row per (symbol, 5 min), so the second
+    * agg's state is ~20 in-flight windows x 20 refs per symbol —
+    * kilobytes; the shuffle keys on the window, giving the same
+    * hash-partitioned parallelism as the bars agg. Emission is
+    * watermark-gated append, exactly one row per closed bar. */
+  def streamingIndicatorsFull(events: DataFrame): DataFrame = {
+    val bars = barsKeepWindow(events.withWatermark("ts", "5 minutes"))
+    val dec = (e: String) => s"CAST($e AS DECIMAL(18,2))"
+    // exact decimal folds; accumulator precision 38 so 20 adds can't
+    // round — exactness is what transfers batch window-sum equality
+    // to an array fold with a different association order
+    def foldDec(arr: String, item: String, scale: Int): String =
+      s"CAST(aggregate($arr, CAST(0 AS DECIMAL(38,$scale)), " +
+        s"(acc, x) -> CAST(acc + $item AS DECIMAL(38,$scale))) AS DOUBLE)"
+    def tail(k: Int) = s"slice(bs, greatest(size(bs) - ${k - 1}, 1), $k)"
+    bars
+      .groupBy(window(window_time(col("w")), "100 minutes", "5 minutes").as("wi"))
+      .agg(
+        collect_list(struct(col("w.start").as("bucket"), col("high"),
+          col("low"), col("close"), col("volume"))).as("bs0"),
+        max(col("w.start")).as("last_bar"))
+      // only the window ENDING at its own last bar is a trailing frame
+      // (same append-safe post-agg filter as the 30-min MA layer)
+      .filter(col("last_bar") === col("wi.end") - expr("INTERVAL 5 MINUTES"))
+      // array<struct> sorts by leading field = bucket: frame order
+      .withColumn("bs", sort_array(col("bs0")))
+      .withColumn("lastS", element_at(col("bs"), size(col("bs"))))
+      .withColumn("s1d", expr(foldDec("bs", dec("x.close"), 2)))
+      .withColumn("s2d", expr(foldDec("bs", s"${dec("x.close")} * ${dec("x.close")}", 4)))
+      .withColumn("c20", size(col("bs")).cast("double"))
+      .withColumn("avg20", col("s1d") / col("c20"))
+      .withColumn("std20", sqrt(greatest(
+        (col("s2d") - col("s1d") * col("s1d") / col("c20")) / col("c20"), lit(0.0))))
+      .withColumn("t15", expr(tail(15)))
+      .withColumn("min15", expr("array_min(transform(t15, x -> x.close))"))
+      .withColumn("max15", expr("array_max(transform(t15, x -> x.close))"))
+      .select(
+        col("last_bar").as("bucket"),
+        col("lastS.close").as("close"),
+        col("lastS.volume").as("volume"),
+        (expr(s"CAST(aggregate(${tail(6)}, 0L, (acc, x) -> acc + x.volume) AS DOUBLE)") /
+          expr(s"CAST(size(${tail(6)}) AS DOUBLE)")).as("vol_ma6"),
+        (expr("CAST(aggregate(bs, 0L, (acc, x) -> acc + x.volume) AS DOUBLE)") /
+          col("c20")).as("vol_ma20"),
+        (col("s1d") / col("c20")).as("price_ma20"),
+        ((col("avg20") + lit(2.0) * col("std20")) - col("lastS.close")).as("upper_bb_dist"),
+        (col("lastS.close") - (col("avg20") - lit(2.0) * col("std20"))).as("lower_bb_dist"),
+        when(col("max15") === col("min15"), lit(null).cast("double"))
+          .otherwise((col("lastS.close") - col("min15")) /
+            (col("max15") - col("min15"))).as("stoch"),
+        when(size(col("bs")) >= 2,
+          col("lastS.close") -
+            element_at(col("bs"), size(col("bs")) - 1).getField("close"))
+          .as("price_change"),
+        (expr(foldDec("t15", "CAST(x.high - x.low AS DECIMAL(18,6))", 6)) /
+          expr("CAST(size(t15) AS DOUBLE)")).as("atr"))
+  }
+
+  /** STREAMING W8 targets — the append-mode LEAD. A bar's labels
+    * compare its close against closes 8 and 15 bars AHEAD
+    * (create_database.py:166-190), so no operator can emit bar B's
+    * row before bar B+15 exists: the 15-bar delay is information-
+    * theoretic, not an API gap. Rather than a transformWithState
+    * lead-buffer (hand-managed per-key ring buffer, RocksDB-only,
+    * imperative), the same sliding-window trick expresses it
+    * declaratively: a 150-minute (30-bar) trailing window ending at
+    * bar C contains C-15 = B AND B's own trailing 15-bar ATR frame
+    * AND both lead targets (p8 = B+8 at index n-7, p15 = C itself) —
+    * so when C's window closes, B's row emits, complete. Emission lag
+    * is 15 bars + watermark, inherent to the semantics.
+    *
+    * Design note vs batch: batch emits tail rows whose leads are
+    * still NULL (labels fall to ELSE 0, reference-faithful); the
+    * stream never fabricates those — a tail row emits once its p15
+    * arrives, so the streaming output equals the batch rows WHERE
+    * p15_close IS NOT NULL (asserted in StreamingSpec), and the
+    * final 15 bars of a terminated stream stay unemitted. Same
+    * gapless-series regime and exact-decimal ATR as
+    * [[streamingIndicatorsFull]]. */
+  def streamingTargets(events: DataFrame): DataFrame = {
+    val bars = barsKeepWindow(events.withWatermark("ts", "5 minutes"))
+    bars
+      .groupBy(window(window_time(col("w")), "150 minutes", "5 minutes").as("wt"))
+      .agg(
+        collect_list(struct(col("w.start").as("bucket"), col("high"),
+          col("low"), col("close"))).as("bs0"),
+        max(col("w.start")).as("last_bar"))
+      .filter(col("last_bar") === col("wt.end") - expr("INTERVAL 5 MINUTES"))
+      .withColumn("bs", sort_array(col("bs0")))
+      // B = the bar 15 positions before the window's last bar; the
+      // window must reach back to it (early-series windows clip to the
+      // series start, so n < 16 means B predates the series: no row)
+      .filter(size(col("bs")) >= 16)
+      .withColumn("bi", size(col("bs")) - 15)
+      .withColumn("b", element_at(col("bs"), col("bi")))
+      // B's trailing 15-bar ATR frame, clipped at the series start
+      // exactly like the batch 14-PRECEDING row frame
+      .withColumn("t15", expr(
+        "slice(bs, greatest(bi - 14, 1), bi - greatest(bi - 14, 1) + 1)"))
+      .withColumn("atr",
+        expr("CAST(aggregate(t15, CAST(0 AS DECIMAL(38,6)), (acc, x) -> " +
+          "CAST(acc + CAST(x.high - x.low AS DECIMAL(18,6)) AS DECIMAL(38,6))) AS DOUBLE)") /
+          expr("CAST(size(t15) AS DOUBLE)"))
+      .withColumn("p8_close", element_at(col("bs"), col("bi") + 8).getField("close"))
+      .withColumn("p15_close", element_at(col("bs"), size(col("bs"))).getField("close"))
+      .select(
+        col("b.bucket").as("bucket"),
+        col("b.close").as("p0_close"),
+        col("p8_close"), col("p15_close"), col("atr"),
+        when(col("p8_close") >= col("b.close") + lit(1.5) * col("atr"), 1)
+          .otherwise(0).as("up1"),
+        when(col("p15_close") >= col("b.close") + lit(3.0) * col("atr"), 1)
+          .otherwise(0).as("up2"),
+        when(col("p8_close") <= col("b.close") - lit(1.5) * col("atr"), 1)
+          .otherwise(0).as("down1"),
+        when(col("p15_close") <= col("b.close") - lit(3.0) * col("atr"), 1)
+          .otherwise(0).as("down2"))
+  }
+
   /** K2 — the Kafka signal-sink projection (spark_consumer.py:490-502):
     * the joined timestamp JSON-encoded into a `value` column; the
     * writeStream target (format("kafka") + checkpointLocation) is the

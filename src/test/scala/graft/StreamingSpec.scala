@@ -525,4 +525,78 @@ class StreamingSpec extends SparkSpec {
       assert(spark.read.parquet(s"$dir/data").count() == 1)
     } finally q.stop()
   }
+
+  // shared driver for the full-stack batch-equality tests: a gapless
+  // 10:00-14:55 series (60 bars, 2 events/bar — the regime where row
+  // frames and sliding time windows coincide), plus a far-future flush
+  private def gaplessBars60: (Seq[Ev], org.apache.spark.sql.DataFrame) = {
+    val evs = (0 until 120).map { i =>
+      Ev(i, new Timestamp(t("2024-01-01 10:00:00").getTime + i * 150000L),
+        "e", (i * 7 % 23).toDouble + (i % 5) * 0.25)
+    }
+    val batchBars = evs.toDF()
+      .groupBy(graft.ops.Core.bucket5m($"ts").as("bucket"))
+      .agg(max($"value").as("high"), min($"value").as("low"),
+        max_by($"value", $"event_id").as("close"), count(lit(1)).as("volume"))
+    (evs, batchBars)
+  }
+
+  test("full streaming indicator stack equals batch W1-W7 bit-for-bit") {
+    implicit val sqlCtx = spark.sqlContext
+    val (evs, batchBars) = gaplessBars60
+    val src = MemoryStream[Ev]
+    val q = StreamingPipeline.streamingIndicatorsFull(src.toDF())
+      .writeStream.format("memory").queryName("indfull_out")
+      .outputMode("append").start()
+    try {
+      evs.grouped(40).foreach(src.addData(_))
+      q.processAllAvailable()
+      src.addData(Ev(999, t("2024-01-02 10:00:00"), "e", 1.0)) // flush watermark
+      q.processAllAvailable()
+      val cols = Seq("close", "volume", "vol_ma6", "vol_ma20", "price_ma20",
+        "upper_bb_dist", "lower_bb_dist", "stoch", "price_change", "atr")
+      def keyed(df: org.apache.spark.sql.DataFrame) = df
+        .select($"bucket".cast("string") +: cols.map(c => col(c).cast("string")): _*)
+        .collect().map(r => r.getString(0) -> (1 until 11).map(r.getString)).toMap
+      val got = keyed(spark.table("indfull_out"))
+      val want = keyed(graft.ops.Indicators.withIndicators(batchBars))
+      assert(got.keySet == want.keySet, "every closed bar must emit exactly once")
+      assert(got.size == 60)
+      // exact equality, column by column — the decimal discipline makes
+      // the stream's array folds bit-equal to the batch window sums
+      want.foreach { case (bucket, w) =>
+        assert(got(bucket) == w, s"bucket $bucket: got ${got(bucket)}, want $w")
+      }
+    } finally q.stop()
+  }
+
+  test("streaming W8 targets equal batch rows whose p15 lead exists") {
+    implicit val sqlCtx = spark.sqlContext
+    val (evs, batchBars) = gaplessBars60
+    val src = MemoryStream[Ev]
+    val q = StreamingPipeline.streamingTargets(src.toDF())
+      .writeStream.format("memory").queryName("tgt_out")
+      .outputMode("append").start()
+    try {
+      evs.grouped(50).foreach(src.addData(_))
+      q.processAllAvailable()
+      src.addData(Ev(999, t("2024-01-02 10:00:00"), "e", 1.0))
+      q.processAllAvailable()
+      val cols = Seq("p0_close", "p8_close", "p15_close", "atr",
+        "up1", "up2", "down1", "down2")
+      def keyed(df: org.apache.spark.sql.DataFrame) = df
+        .select($"bucket".cast("string") +: cols.map(c => col(c).cast("string")): _*)
+        .collect().map(r => r.getString(0) -> (1 until 9).map(r.getString)).toMap
+      val got = keyed(spark.table("tgt_out"))
+      // batch twin over the REAL series only (no flush bar): the stream
+      // can only emit a bar once its 15-ahead close exists
+      val want = keyed(graft.ops.Indicators.withTargets(batchBars)
+        .filter($"p15_close".isNotNull))
+      assert(want.size == 45 && got.keySet == want.keySet,
+        s"stream must emit exactly the lead-complete bars (got ${got.size})")
+      want.foreach { case (bucket, w) =>
+        assert(got(bucket) == w, s"bucket $bucket: got ${got(bucket)}, want $w")
+      }
+    } finally q.stop()
+  }
 }
