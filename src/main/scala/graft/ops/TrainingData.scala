@@ -214,6 +214,79 @@ object TrainingData extends QueryModule {
        |  (cum_tokens - n_tokens) % $seqLen AS seq_offset
        |FROM cum""".stripMargin
 
+  /** The MATERIALIZED packing (round-4 verdict #2): one row per
+    * fixed-length training sequence, carrying what a dataloader
+    * actually consumes — the total token_count (== seqLen except each
+    * shard's tail) and the ordered doc-span layout
+    * "doc_id:start:len,..." describing exactly which slice of which
+    * document fills which positions (the
+    * sql_pytorch_dataloader.py:230-245 analogue: the reference
+    * materializes windowed tensors row-by-row in the loader; here the
+    * layout is computed ONCE, distributed, and any loader mmaps it).
+    *
+    * Shape: each doc explodes into one row PER SEQUENCE IT TOUCHES —
+    * total rows = ceil(shard tokens / seqLen) summed over shards, so
+    * the fanout is tokens/seqLen, linear in corpus size, and the
+    * groupBy keys on (shard, seq_id) — the same shard-partitioned
+    * parallelism as the coordinate query. The span list per sequence
+    * is bounded by seqLen (worst case: seqLen one-token docs), so
+    * collect_list cannot skew. Spans are sorted by in-sequence start
+    * (docs tile a sequence disjointly, so starts are unique) and
+    * serialized to a string both engines produce identically. */
+  def packedSequences(spark: SparkSession, dir: String): DataFrame =
+    packedSequencesFrom(Core.documents(spark, dir))
+
+  private[graft] def packedSequencesFrom(df: DataFrame): DataFrame = {
+    val L = seqLen
+    val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val spans = withToks(df)
+      .select(col("doc_id"), (col("doc_id") % nShards).as("shard"),
+        size(toks).as("n_tokens"))
+      .withColumn("t1", sum(col("n_tokens")).over(w))
+      .withColumn("t0", col("t1") - col("n_tokens"))
+      // sequences this doc touches: seq_first .. seq_last (n >= 1
+      // tokens always — split("") is [""] — so the range is non-empty)
+      .withColumn("seq_id",
+        explode(expr(s"sequence(t0 div $L, (t1 - 1) div $L)")))
+      .withColumn("s_start", greatest(col("t0") - col("seq_id") * L, lit(0L)))
+      .withColumn("s_len",
+        least(col("t1"), (col("seq_id") + 1) * L) -
+          greatest(col("t0"), col("seq_id") * L))
+    spans.groupBy(col("shard"), col("seq_id"))
+      .agg(
+        sum(col("s_len")).as("token_count"),
+        count(lit(1)).as("n_docs"),
+        array_join(transform(
+          sort_array(collect_list(struct(
+            col("s_start"), col("doc_id"), col("s_len")))),
+          x => concat_ws(":", x.getField("doc_id"),
+            x.getField("s_start"), x.getField("s_len"))), ",").as("doc_spans"))
+  }
+
+  val packedSequencesSql: String =
+    s"""WITH base AS (
+       |  SELECT doc_id, doc_id % $nShards AS shard,
+       |    CAST(len($toksSql) AS BIGINT) AS n_tokens
+       |  FROM documents),
+       |cum AS (
+       |  SELECT doc_id, shard,
+       |    CAST(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS t1,
+       |    n_tokens
+       |  FROM base),
+       |spans AS (
+       |  SELECT shard, doc_id, t1 - n_tokens AS t0, t1,
+       |    unnest(range((t1 - n_tokens) // $seqLen, ((t1 - 1) // $seqLen) + 1)) AS seq_id
+       |  FROM cum)
+       |SELECT shard, seq_id,
+       |  CAST(SUM(LEAST(t1, (seq_id + 1) * $seqLen) - GREATEST(t0, seq_id * $seqLen)) AS BIGINT) AS token_count,
+       |  COUNT(*) AS n_docs,
+       |  STRING_AGG(doc_id || ':' || GREATEST(t0 - seq_id * $seqLen, 0) || ':' ||
+       |      (LEAST(t1, (seq_id + 1) * $seqLen) - GREATEST(t0, seq_id * $seqLen)),
+       |    ',' ORDER BY GREATEST(t0 - seq_id * $seqLen, 0)) AS doc_spans
+       |FROM spans GROUP BY 1, 2""".stripMargin
+
   // --- content-defined chunking dedup ------------------------------------
 
   /** Content-defined chunking: a token ENDS a chunk when its content
@@ -517,6 +590,7 @@ object TrainingData extends QueryModule {
     "repetition_metrics" -> ((s, d) => repetitionMetrics(s, d)),
     "dup_spans" -> ((s, d) => dupSpans(s, d)),
     "seq_packing" -> ((s, d) => seqPacking(s, d)),
+    "packed_sequences" -> ((s, d) => packedSequences(s, d)),
     "bpe_pairs" -> ((s, d) => bpePairs(s, d)),
     "cdc_chunks" -> ((s, d) => cdcChunks(s, d)),
     "winnow_fingerprints" -> ((s, d) => winnowFingerprints(s, d)),
@@ -526,6 +600,7 @@ object TrainingData extends QueryModule {
     "repetition_metrics" -> repetitionMetricsSql,
     "dup_spans" -> dupSpansSql,
     "seq_packing" -> seqPackingSql,
+    "packed_sequences" -> packedSequencesSql,
     "bpe_pairs" -> bpePairsSql,
     "cdc_chunks" -> cdcChunksSql,
     "winnow_fingerprints" -> winnowFingerprintsSql,

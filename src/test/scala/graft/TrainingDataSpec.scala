@@ -168,6 +168,38 @@ class TrainingDataSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("packed sequences: spans tile each sequence exactly, tails short, rest full") {
+    val ps = TrainingData.packedSequences(spark, sf0001).cache()
+    val L = 256L
+    // every sequence except each shard's LAST is exactly L tokens
+    val lastSeq = ps.groupBy($"shard").agg(max($"seq_id").as("last_seq"))
+    val nonTail = ps.join(lastSeq, "shard").filter($"seq_id" =!= $"last_seq")
+    assert(nonTail.filter($"token_count" =!= L).isEmpty,
+      "every non-tail sequence must be packed to exactly seqLen tokens")
+    assert(ps.filter($"token_count" > L || $"token_count" <= 0).isEmpty)
+    // spans tile contiguously: sorted (start, len) pairs chain 0 -> token_count
+    val bad = ps.select($"shard", $"seq_id", $"token_count",
+        split($"doc_spans", ",").as("spans"))
+      .filter(expr("""
+        exists(sequence(1, size(spans)), i ->
+          CAST(split(element_at(spans, i), ':')[1] AS BIGINT) !=
+            aggregate(slice(spans, 1, i - 1), 0L,
+              (acc, s) -> acc + CAST(split(s, ':')[2] AS BIGINT)))
+        OR aggregate(spans, 0L, (acc, s) -> acc + CAST(split(s, ':')[2] AS BIGINT))
+           != token_count"""))
+    assert(bad.isEmpty, "doc spans must tile each sequence gaplessly")
+    // consistency with the coordinate query: a doc appears in exactly
+    // the sequences seq_first..seq_last claims
+    val fromSpans = ps.select($"shard", $"seq_id", explode(split($"doc_spans", ",")).as("s"))
+      .select($"shard", $"seq_id", split($"s", ":")(0).cast("long").as("doc_id"))
+    val fromCoords = TrainingData.seqPacking(spark, sf0001)
+      .select($"doc_id", $"shard", explode(expr("sequence(seq_first, seq_last)")).as("seq_id"))
+      .select($"shard", $"seq_id", $"doc_id")
+    assert(fromSpans.exceptAll(fromCoords).isEmpty && fromCoords.exceptAll(fromSpans).isEmpty,
+      "materialized spans must agree with the coordinate query")
+    ps.unpersist()
+  }
+
   test("seq packing: per-shard token stream is gapless and ordered") {
     val p = TrainingData.seqPacking(spark, sf0001).cache()
     // reconstruct each shard's stream: sequences advance monotonically
