@@ -489,8 +489,10 @@ object TrainingData extends QueryModule {
     * would fabricate pairs for empty tokens). */
   private val defaultBpeK = 20
 
-  def bpePairs(spark: SparkSession, dir: String, k: Int = defaultBpeK): DataFrame =
-    bpePairsCore(spark, dir, k,
+  // k is NOT a parameter on the registered form (same oracle-drift
+  // rule as ngramLm): the SQL bakes in defaultBpeK
+  def bpePairs(spark: SparkSession, dir: String): DataFrame =
+    bpePairsCore(spark, dir, defaultBpeK,
       tok => graft.functions.char_ngrams(tok, 2))
 
   /** The interpreted-HOF pair build the native char_ngrams kernel
@@ -525,6 +527,100 @@ object TrainingData extends QueryModule {
        |GROUP BY pair
        |ORDER BY n_occurrences DESC, pair
        |LIMIT $defaultBpeK""".stripMargin
+
+  /** ITERATIVE BPE (round-4 verdict #3): K merge rounds, not just the
+    * single pair count of [[bpePairs]]. Classic tokenizer training
+    * (Sennrich et al. 2016): symbolize each word into characters,
+    * repeat K times { count adjacent symbol pairs weighted by word
+    * frequency; merge the top pair greedily left-to-right in every
+    * word }. The registered query is the round-K vocabulary (symbol ->
+    * total occurrences).
+    *
+    * Scale shape — why this survives 100 TB: the CORPUS is touched
+    * exactly once (the word-frequency reduction, one linear count
+    * shuffle); all K training rounds run on the vocabulary-sized word
+    * table, the classic trick that makes BPE corpus-size-independent.
+    * Per round: one pair-count shuffle over the word table, a top-1
+    * pick, and a map-side fold applying the merge. The winning pair is
+    * distributed as a ONE-ROW broadcast join (no driver collect; an
+    * empty pair table — nothing left to merge — left-joins null and
+    * the fold is the identity). Plans are cut per round with
+    * localCheckpoint, the [[Components]] iterate-and-checkpoint
+    * pattern, so round K's plan does not embed rounds 1..K-1.
+    *
+    * Greedy non-overlap falls out of the fold for free: a merged
+    * symbol's spelling is a||b, which can never equal the left
+    * component a (b is non-empty), so a freshly merged tail can't
+    * re-merge with the next symbol in the same round —
+    * [a,a,a,a] folds to [aa,aa], not [aa,aa,a]-style overlaps
+    * (spec-asserted). The oracle replays the identical K merges as
+    * chained CTEs (list_reduce with the same CASE fold), so engine
+    * and oracle agree merge-for-merge or the hash fails. */
+  private val bpeMergeRounds = 8
+
+  def bpeVocab(spark: SparkSession, dir: String): DataFrame =
+    bpeVocabFrom(Core.documents(spark, dir), bpeMergeRounds)
+
+  private[graft] def bpeVocabFrom(df: DataFrame, rounds: Int): DataFrame = {
+    val mergeFold = expr(
+      """aggregate(split(s, ' '), '', (acc, x) ->
+        |  CASE WHEN acc = '' THEN x
+        |       WHEN (acc = a OR endswith(acc, concat(' ', a))) AND x = b
+        |         THEN concat(substring(acc, 1, length(acc) - length(a)), a, b)
+        |       ELSE concat(acc, ' ', x) END)""".stripMargin)
+    var cur = withToks(df)
+      .select(explode(toks).as("w"))
+      .filter(length(col("w")) >= 1)
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+      .select(col("w"), col("freq"),
+        concat_ws(" ", split(col("w"), "")).as("s"))
+      .localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val top = cur
+        .filter(size(split(col("s"), " ")) >= 2)
+        .select(col("freq"), explode(expr(
+          "transform(sequence(1, size(split(s, ' ')) - 1), i -> " +
+            "struct(element_at(split(s, ' '), i) AS a, " +
+            "element_at(split(s, ' '), i + 1) AS b))")).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("freq")).as("cnt"))
+        .orderBy(col("cnt").desc, col("a"), col("b"))
+        .limit(1)
+      cur = cur.join(broadcast(top), lit(true), "left")
+        .withColumn("s", mergeFold)
+        .drop("a", "b", "cnt")
+        .localCheckpoint()
+    }
+    cur.select(explode(split(col("s"), " ")).as("sym"), col("freq"))
+      .groupBy("sym").agg(sum(col("freq")).as("n_occurrences"))
+  }
+
+  val bpeVocabSql: String = {
+    val sp = "string_split(s, ' ')"
+    val ctes = (1 to bpeMergeRounds).map { r =>
+      s"""p$r AS (
+         |  SELECT sp[i] AS a, sp[i + 1] AS b, SUM(freq) AS cnt FROM (
+         |    SELECT freq, $sp AS sp, unnest(range(1, len($sp))) AS i
+         |    FROM w${r - 1} WHERE len($sp) >= 2)
+         |  GROUP BY 1, 2 ORDER BY cnt DESC, a, b LIMIT 1),
+         |w$r AS (
+         |  SELECT w, freq, CASE WHEN a IS NULL THEN s ELSE
+         |    list_reduce($sp, (acc, x) ->
+         |      CASE WHEN (acc = a OR ends_with(acc, ' ' || a)) AND x = b
+         |           THEN substring(acc, 1, length(acc) - length(a)) || a || b
+         |           ELSE acc || ' ' || x END) END AS s
+         |  FROM w${r - 1} LEFT JOIN p$r ON TRUE)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH w0 AS (
+       |  SELECT w, count(*) AS freq,
+       |    array_to_string(string_split(w, ''), ' ') AS s
+       |  FROM (SELECT unnest($toksSql) AS w FROM documents)
+       |  WHERE length(w) >= 1 GROUP BY w),
+       |$ctes
+       |SELECT sym, CAST(SUM(freq) AS BIGINT) AS n_occurrences
+       |FROM (SELECT unnest($sp) AS sym, freq FROM w$bpeMergeRounds)
+       |GROUP BY sym""".stripMargin
+  }
 
   // --- n-gram language-model estimation -----------------------------------
 
@@ -592,6 +688,7 @@ object TrainingData extends QueryModule {
     "seq_packing" -> ((s, d) => seqPacking(s, d)),
     "packed_sequences" -> ((s, d) => packedSequences(s, d)),
     "bpe_pairs" -> ((s, d) => bpePairs(s, d)),
+    "bpe_vocab" -> ((s, d) => bpeVocab(s, d)),
     "cdc_chunks" -> ((s, d) => cdcChunks(s, d)),
     "winnow_fingerprints" -> ((s, d) => winnowFingerprints(s, d)),
     "ngram_lm" -> ((s, d) => ngramLm(s, d)))
@@ -601,6 +698,7 @@ object TrainingData extends QueryModule {
     "dup_spans" -> dupSpansSql,
     "seq_packing" -> seqPackingSql,
     "packed_sequences" -> packedSequencesSql,
+    "bpe_vocab" -> bpeVocabSql,
     "bpe_pairs" -> bpePairsSql,
     "cdc_chunks" -> cdcChunksSql,
     "winnow_fingerprints" -> winnowFingerprintsSql,

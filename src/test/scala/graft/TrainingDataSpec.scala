@@ -168,6 +168,25 @@ class TrainingDataSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("iterative BPE: greedy non-overlapping merges, K rounds, deterministic ties") {
+    def vocab(text: String, k: Int): Map[String, Long] =
+      TrainingData.bpeVocabFrom(Seq((1L, text)).toDF("doc_id", "text"), k)
+        .as[(String, Long)].collect().toMap
+    // even run: [a,a,a,a] must fold to [aa,aa] (non-overlap), odd run
+    // to [aa,a]; two rounds then merge aa+aa
+    assert(vocab("aaaa aaaa aa aaa", 1) ==
+      Map("aa" -> 6L, "a" -> 1L), "round 1 merges (a,a) greedily")
+    assert(vocab("aaaa aaaa aa aaa", 2) ==
+      Map("aaaa" -> 2L, "aa" -> 2L, "a" -> 1L), "round 2 merges (aa,aa)")
+    // tie-breaking: (l,o) and (o,w) both appear 3x; lexicographic pair
+    // order picks (l,o) first — then the merge cascade rebuilds words
+    assert(vocab("low low lower", 4) == Map("low" -> 2L, "lower" -> 1L),
+      "4 deterministic rounds rebuild low/lower")
+    // K larger than available merges: fold becomes the identity once
+    // no pair remains (the left-join-null path)
+    assert(vocab("ab ab", 5) == Map("ab" -> 2L))
+  }
+
   test("packed sequences: spans tile each sequence exactly, tails short, rest full") {
     val ps = TrainingData.packedSequences(spark, sf0001).cache()
     val L = 256L
