@@ -22,6 +22,7 @@ object QBench {
     "simhash_pairs_broadcast" -> ((s, d) => ops.TextDedup.simhashPairsBroadcast(s, d)),
     "embed_near_dup_exact" -> ((s, d) => ops.Similarity.cosineNearDupPairsExact(s, d)),
     "embed_near_dup_16x2" -> ((s, d) => ops.Similarity.cosineNearDupPairsHiRecall(s, d)),
+    "embed_near_dup_lean" -> ((s, d) => ops.Similarity.cosineNearDupPairsLean(s, d)),
     "cdc_chunks_hof" -> ((s, d) => ops.TrainingData.cdcChunksHof(s, d)),
     "bpe_pairs_hof" -> ((s, d) => ops.TrainingData.bpePairsHof(s, d))
   )

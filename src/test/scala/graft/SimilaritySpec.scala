@@ -58,6 +58,15 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("lean (late-materialization) twin emits exactly the registered pairs") {
+    val lean = Similarity.cosineNearDupPairsLean(spark, sf0001)
+      .as[(Long, Long, Double)].collect().toSet
+    val reg = Similarity.cosineNearDupPairs(spark, sf0001)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(lean == reg,
+      s"lean/registered divergence: ${reg.diff(lean).size} missing, ${lean.diff(reg).size} extra")
+  }
+
   test("hi-recall banding: recall >= 0.8 vs exact, superset of the 8x4 output") {
     val hi = Similarity.cosineNearDupPairsHiRecall(spark, sf0001)
       .as[(Long, Long, Double)].collect().toSet
