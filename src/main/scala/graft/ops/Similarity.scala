@@ -367,6 +367,15 @@ object Similarity extends QueryModule {
     * persisted-index pair [[writeIvfIndex]]/[[probeIvfIndex]]:
     * (vec_id, embedding, norm, cell). */
   private def ivfAssigned(spark: SparkSession, dir: String, cells: Int): DataFrame = {
+    val (emb, scoreStructs) = ivfScored(spark, dir, cells)
+    emb.withColumn("cell", least(scoreStructs: _*).getField("sid"))
+  }
+
+  /** The scored embedding frame + the per-row (score, sid) centroid
+    * structs — shared by single-probe assignment (least = argmin) and
+    * multi-probe ranking (array_sort = full centroid order). */
+  private def ivfScored(spark: SparkSession, dir: String, cells: Int)
+      : (DataFrame, Seq[Column]) = {
     val emb = Core.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding"),
         sqrt(dot(col("embedding"), col("embedding"))).as("norm"))
@@ -383,14 +392,14 @@ object Similarity extends QueryModule {
       .map(r => (r.getLong(0), r.getSeq[Float](1)))
       .sortBy(_._1)
     require(seedRows.nonEmpty,
-      s"ivfAssigned: no centroid seeds (no rows with vec_id < $cells in $dir/embeddings)")
+      s"ivfScored: no centroid seeds (no rows with vec_id < $cells in $dir/embeddings)")
     val scoreStructs = seedRows.map { case (sid, semb) =>
       val sembLit = typedLit(semb)
       val ss = dot(sembLit, sembLit)
       struct((ss - lit(2.0) * dot(col("embedding"), sembLit)).as("score"),
         lit(sid).as("sid"))
     }
-    emb.withColumn("cell", least(scoreStructs: _*).getField("sid"))
+    (emb, scoreStructs)
   }
 
   def ivfTopK(spark: SparkSession, dir: String, cells: Int = 16): DataFrame = {
@@ -430,6 +439,92 @@ object Similarity extends QueryModule {
        |    ${dotSql("q.qvec", "e.embedding")} /
        |      (sqrt(${dotSql("q.qvec", "q.qvec")}) * sqrt(${dotSql("e.embedding", "e.embedding")})) AS cosine
        |  FROM assigned e JOIN q ON e.cell = q.cell WHERE e.vec_id <> q.qid),
+       |ranked AS (
+       |  SELECT qid, vec_id, cosine,
+       |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS "rank"
+       |  FROM pairs)
+       |SELECT qid, vec_id, cosine, CAST("rank" AS INTEGER) AS "rank" FROM ranked WHERE "rank" <= 5""".stripMargin
+  }
+
+  /** MULTI-PROBE IVF (round-4 verdict #6): probe the `ivfNprobe`
+    * nearest cells per query instead of only the home cell. IVF's
+    * recall loss is a boundary effect — a query near a cell border has
+    * true neighbors assigned to the adjacent cell — and probing the
+    * next-closest cells recovers exactly those, which is why nprobe is
+    * THE recall knob of every production IVF (FAISS et al.).
+    *
+    * Mechanics: the same driver-collected centroid structs, but
+    * array_sort'ed per query (full lexicographic (score, sid) order —
+    * the oracle's ROW_NUMBER twin) and sliced to the first nprobe;
+    * explode fans each query to nprobe (qid, cell) probe rows, the
+    * join against the assigned corpus stays the same broadcast
+    * equi-join, and the per-query top-5 window now ranks the UNION of
+    * the probed cells' candidates. Work scales linearly in nprobe
+    * (~nprobe/cells of the corpus scored per query); candidate sets
+    * grow monotonically, so recall is monotone in nprobe and
+    * nprobe = cells degenerates to the exact brute-force ranking
+    * (both spec-asserted).
+    *
+    * Measured recall vs exact top-5 (SimilaritySpec, sf0.001, 10
+    * queries x 5): nprobe=1 0.20, nprobe=2 0.38, nprobe=4 0.58,
+    * nprobe=16 1.00. The low absolute numbers are this corpus, not
+    * the operator: the synthetic embeddings are near-isotropic, so
+    * 16 sampled centroids partition a space with no real cluster
+    * structure and true neighbors scatter across cells — real
+    * embedding corpora cluster and IVF recall at nprobe/cells = 1/4
+    * is typically 0.9+. The frontier's SHAPE (monotone, 2.9x from 1
+    * to 4, exact at 16) is the operator working as designed; the
+    * registered form pins nprobe=4. */
+  private val ivfNprobe = 4
+
+  def ivfTopKMultiProbe(spark: SparkSession, dir: String): DataFrame =
+    ivfMultiProbeCore(spark, dir, 16, ivfNprobe)
+
+  private[graft] def ivfMultiProbeCore(spark: SparkSession, dir: String,
+      cells: Int, nprobe: Int): DataFrame = {
+    val (emb, scoreStructs) = ivfScored(spark, dir, cells)
+    val assigned = emb.withColumn("cell", least(scoreStructs: _*).getField("sid"))
+    val probeCells = slice(
+      transform(array_sort(array(scoreStructs: _*)), s => s.getField("sid")),
+      1, nprobe)
+    val q = emb.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"),
+        col("norm").as("qnorm"), explode(probeCells).as("cell"))
+    val joined = assigned.join(broadcast(q), Seq("cell"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        (dot(col("qvec"), col("embedding")) / (col("qnorm") * col("norm")))
+          .as("cosine"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("cosine").desc, col("vec_id"))
+    joined.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("qid"), col("vec_id"), col("cosine"), col("rank"))
+  }
+
+  val ivfMultiProbeSql: String = {
+    val cells = 16
+    s"""WITH seeds AS (
+       |  SELECT vec_id AS sid, embedding AS semb,
+       |    ${dotSql("embedding", "embedding")} AS ss
+       |  FROM embeddings WHERE vec_id < $cells),
+       |scored AS (
+       |  SELECT e.vec_id, e.embedding, s.sid,
+       |    s.ss - 2.0 * ${dotSql("e.embedding", "s.semb")} AS score
+       |  FROM embeddings e CROSS JOIN seeds s),
+       |ranked_cells AS (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY score, sid) AS rn
+       |  FROM scored),
+       |assigned AS (
+       |  SELECT vec_id, embedding, sid AS cell FROM ranked_cells WHERE rn = 1),
+       |probes AS (
+       |  SELECT vec_id AS qid, embedding AS qvec, sid AS cell
+       |  FROM ranked_cells WHERE rn <= $ivfNprobe AND vec_id % 50 = 0),
+       |pairs AS (
+       |  SELECT q.qid, e.vec_id,
+       |    ${dotSql("q.qvec", "e.embedding")} /
+       |      (sqrt(${dotSql("q.qvec", "q.qvec")}) * sqrt(${dotSql("e.embedding", "e.embedding")})) AS cosine
+       |  FROM assigned e JOIN probes q ON e.cell = q.cell WHERE e.vec_id <> q.qid),
        |ranked AS (
        |  SELECT qid, vec_id, cosine,
        |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS "rank"
@@ -804,6 +899,7 @@ object Similarity extends QueryModule {
     "embed_lsh_buckets" -> ((s, d) => lshBuckets(s, d)),
     "embed_ann_lsh_topk" -> ((s, d) => annLshTopK(s, d)),
     "embed_ivf_topk" -> ((s, d) => ivfTopK(s, d)),
+    "embed_ivf_multiprobe" -> ((s, d) => ivfTopKMultiProbe(s, d)),
     "embed_near_dup_pairs" -> ((s, d) => cosineNearDupPairs(s, d)),
     "embed_quantize" -> ((s, d) => embedQuantize(s, d)),
     "embed_ann_sq8_topk" -> ((s, d) => annSq8TopK(s, d)),
@@ -816,6 +912,7 @@ object Similarity extends QueryModule {
     "embed_lsh_buckets" -> lshBucketsSql,
     "embed_ann_lsh_topk" -> annLshTopKSql,
     "embed_ivf_topk" -> ivfTopKSql,
+    "embed_ivf_multiprobe" -> ivfMultiProbeSql,
     "embed_near_dup_pairs" -> cosineNearDupPairsSql,
     "embed_quantize" -> embedQuantizeSql,
     "embed_ann_sq8_topk" -> annSq8TopKSql,

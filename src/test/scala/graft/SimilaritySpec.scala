@@ -39,6 +39,34 @@ class SimilaritySpec extends SparkSpec {
     assert(ivf.groupBy("qid").count().filter($"count" > 5).isEmpty)
   }
 
+  test("multi-probe IVF: recall monotone in nprobe, nprobe=cells is exact") {
+    def top5(df: org.apache.spark.sql.DataFrame) = df
+      .select("qid", "vec_id").as[(Long, Long)].collect().toSet
+    val exact = top5(Similarity.cosineTopK(spark, sf0001))
+    val frontier = Seq(1, 2, 4, 16).map { np =>
+      val hits = top5(Similarity.ivfMultiProbeCore(spark, sf0001, 16, np))
+      np -> hits.intersect(exact).size.toDouble / exact.size
+    }
+    info(s"recall frontier: ${frontier.map { case (n, r) => f"nprobe=$n%d $r%.2f" }.mkString(", ")}")
+    // candidate sets grow with nprobe, and with the identical
+    // (cosine desc, vec_id) tie-break a larger candidate set can only
+    // move the selected 5 TOWARD the global top-5 — recall is monotone
+    frontier.sliding(2).foreach { case Seq((n1, r1), (n2, r2)) =>
+      assert(r2 >= r1, s"recall must be monotone: nprobe=$n1 $r1 > nprobe=$n2 $r2")
+    }
+    // probing every cell scores the whole corpus: exact by construction
+    assert(frontier.last._2 == 1.0, "nprobe=cells must equal brute force")
+    // the registered nprobe=4 must beat single-probe on this corpus
+    // (boundary queries exist at every SF; equality would mean the
+    // probe ranking is broken)
+    assert(frontier(2)._2 > frontier(0)._2,
+      s"nprobe=4 must improve on nprobe=1: $frontier")
+    // single-probe multi-probe core degenerates to the registered
+    // embed_ivf_topk exactly
+    assert(top5(Similarity.ivfMultiProbeCore(spark, sf0001, 16, 1)) ==
+      top5(Similarity.ivfTopK(spark, sf0001)))
+  }
+
   test("banded near-dup pairs: subset of exact pairs, identical cosines, measured recall") {
     val banded = Similarity.cosineNearDupPairs(spark, sf0001)
       .as[(Long, Long, Double)].collect().toSet
