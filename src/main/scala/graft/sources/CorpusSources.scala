@@ -112,6 +112,27 @@ object CorpusSources {
       full)
   }
 
+  /** The STREAMING twin of [[readCsv]] — same explicit schema, same
+    * corrupt capture, same file-source incremental semantics as
+    * [[streamJsonl]]. Header lines are recognized by literal text and
+    * dropped BEFORE decode, which in streaming matters twice: every
+    * newly dropped file carries its own header, and a header decoded
+    * under PERMISSIVE would otherwise quarantine once per drop. */
+  def streamCsv(spark: SparkSession, path: String,
+      schema: StructType = documentsSchema,
+      maxFilesPerTrigger: Int = 16): DataFrame = {
+    val full = schema.add(corruptCol, StringType)
+    val header = schema.fieldNames.mkString(",")
+    decoded(
+      spark.readStream
+        .option("maxFilesPerTrigger", maxFilesPerTrigger)
+        .text(path)
+        .filter(col("value") =!= lit(header)),
+      from_csv(col("value"), full,
+        Map("mode" -> "PERMISSIVE", "columnNameOfCorruptRecord" -> corruptCol)),
+      full)
+  }
+
   /** End-to-end landed-drop curation — the composition a continuously
     * fed corpus actually runs, wiring this module's edges to the
     * engine's gates and writer:
@@ -133,10 +154,16 @@ object CorpusSources {
     * whose watermark state a landing writer deliberately does not
     * carry. Returns the started query; callers own its lifecycle. */
   def curateDrops(spark: SparkSession, dropDir: String, outDir: String,
-      checkpoint: String, minQuality: Double = 0.55)
+      checkpoint: String, minQuality: Double = 0.55,
+      format: String = "jsonl")
       : org.apache.spark.sql.streaming.StreamingQuery = {
     import graft.streaming.StreamingPipeline.writeBatchIdempotent
-    streamJsonl(spark, dropDir).writeStream
+    val stream = format match {
+      case "jsonl" => streamJsonl(spark, dropDir)
+      case "csv" => streamCsv(spark, dropDir)
+      case other => sys.error(s"curateDrops: unknown drop format '$other'")
+    }
+    stream.writeStream
       .option("checkpointLocation", checkpoint)
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>

@@ -96,6 +96,36 @@ class SourcesSpec extends SparkSpec {
       "malformed AND unscoreable lines both quarantine")
   }
 
+  test("streaming csv drops curate end-to-end: per-file headers dropped, corrupt rows quarantine") {
+    val dropDir = java.nio.file.Files.createTempDirectory("graft_csv_in")
+    val outDir = java.nio.file.Files.createTempDirectory("graft_csv_out").toString
+    val ck = java.nio.file.Files.createTempDirectory("graft_csv_ck").toString
+    val header = "doc_id,text,lang,source,n_chars"
+    val goodText = (1 to 30).map(i => s"tok$i").mkString(" ")
+    def drop(name: String, lines: Seq[String]): Unit =
+      java.nio.file.Files.write(dropDir.resolve(name),
+        String.join("\n", lines: _*).getBytes("UTF-8"))
+    drop("d0.csv", Seq(header,
+      s"1,$goodText,en,s0,${goodText.length}",
+      "oops,not a number here either way,de,s1,xx")) // corrupt: bad doc_id + n_chars
+    val q = CorpusSources.curateDrops(spark, dropDir.toString, outDir, ck, format = "csv")
+    try {
+      q.processAllAvailable()
+      // a second drop arrives WITH ITS OWN HEADER: incremental pickup,
+      // header must not decode (or quarantine) a second time
+      drop("d1.csv", Seq(header, s"2,$goodText extra,en,s0,${goodText.length + 6}"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val corpus = spark.read.parquet(s"$outDir/corpus")
+    assert(corpus.select("doc_id").as[Long].collect().toSet == Set(1L, 2L))
+    assert(corpus.schema("doc_id").dataType == org.apache.spark.sql.types.LongType,
+      "streamed csv must decode under the pinned schema, not as strings")
+    val quarantine = spark.read.parquet(s"$outDir/quarantine")
+    val qLines = quarantine.select("raw_line").as[String].collect()
+    assert(qLines.length == 1 && qLines.head.startsWith("oops,"),
+      s"exactly the corrupt row quarantines, got ${qLines.mkString("; ")}")
+  }
+
   test("csv with a corrupt row: typed columns survive, bad row quarantines") {
     val path = writeLines("drop.csv", Seq(
       "doc_id,text,lang,source,n_chars",
