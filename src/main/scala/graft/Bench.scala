@@ -212,9 +212,28 @@ object Bench {
         System.err.println(s"[bench] WARNING: RocksDB DAG run failed: $t"); -1.0
     }
 
+    // 3) the full in-stream indicator stack (r5): bars + the 100-min
+    // sliding collect_list agg deriving Bollinger/stoch/ATR — the
+    // deepest per-event work of the streaming layer. 1s event cadence
+    // -> 300 events/bar, ~333 bars, so the second agg's window state
+    // is exercised across many closed frames.
+    val nInd = 100000
+    val indMs = MemoryStream[(Long, java.sql.Timestamp, String, Double)]
+    val ind = StreamingPipeline.streamingIndicatorsFull(
+      indMs.toDF().toDF("event_id", "ts", "event_type", "value"))
+    val q3 = ind.writeStream.format("memory").queryName("bench_indfull")
+      .outputMode("append").start()
+    val indSecs = try {
+      val t0 = System.nanoTime()
+      events(nInd, 1000L).grouped(nInd / 8).foreach(indMs.addData(_))
+      q3.processAllAvailable()
+      (System.nanoTime() - t0) / 1e9
+    } finally q3.stop()
+
     val totalDagInput = nDeep + 4 * auxIdx.size
     val rocksEps = if (dagRocksSecs > 0) totalDagInput / dagRocksSecs else -1.0
     s"""{"bars_events":$nBars,"bars_sec":$barsSecs,"bars_events_per_sec":${nBars / barsSecs},""" +
+      s""""indfull_events":$nInd,"indfull_sec":$indSecs,"indfull_events_per_sec":${nInd / indSecs},""" +
       s""""dag_events":$totalDagInput,"dag_sec":$dagSecs,"dag_events_per_sec":${totalDagInput / dagSecs},""" +
       s""""dag_rocksdb_sec":$dagRocksSecs,"dag_rocksdb_events_per_sec":$rocksEps}"""
   }

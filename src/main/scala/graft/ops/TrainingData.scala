@@ -682,6 +682,78 @@ object TrainingData extends QueryModule {
        |LIMIT $lmK""".stripMargin
   }
 
+  /** LM-based document quality scoring — the CCNet/Wenzek-et-al. 2020
+    * filter pattern: score each document by how probable its text is
+    * under a language model, then gate or bucket on the score (their
+    * KenLM perplexity; here the corpus's own trigram MLE from
+    * [[ngramLm]]'s tables — self-scoring, so every observed trigram
+    * has c2 >= c3 > 0 and no smoothing is needed). Rare/incoherent
+    * trigram sequences score low; boilerplate scores high — both ends
+    * are the curation signal.
+    *
+    * Determinism over transcendentals: true perplexity needs log(),
+    * and libm transcendentals are NOT bit-identical across engines —
+    * so the score is the mean QUANTIZED probability: per trigram
+    * qp = (c3 * 1e9) div c2 (exact integer arithmetic, order-
+    * independent), per doc avg_p = sum(qp)/n/1e9 with one identical
+    * double expression tree. Monotone in the mean MLE probability,
+    * hash-exact by construction. (At extreme corpus scale c3 * 1e9
+    * needs the decimal widening noted inline.)
+    *
+    * Scale shape: the trigram/bigram tables are DISTINCT-n-gram sized
+    * (vocabulary-scale, not corpus-scale); the doc-trigram explode is
+    * linear and its join keys on the trigram hash — the same Brants
+    * sharding as ngram_lm; the per-doc groupBy keys on doc_id. Docs
+    * with < 3 tokens have no trigrams: reported with n_trigrams = 0
+    * and a NULL score (explicitly unscoreable, never silently
+    * dropped — the curateDrops lesson). */
+  def lmDocScore(spark: SparkSession, dir: String): DataFrame = {
+    val base = withToks(Core.documents(spark, dir))
+    val docTri = base.select(col("doc_id"),
+      explode(graft.functions.token_ngrams(toks, 3)).as("tri"))
+    val tri = docTri.groupBy("tri").agg(count(lit(1)).as("c3"))
+      .withColumn("prefix", expr(
+        "substring(tri, 1, length(tri) - length(element_at(split(tri, ' '), 3)) - 1)"))
+    val bi = base.select(explode(graft.functions.token_ngrams(toks, 2)).as("prefix"))
+      .groupBy("prefix").agg(count(lit(1)).as("c2"))
+    // qp fits a long while c3 < ~9e9; a trillion-token corpus casts
+    // c3 to DECIMAL(38,0) here and floors the quotient
+    val scored = tri.join(bi, "prefix")
+      .select(col("tri"), expr("(c3 * 1000000000L) div c2").as("qp"))
+    val perDoc = docTri.join(scored, "tri")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_trigrams"), sum(col("qp")).as("sq"))
+    base.select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_trigrams"), lit(0L)).as("n_trigrams"),
+        (col("sq").cast("double") / col("n_trigrams").cast("double") /
+          lit(1.0e9)).as("avg_p"))
+  }
+
+  val lmDocScoreSql: String = {
+    val tg = s"list_transform(range(1, len($toksSql) - 1), i -> $toksSql[i] || ' ' || $toksSql[i+1] || ' ' || $toksSql[i+2])"
+    val bg = s"list_transform(range(1, len($toksSql)), i -> $toksSql[i] || ' ' || $toksSql[i+1])"
+    s"""WITH doctri AS (
+       |  SELECT doc_id, unnest($tg) AS tri FROM documents),
+       |tri AS (
+       |  SELECT tri, count(*) AS c3,
+       |    substring(tri, 1, length(tri) - length(string_split(tri, ' ')[3]) - 1) AS prefix
+       |  FROM doctri GROUP BY tri),
+       |bi AS (
+       |  SELECT prefix, count(*) AS c2
+       |  FROM (SELECT unnest($bg) AS prefix FROM documents) GROUP BY prefix),
+       |scored AS (
+       |  SELECT tri, (c3 * 1000000000) // c2 AS qp FROM tri JOIN bi USING (prefix)),
+       |agg AS (
+       |  SELECT doc_id, count(*) AS n, CAST(SUM(qp) AS BIGINT) AS sq
+       |  FROM doctri JOIN scored USING (tri) GROUP BY doc_id)
+       |SELECT d.doc_id,
+       |  CAST(coalesce(n, 0) AS BIGINT) AS n_trigrams,
+       |  CAST(sq AS DOUBLE) / CAST(n AS DOUBLE) / 1.0e9 AS avg_p
+       |FROM documents d LEFT JOIN agg USING (doc_id)""".stripMargin
+  }
+
   override def queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "repetition_metrics" -> ((s, d) => repetitionMetrics(s, d)),
     "dup_spans" -> ((s, d) => dupSpans(s, d)),
@@ -691,7 +763,8 @@ object TrainingData extends QueryModule {
     "bpe_vocab" -> ((s, d) => bpeVocab(s, d)),
     "cdc_chunks" -> ((s, d) => cdcChunks(s, d)),
     "winnow_fingerprints" -> ((s, d) => winnowFingerprints(s, d)),
-    "ngram_lm" -> ((s, d) => ngramLm(s, d)))
+    "ngram_lm" -> ((s, d) => ngramLm(s, d)),
+    "lm_doc_score" -> ((s, d) => lmDocScore(s, d)))
 
   override def oracle: Seq[(String, String)] = Seq(
     "repetition_metrics" -> repetitionMetricsSql,
@@ -702,5 +775,6 @@ object TrainingData extends QueryModule {
     "bpe_pairs" -> bpePairsSql,
     "cdc_chunks" -> cdcChunksSql,
     "winnow_fingerprints" -> winnowFingerprintsSql,
-    "ngram_lm" -> ngramLmSql)
+    "ngram_lm" -> ngramLmSql,
+    "lm_doc_score" -> lmDocScoreSql)
 }

@@ -168,6 +168,29 @@ class TrainingDataSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("lm doc score: probabilities bounded, trigram counts exact, short docs unscoreable not dropped") {
+    val s = TrainingData.lmDocScore(spark, sf0001).cache()
+    val docs = Core.documents(spark, sf0001)
+    assert(s.count() == docs.count(), "every document must appear, scoreable or not")
+    // qp quantizes DOWN, so 0 < avg_p <= 1 for any scoreable doc
+    assert(s.filter($"n_trigrams" > 0 &&
+      ($"avg_p" <= 0.0 || $"avg_p" > 1.0)).isEmpty)
+    assert(s.filter($"n_trigrams" === 0 && $"avg_p".isNotNull).isEmpty,
+      "unscoreable docs carry an explicit NULL score")
+    // n_trigrams is exactly tokens - 2 for docs with >= 3 tokens
+    val bad = s.join(docs.select($"doc_id",
+        size(split($"text", " ")).as("nt")), "doc_id")
+      .filter(($"nt" >= 3 && $"n_trigrams" =!= $"nt" - 2) ||
+        ($"nt" < 3 && $"n_trigrams" =!= 0))
+    assert(bad.isEmpty, "trigram counts must match token counts")
+    // the score must actually discriminate (a constant score would
+    // pass the bounds above but carry no curation signal)
+    val range = s.filter($"avg_p".isNotNull)
+      .agg(max($"avg_p"), min($"avg_p")).as[(Double, Double)].collect()(0)
+    assert(range._1 > range._2, "score must discriminate documents")
+    s.unpersist()
+  }
+
   test("iterative BPE: greedy non-overlapping merges, K rounds, deterministic ties") {
     def vocab(text: String, k: Int): Map[String, Long] =
       TrainingData.bpeVocabFrom(Seq((1L, text)).toDF("doc_id", "text"), k)
