@@ -226,9 +226,11 @@ object TrainingData extends QueryModule {
     *
     * Shape: each doc explodes into one row PER SEQUENCE IT TOUCHES —
     * total rows = ceil(shard tokens / seqLen) summed over shards, so
-    * the fanout is tokens/seqLen, linear in corpus size, and the
-    * groupBy keys on (shard, seq_id) — the same shard-partitioned
-    * parallelism as the coordinate query. The span list per sequence
+    * the fanout is tokens/seqLen, linear in corpus size. Executed-plan
+    * audit at sf0.1: ONE exchange total — the groupBy(shard, seq_id)
+    * keys are a superset of the window's shard hash-partitioning, so
+    * the aggregation reuses it and only the cumulative-sum window
+    * shuffles. The span list per sequence
     * is bounded by seqLen (worst case: seqLen one-token docs), so
     * collect_list cannot skew. Spans are sorted by in-sequence start
     * (docs tile a sequence disjointly, so starts are unique) and
@@ -702,8 +704,12 @@ object TrainingData extends QueryModule {
     *
     * Scale shape: the trigram/bigram tables are DISTINCT-n-gram sized
     * (vocabulary-scale, not corpus-scale); the doc-trigram explode is
-    * linear and its join keys on the trigram hash — the same Brants
-    * sharding as ngram_lm; the per-doc groupBy keys on doc_id. Docs
+    * linear. Executed-plan audit at sf0.1: AQE broadcasts both reduced
+    * tables (931-row bigram, 27k-row scored-trigram) against the 260k
+    * doc-trigram stream — three shuffles total, all count aggregations.
+    * At corpus scale the scored-trigram side outgrows the threshold and
+    * the same join hash-shuffles on the trigram — the Brants sharding,
+    * linear either way; the per-doc groupBy keys on doc_id. Docs
     * with < 3 tokens have no trigrams: reported with n_trigrams = 0
     * and a NULL score (explicitly unscoreable, never silently
     * dropped — the curateDrops lesson). */
