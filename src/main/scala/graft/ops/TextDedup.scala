@@ -781,6 +781,89 @@ object TextDedup extends QueryModule {
        |FROM test t JOIN train tr USING (ng)
        |GROUP BY t.doc_id, t.n_shingles""".stripMargin
 
+  /** The APPLY side of decontamination: [[splitContamination]] reports
+    * which EVAL docs leak; the remediation a pipeline actually ships
+    * removes from TRAIN every document sharing a rare shingle with any
+    * test doc (eval sets are fixed reference points — you don't edit
+    * the benchmark, you pull the leak out of training). One row per
+    * train doc with its leaked-shingle count and verdict, so the
+    * curation writer composes it as a filter (the same
+    * verdict-column-not-destructive-drop shape as dedup_apply).
+    * Same df-capped shingle join as the detector — the cap bounds
+    * per-shingle fanout, keeping the candidate stream linear. */
+  def decontaminateTrain(spark: SparkSession, dir: String): DataFrame = {
+    val dn = withNgramArr(Core.documents(spark, dir))
+      .select(col("doc_id"), (charHash(col("text")) % lit(100L)).as("h"),
+        explode(dng).as("ng"))
+    val rare = dn.groupBy("ng").agg(count(lit(1)).as("doc_freq"))
+      .filter(col("doc_freq") <= contamDfCap)
+    val dnRare = dn.join(rare.select("ng"), "ng")
+    val testNg = dnRare.filter(col("h") >= 92).select("ng").distinct()
+    val leaked = dnRare.filter(col("h") < 80)
+      .join(testNg, "ng")
+      .groupBy("doc_id").agg(countDistinct(col("ng")).as("n_leaked"))
+    Core.documents(spark, dir)
+      .select(col("doc_id"), (charHash(col("text")) % lit(100L)).as("h"))
+      .filter(col("h") < 80)
+      .join(leaked, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_leaked"), lit(0L)).as("n_leaked"),
+        (coalesce(col("n_leaked"), lit(0L)) === 0L).as("keep"))
+  }
+
+  val decontaminateTrainSql: String =
+    s"""WITH dn AS (
+       |  SELECT doc_id, ${charHashSql("text")} % 100 AS h,
+       |    unnest(list_distinct($ngramsSql)) AS ng
+       |  FROM documents),
+       |rare AS (SELECT ng FROM dn GROUP BY ng HAVING count(*) <= $contamDfCap),
+       |testng AS (SELECT DISTINCT ng FROM dn JOIN rare USING (ng) WHERE h >= 92),
+       |leaked AS (
+       |  SELECT doc_id, count(DISTINCT ng) AS n_leaked
+       |  FROM dn JOIN testng USING (ng) WHERE h < 80 GROUP BY doc_id)
+       |SELECT d.doc_id,
+       |  CAST(coalesce(l.n_leaked, 0) AS BIGINT) AS n_leaked,
+       |  coalesce(l.n_leaked, 0) = 0 AS keep
+       |FROM (SELECT doc_id FROM documents WHERE ${charHashSql("text")} % 100 < 80) d
+       |LEFT JOIN leaked l USING (doc_id)""".stripMargin
+
+  /** PII scrubbing — the redaction pass every published training
+    * corpus runs (emails and IP addresses are the canonical always-on
+    * classes; see e.g. the BigCode/StarCoder PII pipeline). Pure
+    * map-side regexp_replace, no shuffle — the 100 TB form is a scan
+    * that rewrites in place. Patterns deliberately stick to character
+    * classes + bounded quantifiers + \\b, the regex subset with
+    * identical semantics in Java regex (Spark) and RE2 (DuckDB) — no
+    * lookaround, no backreferences — so the oracle hash-checks the
+    * redacted text byte-for-byte. Redaction counts come from
+    * regexp_count on the SAME patterns, so count and rewrite cannot
+    * drift. */
+  private val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val ipv4Re = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+
+  def piiScrub(spark: SparkSession, dir: String): DataFrame =
+    piiScrubFrom(Core.documents(spark, dir))
+
+  private[graft] def piiScrubFrom(df: DataFrame): DataFrame =
+    df.select(col("doc_id"),
+      regexp_replace(regexp_replace(col("text"), emailRe, "<EMAIL>"),
+        ipv4Re, "<IP>").as("text_clean"),
+      regexp_count(col("text"), lit(emailRe)).as("n_emails"),
+      regexp_count(col("text"), lit(ipv4Re)).as("n_ips"))
+
+  val piiScrubSql: String = {
+    // single-quoted SQL literals: backslashes pass through verbatim to
+    // RE2 (DuckDB string literals are not escape-processed by default)
+    val email = emailRe
+    val ip = ipv4Re
+    s"""SELECT doc_id,
+       |  regexp_replace(regexp_replace(text, '$email', '<EMAIL>', 'g'),
+       |    '$ip', '<IP>', 'g') AS text_clean,
+       |  CAST(len(regexp_extract_all(text, '$email')) AS INTEGER) AS n_emails,
+       |  CAST(len(regexp_extract_all(text, '$ip')) AS INTEGER) AS n_ips
+       |FROM documents""".stripMargin
+  }
+
   /** Boilerplate detection: the 20 highest-document-frequency shingles
     * (headers/footers/templates repeat verbatim across documents; their
     * shingles top this list). Per-doc dedup is map-side; the count is
@@ -892,6 +975,8 @@ object TextDedup extends QueryModule {
     "dataset_split" -> ((s, d) => datasetSplit(s, d)),
     "stratified_sample" -> ((s, d) => stratifiedSample(s, d)),
     "split_contamination" -> ((s, d) => splitContamination(s, d)),
+    "decontaminate_train" -> ((s, d) => decontaminateTrain(s, d)),
+    "pii_scrub" -> ((s, d) => piiScrub(s, d)),
     "boilerplate_ngrams" -> ((s, d) => boilerplateNgrams(s, d)),
     "vocab_topk" -> ((s, d) => vocabTopK(s, d)),
     "corpus_pipeline" -> ((s, d) => corpusPipeline(s, d)))
@@ -913,6 +998,8 @@ object TextDedup extends QueryModule {
     "dataset_split" -> datasetSplitSql,
     "stratified_sample" -> stratifiedSampleSql,
     "split_contamination" -> splitContaminationSql,
+    "decontaminate_train" -> decontaminateTrainSql,
+    "pii_scrub" -> piiScrubSql,
     "boilerplate_ngrams" -> boilerplateNgramsSql,
     "vocab_topk" -> vocabTopKSql,
     "corpus_pipeline" -> corpusPipelineSql)

@@ -50,6 +50,50 @@ class TextDedupSpec extends SparkSpec {
     assert(notTest.isEmpty, "contamination flagged a non-test-split doc")
   }
 
+  test("decontaminate train: covers exactly the train split, leaks match the detector's evidence") {
+    val d = TextDedup.decontaminateTrain(spark, sf0001).cache()
+    // covers the whole train split, nothing else
+    val trainIds = TextDedup.docFingerprint(spark, sf0001)
+      .filter(pmod($"fingerprint", lit(100L)) < 80).select($"doc_id")
+    assert(d.count() == trainIds.count())
+    assert(d.join(trainIds, Seq("doc_id"), "left_anti").isEmpty,
+      "verdicts exist only for train-split docs")
+    // keep is exactly n_leaked == 0
+    assert(d.filter(($"n_leaked" === 0L) =!= $"keep").isEmpty)
+    // cross-check against the detector: if any test doc leaks, some
+    // train doc must be flagged (the leak has two ends), and vice versa
+    val testLeaks = TextDedup.splitContamination(spark, sf0001).count()
+    val trainFlagged = d.filter(!$"keep").count()
+    assert((testLeaks > 0) == (trainFlagged > 0),
+      s"detector found $testLeaks leaking test docs but apply flagged $trainFlagged train docs")
+    d.unpersist()
+  }
+
+  test("pii scrub: planted emails and IPs redacted, counts exact, clean text untouched") {
+    val docs = Seq(
+      (1L, "contact me at alice.smith+spam@example.co.uk for details"),
+      (2L, "server at 192.168.1.254 and backup at 10.0.0.1 replied"),
+      (3L, "mixed bob@corp.io pinged 8.8.8.8 twice: 8.8.8.8"),
+      (4L, "no pii here, just 1.2 version numbers and an at sign @ alone"))
+      .toDF("doc_id", "text")
+    val out = TextDedup.piiScrubFrom(docs)
+      .as[(Long, String, Int, Int)].collect().map(r => r._1 -> r).toMap
+    assert(out(1L)._2 == "contact me at <EMAIL> for details" && out(1L)._3 == 1)
+    assert(out(2L)._2 == "server at <IP> and backup at <IP> replied" && out(2L)._4 == 2)
+    assert(out(3L)._2 == "mixed <EMAIL> pinged <IP> twice: <IP>" &&
+      out(3L)._3 == 1 && out(3L)._4 == 2)
+    assert(out(4L)._2 == "no pii here, just 1.2 version numbers and an at sign @ alone"
+      && out(4L)._3 == 0 && out(4L)._4 == 0,
+      "clean text must pass through byte-identical (1.2 is not an IP, bare @ not an email)")
+    // corpus run: a zero-redaction row must carry its text unchanged —
+    // joins the original to prove the rewrite is the identity off-match
+    val corpus = TextDedup.piiScrub(spark, sf0001)
+      .join(graft.ops.Core.documents(spark, sf0001).select("doc_id", "text"), "doc_id")
+    assert(corpus.count() == graft.ops.Core.documents(spark, sf0001).count())
+    assert(corpus.filter($"n_emails" === 0 && $"n_ips" === 0 &&
+      $"text_clean" =!= $"text").isEmpty, "no-match rows must be untouched")
+  }
+
   test("exact dedup partitions the corpus (sum of copies = row count)") {
     val d = TextDedup.dedupExact(spark, sf0001)
     val total = d.agg(sum("n_copies")).as[Long].collect()(0)
