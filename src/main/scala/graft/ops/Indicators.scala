@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -172,6 +172,36 @@ object Indicators extends QueryModule {
     * (max_by event_id — one DEEP snapshot per 5-min poll in the
     * reference). Still one scan + one shuffle: the snapshot pick rides
     * the same groupBy(bucket) partial aggregation as the OHLCV. */
+  /** The stateless candle + calendar block of the training matrix
+    * (F1, F9-F13) over top-level open/high/low/close/bucket columns —
+    * shared by [[featureMatrix]] and the streaming twin
+    * (StreamingPipeline.streamingFeatureMatrix), so the two cannot
+    * drift formula-by-formula. Split in two so featureMatrix can keep
+    * its column order (book block sits between the base and the
+    * one-hots). */
+  private[graft] def candleCalendarBase: Seq[Column] = {
+    val candle = col("high") - col("low")
+    val wick = when(col("close") >= col("open"), col("high") - col("close"))
+      .otherwise(col("low") - col("close"))
+    Seq(
+      candle.as("candle_size"),
+      wick.as("wick_size"),
+      when(candle === 0.0, lit(0.0)).otherwise(wick / candle).as("wick_prct"),
+      (weekday(col("bucket")) + lit(1)).as("week_day"),
+      womExpr.as("week_of_month"),
+      // F11 as-written session flag, on the bar bucket
+      when(hour(col("bucket")) >= 11 && minute(col("bucket")) >= 30, 0)
+        .otherwise(1).as("session_start"))
+  }
+
+  private[graft] def calendarOneHots: Seq[Column] =
+    (1 to 4).map(k =>
+      when(weekday(col("bucket")) + lit(1) === k, 1).otherwise(0).as(s"day_$k")) ++
+      (1 to 4).map(k => when(womExpr === k, 1).otherwise(0).as(s"week_$k"))
+
+  private def womExpr = expr(
+    "CAST((day(bucket) - 1 + (dayofweek(trunc(bucket, 'MM')) - 1)) div 7 AS INT) + 1")
+
   def featureMatrix(spark: SparkSession, dir: String): DataFrame = {
     val bookCols: Seq[String] = Book.featureNames ++ Book.sizeNames
     val w = Window.orderBy("bucket")
@@ -190,18 +220,6 @@ object Indicators extends QueryModule {
       .cast("double") / cntd(15)
     val p8 = lead(col("close"), 8).over(w)
     val p15 = lead(col("close"), 15).over(w)
-    val candle = col("high") - col("low")
-    val wick = when(col("close") >= col("open"), col("high") - col("close"))
-      .otherwise(col("low") - col("close"))
-    val womExpr = expr(
-      "CAST((day(bucket) - 1 + (dayofweek(trunc(bucket, 'MM')) - 1)) div 7 AS INT) + 1")
-    val dayHot = (1 to 4).map(k =>
-      when(weekday(col("bucket")) + lit(1) === k, 1).otherwise(0).as(s"day_$k"))
-    val weekHot = (1 to 4).map(k =>
-      when(womExpr === k, 1).otherwise(0).as(s"week_$k"))
-    // F11 as-written session flag, on the bar bucket
-    val sess = when(hour(col("bucket")) >= 11 && minute(col("bucket")) >= 30, 0)
-      .otherwise(1).as("session_start")
     val ev = Book.book(spark, dir).select(
       Seq(col("event_id"), col("ts"), col("value")) ++
         Book.featureCols ++ Book.sizeNames.map(col): _*)
@@ -224,13 +242,8 @@ object Indicators extends QueryModule {
       when(max15 === min15, lit(null).cast("double"))
         .otherwise((col("close") - min15) / (max15 - min15)).as("stoch"),
       (col("close") - lag(col("close"), 1).over(w)).as("price_change"),
-      atr.as("atr"),
-      candle.as("candle_size"),
-      wick.as("wick_size"),
-      when(candle === 0.0, lit(0.0)).otherwise(wick / candle).as("wick_prct"),
-      (weekday(col("bucket")) + lit(1)).as("week_day"),
-      womExpr.as("week_of_month"),
-      sess) ++ bookCols.map(col) ++ dayHot ++ weekHot ++ Seq(
+      atr.as("atr")) ++ candleCalendarBase ++ bookCols.map(col) ++
+      calendarOneHots ++ Seq(
       when(p8 >= col("close") + lit(1.5) * atr, 1).otherwise(0).as("up1"),
       when(p15 >= col("close") + lit(3.0) * atr, 1).otherwise(0).as("up2"),
       when(p8 <= col("close") - lit(1.5) * atr, 1).otherwise(0).as("down1"),

@@ -249,57 +249,153 @@ object StreamingPipeline {
     * kilobytes; the shuffle keys on the window, giving the same
     * hash-partitioned parallelism as the bars agg. Emission is
     * watermark-gated append, exactly one row per closed bar. */
-  def streamingIndicatorsFull(events: DataFrame): DataFrame = {
-    val bars = barsKeepWindow(events.withWatermark("ts", "5 minutes"))
-    val dec = (e: String) => s"CAST($e AS DECIMAL(18,2))"
-    // exact decimal folds; accumulator precision 38 so 20 adds can't
-    // round — exactness is what transfers batch window-sum equality
-    // to an array fold with a different association order
-    def foldDec(arr: String, item: String, scale: Int): String =
-      s"CAST(aggregate($arr, CAST(0 AS DECIMAL(38,$scale)), " +
-        s"(acc, x) -> CAST(acc + $item AS DECIMAL(38,$scale))) AS DOUBLE)"
-    def tail(k: Int) = s"slice(bs, greatest(size(bs) - ${k - 1}, 1), $k)"
+  def streamingIndicatorsFull(events: DataFrame): DataFrame =
+    withAnchoredIndicators(
+      slidingBarWindows(events, "100 minutes", withOpen = false),
+      size(col("bs")))
+      .select(Seq(col("anchor_bar.bucket").as("bucket")) ++ anchoredIndicatorCols: _*)
+
+  // exact decimal folds; accumulator precision 38 so 20 adds can't
+  // round — exactness is what transfers batch window-sum equality
+  // to an array fold with a different association order
+  private def foldDec(arr: String, item: String, scale: Int): String =
+    s"CAST(aggregate($arr, CAST(0 AS DECIMAL(38,$scale)), " +
+      s"(acc, x) -> CAST(acc + $item AS DECIMAL(38,$scale))) AS DOUBLE)"
+
+  /** frame slice [max(1, bi-k+1) .. bi]: the k-row trailing row frame
+    * anchored at 1-based index `bi`, clipped at the series start
+    * exactly like batch's (k-1) PRECEDING. Length is computed (not k)
+    * because elements AFTER the anchor may exist in the window, and
+    * clamped at 0 because Catalyst may inline these expressions into a
+    * MERGED filter and evaluate them BEFORE the size guard (observed:
+    * the stoch null-filter collapsed with size >= 16 and ran first) —
+    * every anchored expression must be total, not guard-dependent. */
+  private def frameAt(k: Int): String =
+    s"slice(bs, greatest(bi - ${k - 1}, 1), " +
+      s"greatest(bi - greatest(bi - ${k - 1}, 1) + 1, 0))"
+
+  /** Bars re-aggregated under a sliding window of `width`, keeping the
+    * sorted per-bar struct array `bs` and the trailing-frame filter —
+    * the shared first two stateful ops of the full-stack streaming
+    * queries. */
+  private def slidingBarWindows(events: DataFrame, width: String,
+      withOpen: Boolean): DataFrame = {
+    val aggs = Seq(
+      max(col("value")).as("high"),
+      min(col("value")).as("low"),
+      max_by(col("value"), col("event_id")).as("close"),
+      count(lit(1)).as("volume")) ++
+      (if (withOpen) Seq(min_by(col("value"), col("event_id")).as("open")) else Nil)
+    val bars = events.withWatermark("ts", "5 minutes")
+      .groupBy(window(col("ts"), "5 minutes").as("w"))
+      .agg(aggs.head, aggs.tail: _*)
+    val fields = Seq(col("w.start").as("bucket"), col("high"), col("low"),
+      col("close"), col("volume")) ++
+      (if (withOpen) Seq(col("open")) else Nil)
     bars
-      .groupBy(window(window_time(col("w")), "100 minutes", "5 minutes").as("wi"))
-      .agg(
-        collect_list(struct(col("w.start").as("bucket"), col("high"),
-          col("low"), col("close"), col("volume"))).as("bs0"),
+      .groupBy(window(window_time(col("w")), width, "5 minutes").as("wi"))
+      .agg(collect_list(struct(fields: _*)).as("bs0"),
         max(col("w.start")).as("last_bar"))
       // only the window ENDING at its own last bar is a trailing frame
       // (same append-safe post-agg filter as the 30-min MA layer)
       .filter(col("last_bar") === col("wi.end") - expr("INTERVAL 5 MINUTES"))
       // array<struct> sorts by leading field = bucket: frame order
       .withColumn("bs", sort_array(col("bs0")))
-      .withColumn("lastS", element_at(col("bs"), size(col("bs"))))
-      .withColumn("s1d", expr(foldDec("bs", dec("x.close"), 2)))
-      .withColumn("s2d", expr(foldDec("bs", s"${dec("x.close")} * ${dec("x.close")}", 4)))
-      .withColumn("c20", size(col("bs")).cast("double"))
+  }
+
+  /** Adds the W1-W7 indicator columns anchored at 1-based index `bi`
+    * of the sorted bar array `bs` (bi = size(bs) for the
+    * emit-every-bar stack; bi = size(bs) - 15 for the feature matrix,
+    * whose anchor must leave 15 lead bars). `anchor_bar` is the anchor row. */
+  private def withAnchoredIndicators(df: DataFrame, bi: Column): DataFrame = {
+    val dec = (e: String) => s"CAST($e AS DECIMAL(18,2))"
+    df.withColumn("bi", bi)
+      // greatest(bi, 1): total under predicate reordering (see frameAt)
+      .withColumn("anchor_bar", element_at(col("bs"), greatest(col("bi"), lit(1))))
+      .withColumn("f20", expr(frameAt(20)))
+      .withColumn("f15", expr(frameAt(15)))
+      .withColumn("f6", expr(frameAt(6)))
+      .withColumn("s1d", expr(foldDec("f20", dec("x.close"), 2)))
+      .withColumn("s2d", expr(foldDec("f20", s"${dec("x.close")} * ${dec("x.close")}", 4)))
+      .withColumn("c20", size(col("f20")).cast("double"))
       .withColumn("avg20", col("s1d") / col("c20"))
       .withColumn("std20", sqrt(greatest(
         (col("s2d") - col("s1d") * col("s1d") / col("c20")) / col("c20"), lit(0.0))))
-      .withColumn("t15", expr(tail(15)))
-      .withColumn("min15", expr("array_min(transform(t15, x -> x.close))"))
-      .withColumn("max15", expr("array_max(transform(t15, x -> x.close))"))
-      .select(
-        col("last_bar").as("bucket"),
-        col("lastS.close").as("close"),
-        col("lastS.volume").as("volume"),
-        (expr(s"CAST(aggregate(${tail(6)}, 0L, (acc, x) -> acc + x.volume) AS DOUBLE)") /
-          expr(s"CAST(size(${tail(6)}) AS DOUBLE)")).as("vol_ma6"),
-        (expr("CAST(aggregate(bs, 0L, (acc, x) -> acc + x.volume) AS DOUBLE)") /
-          col("c20")).as("vol_ma20"),
-        (col("s1d") / col("c20")).as("price_ma20"),
-        ((col("avg20") + lit(2.0) * col("std20")) - col("lastS.close")).as("upper_bb_dist"),
-        (col("lastS.close") - (col("avg20") - lit(2.0) * col("std20"))).as("lower_bb_dist"),
-        when(col("max15") === col("min15"), lit(null).cast("double"))
-          .otherwise((col("lastS.close") - col("min15")) /
-            (col("max15") - col("min15"))).as("stoch"),
-        when(size(col("bs")) >= 2,
-          col("lastS.close") -
-            element_at(col("bs"), size(col("bs")) - 1).getField("close"))
-          .as("price_change"),
-        (expr(foldDec("t15", "CAST(x.high - x.low AS DECIMAL(18,6))", 6)) /
-          expr("CAST(size(t15) AS DOUBLE)")).as("atr"))
+      .withColumn("min15", expr("array_min(transform(f15, x -> x.close))"))
+      .withColumn("max15", expr("array_max(transform(f15, x -> x.close))"))
+  }
+
+  /** The indicator output columns over an anchored frame — identical
+    * expression trees to batch Indicators.withIndicators. */
+  private def anchoredIndicatorCols: Seq[Column] = Seq(
+    col("anchor_bar.close").as("close"),
+    col("anchor_bar.volume").as("volume"),
+    (expr("CAST(aggregate(f6, 0L, (acc, x) -> acc + x.volume) AS DOUBLE)") /
+      expr("CAST(size(f6) AS DOUBLE)")).as("vol_ma6"),
+    (expr("CAST(aggregate(f20, 0L, (acc, x) -> acc + x.volume) AS DOUBLE)") /
+      col("c20")).as("vol_ma20"),
+    (col("s1d") / col("c20")).as("price_ma20"),
+    ((col("avg20") + lit(2.0) * col("std20")) - col("anchor_bar.close")).as("upper_bb_dist"),
+    (col("anchor_bar.close") - (col("avg20") - lit(2.0) * col("std20"))).as("lower_bb_dist"),
+    when(col("max15") === col("min15"), lit(null).cast("double"))
+      .otherwise((col("anchor_bar.close") - col("min15")) /
+        (col("max15") - col("min15"))).as("stoch"),
+    when(col("bi") >= 2,
+      col("anchor_bar.close") - element_at(col("bs"), col("bi") - 1).getField("close"))
+      .as("price_change"),
+    (expr(foldDec("f15", "CAST(x.high - x.low AS DECIMAL(18,6))", 6)) /
+      expr("CAST(size(f15) AS DOUBLE)")).as("atr"))
+
+  /** The reference's ENTIRE training pipeline as one streaming query:
+    * the headline artifact (create_database.py:240-258's 7-way view
+    * join -> batch [[graft.ops.Indicators.featureMatrix]]) emitted
+    * in-stream — indicators (W1-W7), candle features (F1), calendar
+    * one-hots (F9-F13) and the forward-looking targets (W8), per
+    * closed bar, in append mode. Composes [[streamingIndicatorsFull]]
+    * and [[streamingTargets]]' tricks at their union width: a 175-min
+    * (35-bar) trailing window ending at bar C contains, for the
+    * anchor B = C-15: B's full 20-bar indicator frame (C-34..C-15),
+    * B's candle/calendar inputs, and both lead closes (B+8, B+15=C).
+    * The candle/calendar formulas are the SAME Column expressions as
+    * batch (Indicators.candleCalendarBase/calendarOneHots), so the
+    * two cannot drift; equality against the joined batch pieces is
+    * asserted in StreamingSpec. Emission lag = 15 bars + watermark
+    * (information-theoretic, see [[streamingTargets]]); the book-
+    * feature block (F2-F8) is map-side per-event work upstream of the
+    * bar aggregation and is carried by the batch form only — the
+    * OHLCV surface here is what the events stream carries. Warmup
+    * rows (null stoch/price_change) are filtered exactly like batch's
+    * na.drop. */
+  def streamingFeatureMatrix(events: DataFrame): DataFrame = {
+    val win = slidingBarWindows(events, "175 minutes", withOpen = true)
+      .filter(size(col("bs")) >= 16)
+    val anchored = withAnchoredIndicators(win, size(col("bs")) - 15)
+      .withColumn("p8",
+        element_at(col("bs"), greatest(col("bi") + 8, lit(1))).getField("close"))
+      .withColumn("p15", element_at(col("bs"), size(col("bs"))).getField("close"))
+      .withColumn("atr0",
+        expr(foldDec("f15", "CAST(x.high - x.low AS DECIMAL(18,6))", 6)) /
+          expr("CAST(size(f15) AS DOUBLE)"))
+      // top-level candle/calendar inputs for the shared batch exprs
+      // (the select's OUTPUT alias "close" coexists fine: expressions
+      // evaluate against the input columns)
+      .withColumn("bucket", col("anchor_bar.bucket"))
+      .withColumn("open", col("anchor_bar.open"))
+      .withColumn("high", col("anchor_bar.high"))
+      .withColumn("low", col("anchor_bar.low"))
+      .withColumn("close", col("anchor_bar.close"))
+    anchored.select(Seq(col("bucket")) ++ anchoredIndicatorCols ++
+      graft.ops.Indicators.candleCalendarBase ++
+      graft.ops.Indicators.calendarOneHots ++ Seq(
+        when(col("p8") >= col("close") + lit(1.5) * col("atr0"), 1)
+          .otherwise(0).as("up1"),
+        when(col("p15") >= col("close") + lit(3.0) * col("atr0"), 1)
+          .otherwise(0).as("up2"),
+        when(col("p8") <= col("close") - lit(1.5) * col("atr0"), 1)
+          .otherwise(0).as("down1"),
+        when(col("p15") <= col("close") - lit(3.0) * col("atr0"), 1)
+          .otherwise(0).as("down2")): _*)
+      .filter(col("stoch").isNotNull && col("price_change").isNotNull)
   }
 
   /** STREAMING W8 targets — the append-mode LEAD. A bar's labels

@@ -537,7 +537,8 @@ class StreamingSpec extends SparkSpec {
     val batchBars = evs.toDF()
       .groupBy(graft.ops.Core.bucket5m($"ts").as("bucket"))
       .agg(max($"value").as("high"), min($"value").as("low"),
-        max_by($"value", $"event_id").as("close"), count(lit(1)).as("volume"))
+        max_by($"value", $"event_id").as("close"), count(lit(1)).as("volume"),
+        min_by($"value", $"event_id").as("open"))
     (evs, batchBars)
   }
 
@@ -566,6 +567,47 @@ class StreamingSpec extends SparkSpec {
       // the stream's array folds bit-equal to the batch window sums
       want.foreach { case (bucket, w) =>
         assert(got(bucket) == w, s"bucket $bucket: got ${got(bucket)}, want $w")
+      }
+    } finally q.stop()
+  }
+
+  test("streaming feature matrix equals the composed batch pieces") {
+    implicit val sqlCtx = spark.sqlContext
+    val (evs, batchBars) = gaplessBars60
+    val src = MemoryStream[Ev]
+    val q = StreamingPipeline.streamingFeatureMatrix(src.toDF())
+      .writeStream.format("memory").queryName("fm_out")
+      .outputMode("append").start()
+    try {
+      evs.grouped(45).foreach(src.addData(_))
+      q.processAllAvailable()
+      src.addData(Ev(999, t("2024-01-02 10:00:00"), "e", 1.0))
+      q.processAllAvailable()
+      val cols = Seq("close", "volume", "vol_ma6", "vol_ma20", "price_ma20",
+        "upper_bb_dist", "lower_bb_dist", "stoch", "price_change", "atr",
+        "candle_size", "wick_size", "wick_prct", "week_day", "week_of_month",
+        "session_start", "day_1", "day_2", "day_3", "day_4",
+        "week_1", "week_2", "week_3", "week_4", "up1", "up2", "down1", "down2")
+      def keyed(df: org.apache.spark.sql.DataFrame) = df
+        .select($"bucket".cast("string") +: cols.map(c => col(c).cast("string")): _*)
+        .collect().map(r => r.getString(0) -> (1 to cols.size).map(r.getString)).toMap
+      val got = keyed(spark.table("fm_out"))
+      // expected: the already-proven batch pieces joined on bucket —
+      // indicators (W1-W7), targets (W8, lead-complete rows only), and
+      // the shared candle/calendar expressions
+      val ind = graft.ops.Indicators.withIndicators(batchBars)
+      val tgt = graft.ops.Indicators.withTargets(batchBars)
+        .filter($"p15_close".isNotNull)
+        .select($"bucket", $"up1", $"up2", $"down1", $"down2")
+      val extras = batchBars.select(Seq(col("bucket")) ++
+        graft.ops.Indicators.candleCalendarBase ++
+        graft.ops.Indicators.calendarOneHots: _*)
+      val want = keyed(ind.join(tgt, "bucket").join(extras, "bucket")
+        .filter($"stoch".isNotNull && $"price_change".isNotNull))
+      assert(want.nonEmpty && got.keySet == want.keySet,
+        s"emitted ${got.size} rows, expected ${want.size}")
+      want.foreach { case (bucket, w) =>
+        assert(got(bucket) == w, s"bucket $bucket:\n got ${got(bucket)}\nwant $w")
       }
     } finally q.stop()
   }
