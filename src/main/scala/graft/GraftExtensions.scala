@@ -20,5 +20,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("dot_product"),
       new ExpressionInfo(classOf[graft.functions.DotProduct].getName, "dot_product"),
       (exprs: Seq[Expression]) => graft.functions.DotProduct(exprs(0), exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("token_ngrams"),
+      new ExpressionInfo(classOf[graft.functions.TokenNgrams].getName, "token_ngrams"),
+      (exprs: Seq[Expression]) => graft.functions.TokenNgrams(exprs(0),
+        graft.functions.literalInt(exprs(1), "token_ngrams"))))
+    ext.injectFunction((
+      FunctionIdentifier("char_ngrams"),
+      new ExpressionInfo(classOf[graft.functions.CharNgrams].getName, "char_ngrams"),
+      (exprs: Seq[Expression]) => graft.functions.CharNgrams(exprs(0),
+        graft.functions.literalInt(exprs(1), "char_ngrams"))))
+    ext.injectFunction((
+      FunctionIdentifier("cdc_chunk_hashes"),
+      new ExpressionInfo(classOf[graft.functions.CdcChunkHashes].getName, "cdc_chunk_hashes"),
+      (exprs: Seq[Expression]) => graft.functions.CdcChunkHashes(exprs(0),
+        graft.functions.literalInt(exprs(1), "cdc_chunk_hashes"))))
   }
 }

@@ -38,11 +38,34 @@ package object functions {
   def char_ngrams(c: Column, n: Int): Column =
     GraftBridge.column(CharNgrams(GraftBridge.expression(c), n))
 
-  /** Register the custom expressions for SQL use in the given session. */
+  /** Extracts the literal-int second argument the n-parameterized
+    * kernels need at plan time (SQL callers write token_ngrams(x, 3);
+    * the 3 must be a foldable literal, like Spark's own array_repeat
+    * count in codegen'd form). */
+  private[graft] def literalInt(e: org.apache.spark.sql.catalyst.expressions.Expression,
+      fn: String): Int = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$fn expects a literal integer parameter, got $other")
+  }
+
+  /** Register the custom expressions for SQL use in the given session.
+    * The seed-list sketches (min_hash_sig, simhash_pack) stay
+    * Scala-only: their permutation tables are not SQL-expressible. */
   def register(spark: SparkSession): Unit = {
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction(
       "poly_hash", exprs => PolyHash(exprs.head), "scala_udf")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+    reg.createOrReplaceTempFunction(
       "dot_product", exprs => DotProduct(exprs(0), exprs(1)), "scala_udf")
+    reg.createOrReplaceTempFunction(
+      "token_ngrams",
+      exprs => TokenNgrams(exprs(0), literalInt(exprs(1), "token_ngrams")), "scala_udf")
+    reg.createOrReplaceTempFunction(
+      "char_ngrams",
+      exprs => CharNgrams(exprs(0), literalInt(exprs(1), "char_ngrams")), "scala_udf")
+    reg.createOrReplaceTempFunction(
+      "cdc_chunk_hashes",
+      exprs => CdcChunkHashes(exprs(0), literalInt(exprs(1), "cdc_chunk_hashes")), "scala_udf")
   }
 }

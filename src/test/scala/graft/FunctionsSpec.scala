@@ -167,6 +167,26 @@ class FunctionsSpec extends SparkSpec {
       s"expected an analysis-time type error, got: ${ex.getMessage}")
   }
 
+  test("SQL registration: n-parameterized kernels callable from SQL, literal enforced") {
+    graft.functions.register(spark)
+    val row = spark.sql(
+      """SELECT token_ngrams(split('a b c d', ' '), 2) AS tg,
+        |  char_ngrams('abcd', 2) AS cg,
+        |  size(cdc_chunk_hashes(split('a b c d', ' '), 8)) AS nc""".stripMargin)
+      .collect()(0)
+    assert(row.getSeq[String](0) == Seq("a b", "b c", "c d"))
+    assert(row.getSeq[String](1) == Seq("ab", "bc", "cd"))
+    assert(row.getInt(2) >= 1, "every token list yields at least one chunk")
+    // the n parameter must be a literal: a column reference is a plan-
+    // time error, not a silent misread
+    val ex = intercept[Exception] {
+      spark.sql("SELECT char_ngrams(text, length(text)) FROM (SELECT 'ab' AS text)")
+        .collect()
+    }
+    assert(ex.getMessage.contains("literal integer"),
+      s"expected the literal-parameter error, got: ${ex.getMessage}")
+  }
+
   test("char_ngrams equals the HOF substr build on real tokens; boundary cases") {
     val toks = graft.ops.Core.documents(spark, sf0001)
       .select(explode(split($"text", " ")).as("tok"))
