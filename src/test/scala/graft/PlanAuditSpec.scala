@@ -41,4 +41,45 @@ class PlanAuditSpec extends SparkSpec {
     assert(stillBnlj.toSet == bnljAllowed.keySet,
       s"allowlist entries no longer needed (remove them): ${bnljAllowed.keySet -- stillBnlj}")
   }
+
+  /** Global-window allowlist — a Window with an EMPTY partitionSpec
+    * moves the whole input through one task (Spark itself warns "No
+    * Partition Defined"), the other single-machine cliff besides a
+    * quadratic join. Every entry names why the global order is
+    * intentional; each reference-parity one has a partitioned twin. */
+  private val globalWindowAllowed: Map[String, String] = Map(
+    "indicators" -> "reference-parity single-series frame; partitioned twin = indicators_by_type",
+    "feature_matrix" -> "reference-parity single-series training table; partitioned twin = indicators_by_type",
+    "targets" -> "reference-parity single-series labels; partitioned twin = indicators_by_type",
+    "window_slices" -> "reference-parity single-series slicing over the one global bar series",
+    "asof_join" -> "reference-parity global as-of; partitioned twin = asof_join_by_user",
+    "boilerplate_ngrams" -> "rank window over an already-truncated top-20")
+
+  // detection runs on the OPTIMIZED LOGICAL plan: the AQE-wrapped
+  // executedPlan does not traverse into its inner plan pre-execution,
+  // which made a physical-node collect silently vacuous (observed)
+  test("no registered query plans an unjustified GLOBAL (partition-less) window") {
+    import org.apache.spark.sql.catalyst.plans.logical.Window
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      val globals = fn(spark, sf0001).queryExecution.optimizedPlan.collect {
+        case w: Window if w.partitionSpec.isEmpty => w
+      }
+      if (globals.nonEmpty && !globalWindowAllowed.contains(name))
+        Some(s"$name: ${globals.size} global window(s)")
+      else None
+    }
+    assert(offenders.isEmpty,
+      s"partition-less windows (single-task at scale) detected:\n${offenders.mkString("\n")}")
+  }
+
+  test("the global-window allowlist carries no dead entries") {
+    import org.apache.spark.sql.catalyst.plans.logical.Window
+    val still = globalWindowAllowed.keys.filter { name =>
+      SparkEntry.queries(name)(spark, sf0001).queryExecution.optimizedPlan.collect {
+        case w: Window if w.partitionSpec.isEmpty => w
+      }.nonEmpty
+    }
+    assert(still.toSet == globalWindowAllowed.keySet,
+      s"allowlist entries no longer needed (remove them): ${globalWindowAllowed.keySet -- still}")
+  }
 }
