@@ -563,7 +563,15 @@ object TrainingData extends QueryModule {
   def bpeVocab(spark: SparkSession, dir: String): DataFrame =
     bpeVocabFrom(Core.documents(spark, dir), bpeMergeRounds)
 
-  private[graft] def bpeVocabFrom(df: DataFrame, rounds: Int): DataFrame = {
+  private[graft] def bpeVocabFrom(df: DataFrame, rounds: Int): DataFrame =
+    bpeMergedWords(df, rounds)
+      .select(explode(split(col("s"), " ")).as("sym"), col("freq"))
+      .groupBy("sym").agg(sum(col("freq")).as("n_occurrences"))
+
+  /** The trained word table after `rounds` merges: (w, freq, s) with
+    * `s` the space-joined symbol sequence — shared by the vocabulary
+    * query and the encoder. */
+  private def bpeMergedWords(df: DataFrame, rounds: Int): DataFrame = {
     val mergeFold = expr(
       """aggregate(split(s, ' '), '', (acc, x) ->
         |  CASE WHEN acc = '' THEN x
@@ -593,11 +601,35 @@ object TrainingData extends QueryModule {
         .drop("a", "b", "cnt")
         .localCheckpoint()
     }
-    cur.select(explode(split(col("s"), " ")).as("sym"), col("freq"))
-      .groupBy("sym").agg(sum(col("freq")).as("n_occurrences"))
+    cur
   }
 
-  val bpeVocabSql: String = {
+  /** BPE ENCODE — the apply side that completes the tokenizer
+    * lifecycle (count pairs -> train merges -> encode the corpus):
+    * per-document token counts under the round-K merge table, the
+    * number a sequence-packing or cost-estimation pass would consume.
+    * Scale shape: the encoder never re-touches documents with the
+    * merge loop — words encode ONCE in the vocabulary-sized table and
+    * documents join it on the word (linear explode + a hash join that
+    * broadcasts at sf and shuffles at scale, both linear); compression
+    * = chars saved per word times word frequency, all exact integers. */
+  def bpeEncode(spark: SparkSession, dir: String): DataFrame = {
+    val enc = bpeMergedWords(Core.documents(spark, dir), bpeMergeRounds)
+      .select(col("w"), size(split(col("s"), " ")).as("n_syms"))
+    withToks(Core.documents(spark, dir))
+      .select(col("doc_id"), explode(toks).as("w"))
+      .filter(length(col("w")) >= 1)
+      .join(enc, "w")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"), sum(col("n_syms")).as("n_bpe_tokens"),
+        sum(length(col("w"))).as("n_chars_in_words"))
+      .select(col("doc_id"), col("n_words"), col("n_bpe_tokens"),
+        (col("n_bpe_tokens").cast("double") /
+          col("n_chars_in_words").cast("double")).as("tokens_per_char"))
+  }
+
+  /** The shared w0..wK merge-replay CTE chain (see [[bpeVocabFrom]]). */
+  private def bpeCtesSql: String = {
     val sp = "string_split(s, ' ')"
     val ctes = (1 to bpeMergeRounds).map { r =>
       s"""p$r AS (
@@ -613,16 +645,31 @@ object TrainingData extends QueryModule {
          |           ELSE acc || ' ' || x END) END AS s
          |  FROM w${r - 1} LEFT JOIN p$r ON TRUE)""".stripMargin
     }.mkString(",\n")
-    s"""WITH w0 AS (
+    s"""w0 AS (
        |  SELECT w, count(*) AS freq,
        |    array_to_string(string_split(w, ''), ' ') AS s
        |  FROM (SELECT unnest($toksSql) AS w FROM documents)
        |  WHERE length(w) >= 1 GROUP BY w),
-       |$ctes
-       |SELECT sym, CAST(SUM(freq) AS BIGINT) AS n_occurrences
-       |FROM (SELECT unnest($sp) AS sym, freq FROM w$bpeMergeRounds)
-       |GROUP BY sym""".stripMargin
+       |$ctes""".stripMargin
   }
+
+  val bpeVocabSql: String =
+    s"""WITH $bpeCtesSql
+       |SELECT sym, CAST(SUM(freq) AS BIGINT) AS n_occurrences
+       |FROM (SELECT unnest(string_split(s, ' ')) AS sym, freq FROM w$bpeMergeRounds)
+       |GROUP BY sym""".stripMargin
+
+  val bpeEncodeSql: String =
+    s"""WITH $bpeCtesSql,
+       |enc AS (SELECT w, len(string_split(s, ' ')) AS n_syms FROM w$bpeMergeRounds),
+       |dw AS (
+       |  SELECT doc_id, unnest($toksSql) AS w FROM documents)
+       |SELECT doc_id, count(*) AS n_words,
+       |  CAST(SUM(n_syms) AS BIGINT) AS n_bpe_tokens,
+       |  CAST(SUM(n_syms) AS DOUBLE) / CAST(SUM(length(w)) AS DOUBLE) AS tokens_per_char
+       |FROM dw JOIN enc USING (w)
+       |WHERE length(w) >= 1
+       |GROUP BY doc_id""".stripMargin
 
   // --- n-gram language-model estimation -----------------------------------
 
@@ -767,6 +814,7 @@ object TrainingData extends QueryModule {
     "packed_sequences" -> ((s, d) => packedSequences(s, d)),
     "bpe_pairs" -> ((s, d) => bpePairs(s, d)),
     "bpe_vocab" -> ((s, d) => bpeVocab(s, d)),
+    "bpe_encode" -> ((s, d) => bpeEncode(s, d)),
     "cdc_chunks" -> ((s, d) => cdcChunks(s, d)),
     "winnow_fingerprints" -> ((s, d) => winnowFingerprints(s, d)),
     "ngram_lm" -> ((s, d) => ngramLm(s, d)),
@@ -778,6 +826,7 @@ object TrainingData extends QueryModule {
     "seq_packing" -> seqPackingSql,
     "packed_sequences" -> packedSequencesSql,
     "bpe_vocab" -> bpeVocabSql,
+    "bpe_encode" -> bpeEncodeSql,
     "bpe_pairs" -> bpePairsSql,
     "cdc_chunks" -> cdcChunksSql,
     "winnow_fingerprints" -> winnowFingerprintsSql,

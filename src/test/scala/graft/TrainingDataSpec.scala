@@ -210,6 +210,24 @@ class TrainingDataSpec extends SparkSpec {
     assert(vocab("ab ab", 5) == Map("ab" -> 2L))
   }
 
+  test("bpe encode: corpus token mass equals the vocabulary mass, compression bounded") {
+    val enc = TrainingData.bpeEncode(spark, sf0001).cache()
+    // conservation: every encoded word symbol is counted once in the
+    // vocabulary occurrence table and once in some document
+    val encMass = enc.agg(sum($"n_bpe_tokens")).as[Long].collect()(0)
+    val vocabMass = TrainingData.bpeVocab(spark, sf0001)
+      .agg(sum($"n_occurrences")).as[Long].collect()(0)
+    assert(encMass == vocabMass,
+      s"encode mass $encMass must equal vocab mass $vocabMass")
+    // merges only ever shrink: words <= bpe tokens <= chars
+    assert(enc.filter($"n_bpe_tokens" < $"n_words").isEmpty)
+    assert(enc.filter($"tokens_per_char" <= 0.0 || $"tokens_per_char" > 1.0).isEmpty)
+    // 8 rounds on this corpus must actually compress something
+    assert(enc.filter($"tokens_per_char" < 1.0).count() > 0,
+      "at least one document must benefit from the merges")
+    enc.unpersist()
+  }
+
   test("packed sequences: spans tile each sequence exactly, tails short, rest full") {
     val ps = TrainingData.packedSequences(spark, sf0001).cache()
     val L = 256L
