@@ -60,6 +60,11 @@ class PlanAuditSpec extends SparkSpec {
   // which made a physical-node collect silently vacuous (observed)
   test("no registered query plans an unjustified GLOBAL (partition-less) window") {
     import org.apache.spark.sql.catalyst.plans.logical.Window
+    // another suite's .cache() would fold subtrees into InMemoryRelation
+    // and HIDE their Window nodes from the collect (observed: suite-order
+    // flake where feature_matrix's window vanished behind a cached bars
+    // fragment) — audit uncached plans only
+    spark.catalog.clearCache()
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val globals = fn(spark, sf0001).queryExecution.optimizedPlan.collect {
         case w: Window if w.partitionSpec.isEmpty => w
@@ -74,6 +79,7 @@ class PlanAuditSpec extends SparkSpec {
 
   test("the global-window allowlist carries no dead entries") {
     import org.apache.spark.sql.catalyst.plans.logical.Window
+    spark.catalog.clearCache() // same cached-subtree blindness as above
     val still = globalWindowAllowed.keys.filter { name =>
       SparkEntry.queries(name)(spark, sf0001).queryExecution.optimizedPlan.collect {
         case w: Window if w.partitionSpec.isEmpty => w
