@@ -119,7 +119,9 @@ object Bench {
     // 16 -> 1173/769 — monotone in per-batch store overhead once state
     // fits anywhere. Pin 4 (within ~6% of width 2 on the DAG, better on
     // bars, and keeps parallelism headroom); restore the batch setting
-    // after.
+    // after. Re-swept in r5 with the full indicator stack added
+    // (indfull events/s, cold JVM): width 2 -> 22.2k, 4 -> 25.5k,
+    // 8 -> 21.0k — width 4 stays the pin.
     val batchParts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "4")
     try streamingBenchBody(spark)
