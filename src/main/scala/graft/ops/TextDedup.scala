@@ -123,6 +123,80 @@ object TextDedup extends QueryModule {
        |       THEN 'en' ELSE 'unk' END AS lang_pred
        |FROM documents""".stripMargin
 
+  /** Language-ID evaluation — the confusion matrix between the
+    * declared corpus language and [[langId]]'s n-gram-heuristic
+    * prediction, the standard check before trusting a classifier's
+    * output as a partitioning/mixture key. One linear scan + a
+    * (langs x preds)-row aggregate: constant output regardless of
+    * corpus size, the same shape as data_quality. */
+  def langConfusion(spark: SparkSession, dir: String): DataFrame =
+    langId(spark, dir)
+      .groupBy(col("lang_declared"), col("lang_pred"))
+      .agg(count(lit(1)).as("n_docs"))
+
+  val langConfusionSql: String =
+    s"""SELECT lang AS lang_declared,
+       |  CASE WHEN CAST(len(list_filter($toksSql, t -> t = 'the' OR t = 'a')) AS DOUBLE) / CAST(len($toksSql) AS DOUBLE) >= 0.08
+       |       THEN 'en' ELSE 'unk' END AS lang_pred,
+       |  count(*) AS n_docs
+       |FROM documents GROUP BY 1, 2""".stripMargin
+
+  /** TF-IDF keyword extraction: each document's top-3 tokens by
+    * tf x idf — the exploration/labeling pass run over every new
+    * corpus drop. Transcendental-free by the [[lm_doc_score]] rule:
+    * true idf = ln(N/df) is a libm call with no cross-engine bit
+    * contract, so the score is the exact integer
+    * tf * ((N * 1e6) div df) — the same ORDERING as tf x (N/df)
+    * within a document up to div-floor quantization, and bit-identical
+    * on both engines. Scale shape: the df table is vocabulary-sized
+    * (distinct per-doc tokens, one count shuffle); the per-doc tf
+    * explode is linear; the top-3 window partitions BY DOCUMENT, so
+    * parallelism grows with the corpus (PlanAudit's global-window gate
+    * stays clean). */
+  private val kwTop = 3
+
+  def docKeywords(spark: SparkSession, dir: String): DataFrame = {
+    val docTok = withToks(Core.documents(spark, dir))
+      .select(col("doc_id"), explode(toks).as("tok"))
+      .filter(length(col("tok")) >= 1)
+    val nDocs = Core.documents(spark, dir).count()
+    val df_ = docTok.distinct()
+      .groupBy("tok").agg(count(lit(1)).as("doc_freq"))
+    val tf = docTok.groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("tf"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id")
+      .orderBy(col("score").desc, col("tok"))
+    tf.join(df_, "tok")
+      .withColumn("score", col("tf") * expr(s"(${nDocs}L * 1000000L) div doc_freq"))
+      .withColumn("kw_rank", row_number().over(w))
+      .filter(col("kw_rank") <= kwTop)
+      .select(col("doc_id"), col("kw_rank"), col("tok").as("keyword"),
+        col("tf"), col("doc_freq"), col("score"))
+  }
+
+  val docKeywordsSql: String =
+    s"""WITH doctok AS (
+       |  SELECT doc_id, unnest($toksSql) AS tok FROM documents),
+       |doctok1 AS (SELECT doc_id, tok FROM doctok WHERE length(tok) >= 1),
+       |n AS (SELECT count(*) AS n_docs FROM documents),
+       |df AS (
+       |  SELECT tok, count(*) AS doc_freq
+       |  FROM (SELECT DISTINCT doc_id, tok FROM doctok1) GROUP BY tok),
+       |tf AS (
+       |  SELECT doc_id, tok, count(*) AS tf FROM doctok1 GROUP BY 1, 2),
+       |scored AS (
+       |  SELECT doc_id, tok, tf, doc_freq,
+       |    tf * ((n_docs * 1000000) // doc_freq) AS score
+       |  FROM tf JOIN df USING (tok) CROSS JOIN n),
+       |ranked AS (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+       |    ORDER BY score DESC, tok) AS kw_rank
+       |  FROM scored)
+       |SELECT doc_id, CAST(kw_rank AS INTEGER) AS kw_rank, tok AS keyword,
+       |  tf, CAST(doc_freq AS BIGINT) AS doc_freq, CAST(score AS BIGINT) AS score
+       |FROM ranked WHERE kw_rank <= $kwTop""".stripMargin
+
   /** THE quality-score definition — single source for every consumer
     * (the registered [[textQuality]]/[[qualityPrune]], the streaming
     * gate in StreamingPipeline.streamingCorpusIngest, and the landing
@@ -977,6 +1051,8 @@ object TextDedup extends QueryModule {
     "split_contamination" -> ((s, d) => splitContamination(s, d)),
     "decontaminate_train" -> ((s, d) => decontaminateTrain(s, d)),
     "pii_scrub" -> ((s, d) => piiScrub(s, d)),
+    "lang_confusion" -> ((s, d) => langConfusion(s, d)),
+    "doc_keywords" -> ((s, d) => docKeywords(s, d)),
     "boilerplate_ngrams" -> ((s, d) => boilerplateNgrams(s, d)),
     "vocab_topk" -> ((s, d) => vocabTopK(s, d)),
     "corpus_pipeline" -> ((s, d) => corpusPipeline(s, d)))
@@ -1000,6 +1076,8 @@ object TextDedup extends QueryModule {
     "split_contamination" -> splitContaminationSql,
     "decontaminate_train" -> decontaminateTrainSql,
     "pii_scrub" -> piiScrubSql,
+    "lang_confusion" -> langConfusionSql,
+    "doc_keywords" -> docKeywordsSql,
     "boilerplate_ngrams" -> boilerplateNgramsSql,
     "vocab_topk" -> vocabTopKSql,
     "corpus_pipeline" -> corpusPipelineSql)

@@ -94,6 +94,44 @@ class TextDedupSpec extends SparkSpec {
       $"text_clean" =!= $"text").isEmpty, "no-match rows must be untouched")
   }
 
+  test("lang confusion: cells partition the corpus, preds match lang_id row-for-row") {
+    val cm = TextDedup.langConfusion(spark, sf0001).cache()
+    val total = cm.agg(sum($"n_docs")).as[Long].collect()(0)
+    assert(total == graft.ops.Core.documents(spark, sf0001).count(),
+      "confusion cells must partition the corpus")
+    val fromRows = TextDedup.langId(spark, sf0001)
+      .groupBy($"lang_declared", $"lang_pred").count()
+    assert(cm.join(fromRows,
+      Seq("lang_declared", "lang_pred"))
+      .filter($"n_docs" =!= $"count").isEmpty)
+    cm.unpersist()
+  }
+
+  test("doc keywords: top-3 per doc, ranked by quantized tf-idf, ties broken by token") {
+    val kw = TextDedup.docKeywords(spark, sf0001).cache()
+    // exactly <= 3 per doc, ranks 1..k contiguous
+    val byDoc = kw.groupBy($"doc_id")
+      .agg(count(lit(1)).as("k"), max($"kw_rank").as("maxr"), min($"kw_rank").as("minr"))
+    assert(byDoc.filter($"k" > 3 || $"maxr" =!= $"k" || $"minr" =!= 1).isEmpty)
+    // every doc with a non-empty token appears
+    assert(byDoc.count() == graft.ops.Core.documents(spark, sf0001).count())
+    // rank order follows (score desc, token asc) within each doc
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"doc_id").orderBy($"kw_rank")
+    val mis = kw.withColumn("prev_score", lag($"score", 1).over(w))
+      .withColumn("prev_tok", lag($"keyword", 1).over(w))
+      .filter($"prev_score".isNotNull &&
+        ($"prev_score" < $"score" ||
+          ($"prev_score" === $"score" && $"prev_tok" >= $"keyword")))
+    assert(mis.isEmpty, "ranking must be (score desc, token asc)")
+    // a token appearing in every document scores the idf floor: its
+    // quantized idf is exactly 1e6, so score == tf * 1e6
+    val n = graft.ops.Core.documents(spark, sf0001).count()
+    val ubiquitous = kw.filter($"doc_freq" === n)
+    assert(ubiquitous.filter($"score" =!= $"tf" * 1000000L).isEmpty)
+    kw.unpersist()
+  }
+
   test("exact dedup partitions the corpus (sum of copies = row count)") {
     val d = TextDedup.dedupExact(spark, sf0001)
     val total = d.agg(sum("n_copies")).as[Long].collect()(0)
