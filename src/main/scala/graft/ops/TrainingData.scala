@@ -289,6 +289,42 @@ object TrainingData extends QueryModule {
        |    ',' ORDER BY GREATEST(t0 - seq_id * $seqLen, 0)) AS doc_spans
        |FROM spans GROUP BY 1, 2""".stripMargin
 
+  /** RAG-style overlapping chunking: fixed `ragLen`-token windows at
+    * stride `ragStride` (16-token overlap carries boundary context),
+    * each chunk materialized with its text — the retrieval-ingestion
+    * layout (embed each chunk, index, retrieve) as opposed to the
+    * training layouts ([[seqPacking]] packs, [[cdcChunks]] deduping
+    * chunks move with content). Pure map-side explode: fanout is
+    * ~n/stride per doc, linear in corpus tokens, no shuffle at all —
+    * the downstream embed+index steps own theirs. The trailing chunk
+    * is short rather than dropped (retrieval must be able to surface
+    * every token), and every doc yields >= 1 chunk. */
+  private val ragLen = 64
+  private val ragStride = 48
+
+  def ragChunks(spark: SparkSession, dir: String): DataFrame =
+    withToks(Core.documents(spark, dir))
+      .select(col("doc_id"), toks, size(toks).as("n"))
+      .select(col("doc_id"), toks, col("n"),
+        posexplode(expr(s"sequence(1, n, $ragStride)")).as(Seq("chunk_idx", "start")))
+      .select(col("doc_id"), col("chunk_idx"), col("start").as("first_tok"),
+        least(lit(ragLen), col("n") - col("start") + 1).as("n_toks"),
+        array_join(slice(toks, col("start"), lit(ragLen)), " ").as("chunk_text"))
+
+  val ragChunksSql: String =
+    s"""WITH base AS (
+       |  SELECT doc_id, $toksSql AS toks, len($toksSql) AS n FROM documents),
+       |starts AS (
+       |  SELECT doc_id, toks, n,
+       |    unnest(range(1, n + 1, $ragStride)) AS start
+       |  FROM base)
+       |SELECT doc_id,
+       |  CAST((start - 1) // $ragStride AS INTEGER) AS chunk_idx,
+       |  CAST(start AS INTEGER) AS first_tok,
+       |  CAST(LEAST($ragLen, n - start + 1) AS INTEGER) AS n_toks,
+       |  array_to_string(toks[start : start + ${ragLen - 1}], ' ') AS chunk_text
+       |FROM starts""".stripMargin
+
   // --- content-defined chunking dedup ------------------------------------
 
   /** Content-defined chunking: a token ENDS a chunk when its content
@@ -812,6 +848,7 @@ object TrainingData extends QueryModule {
     "dup_spans" -> ((s, d) => dupSpans(s, d)),
     "seq_packing" -> ((s, d) => seqPacking(s, d)),
     "packed_sequences" -> ((s, d) => packedSequences(s, d)),
+    "rag_chunks" -> ((s, d) => ragChunks(s, d)),
     "bpe_pairs" -> ((s, d) => bpePairs(s, d)),
     "bpe_vocab" -> ((s, d) => bpeVocab(s, d)),
     "bpe_encode" -> ((s, d) => bpeEncode(s, d)),
@@ -825,6 +862,7 @@ object TrainingData extends QueryModule {
     "dup_spans" -> dupSpansSql,
     "seq_packing" -> seqPackingSql,
     "packed_sequences" -> packedSequencesSql,
+    "rag_chunks" -> ragChunksSql,
     "bpe_vocab" -> bpeVocabSql,
     "bpe_encode" -> bpeEncodeSql,
     "bpe_pairs" -> bpePairsSql,

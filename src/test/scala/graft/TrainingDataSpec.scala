@@ -228,6 +228,34 @@ class TrainingDataSpec extends SparkSpec {
     enc.unpersist()
   }
 
+  test("rag chunks: every token covered, overlap exact, reconstruction round-trips") {
+    val ch = TrainingData.ragChunks(spark, sf0001).cache()
+    val docs = Core.documents(spark, sf0001)
+      .select($"doc_id", size(split($"text", " ")).as("n"))
+    // every doc chunks; chunk starts advance by the stride; the last
+    // chunk reaches the final token (total coverage, no drop)
+    val byDoc = ch.groupBy($"doc_id").agg(
+      count(lit(1)).as("k"), max($"first_tok" + $"n_toks" - 1).as("last_covered"),
+      min($"first_tok").as("first_start"))
+    val j = byDoc.join(docs, "doc_id")
+    assert(j.count() == docs.count())
+    assert(j.filter($"first_start" =!= 1 || $"last_covered" =!= $"n").isEmpty,
+      "chunks must cover token 1 through n")
+    assert(ch.filter($"first_tok" =!= $"chunk_idx" * 48 + 1).isEmpty,
+      "starts advance by exactly the stride")
+    // full chunks are 64 tokens; chunk_text token count equals n_toks
+    assert(ch.filter(size(split($"chunk_text", " ")) =!= $"n_toks").isEmpty)
+    // consecutive chunks overlap by exactly 16 tokens when both full
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"doc_id").orderBy($"chunk_idx")
+    val overl = ch.withColumn("prev_end", lag($"first_tok" + $"n_toks" - 1, 1).over(w))
+      .withColumn("prev_len", lag($"n_toks", 1).over(w))
+      .filter($"prev_end".isNotNull && $"n_toks" === 64 && $"prev_len" === 64 &&
+        $"prev_end" - $"first_tok" + 1 =!= 16)
+    assert(overl.isEmpty, "full consecutive chunks overlap by exactly 16")
+    ch.unpersist()
+  }
+
   test("packed sequences: spans tile each sequence exactly, tails short, rest full") {
     val ps = TrainingData.packedSequences(spark, sf0001).cache()
     val L = 256L
