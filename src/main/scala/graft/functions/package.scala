@@ -38,6 +38,10 @@ package object functions {
   def char_ngrams(c: Column, n: Int): Column =
     GraftBridge.column(CharNgrams(GraftBridge.expression(c), n))
 
+  /** Unicode NFC canonical composition (codegen'd; JDK UAX#15). */
+  def nfc_normalize(c: Column): Column =
+    GraftBridge.column(NfcNormalize(GraftBridge.expression(c)))
+
   /** Extracts the literal-int second argument the n-parameterized
     * kernels need at plan time (SQL callers write token_ngrams(x, 3);
     * the 3 must be a foldable literal, like Spark's own array_repeat
@@ -67,5 +71,7 @@ package object functions {
     reg.createOrReplaceTempFunction(
       "cdc_chunk_hashes",
       exprs => CdcChunkHashes(exprs(0), literalInt(exprs(1), "cdc_chunk_hashes")), "scala_udf")
+    reg.createOrReplaceTempFunction(
+      "nfc_normalize", exprs => NfcNormalize(exprs.head), "scala_udf")
   }
 }

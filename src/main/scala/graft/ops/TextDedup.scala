@@ -123,6 +123,44 @@ object TextDedup extends QueryModule {
        |       THEN 'en' ELSE 'unk' END AS lang_pred
        |FROM documents""".stripMargin
 
+  /** Text normalization — the stage-zero cleanup every pipeline runs
+    * BEFORE hashing/shingling (mixed composed/decomposed accents make
+    * identical glyphs hash differently; stray control bytes and
+    * whitespace runs poison exact dedup): NFC canonical composition
+    * (native [[graft.functions.NfcNormalize]] kernel — Spark has no
+    * builtin), lowercase, control-char strip, whitespace collapse,
+    * trim — in that fixed order on BOTH engines. Regex classes stay
+    * explicit ([\\x00-\\x1f], [ \\t\\n\\r]) because Java's \\s and
+    * RE2's \\s disagree on \\x0B — the same dialect-subset rule as
+    * pii_scrub. Map-side only; `changed` marks rows the cleanup
+    * actually touched (0 on an already-clean corpus — which is itself
+    * the assertion that normalization is idempotent there). */
+  def textNormalize(spark: SparkSession, dir: String): DataFrame =
+    textNormalizeFrom(Core.documents(spark, dir))
+
+  private[graft] def textNormalizeFrom(df: DataFrame): DataFrame = {
+    // the control class EXCLUDES \t \n \r (0x09, 0x0a, 0x0d): those are
+    // separators the collapse step must turn into spaces, not delete —
+    // stripping them first would glue words together
+    val norm =
+      trim(regexp_replace(
+        regexp_replace(lower(graft.functions.nfc_normalize(col("text"))),
+          "[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f]", ""),
+        "[ \\t\\n\\r]+", " "))
+    df.select(col("doc_id"), norm.as("text_norm"),
+      (norm =!= col("text")).cast("int").as("changed"))
+  }
+
+  val textNormalizeSql: String =
+    """SELECT doc_id,
+      |  trim(regexp_replace(
+      |    regexp_replace(lower(nfc_normalize(text)), '[\x00-\x08\x0b\x0c\x0e-\x1f]', '', 'g'),
+      |    '[ \t\n\r]+', ' ', 'g')) AS text_norm,
+      |  CAST(trim(regexp_replace(
+      |    regexp_replace(lower(nfc_normalize(text)), '[\x00-\x08\x0b\x0c\x0e-\x1f]', '', 'g'),
+      |    '[ \t\n\r]+', ' ', 'g')) <> text AS INTEGER) AS changed
+      |FROM documents""".stripMargin
+
   /** Language-ID evaluation — the confusion matrix between the
     * declared corpus language and [[langId]]'s n-gram-heuristic
     * prediction, the standard check before trusting a classifier's
@@ -1053,6 +1091,7 @@ object TextDedup extends QueryModule {
     "pii_scrub" -> ((s, d) => piiScrub(s, d)),
     "lang_confusion" -> ((s, d) => langConfusion(s, d)),
     "doc_keywords" -> ((s, d) => docKeywords(s, d)),
+    "text_normalize" -> ((s, d) => textNormalize(s, d)),
     "boilerplate_ngrams" -> ((s, d) => boilerplateNgrams(s, d)),
     "vocab_topk" -> ((s, d) => vocabTopK(s, d)),
     "corpus_pipeline" -> ((s, d) => corpusPipeline(s, d)))
@@ -1078,6 +1117,7 @@ object TextDedup extends QueryModule {
     "pii_scrub" -> piiScrubSql,
     "lang_confusion" -> langConfusionSql,
     "doc_keywords" -> docKeywordsSql,
+    "text_normalize" -> textNormalizeSql,
     "boilerplate_ngrams" -> boilerplateNgramsSql,
     "vocab_topk" -> vocabTopKSql,
     "corpus_pipeline" -> corpusPipelineSql)

@@ -94,6 +94,34 @@ class TextDedupSpec extends SparkSpec {
       $"text_clean" =!= $"text").isEmpty, "no-match rows must be untouched")
   }
 
+  test("text normalize: NFC composes, controls strip, whitespace collapses, idempotent") {
+    // doc 1 is DECOMPOSED (e + U+0301): NFC must compose to U+00E9.
+    // Escapes keep this source file ASCII; Scala resolves \uXXXX in
+    // the lexer, so these are real combining characters at runtime.
+    val planted = Seq(
+      (1L, "e\u0301clair CAFE\u0301"),
+      (2L, "tabs\tand\nnewlines\r here"),
+      (3L, "ctrl\u0001chars\u0002gone"),
+      (4L, "  padded  "),
+      (5L, "already clean"))
+      .toDF("doc_id", "text")
+    val out = TextDedup.textNormalizeFrom(planted)
+      .as[(Long, String, Int)].collect().map(r => r._1 -> r).toMap
+    assert(out(1L)._2 == "\u00e9clair caf\u00e9" && out(1L)._3 == 1,
+      s"NFC must compose e+U+0301 -> U+00E9, got '${out(1L)._2}'")
+    assert(out(2L)._2 == "tabs and newlines here" && out(2L)._3 == 1)
+    assert(out(3L)._2 == "ctrlcharsgone" && out(3L)._3 == 1)
+    assert(out(4L)._2 == "padded" && out(4L)._3 == 1)
+    assert(out(5L)._2 == "already clean" && out(5L)._3 == 0)
+    // idempotence: normalizing the normalized text changes nothing
+    val normed = TextDedup.textNormalizeFrom(planted)
+      .select($"doc_id", $"text_norm".as("text"))
+    assert(TextDedup.textNormalizeFrom(normed).filter($"changed" =!= 0).isEmpty,
+      "normalization must be idempotent")
+    // the synthetic corpus is already clean: changed = 0 everywhere
+    assert(TextDedup.textNormalize(spark, sf0001).filter($"changed" =!= 0).isEmpty)
+  }
+
   test("lang confusion: cells partition the corpus, preds match lang_id row-for-row") {
     val cm = TextDedup.langConfusion(spark, sf0001).cache()
     val total = cm.agg(sum($"n_docs")).as[Long].collect()(0)
