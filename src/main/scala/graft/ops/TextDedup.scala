@@ -348,6 +348,22 @@ object TextDedup extends QueryModule {
     """SELECT md5(text) AS digest, count(*) AS n_copies, min(doc_id) AS keep_id
       |FROM documents GROUP BY 1""".stripMargin
 
+  /** Exact dedup over NORMALIZED text — the composition that justifies
+    * stage-zero normalization: two documents differing only in
+    * accent form, case, control bytes or whitespace runs are the SAME
+    * document to a training set, but [[dedupExact]]'s raw digest
+    * treats them as distinct. Digesting [[textNormalize]]'s output
+    * collapses the variant class; same linear digest-shuffle shape. */
+  def dedupExactNormalized(spark: SparkSession, dir: String): DataFrame =
+    textNormalizeFrom(Core.documents(spark, dir))
+      .groupBy(md5(col("text_norm").cast("binary")).as("digest"))
+      .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("keep_id"))
+
+  val dedupExactNormalizedSql: String =
+    s"""WITH n AS ($textNormalizeSql)
+       |SELECT md5(text_norm) AS digest, count(*) AS n_copies, min(doc_id) AS keep_id
+       |FROM n GROUP BY 1""".stripMargin
+
   /** N-gram Jaccard near-dup pairs via PREFIX-FILTERED set-similarity
     * join (the All-Pairs/PPJoin prune): under a global shingle order,
     * any pair with J >= 0.5 shares at least one shingle within the
@@ -1092,6 +1108,7 @@ object TextDedup extends QueryModule {
     "lang_confusion" -> ((s, d) => langConfusion(s, d)),
     "doc_keywords" -> ((s, d) => docKeywords(s, d)),
     "text_normalize" -> ((s, d) => textNormalize(s, d)),
+    "dedup_exact_normalized" -> ((s, d) => dedupExactNormalized(s, d)),
     "boilerplate_ngrams" -> ((s, d) => boilerplateNgrams(s, d)),
     "vocab_topk" -> ((s, d) => vocabTopK(s, d)),
     "corpus_pipeline" -> ((s, d) => corpusPipeline(s, d)))
@@ -1118,6 +1135,7 @@ object TextDedup extends QueryModule {
     "lang_confusion" -> langConfusionSql,
     "doc_keywords" -> docKeywordsSql,
     "text_normalize" -> textNormalizeSql,
+    "dedup_exact_normalized" -> dedupExactNormalizedSql,
     "boilerplate_ngrams" -> boilerplateNgramsSql,
     "vocab_topk" -> vocabTopKSql,
     "corpus_pipeline" -> corpusPipelineSql)

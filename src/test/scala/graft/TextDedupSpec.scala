@@ -120,6 +120,14 @@ class TextDedupSpec extends SparkSpec {
       "normalization must be idempotent")
     // the synthetic corpus is already clean: changed = 0 everywhere
     assert(TextDedup.textNormalize(spark, sf0001).filter($"changed" =!= 0).isEmpty)
+    // normalized dedup collapses variant classes raw dedup cannot: the
+    // case/whitespace variants of one text share one normalized digest
+    val variants = Seq(
+      (1L, "Same  Doc"), (2L, "same doc"), (3L, "same\tDOC"), (4L, "other"))
+      .toDF("doc_id", "text")
+    val collapsed = TextDedup.textNormalizeFrom(variants)
+      .groupBy($"text_norm").count().filter($"count" === 3)
+    assert(collapsed.count() == 1, "three variants must share one normalized form")
   }
 
   test("lang confusion: cells partition the corpus, preds match lang_id row-for-row") {
