@@ -138,15 +138,20 @@ object TextDedup extends QueryModule {
   def textNormalize(spark: SparkSession, dir: String): DataFrame =
     textNormalizeFrom(Core.documents(spark, dir))
 
+  /** The normalization as a plain Column — shared by the registered
+    * query, the normalized dedup, and the STREAMING ingest variant
+    * (stateless map work composes in front of stateful ops for free).
+    * The control class EXCLUDES \t \n \r (0x09, 0x0a, 0x0d): those are
+    * separators the collapse step must turn into spaces, not delete —
+    * stripping them first would glue words together. */
+  private[graft] def normalizeTextCol(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(lower(graft.functions.nfc_normalize(text)),
+        "[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f]", ""),
+      "[ \\t\\n\\r]+", " "))
+
   private[graft] def textNormalizeFrom(df: DataFrame): DataFrame = {
-    // the control class EXCLUDES \t \n \r (0x09, 0x0a, 0x0d): those are
-    // separators the collapse step must turn into spaces, not delete —
-    // stripping them first would glue words together
-    val norm =
-      trim(regexp_replace(
-        regexp_replace(lower(graft.functions.nfc_normalize(col("text"))),
-          "[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f]", ""),
-        "[ \\t\\n\\r]+", " "))
+    val norm = normalizeTextCol(col("text"))
     df.select(col("doc_id"), norm.as("text_norm"),
       (norm =!= col("text")).cast("int").as("changed"))
   }

@@ -546,6 +546,19 @@ object StreamingPipeline {
       .dropDuplicatesWithinWatermark(Seq("digest"))
   }
 
+  /** [[streamingCorpusIngest]] with stage-zero normalization folded in
+    * front: NFC + lower + control strip + whitespace collapse run on
+    * the streaming text BEFORE scoring and digesting (all stateless
+    * map work — it chains in front of the watermark/dedup state ops
+    * for free), so accent/case/whitespace VARIANTS of one document
+    * dedup to one row at ingest, the batch
+    * dedup_exact_normalized semantics live. The emitted rows carry
+    * text_norm — downstream consumers see the canonical form. */
+  def streamingNormalizedIngest(docs: DataFrame, minQuality: Double = 0.55): DataFrame =
+    streamingCorpusIngest(
+      docs.withColumn("text", graft.ops.TextDedup.normalizeTextCol(col("text"))),
+      minQuality)
+
   /** NEAR-duplicate streaming dedup: the map-side SimHash64 sketch is
     * a plain expression (graft.functions.SimHashPack via
     * TextDedup.simhash64Col), so it composes with watermark-bounded

@@ -385,6 +385,35 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming normalized ingest dedups case/whitespace variants at the gate") {
+    implicit val sqlCtx = spark.sqlContext
+    val good = "the quick brown fox jumps over a lazy dog while the calm river " +
+      "keeps flowing past green hills under a bright morning sky today"
+    // variant: same words, different case + a tab + trailing spaces —
+    // raw digest dedup would keep it; normalized dedup must not
+    val variant = ("The  QUICK brown fox jumps over a lazy dog while the calm river " +
+      "keeps flowing past green hills under a bright morning sky today  ")
+      .replace("QUICK brown", "QUICK\tbrown")
+    val distinct = "an entirely different sentence with plenty of fresh unique " +
+      "words spread out across the line keeps the quality gate satisfied here"
+    val src = MemoryStream[(Long, Timestamp, String, String)]
+    val out = StreamingPipeline.streamingNormalizedIngest(
+      src.toDF().toDF("doc_id", "ts", "text", "lang"))
+    val q = out.writeStream.format("memory").queryName("norm_ingest_out")
+      .outputMode("append").start()
+    try {
+      src.addData(
+        (1L, t("2024-01-01 10:00:00"), good, "en"),
+        (2L, t("2024-01-01 10:00:30"), variant, "en"),
+        (3L, t("2024-01-01 10:01:00"), distinct, "en"))
+      q.processAllAvailable()
+      val kept = spark.table("norm_ingest_out").select("doc_id").as[Long].collect().toSet
+      assert(kept.contains(1L) && kept.contains(3L))
+      assert(!kept.contains(2L),
+        "a case/whitespace variant must share the normalized digest and drop")
+    } finally q.stop()
+  }
+
   test("streaming near-dup ingest drops signature-colliding docs within the watermark") {
     implicit val sqlCtx = spark.sqlContext
     // The signature is a commutative vote over the trigram MULTISET, so
