@@ -857,6 +857,44 @@ object TextDedup extends QueryModule {
        |FROM docs JOIN counts USING (lang) CROSS JOIN target
        |GROUP BY lang, n_lang, n_target""".stripMargin
 
+  /** The EXACT-N twin of [[stratifiedSample]]: every language keeps
+    * exactly min-language-count documents, chosen as the lowest
+    * content-hash ranks (deterministic, reproducible, same hash order
+    * as the binomial gate). The price is the documented trade
+    * [[stratifiedSample]] avoids: the rank needs a window PER
+    * LANGUAGE, so each language's rows sort within one task group —
+    * parallelism is bounded by language count (fine for tens of
+    * languages, wrong for per-domain strata; the hash gate is the
+    * unbounded-strata form, this is the exact-quota form — the same
+    * pairing as source_caps' quota rank). Output: the kept rows with
+    * their in-language rank, so |rows per lang| == n_target exactly
+    * (spec-asserted). */
+  def exactStratifiedSample(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Core.documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        (charHash(col("text")) % lit(1000000L)).as("h"))
+    val counts = docs.groupBy("lang").agg(count(lit(1)).as("n_lang"))
+    val target = counts.agg(min(col("n_lang")).as("n_target"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang").orderBy(col("h"), col("doc_id"))
+    docs.withColumn("samp_rank", row_number().over(w))
+      .crossJoin(broadcast(target))
+      .filter(col("samp_rank") <= col("n_target"))
+      .select(col("doc_id"), col("lang"), col("samp_rank"))
+  }
+
+  val exactStratifiedSampleSql: String =
+    s"""WITH docs AS (
+       |  SELECT doc_id, lang, ${charHashSql("text")} % 1000000 AS h FROM documents),
+       |target AS (SELECT min(cnt) AS n_target FROM (
+       |  SELECT count(*) AS cnt FROM docs GROUP BY lang)),
+       |ranked AS (
+       |  SELECT doc_id, lang,
+       |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY h, doc_id) AS samp_rank
+       |  FROM docs)
+       |SELECT doc_id, lang, CAST(samp_rank AS INTEGER) AS samp_rank
+       |FROM ranked CROSS JOIN target WHERE samp_rank <= n_target""".stripMargin
+
   /** Decontamination: test-split documents sharing a shingle with the
     * train split — the standard pre-training hygiene check (an eval
     * document whose n-grams leak into the training set inflates the
@@ -1107,6 +1145,7 @@ object TextDedup extends QueryModule {
     "simhash_pairs" -> ((s, d) => simhashPairs(s, d)),
     "dataset_split" -> ((s, d) => datasetSplit(s, d)),
     "stratified_sample" -> ((s, d) => stratifiedSample(s, d)),
+    "exact_stratified_sample" -> ((s, d) => exactStratifiedSample(s, d)),
     "split_contamination" -> ((s, d) => splitContamination(s, d)),
     "decontaminate_train" -> ((s, d) => decontaminateTrain(s, d)),
     "pii_scrub" -> ((s, d) => piiScrub(s, d)),
@@ -1134,6 +1173,7 @@ object TextDedup extends QueryModule {
     "simhash_pairs" -> simhashPairsSql,
     "dataset_split" -> datasetSplitSql,
     "stratified_sample" -> stratifiedSampleSql,
+    "exact_stratified_sample" -> exactStratifiedSampleSql,
     "split_contamination" -> splitContaminationSql,
     "decontaminate_train" -> decontaminateTrainSql,
     "pii_scrub" -> piiScrubSql,

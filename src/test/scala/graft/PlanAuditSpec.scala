@@ -15,6 +15,7 @@ class PlanAuditSpec extends SparkSpec {
   private val bnljAllowed: Map[String, String] = Map(
     "stale_filter" -> "scalar broadcast: the 1-row global max-ts bound",
     "stratified_sample" -> "scalar broadcast: the 1-row min-language count",
+    "exact_stratified_sample" -> "scalar broadcast: the 1-row min-language count",
     "temperature_sample" -> "scalar broadcast: the 1-row min-language count",
     "source_similarity" -> "pair build over the source LIST (sources^2 rows, corpus-size-independent)",
     "embed_cosine_topk" -> "the documented exact brute-force baseline of the ANN family",

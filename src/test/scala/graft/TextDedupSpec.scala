@@ -130,6 +130,24 @@ class TextDedupSpec extends SparkSpec {
     assert(collapsed.count() == 1, "three variants must share one normalized form")
   }
 
+  test("exact stratified sample: every language keeps exactly the min-language count") {
+    val s = TextDedup.exactStratifiedSample(spark, sf0001).cache()
+    val counts = graft.ops.Core.documents(spark, sf0001)
+      .groupBy($"lang").agg(count(lit(1)).as("n_lang"))
+    val target = counts.agg(min($"n_lang")).as[Long].collect()(0)
+    val perLang = s.groupBy($"lang").count()
+    assert(perLang.filter($"count" =!= target).isEmpty,
+      s"every language must keep exactly $target docs")
+    assert(perLang.count() == counts.count(), "no language disappears")
+    // ranks are 1..n_target contiguous per language
+    assert(s.groupBy($"lang").agg(max($"samp_rank").as("m"), count(lit(1)).as("k"))
+      .filter($"m" =!= $"k").isEmpty)
+    // deterministic: a re-run selects the identical doc set
+    val again = TextDedup.exactStratifiedSample(spark, sf0001)
+    assert(s.select("doc_id").exceptAll(again.select("doc_id")).isEmpty)
+    s.unpersist()
+  }
+
   test("lang confusion: cells partition the corpus, preds match lang_id row-for-row") {
     val cm = TextDedup.langConfusion(spark, sf0001).cache()
     val total = cm.agg(sum($"n_docs")).as[Long].collect()(0)
