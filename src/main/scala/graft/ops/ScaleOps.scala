@@ -126,19 +126,39 @@ object ScaleOps extends QueryModule {
       // IVF centroid collects), and the counts ride a scan of the
       // partition columns only.
       val pcols = partitionCols.map(col)
+      // The width lookup must be NULL-SAFE: Hive layouts write a null
+      // partition value as __HIVE_DEFAULT_PARTITION__ and read it back
+      // as null (plausible for lang in crawl data), and a null-unsafe
+      // equi-join would silently DROP those rows — turning the "pure
+      // rewrite" contract into data loss (ADVICE r5). Prefix the
+      // width-frame keys and join with <=> per column.
       val widths = df.groupBy(pcols: _*)
         .agg(ceil(count(lit(1)).cast("double") / targetRowsPerFile)
           .cast("int").as("_salt_w"))
+        .select(partitionCols.map(c => col(c).as("_w_" + c)) :+ col("_salt_w"): _*)
+      // empty input: the sum aggregate is NULL — coalesce to one file
+      // (the old unsalted path handled n=0; the salted one must too)
       val totalFiles = math.max(1,
-        widths.agg(sum(greatest(col("_salt_w"), lit(1)))).head().getLong(0).toInt)
+        widths.agg(coalesce(sum(greatest(col("_salt_w"), lit(1))), lit(1L)))
+          .head().getLong(0).toInt)
       // deterministic spread: hash the DATA columns (retry-stable,
-      // unlike rand()), modulo the per-value width
-      val dataCols = df.columns.filterNot(partitionCols.contains).map(col)
-      df.join(broadcast(widths), partitionCols)
+      // unlike rand()), modulo the per-value width. If partitionCols
+      // covers EVERY column there is nothing to hash — and Spark
+      // itself refuses to WRITE an all-partition-column table
+      // (ALL_PARTITION_COLUMNS_NOT_ALLOWED), so fail fast with a clear
+      // contract error instead of an opaque analysis failure mid-plan.
+      val dataCols = df.columns.filterNot(partitionCols.contains).map(col).toSeq
+      require(dataCols.nonEmpty,
+        s"compactParquet: partitionCols (${partitionCols.mkString(",")}) must " +
+          "not cover every column — Spark cannot write a table whose columns " +
+          "are all partition columns")
+      val joinCond = partitionCols.map(c => col(c) <=> col("_w_" + c)).reduce(_ && _)
+      df.join(broadcast(widths), joinCond)
         .withColumn("_salt",
           pmod(hash(dataCols: _*), greatest(col("_salt_w"), lit(1))))
         .repartition(totalFiles, pcols :+ col("_salt"): _*)
-        .drop("_salt_w", "_salt")
+        .drop(widths.columns: _*)
+        .drop("_salt")
         .write
         .partitionBy(partitionCols: _*)
         .option("maxRecordsPerFile", targetRowsPerFile)

@@ -202,7 +202,11 @@ object TextDedup extends QueryModule {
     val docTok = withToks(Core.documents(spark, dir))
       .select(col("doc_id"), explode(toks).as("tok"))
       .filter(length(col("tok")) >= 1)
-    val nDocs = Core.documents(spark, dir).count()
+    // N rides the plan as a 1-row broadcast cross join (the
+    // exactStratifiedSample scalar shape) — an eager .count() here
+    // would run a full corpus scan at DataFrame-CONSTRUCTION time,
+    // making this the only non-lazy registered query (ADVICE r5)
+    val nTotal = Core.documents(spark, dir).agg(count(lit(1)).as("n_docs"))
     val df_ = docTok.distinct()
       .groupBy("tok").agg(count(lit(1)).as("doc_freq"))
     val tf = docTok.groupBy(col("doc_id"), col("tok"))
@@ -211,7 +215,8 @@ object TextDedup extends QueryModule {
       .partitionBy("doc_id")
       .orderBy(col("score").desc, col("tok"))
     tf.join(df_, "tok")
-      .withColumn("score", col("tf") * expr(s"(${nDocs}L * 1000000L) div doc_freq"))
+      .crossJoin(broadcast(nTotal))
+      .withColumn("score", col("tf") * expr("(n_docs * 1000000L) div doc_freq"))
       .withColumn("kw_rank", row_number().over(w))
       .filter(col("kw_rank") <= kwTop)
       .select(col("doc_id"), col("kw_rank"), col("tok").as("keyword"),
@@ -1007,20 +1012,25 @@ object TextDedup extends QueryModule {
     * identical semantics in Java regex (Spark) and RE2 (DuckDB) — no
     * lookaround, no backreferences — so the oracle hash-checks the
     * redacted text byte-for-byte. Redaction counts come from
-    * regexp_count on the SAME patterns, so count and rewrite cannot
-    * drift. */
+    * regexp_count on the SAME patterns applied to the SAME
+    * intermediate each pass actually rewrites (n_ips counts on the
+    * email-redacted text, since the replacement is sequential) — so
+    * every counted match corresponds to a placeholder in text_clean;
+    * an IPv4 embedded inside an email match (user@1.2.3.4.com) is
+    * consumed by <EMAIL> and never counted (ADVICE r5). */
   private val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   private val ipv4Re = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
 
   def piiScrub(spark: SparkSession, dir: String): DataFrame =
     piiScrubFrom(Core.documents(spark, dir))
 
-  private[graft] def piiScrubFrom(df: DataFrame): DataFrame =
+  private[graft] def piiScrubFrom(df: DataFrame): DataFrame = {
+    val emailClean = regexp_replace(col("text"), emailRe, "<EMAIL>")
     df.select(col("doc_id"),
-      regexp_replace(regexp_replace(col("text"), emailRe, "<EMAIL>"),
-        ipv4Re, "<IP>").as("text_clean"),
+      regexp_replace(emailClean, ipv4Re, "<IP>").as("text_clean"),
       regexp_count(col("text"), lit(emailRe)).as("n_emails"),
-      regexp_count(col("text"), lit(ipv4Re)).as("n_ips"))
+      regexp_count(emailClean, lit(ipv4Re)).as("n_ips"))
+  }
 
   val piiScrubSql: String = {
     // single-quoted SQL literals: backslashes pass through verbatim to
@@ -1031,7 +1041,8 @@ object TextDedup extends QueryModule {
        |  regexp_replace(regexp_replace(text, '$email', '<EMAIL>', 'g'),
        |    '$ip', '<IP>', 'g') AS text_clean,
        |  CAST(len(regexp_extract_all(text, '$email')) AS INTEGER) AS n_emails,
-       |  CAST(len(regexp_extract_all(text, '$ip')) AS INTEGER) AS n_ips
+       |  CAST(len(regexp_extract_all(
+       |    regexp_replace(text, '$email', '<EMAIL>', 'g'), '$ip')) AS INTEGER) AS n_ips
        |FROM documents""".stripMargin
   }
 

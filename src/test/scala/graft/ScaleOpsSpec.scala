@@ -143,6 +143,55 @@ class ScaleOpsSpec extends SparkSpec {
       "salted compaction must stay a pure rewrite")
   }
 
+  test("compaction preserves rows whose partition value is NULL") {
+    val frag = java.nio.file.Files.createTempDirectory("graft_nullfrag").toString + "/d"
+    val out = java.nio.file.Files.createTempDirectory("graft_nullcompact").toString + "/d"
+    // a crawl slice where lang-ID abstained: null partition values land
+    // in __HIVE_DEFAULT_PARTITION__ and read back as null — the width
+    // join must be null-safe or these rows vanish (ADVICE r5)
+    val rows = Seq((1L, "a", "en"), (2L, "b", "en"), (3L, "c", null),
+      (4L, "d", null), (5L, "e", "de"))
+    rows.toDF("doc_id", "text", "lang")
+      .repartition(4).write.partitionBy("lang").parquet(frag)
+    ScaleOps.compactParquet(spark, frag, out, partitionCols = Seq("lang"))
+    val before = spark.read.parquet(frag)
+    val after = spark.read.parquet(out)
+    assert(after.count() == before.count(),
+      "null-partition rows must survive compaction")
+    assert(after.filter($"lang".isNull).count() == 2)
+    assert(after.select(before.columns.map(col): _*).exceptAll(before).isEmpty,
+      "null-partition compaction must stay a pure rewrite")
+  }
+
+  test("compaction handles all-columns-partitioned and empty inputs") {
+    // every column a partition column: Spark itself cannot write such
+    // a table (ALL_PARTITION_COLUMNS_NOT_ALLOWED), so the contract is
+    // a clear fail-fast, not an opaque mid-plan analysis error
+    val frag1 = java.nio.file.Files.createTempDirectory("graft_allpart").toString + "/d"
+    val out1 = java.nio.file.Files.createTempDirectory("graft_allpartout").toString + "/d"
+    Seq(("en", "train", 1L), ("en", "val", 2L), ("de", "train", 3L))
+      .toDF("lang", "split", "doc_id").write.partitionBy("lang", "split").parquet(frag1)
+    val e = intercept[IllegalArgumentException] {
+      ScaleOps.compactParquet(spark, frag1, out1,
+        partitionCols = Seq("lang", "split", "doc_id"))
+    }
+    assert(e.getMessage.contains("must not cover every column"))
+    // empty input: the widths sum is NULL — must not throw. The
+    // fixture is a schema-bearing zero-row parquet file (what a
+    // drained landing looks like; a filter-to-empty write leaves no
+    // file at all under AQE and is unreadable to begin with).
+    val frag2 = java.nio.file.Files.createTempDirectory("graft_emptyfrag").toString + "/d"
+    val out2 = java.nio.file.Files.createTempDirectory("graft_emptyout").toString + "/d"
+    val docSchema = Seq((1L, "a", "en")).toDF("doc_id", "text", "lang").schema
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], docSchema)
+      .write.parquet(frag2)
+    // contract: returns without throwing (a zero-row dynamic-partition
+    // write legitimately lands only _SUCCESS — nothing to read back)
+    ScaleOps.compactParquet(spark, frag2, out2, partitionCols = Seq("lang"))
+    assert(new java.io.File(out2).exists())
+  }
+
   test("count-min sketch bounds every top-token estimate (one-sided, eps*N slack)") {
     val eps = 0.001
     val sk = ScaleOps.tokenCountSketch(spark, sf0001, eps = eps)

@@ -74,7 +74,8 @@ class TextDedupSpec extends SparkSpec {
       (1L, "contact me at alice.smith+spam@example.co.uk for details"),
       (2L, "server at 192.168.1.254 and backup at 10.0.0.1 replied"),
       (3L, "mixed bob@corp.io pinged 8.8.8.8 twice: 8.8.8.8"),
-      (4L, "no pii here, just 1.2 version numbers and an at sign @ alone"))
+      (4L, "no pii here, just 1.2 version numbers and an at sign @ alone"),
+      (5L, "reach user@1.2.3.4.com today"))
       .toDF("doc_id", "text")
     val out = TextDedup.piiScrubFrom(docs)
       .as[(Long, String, Int, Int)].collect().map(r => r._1 -> r).toMap
@@ -85,6 +86,12 @@ class TextDedupSpec extends SparkSpec {
     assert(out(4L)._2 == "no pii here, just 1.2 version numbers and an at sign @ alone"
       && out(4L)._3 == 0 && out(4L)._4 == 0,
       "clean text must pass through byte-identical (1.2 is not an IP, bare @ not an email)")
+    // an IPv4 embedded in an email match is consumed by <EMAIL>: the
+    // IP count runs on the email-redacted intermediate, so counts and
+    // placeholders cannot drift (ADVICE r5)
+    assert(out(5L)._2 == "reach <EMAIL> today" &&
+      out(5L)._3 == 1 && out(5L)._4 == 0,
+      "embedded IP inside an email span must not be counted")
     // corpus run: a zero-redaction row must carry its text unchanged —
     // joins the original to prove the rewrite is the identity off-match
     val corpus = TextDedup.piiScrub(spark, sf0001)
