@@ -664,6 +664,64 @@ object TrainingData extends QueryModule {
           col("n_chars_in_words").cast("double")).as("tokens_per_char"))
   }
 
+  /** BPE TOKEN-ID SEQUENCES — the consumable end of the tokenizer
+    * lifecycle (count pairs -> train merges -> encode -> EMIT IDS):
+    * per-document sequences of dense vocabulary ids under the round-K
+    * merge table, the tensor-shaped output a training job actually
+    * loads (the reference materializes consumable per-row tensors in
+    * its dataloader, sql_pytorch_dataloader.py:230-245; [[bpeEncode]]
+    * stops at counts). Ids are assigned by frequency rank over the
+    * trained vocabulary (occurrences desc, symbol asc, 0-based) — the
+    * frequency-sorted id convention real tokenizers ship — so the
+    * assignment is a deterministic pure function of the corpus and the
+    * oracle replays it id-for-id.
+    *
+    * Scale shape: the K merge rounds never touch documents
+    * ([[bpeMergedWords]] runs on the vocabulary-sized word table);
+    * documents explode ONCE to (word, position) and join the
+    * word->symbols table (broadcast at sf, hash-shuffle at corpus
+    * scale — linear either way); symbol->id is a second vocab-sized
+    * join; the only corpus-sized shuffle is the final groupBy(doc_id)
+    * that assembles sequences. The id-rank window is global but runs
+    * over the VOCABULARY aggregate — corpus-size-independent, the
+    * boilerplate_ngrams class (allowlisted in PlanAuditSpec with that
+    * justification). [[bpeTokenIdSeqs]] returns the typed array<int>
+    * form; the registered query serializes it with array_join (the
+    * packed_sequences convention — the driver compare sorts rows by
+    * every column, and list cells don't order). */
+  def bpeTokenIdSeqs(spark: SparkSession, dir: String): DataFrame =
+    bpeTokenIdSeqsFrom(Core.documents(spark, dir), bpeMergeRounds)
+
+  private[graft] def bpeTokenIdSeqsFrom(df: DataFrame, rounds: Int): DataFrame = {
+    val merged = bpeMergedWords(df, rounds)
+    val vocabIds = merged
+      .select(explode(split(col("s"), " ")).as("sym"), col("freq"))
+      .groupBy("sym").agg(sum(col("freq")).as("n_occurrences"))
+      .select(col("sym"), (row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("n_occurrences").desc, col("sym"))) - 1)
+        .cast("int").as("tok_id"))
+    val enc = merged.select(col("w"), split(col("s"), " ").as("syms"))
+    val words = withToks(df)
+      .select(col("doc_id"), posexplode(toks))
+      .toDF("doc_id", "wpos", "w")
+      .filter(length(col("w")) >= 1)
+    words.join(enc, "w")
+      .select(col("doc_id"), col("wpos"), posexplode(col("syms")))
+      .toDF("doc_id", "wpos", "spos", "sym")
+      .join(vocabIds, "sym")
+      .groupBy("doc_id")
+      .agg(transform(
+        sort_array(collect_list(struct(col("wpos"), col("spos"), col("tok_id")))),
+        x => x.getField("tok_id")).as("token_ids"))
+      .select(col("doc_id"), size(col("token_ids")).as("n_tokens"), col("token_ids"))
+  }
+
+  def bpeTokenIds(spark: SparkSession, dir: String): DataFrame =
+    bpeTokenIdSeqs(spark, dir)
+      .select(col("doc_id"), col("n_tokens"),
+        array_join(col("token_ids").cast("array<string>"), ",").as("token_ids"))
+
   /** The shared w0..wK merge-replay CTE chain (see [[bpeVocabFrom]]). */
   private def bpeCtesSql: String = {
     val sp = "string_split(s, ' ')"
@@ -705,6 +763,32 @@ object TrainingData extends QueryModule {
        |  CAST(SUM(n_syms) AS DOUBLE) / CAST(SUM(length(w)) AS DOUBLE) AS tokens_per_char
        |FROM dw JOIN enc USING (w)
        |WHERE length(w) >= 1
+       |GROUP BY doc_id""".stripMargin
+
+  val bpeTokenIdsSql: String =
+    s"""WITH $bpeCtesSql,
+       |vocab AS (
+       |  SELECT sym, SUM(freq) AS n_occurrences
+       |  FROM (SELECT unnest(string_split(s, ' ')) AS sym, freq FROM w$bpeMergeRounds)
+       |  GROUP BY sym),
+       |vid AS (
+       |  SELECT sym, CAST(ROW_NUMBER() OVER (ORDER BY n_occurrences DESC, sym) - 1
+       |    AS INTEGER) AS tok_id
+       |  FROM vocab),
+       |enc AS (SELECT w, string_split(s, ' ') AS syms FROM w$bpeMergeRounds),
+       |dw AS (
+       |  SELECT doc_id, t[i] AS w, i AS wpos
+       |  FROM (SELECT doc_id, $toksSql AS t,
+       |          unnest(range(1, len($toksSql) + 1)) AS i FROM documents)
+       |  WHERE length(t[i]) >= 1),
+       |ds AS (
+       |  SELECT doc_id, wpos, syms[j] AS sym, j AS spos
+       |  FROM (SELECT doc_id, wpos, syms,
+       |          unnest(range(1, len(syms) + 1)) AS j
+       |        FROM dw JOIN enc USING (w)))
+       |SELECT doc_id, CAST(count(*) AS INTEGER) AS n_tokens,
+       |  string_agg(CAST(tok_id AS VARCHAR), ',' ORDER BY wpos, spos) AS token_ids
+       |FROM ds JOIN vid USING (sym)
        |GROUP BY doc_id""".stripMargin
 
   // --- n-gram language-model estimation -----------------------------------
@@ -852,6 +936,7 @@ object TrainingData extends QueryModule {
     "bpe_pairs" -> ((s, d) => bpePairs(s, d)),
     "bpe_vocab" -> ((s, d) => bpeVocab(s, d)),
     "bpe_encode" -> ((s, d) => bpeEncode(s, d)),
+    "bpe_token_ids" -> ((s, d) => bpeTokenIds(s, d)),
     "cdc_chunks" -> ((s, d) => cdcChunks(s, d)),
     "winnow_fingerprints" -> ((s, d) => winnowFingerprints(s, d)),
     "ngram_lm" -> ((s, d) => ngramLm(s, d)),
@@ -865,6 +950,7 @@ object TrainingData extends QueryModule {
     "rag_chunks" -> ragChunksSql,
     "bpe_vocab" -> bpeVocabSql,
     "bpe_encode" -> bpeEncodeSql,
+    "bpe_token_ids" -> bpeTokenIdsSql,
     "bpe_pairs" -> bpePairsSql,
     "cdc_chunks" -> cdcChunksSql,
     "winnow_fingerprints" -> winnowFingerprintsSql,

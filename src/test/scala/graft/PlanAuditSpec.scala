@@ -17,6 +17,7 @@ class PlanAuditSpec extends SparkSpec {
     "stratified_sample" -> "scalar broadcast: the 1-row min-language count",
     "exact_stratified_sample" -> "scalar broadcast: the 1-row min-language count",
     "temperature_sample" -> "scalar broadcast: the 1-row min-language count",
+    "doc_keywords" -> "scalar broadcast: the 1-row corpus count N for the idf quotient",
     "source_similarity" -> "pair build over the source LIST (sources^2 rows, corpus-size-independent)",
     "embed_cosine_topk" -> "the documented exact brute-force baseline of the ANN family",
     "embed_ann_sq8_topk" -> "ADC stage: tiny query set against codes, documented two-stage design")
@@ -54,7 +55,8 @@ class PlanAuditSpec extends SparkSpec {
     "targets" -> "reference-parity single-series labels; partitioned twin = indicators_by_type",
     "window_slices" -> "reference-parity single-series slicing over the one global bar series",
     "asof_join" -> "reference-parity global as-of; partitioned twin = asof_join_by_user",
-    "boilerplate_ngrams" -> "rank window over an already-truncated top-20")
+    "boilerplate_ngrams" -> "rank window over an already-truncated top-20",
+    "bpe_token_ids" -> "id-assignment rank over the VOCABULARY aggregate — corpus-size-independent input")
 
   // detection runs on the OPTIMIZED LOGICAL plan: the AQE-wrapped
   // executedPlan does not traverse into its inner plan pre-execution,

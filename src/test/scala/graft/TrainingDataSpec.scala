@@ -210,6 +210,34 @@ class TrainingDataSpec extends SparkSpec {
     assert(vocab("ab ab", 5) == Map("ab" -> 2L))
   }
 
+  test("bpe token ids: dense frequency-ranked ids, sequences replay the merges in order") {
+    // "ab ab b" with 1 merge round: (a,b) wins with weight 2 ->
+    // word "ab" encodes as the single symbol ab, "b" stays b.
+    // Vocabulary: ab x2, b x1 -> ids ab=0, b=1 (occurrences desc).
+    // Document order: ab ab b -> [0, 0, 1].
+    val seqs = TrainingData.bpeTokenIdSeqsFrom(
+      Seq((1L, "ab ab b")).toDF("doc_id", "text"), rounds = 1)
+      .as[(Long, Int, Seq[Int])].collect()
+      .map { case (d, n, ids) => d -> ((n, ids)) }.toMap
+    assert(seqs(1L) == ((3, Seq(0, 0, 1))),
+      s"expected [0,0,1] for 'ab ab b' after one (a,b) merge, got $seqs")
+    // corpus-level invariants at sf0.001: ids are DENSE 0..V-1 over
+    // the vocabulary, and total sequence mass equals encode's token
+    // mass (same merge table, so the two must agree token-for-token)
+    val corpus = TrainingData.bpeTokenIdSeqs(spark, sf0001).cache()
+    val ids = corpus.select(explode($"token_ids").as("id")).cache()
+    val v = TrainingData.bpeVocab(spark, sf0001).count()
+    assert(ids.select(countDistinct($"id")).as[Long].collect()(0) == v)
+    assert(ids.agg(max($"id")).as[Int].collect()(0).toLong == v - 1,
+      "ids must be dense 0..V-1")
+    val seqMass = corpus.agg(sum($"n_tokens")).as[Long].collect()(0)
+    val encMass = TrainingData.bpeEncode(spark, sf0001)
+      .agg(sum($"n_bpe_tokens")).as[Long].collect()(0)
+    assert(seqMass == encMass,
+      s"sequence mass $seqMass must equal encode mass $encMass")
+    ids.unpersist(); corpus.unpersist()
+  }
+
   test("bpe encode: corpus token mass equals the vocabulary mass, compression bounded") {
     val enc = TrainingData.bpeEncode(spark, sf0001).cache()
     // conservation: every encoded word symbol is counted once in the
