@@ -253,11 +253,15 @@ object Similarity extends QueryModule {
     * buckets/band, so each band's self-join streams ~n^2/4 pairs —
     * the knob trades verify work for recall, and at 100 TB bits/band
     * must grow with log(n) whichever point on the frontier you pick.
-    * Spec-measured variant; the registered oracle stays pinned to the
-    * 8x4 semantics. */
+    * Oracle-registered as `embed_near_dup_hirecall` (r5 verdict #6),
+    * so a user reaching for the recall >= 0.8 frontier point gets a
+    * checked query, not just the spec-only twin. */
+  private val ndBandsHi = 16
+  private val ndRowsHi = 2
+
   def cosineNearDupPairsHiRecall(spark: SparkSession, dir: String,
       threshold: Double = ndThreshold): DataFrame =
-    bandedNearDupPairs(spark, dir, threshold, 16, 2)
+    bandedNearDupPairs(spark, dir, threshold, ndBandsHi, ndRowsHi)
 
   private def bandedNearDupPairs(spark: SparkSession, dir: String,
       threshold: Double, bands: Int, rows: Int): DataFrame = {
@@ -328,12 +332,15 @@ object Similarity extends QueryModule {
       .filter(col("cosine") >= threshold)
   }
 
-  val cosineNearDupPairsSql: String = {
+  /** The banding-parameterized oracle — shared by the 8x4 registered
+    * point and the 16x2 hi-recall point, so both replay the identical
+    * plane/threshold constants as their Scala twins. */
+  private def bandedNearDupPairsSql(bands: Int, rows: Int): String = {
     def bandKeySql(v: String, b: Int): String =
-      (0 until ndRows).map { j =>
-        s"(CASE WHEN (${planeDotSql(v, b * ndRows + j)}) >= 0.0 THEN CAST(${1L << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+      (0 until rows).map { j =>
+        s"(CASE WHEN (${planeDotSql(v, b * rows + j)}) >= 0.0 THEN CAST(${1L << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
       }.mkString(" + ")
-    val bandSelects = (0 until ndBands).map { b =>
+    val bandSelects = (0 until bands).map { b =>
       s"SELECT vec_id, embedding, $b AS band, ${bandKeySql("embedding", b)} AS bkey FROM embeddings"
     }.mkString(" UNION ALL ")
     s"""WITH bands AS ($bandSelects),
@@ -347,6 +354,11 @@ object Similarity extends QueryModule {
        |      (sqrt(${dotSql("a.embedding", "a.embedding")}) * sqrt(${dotSql("b.embedding", "b.embedding")})) >= $ndThreshold)
        |SELECT vec_a, vec_b, cosine FROM cand""".stripMargin
   }
+
+  val cosineNearDupPairsSql: String = bandedNearDupPairsSql(ndBands, ndRows)
+
+  val cosineNearDupPairsHiRecallSql: String =
+    bandedNearDupPairsSql(ndBandsHi, ndRowsHi)
 
   /** IVF-style ANN with a deterministic coarse quantizer: the first
     * `cells` vectors are the centroids (sampled centroids are standard
@@ -901,6 +913,7 @@ object Similarity extends QueryModule {
     "embed_ivf_topk" -> ((s, d) => ivfTopK(s, d)),
     "embed_ivf_multiprobe" -> ((s, d) => ivfTopKMultiProbe(s, d)),
     "embed_near_dup_pairs" -> ((s, d) => cosineNearDupPairs(s, d)),
+    "embed_near_dup_hirecall" -> ((s, d) => cosineNearDupPairsHiRecall(s, d)),
     "embed_quantize" -> ((s, d) => embedQuantize(s, d)),
     "embed_ann_sq8_topk" -> ((s, d) => annSq8TopK(s, d)),
     "embed_dedup_clusters" -> ((s, d) => embedDedupClusters(s, d)),
@@ -914,6 +927,7 @@ object Similarity extends QueryModule {
     "embed_ivf_topk" -> ivfTopKSql,
     "embed_ivf_multiprobe" -> ivfMultiProbeSql,
     "embed_near_dup_pairs" -> cosineNearDupPairsSql,
+    "embed_near_dup_hirecall" -> cosineNearDupPairsHiRecallSql,
     "embed_quantize" -> embedQuantizeSql,
     "embed_ann_sq8_topk" -> annSq8TopKSql,
     "embed_dedup_clusters" -> embedDedupClustersSql,
