@@ -585,6 +585,77 @@ object Similarity extends QueryModule {
       .select(col("qid"), col("vec_id"), col("cosine"), col("rank"))
   }
 
+  /** STREAMING ANN (r5 verdict #8) — probe INCOMING vectors against
+    * the persisted cell-partitioned index inside foreachBatch: the
+    * batch-index + streaming-probe architecture. Design decision: the
+    * index is IMMUTABLE between periodic batch rebuilds
+    * ([[writeIvfIndex]] on a schedule / after each compaction), and
+    * the stream only probes — a mutable streaming index would force
+    * centroid drift + repartitioning into the hot path, while a
+    * periodic rebuild costs one batch job and keeps probes pure scans.
+    * Per micro-batch: incoming vectors are assigned to cells with the
+    * SAME driver-collected centroid argmin the index was built with
+    * (centroids read once from the index at stream START — they are
+    * literal expressions, not per-batch state), the batch's probed
+    * cell set is collected (tiny: <= cells values) and pushed as a
+    * LITERAL isin filter, so the index scan partition-prunes to the
+    * probed directories exactly like [[probeIvfIndex]] (whose
+    * PartitionFilters pruning is plan-asserted in SimilaritySpec —
+    * the foreachBatch body is the same shape with the query side
+    * swapped for the micro-batch). The batch side broadcasts; output
+    * lands idempotently per batch_id (replay-safe, the K1 sink rule).
+    * At 100 TB: index bytes read per batch ~ (probed cells / cells),
+    * and the top-k window partitions by the incoming qid — parallelism
+    * scales with batch size, never with index size. */
+  def streamingIvfProbe(spark: SparkSession, incoming: DataFrame,
+      indexDir: String, outDir: String, checkpoint: String,
+      cells: Int = 16, k: Int = 5)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val idx = spark.read.parquet(indexDir)
+    val seedRows = idx.filter(col("vec_id") < cells)
+      .select(col("vec_id"), col("embedding"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1)))
+      .sortBy(_._1)
+    require(seedRows.nonEmpty,
+      s"streamingIvfProbe: index at $indexDir carries no centroid seeds")
+    val scoreStructs = seedRows.map { case (sid, semb) =>
+      val sembLit = typedLit(semb)
+      val ss = dot(sembLit, sembLit)
+      struct((ss - lit(2.0) * dot(col("embedding"), sembLit)).as("score"),
+        lit(sid).as("sid"))
+    }
+    incoming.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val q = batch
+          .withColumn("qnorm", sqrt(dot(col("embedding"), col("embedding"))))
+          .withColumn("cell", least(scoreStructs: _*).getField("sid"))
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec"),
+            col("qnorm"), col("cell"))
+          .persist() // read 3x below: probed-cell collect, join, write
+        try {
+          val probedCells = q.select("cell").distinct().collect().map(_.get(0))
+          if (probedCells.nonEmpty) {
+            val joined = idx.filter(col("cell").isin(probedCells.toSeq: _*))
+              .join(broadcast(q), Seq("cell"))
+              .filter(col("vec_id") =!= col("qid"))
+              .select(col("qid"), col("vec_id"),
+                (dot(col("qvec"), col("embedding")) / (col("qnorm") * col("norm")))
+                  .as("cosine"))
+            val w = org.apache.spark.sql.expressions.Window
+              .partitionBy("qid").orderBy(col("cosine").desc, col("vec_id"))
+            val top = joined.withColumn("rank", row_number().over(w))
+              .filter(col("rank") <= k)
+              .select(col("qid"), col("vec_id"), col("cosine"), col("rank"))
+            graft.streaming.StreamingPipeline.writeBatchIdempotent(top, batchId, outDir)
+          }
+        } finally { q.unpersist(); () }
+      }
+      .start()
+  }
+
   /** MLlib-KMeans flavor of the IVF quantizer (trained centroids).
     * Kept as the MLlib integration demo + recall subject in
     * SimilaritySpec; the registered `embed_ivf_topk` query uses the

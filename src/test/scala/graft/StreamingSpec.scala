@@ -670,4 +670,34 @@ class StreamingSpec extends SparkSpec {
       }
     } finally q.stop()
   }
+
+  test("streaming IVF probe against the persisted index equals the batch probe") {
+    implicit val sqlCtx = spark.sqlContext
+    val indexDir = java.nio.file.Files.createTempDirectory("graft_sivf").toString + "/idx"
+    val outDir = java.nio.file.Files.createTempDirectory("graft_sivf_o").toString + "/out"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_sivf_c").toString
+    graft.ops.Similarity.writeIvfIndex(spark, sf0001, indexDir)
+    // stream the SAME query rule the batch probe pins (vec_id % 50 = 0)
+    // so the two outputs are comparable row-for-row
+    val queries = graft.ops.Core.embeddings(spark, sf0001)
+      .filter($"vec_id" % 50 === 0)
+      .select($"vec_id", $"embedding")
+      .as[(Long, Seq[Float])].collect().toSeq
+    val src = MemoryStream[(Long, Seq[Float])]
+    val q = graft.ops.Similarity.streamingIvfProbe(spark,
+      src.toDF().toDF("vec_id", "embedding"), indexDir, outDir, ckpt)
+    try {
+      // two micro-batches: idempotent per-batch landing, then the union
+      val (first, rest) = queries.splitAt(4)
+      src.addData(first: _*)
+      q.processAllAvailable()
+      src.addData(rest: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.read.parquet(outDir).drop("batch_id")
+    val expect = graft.ops.Similarity.probeIvfIndex(spark, indexDir)
+    assert(got.count() == expect.count() && got.count() > 0)
+    assert(got.exceptAll(expect).isEmpty && expect.exceptAll(got).isEmpty,
+      "streaming probe must equal the batch probe row-for-row")
+  }
 }
