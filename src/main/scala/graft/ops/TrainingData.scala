@@ -765,8 +765,73 @@ object TrainingData extends QueryModule {
        |WHERE length(w) >= 1
        |GROUP BY doc_id""".stripMargin
 
-  val bpeTokenIdsSql: String =
-    s"""WITH $bpeCtesSql,
+  /** PACKED TOKEN-ID SHARDS — [[packedSequences]] with the payload
+    * materialized: one row per fixed-length training sequence carrying
+    * the ACTUAL ordered id string, not just the doc-span coordinates.
+    * This is the literal shard file a dataloader memory-maps: docs lay
+    * end-to-end per shard in doc_id order (the [[seqPacking]] layout,
+    * applied to BPE ids instead of whitespace tokens), chopped at
+    * `seqLen` ids.
+    *
+    * Scale shape: the per-doc sequences come from
+    * [[bpeTokenIdSeqsFrom]] (its one corpus shuffle); the cumulative
+    * offset window partitions BY SHARD (no global sort, shard count
+    * scales with the cluster); the per-token explode is the inherent
+    * linear cost of materializing payloads (you cannot write shard
+    * bytes without touching every token once); and the final
+    * groupBy(shard, seq_id) keys are a SUPERSET of the window's shard
+    * partitioning, so it reuses the exchange — the packed_sequences
+    * plan shape with ids riding along. Per-sequence state is bounded
+    * by seqLen ids, so collect cannot skew. */
+  def packedTokenIds(spark: SparkSession, dir: String): DataFrame = {
+    val L = seqLen
+    val perDoc = bpeTokenIdSeqsFrom(Core.documents(spark, dir), bpeMergeRounds)
+      .select(col("doc_id"), (col("doc_id") % nShards).as("shard"),
+        col("n_tokens").cast("long").as("n"), col("token_ids"))
+    val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perDoc
+      .withColumn("t1", sum(col("n")).over(w))
+      .withColumn("t0", col("t1") - col("n"))
+      .select(col("shard"), col("t0"), posexplode(col("token_ids")))
+      .toDF("shard", "t0", "p", "tok_id")
+      .withColumn("gpos", col("t0") + col("p"))
+      .withColumn("seq_id", expr(s"gpos div $L"))
+      .groupBy(col("shard"), col("seq_id"))
+      .agg(count(lit(1)).as("token_count"),
+        array_join(transform(
+          sort_array(collect_list(struct(col("gpos"), col("tok_id")))),
+          x => x.getField("tok_id").cast("string")), ",").as("token_ids"))
+  }
+
+  val packedTokenIdsSql: String =
+    s"""WITH $bpeIdCtesSql,
+       |tok AS (
+       |  SELECT doc_id, tok_id,
+       |    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY wpos, spos) - 1 AS p
+       |  FROM ds JOIN vid USING (sym)),
+       |perdoc AS (
+       |  SELECT doc_id, doc_id % $nShards AS shard, COUNT(*) AS n
+       |  FROM tok GROUP BY 1, 2),
+       |cum AS (
+       |  SELECT doc_id, shard,
+       |    CAST(SUM(n) OVER (PARTITION BY shard ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS t1,
+       |    n
+       |  FROM perdoc),
+       |g AS (
+       |  SELECT c.shard, c.t1 - c.n + t.p AS gpos, t.tok_id
+       |  FROM tok t JOIN cum c USING (doc_id))
+       |SELECT shard, gpos // $seqLen AS seq_id,
+       |  CAST(COUNT(*) AS BIGINT) AS token_count,
+       |  STRING_AGG(CAST(tok_id AS VARCHAR), ',' ORDER BY gpos) AS token_ids
+       |FROM g GROUP BY 1, 2""".stripMargin
+
+  /** The shared id-assignment CTE chain (merge replay -> vocab ids ->
+    * per-symbol rows `ds` + id table `vid`) — used by the per-doc
+    * sequence oracle and the packed-shard oracle. */
+  private def bpeIdCtesSql: String =
+    s"""$bpeCtesSql,
        |vocab AS (
        |  SELECT sym, SUM(freq) AS n_occurrences
        |  FROM (SELECT unnest(string_split(s, ' ')) AS sym, freq FROM w$bpeMergeRounds)
@@ -785,7 +850,10 @@ object TrainingData extends QueryModule {
        |  SELECT doc_id, wpos, syms[j] AS sym, j AS spos
        |  FROM (SELECT doc_id, wpos, syms,
        |          unnest(range(1, len(syms) + 1)) AS j
-       |        FROM dw JOIN enc USING (w)))
+       |        FROM dw JOIN enc USING (w)))""".stripMargin
+
+  val bpeTokenIdsSql: String =
+    s"""WITH $bpeIdCtesSql
        |SELECT doc_id, CAST(count(*) AS INTEGER) AS n_tokens,
        |  string_agg(CAST(tok_id AS VARCHAR), ',' ORDER BY wpos, spos) AS token_ids
        |FROM ds JOIN vid USING (sym)
@@ -937,6 +1005,7 @@ object TrainingData extends QueryModule {
     "bpe_vocab" -> ((s, d) => bpeVocab(s, d)),
     "bpe_encode" -> ((s, d) => bpeEncode(s, d)),
     "bpe_token_ids" -> ((s, d) => bpeTokenIds(s, d)),
+    "packed_token_ids" -> ((s, d) => packedTokenIds(s, d)),
     "cdc_chunks" -> ((s, d) => cdcChunks(s, d)),
     "winnow_fingerprints" -> ((s, d) => winnowFingerprints(s, d)),
     "ngram_lm" -> ((s, d) => ngramLm(s, d)),
@@ -951,6 +1020,7 @@ object TrainingData extends QueryModule {
     "bpe_vocab" -> bpeVocabSql,
     "bpe_encode" -> bpeEncodeSql,
     "bpe_token_ids" -> bpeTokenIdsSql,
+    "packed_token_ids" -> packedTokenIdsSql,
     "bpe_pairs" -> bpePairsSql,
     "cdc_chunks" -> cdcChunksSql,
     "winnow_fingerprints" -> winnowFingerprintsSql,

@@ -238,6 +238,32 @@ class TrainingDataSpec extends SparkSpec {
     ids.unpersist(); corpus.unpersist()
   }
 
+  test("packed token ids: shard streams reconstruct the per-doc sequences exactly") {
+    val L = 256 // TrainingData.seqLen
+    val packed = TrainingData.packedTokenIds(spark, sf0001)
+      .as[(Long, Long, Long, String)].collect()
+    // every sequence is full except possibly each shard's last
+    val lastSeq = packed.groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+    packed.foreach { case (shard, seq, n, ids) =>
+      assert(ids.split(",").length == n, s"payload length != token_count at ($shard,$seq)")
+      if (seq != lastSeq(shard))
+        assert(n == L, s"non-tail sequence ($shard,$seq) has $n != $L ids")
+    }
+    // concatenating a shard's sequences in seq_id order must equal
+    // concatenating its docs' id sequences in doc_id order — the
+    // packing is a pure re-chunking of the token stream
+    val fromPacked = packed.groupBy(_._1).view.mapValues(
+      _.sortBy(_._2).flatMap(_._4.split(",")).toSeq).toMap
+    val fromDocs = TrainingData.bpeTokenIdSeqs(spark, sf0001)
+      .as[(Long, Int, Seq[Int])].collect()
+      .groupBy(_._1 % 8).view.mapValues(
+        _.sortBy(_._1).flatMap(_._3.map(_.toString)).toSeq).toMap
+    assert(fromPacked.keySet == fromDocs.keySet)
+    fromDocs.keySet.foreach { sh =>
+      assert(fromPacked(sh) == fromDocs(sh), s"shard $sh stream mismatch")
+    }
+  }
+
   test("bpe encode: corpus token mass equals the vocabulary mass, compression bounded") {
     val enc = TrainingData.bpeEncode(spark, sf0001).cache()
     // conservation: every encoded word symbol is counted once in the
