@@ -255,7 +255,12 @@ object Similarity extends QueryModule {
     * must grow with log(n) whichever point on the frontier you pick.
     * Oracle-registered as `embed_near_dup_hirecall` (r5 verdict #6),
     * so a user reaching for the recall >= 0.8 frontier point gets a
-    * checked query, not just the spec-only twin. */
+    * checked query, not just the spec-only twin. Measured cost of the
+    * knob at sf0.1 (r6 clean bench): 10.3s vs the 8x4 point's 2.4s —
+    * the ~4x candidate blow-up 2-bit keys predict on this corpus.
+    * That ratio is the POINT, not a defect: it is what recall 0.59 ->
+    * ~1 costs at the adversarial 0.4 threshold; production thresholds
+    * (0.9+) keep 2-bit bands selective and the gap collapses. */
   private val ndBandsHi = 16
   private val ndRowsHi = 2
 
