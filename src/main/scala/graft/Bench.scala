@@ -257,10 +257,42 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     } finally q3.stop()
 
+    // 4) streaming ANN probe (r6): incoming vectors vs the persisted
+    // cell-partitioned IVF index inside foreachBatch — per-batch cost
+    // is centroid argmin (map-side) + the pruned index join + top-k.
+    // Probe load: the corpus's vectors replicated 8x under fresh qids,
+    // fed in 8 micro-batches. Isolated failure domain like RocksDB.
+    val (probeN, probeSecs) = try {
+      val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+      val tmp = java.nio.file.Files.createTempDirectory("bench_ivfprobe").toString
+      graft.ops.Similarity.writeIvfIndex(spark, sfDir, s"$tmp/idx")
+      val vecs = graft.ops.Core.embeddings(spark, sfDir)
+        .select($"vec_id", $"embedding")
+        .as[(Long, Seq[Float])].collect()
+      val probes = (0 until 8).flatMap(r =>
+        vecs.map { case (id, v) => (id + (r + 1) * 1000000L, v) })
+      val pMs = MemoryStream[(Long, Seq[Float])]
+      val q4 = graft.ops.Similarity.streamingIvfProbe(spark,
+        pMs.toDF().toDF("vec_id", "embedding"), s"$tmp/idx", s"$tmp/out", s"$tmp/ck")
+      val secs = try {
+        val t0 = System.nanoTime()
+        probes.grouped(probes.size / 8).foreach(pMs.addData(_))
+        q4.processAllAvailable()
+        (System.nanoTime() - t0) / 1e9
+      } finally q4.stop()
+      (probes.size, secs)
+    } catch {
+      case t: Throwable =>
+        System.err.println(s"[bench] WARNING: IVF probe stream failed: $t")
+        (0, -1.0)
+    }
+    val probeEps = if (probeSecs > 0) probeN / probeSecs else -1.0
+
     val totalDagInput = nDeep + 4 * auxIdx.size
     val rocksEps = if (dagRocksSecs > 0) totalDagInput / dagRocksSecs else -1.0
     s"""{"bars_events":$nBars,"bars_sec":$barsSecs,"bars_events_per_sec":${nBars / barsSecs},""" +
       s""""indfull_events":$nInd,"indfull_sec":$indSecs,"indfull_events_per_sec":${nInd / indSecs},""" +
+      s""""ivfprobe_vectors":$probeN,"ivfprobe_sec":$probeSecs,"ivfprobe_vectors_per_sec":$probeEps,""" +
       s""""dag_events":$totalDagInput,"dag_sec":$dagSecs,"dag_events_per_sec":${totalDagInput / dagSecs},""" +
       s""""dag_rocksdb_sec":$dagRocksSecs,"dag_rocksdb_events_per_sec":$rocksEps}"""
   }
