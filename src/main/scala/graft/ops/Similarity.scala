@@ -74,6 +74,78 @@ object Similarity extends QueryModule {
        |  FROM scored)
        |SELECT qid, vec_id, cosine, CAST("rank" AS INTEGER) AS "rank" FROM ranked WHERE "rank" <= 5""".stripMargin
 
+  /** kNN LABEL PROPAGATION — the semi-supervised curation pass that
+    * extends a labeled seed set over the unlabeled corpus (classify
+    * by the labels of the k nearest embeddings: domain/quality/topic
+    * labels paid for on a seed sample, propagated to everything else).
+    * Seed rule vec_id % 5 = 0 keeps the split deterministic and
+    * SQL-expressible; prediction = majority vote over the 5 nearest
+    * seeds by cosine, ties broken toward the smaller label, with the
+    * same (cosine DESC, sid) neighbor ordering both engines resolve
+    * identically (identical IEEE dot trees — the [[cosineTopK]]
+    * parity rule).
+    *
+    * Scale shape: the exact brute-force vote is the oracle-checkable
+    * BASELINE of the family, like [[cosineTopK]] (BNLJ allowlisted
+    * with the same justification — the labeled side is the small,
+    * broadcastable one: labels are expensive, seeds ~ percent-scale);
+    * at 100 TB the same vote runs over IVF/LSH candidates instead
+    * ([[ivfTopKMultiProbe]]'s probe join), trading exactness for the
+    * measured recall frontier. The vote windows partition BY TARGET
+    * VECTOR, so parallelism scales with the corpus. */
+  private val knnLabelK = 5
+
+  def knnLabelPropagation(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Core.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"), col("label"),
+        sqrt(dot(col("embedding"), col("embedding"))).as("norm"))
+    val seeds = emb.filter(col("vec_id") % 5 === 0)
+      .select(col("vec_id").as("sid"), col("embedding").as("semb"),
+        col("norm").as("snorm"), col("label").as("slabel"))
+    val scored = emb.filter(col("vec_id") % 5 =!= 0)
+      .crossJoin(broadcast(seeds))
+      .select(col("vec_id"), col("label").as("true_label"),
+        col("sid"), col("slabel"),
+        (dot(col("embedding"), col("semb")) / (col("norm") * col("snorm")))
+          .as("cosine"))
+    val wNear = org.apache.spark.sql.expressions.Window
+      .partitionBy("vec_id").orderBy(col("cosine").desc, col("sid"))
+    val votes = scored.withColumn("rnk", row_number().over(wNear))
+      .filter(col("rnk") <= knnLabelK)
+      .groupBy(col("vec_id"), col("true_label"), col("slabel"))
+      .agg(count(lit(1)).as("n_votes"))
+    val wVote = org.apache.spark.sql.expressions.Window
+      .partitionBy("vec_id").orderBy(col("n_votes").desc, col("slabel"))
+    votes.withColumn("r", row_number().over(wVote)).filter(col("r") === 1)
+      .select(col("vec_id"), col("true_label"),
+        col("slabel").as("pred_label"), col("n_votes"),
+        (col("slabel") === col("true_label")).as("agree"))
+  }
+
+  val knnLabelPropagationSql: String =
+    s"""WITH seeds AS (
+       |  SELECT vec_id AS sid, embedding AS semb, label AS slabel
+       |  FROM embeddings WHERE vec_id % 5 = 0),
+       |scored AS (
+       |  SELECT e.vec_id, e.label AS true_label, s.sid, s.slabel,
+       |    ${dotSql("e.embedding", "s.semb")} /
+       |      (sqrt(${dotSql("e.embedding", "e.embedding")}) * sqrt(${dotSql("s.semb", "s.semb")})) AS cosine
+       |  FROM embeddings e CROSS JOIN seeds s WHERE e.vec_id % 5 <> 0),
+       |topk AS (
+       |  SELECT vec_id, true_label, slabel FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+       |      ORDER BY cosine DESC, sid) AS rnk FROM scored)
+       |  WHERE rnk <= $knnLabelK),
+       |votes AS (
+       |  SELECT vec_id, true_label, slabel, COUNT(*) AS n_votes
+       |  FROM topk GROUP BY 1, 2, 3),
+       |win AS (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+       |    ORDER BY n_votes DESC, slabel) AS r FROM votes)
+       |SELECT vec_id, true_label, slabel AS pred_label,
+       |  CAST(n_votes AS BIGINT) AS n_votes, slabel = true_label AS agree
+       |FROM win WHERE r = 1""".stripMargin
+
   /** Random-hyperplane LSH: p deterministic integer hyperplanes
     * (LCG-derived coefficients), sign bits packed into a bucket id.
     * Linear pass; bucket is the shuffle key at scale. */
@@ -983,6 +1055,7 @@ object Similarity extends QueryModule {
 
   override def queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "embed_cosine_topk" -> ((s, d) => cosineTopK(s, d)),
+    "embed_knn_label" -> ((s, d) => knnLabelPropagation(s, d)),
     "embed_stats" -> ((s, d) => embedStats(s, d)),
     "embed_lsh_buckets" -> ((s, d) => lshBuckets(s, d)),
     "embed_ann_lsh_topk" -> ((s, d) => annLshTopK(s, d)),
@@ -997,6 +1070,7 @@ object Similarity extends QueryModule {
 
   override def oracle: Seq[(String, String)] = Seq(
     "embed_cosine_topk" -> cosineTopKSql,
+    "embed_knn_label" -> knnLabelPropagationSql,
     "embed_stats" -> embedStatsSql,
     "embed_lsh_buckets" -> lshBucketsSql,
     "embed_ann_lsh_topk" -> annLshTopKSql,

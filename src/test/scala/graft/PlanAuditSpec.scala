@@ -20,6 +20,7 @@ class PlanAuditSpec extends SparkSpec {
     "doc_keywords" -> "scalar broadcast: the 1-row corpus count N for the idf quotient",
     "source_similarity" -> "pair build over the source LIST (sources^2 rows, corpus-size-independent)",
     "embed_cosine_topk" -> "the documented exact brute-force baseline of the ANN family",
+    "embed_knn_label" -> "exact-vote baseline; the labeled seed side is the small broadcastable one",
     "embed_ann_sq8_topk" -> "ADC stage: tiny query set against codes, documented two-stage design")
 
   test("no registered query plans a cartesian product or an unjustified BNLJ") {

@@ -211,4 +211,39 @@ class SimilaritySpec extends SparkSpec {
     assert(pf.exists(l => l.contains("cell") && l.contains("IN")),
       s"probe must prune on cell, got:\n${pf.mkString("\n")}")
   }
+
+  test("knn label propagation: full coverage, bounded votes, vote matches a recount") {
+    val out = Similarity.knnLabelPropagation(spark, sf0001).cache()
+    val emb = graft.ops.Core.embeddings(spark, sf0001)
+    val nUnlabeled = emb.filter($"vec_id" % 5 =!= 0).count()
+    // every unlabeled vector gets exactly one prediction
+    assert(out.count() == nUnlabeled)
+    assert(out.select("vec_id").distinct().count() == nUnlabeled)
+    // votes bounded by k; predicted labels come from the seed label set
+    assert(out.filter($"n_votes" < 1 || $"n_votes" > 5).isEmpty)
+    val seedLabels = emb.filter($"vec_id" % 5 === 0)
+      .select($"label").distinct().as[Int].collect().toSet
+    assert(out.filter(!$"pred_label".isin(seedLabels.toSeq: _*)).isEmpty)
+    // spot recount: for one target, the majority label over its exact
+    // 5 nearest seeds (cosine desc, sid tie-break) must equal pred
+    val target = out.select($"vec_id").as[Long].head()
+    val tv = emb.filter($"vec_id" === target).select($"embedding")
+      .as[Seq[Float]].head()
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      val d = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      val na = math.sqrt(a.map(x => x.toDouble * x.toDouble).sum)
+      val nb = math.sqrt(b.map(x => x.toDouble * x.toDouble).sum)
+      d / (na * nb)
+    }
+    val near5 = emb.filter($"vec_id" % 5 === 0)
+      .select($"vec_id", $"embedding", $"label")
+      .as[(Long, Seq[Float], Int)].collect()
+      .map { case (sid, v, l) => (cos(tv, v), sid, l) }
+      .sortBy { case (c, sid, _) => (-c, sid) }.take(5)
+    val want = near5.groupBy(_._3).view.mapValues(_.size).toSeq
+      .sortBy { case (l, n) => (-n, l) }.head._1
+    val got = out.filter($"vec_id" === target).select($"pred_label").as[Int].head()
+    assert(got == want, s"vote recount for $target: got $got want $want")
+    out.unpersist()
+  }
 }
