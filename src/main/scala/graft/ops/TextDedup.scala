@@ -394,10 +394,17 @@ object TextDedup extends QueryModule {
     * rare-first ordering manages 430k/409k and pays three extra
     * shuffles for it) — and every surviving candidate pays an
     * array_intersect over ~52-string arrays, which costs far more than
-    * the count-agg's per-join-row partial aggregation. On a Zipfian
-    * real-text corpus the rare tail makes prefix candidates near-linear
-    * and this form wins; pick by corpus frequency profile. The 100 TB
-    * near-dup path is minhash_lsh_candidates + exact verify either way. */
+    * the count-agg's per-join-row partial aggregation. The regime rule
+    * ("pick by corpus frequency profile") is now FIXTURE-BACKED
+    * (TextDedupSpec's deterministic Zipf corpus, r6): candidate join
+    * rows all=27,132 vs lexicographic-prefix=13,482 (0.50x — alphabet
+    * luck, same ~2x as uniform) vs rare-first-prefix=4,625 (0.17x —
+    * the Zipf head excluded outright, vs 0.34x on the uniform corpus),
+    * and both forms stay output-equal under the skew. So on Zipfian
+    * real text the prune that wins is RARE-FIRST ordering (worth its
+    * extra frequency-agg shuffles there), not the map-side
+    * lexicographic one. The 100 TB near-dup path is
+    * minhash_lsh_candidates + exact verify either way. */
   def ngramJaccardPairsPrefix(spark: SparkSession, dir: String): DataFrame = {
     // the prefix theorem holds for ANY total order on shingles;
     // lexicographic order is computed MAP-SIDE (array_sort + slice on

@@ -38,6 +38,69 @@ class TextDedupSpec extends SparkSpec {
       s"prefix filter must be exact: ${full.diff(pruned).size} missed, ${pruned.diff(full).size} extra")
   }
 
+  test("zipfian corpus: rare-first prefix cuts candidates hard, both forms stay equal") {
+    // The registered count-agg form won its QBench A/B on the NEAR-
+    // UNIFORM synthetic corpus; the standing decision's regime rule
+    // ("pick by corpus frequency profile") predicts the prefix prune
+    // only pays off under a Zipfian tail — this fixture tests that
+    // prediction with candidate COUNTS (robust), not wall time.
+    // Deterministic Zipf-ish corpus: token rank log-uniform in [1, V]
+    // (density ~ 1/rank), 300 docs x 40 tokens.
+    val dir = java.nio.file.Files.createTempDirectory("graft_zipf").toString
+    val V = 2000.0
+    val rows = (0 until 300).map { i =>
+      val words = (0 until 40).map { j =>
+        val h = (((i * 40 + j).toLong * 2654435761L) % 100003L + 100003L) % 100003L
+        val u = (h.toDouble + 0.5) / 100003.0
+        s"w${math.ceil(math.pow(V, u)).toLong}"
+      }
+      (i.toLong, words.mkString(" "))
+    }
+    rows.toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("zipf"))
+      .withColumn("n_chars", length($"text").cast("long"))
+      .write.parquet(dir + "/documents.parquet")
+    // exactness survives the skewed profile
+    val pruned = TextDedup.ngramJaccardPairsPrefix(spark, dir)
+      .select("doc_a", "doc_b", "n_shared", "jaccard")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    val full = TextDedup.ngramJaccardPairs(spark, dir)
+      .select("doc_a", "doc_b", "n_shared", "jaccard")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(pruned == full,
+      s"prefix filter must stay exact on a Zipfian corpus: " +
+        s"${full.diff(pruned).size} missed, ${pruned.diff(full).size} extra")
+    // candidate-volume measurement (mirrors the ops' shingle build)
+    val d = spark.read.parquet(dir + "/documents.parquet")
+      .select($"doc_id", array_sort(array_distinct(
+        graft.functions.token_ngrams(split($"text", " "), 3))).as("ngs"))
+      .withColumn("n", size($"ngs")).cache()
+    val all = d.select($"doc_id", $"n", explode($"ngs").as("ng"))
+    def pairRows(idx: org.apache.spark.sql.DataFrame): Long =
+      idx.as("a").join(idx.as("b"),
+        $"a.ng" === $"b.ng" && $"a.doc_id" < $"b.doc_id" &&
+          $"a.n" * 2 >= $"b.n" && $"b.n" * 2 >= $"a.n").count()
+    val prefLen = ($"n" - ceil($"n" * lit(0.5)) + lit(1)).cast("int")
+    val lexPrefix = d.select($"doc_id", $"n",
+      explode(slice($"ngs", lit(1), prefLen)).as("ng"))
+    val dfreq = all.groupBy("ng").agg(count(lit(1)).as("df"))
+    val wRare = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy($"df".asc, $"ng")
+    val rarePrefix = all.join(dfreq, "ng")
+      .withColumn("rnk", row_number().over(wRare))
+      .filter($"rnk" <= prefLen)
+      .select($"doc_id", $"n", $"ng")
+    val (nAll, nLex, nRare) = (pairRows(all), pairRows(lexPrefix), pairRows(rarePrefix))
+    d.unpersist()
+    // lexicographic prefixes cut candidates by luck of the alphabet;
+    // rare-first prefixes exclude the Zipf head outright — the regime
+    // where the prune becomes near-linear and the prefix form wins
+    assert(nLex < nAll, s"lex prefix must prune: $nLex vs $nAll")
+    assert(nRare * 5 < nAll,
+      s"rare-first must cut the Zipf head hard: $nRare vs $nAll (lex: $nLex)")
+    assert(nRare < nLex, s"rare-first must beat lexicographic: $nRare vs $nLex")
+  }
+
   test("split contamination: only test-split docs, leak bounded by shingle count") {
     val c = TextDedup.splitContamination(spark, sf0001).cache()
     assert(c.filter($"n_leaked" < 1 || $"n_leaked" > $"n_shingles").isEmpty)
