@@ -3,12 +3,13 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Round-over-round total context: the per-round total grows with the
-  * registry, so compare SHARED queries, not totals. r6 adds three
-  * registered queries costing ~18s of the sf0.1 total on their own —
+  * registry, so compare SHARED queries, not totals. r6 adds four
+  * registered queries costing ~20s of the sf0.1 total on their own —
   * embed_near_dup_hirecall ~10.3s (the deliberate recall-knob cost,
   * see its scaladoc), packed_token_ids ~5.5s and bpe_token_ids ~2.3s
   * (each re-trains the vocab-sized BPE merge table by design: queries
-  * are self-contained) — and the r6 clean-run shared-63 ratio vs r5
+  * are self-contained), embed_knn_label ~1.5-2.3s (QBench cold-JVM
+  * reps 2.33/1.63/1.51) — and the r6 clean-run shared-63 ratio vs r5
   * was 1.15x with no per-query regression beyond noise (big_orders
   * 1.04->1.76s, embed_quantize 0.43->0.66s; neither file changed in
   * r6), the same box drift r5 measured at 1.03-1.06x. */
