@@ -32,6 +32,19 @@ object Bench {
     // family warmup is SKIPPED (not silently run at measured scale,
     // which would both double bench time and pre-warm the page cache
     // for the run).
+    // Box-health marker (r6 verdict #4): the recorded r6 bench ran 1.46x
+    // uniformly slower than a clean run of IDENTICAL plans — box
+    // contention, not regression, but the artifact alone couldn't prove
+    // it. Time the same trivial scan twice (after the first JVM-warming
+    // rep, its cost is pure box) and record both timings plus the OS
+    // load average IN the JSON: a contaminated run shows warm2 far off
+    // its usual ~0.1s and/or load >> core count, identifiable without
+    // access to a sibling clean run.
+    def timeTrivialScan(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(10000000L).selectExpr("sum(id)").collect()
+      (System.nanoTime() - t0) / 1e9
+    }
     val warmDirOpt = {
       val parent = new java.io.File(sfDir).getParentFile
       val candidate = new java.io.File(parent, "sf0.001")
@@ -43,8 +56,17 @@ object Bench {
         None
       }
     }
+    val (warm1Sec, warm2Sec) = try {
+      val w1 = timeTrivialScan()
+      val w2 = timeTrivialScan()
+      (w1, w2)
+    } catch { case t: Throwable =>
+      System.err.println(s"[bench] WARNING: trivial-scan marker failed: $t"); (-1.0, -1.0)
+    }
+    val loadAvg = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
+    System.err.println(f"[bench] box marker: warm1=$warm1Sec%.3f s warm2=$warm2Sec%.3f s load_avg=$loadAvg%.2f")
     try {
-      spark.range(1000000).selectExpr("sum(id)").collect()
       val ev = ops.Core.events(spark, sfDir)
       ev.groupBy("event_type").count().collect()
       // exercise window + broadcast-join codegen paths too, so the
@@ -92,14 +114,19 @@ object Bench {
     }
     // Round 4's capture lost the HEAD of this line (a bounded tail
     // window kept only the last ~3 KB: the leading "metric":"total"
-    // and the first 17 per-query timings were cut). Two fixes:
+    // and the first 17 per-query timings were cut). Three fixes:
     // (1) compact per-query format — 4-decimal seconds instead of
     // full double repr roughly halves the map; (2) field ORDER puts
     // the per-query map first and the headline totals/streaming LAST,
-    // so any head-truncation eats oldest timings, never the totals.
-    // JSON parsers are order-insensitive, so the driver is unaffected.
+    // so any head-truncation eats oldest timings, never the totals;
+    // (3) (r6 verdict #3) the per-query map is sorted ASCENDING by
+    // measured cost, so head-truncation eats the cheapest queries and
+    // every expensive query lands adjacent to the totals inside the
+    // tail window. JSON parsers are order-insensitive, so the driver
+    // is unaffected.
     def f4(v: Double): String = f"$v%.4f"
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + f4(v) }
+    val qs = results.toSeq.sortBy(_._2)
+      .map { case (k, v) => s"\"" + k + "\":" + f4(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val streamingJson =
@@ -107,7 +134,8 @@ object Bench {
       catch { case t: Throwable =>
         System.err.println(s"[bench] WARNING: streaming bench failed: $t"); "{}"
       }
-    println(s"""{"queries":$qs,"streaming":$streamingJson,"metric":"total","value":${f4(total)},"unit":"sec","sf":"$sfDir"}""")
+    val boxJson = s"""{"warm1_sec":${f4(warm1Sec)},"warm2_sec":${f4(warm2Sec)},"load_avg":${f4(loadAvg)}}"""
+    println(s"""{"queries":$qs,"streaming":$streamingJson,"box":$boxJson,"metric":"total","value":${f4(total)},"unit":"sec","sf":"$sfDir"}""")
     spark.stop()
   }
 
@@ -262,7 +290,11 @@ object Bench {
     // cell-partitioned IVF index inside foreachBatch — per-batch cost
     // is centroid argmin (map-side) + the pruned index join + top-k.
     // Probe load: the corpus's vectors replicated 8x under fresh qids,
-    // fed in 8 micro-batches. Isolated failure domain like RocksDB.
+    // fed in 8 REAL micro-batches — processAllAvailable() is
+    // interleaved after each addData group (ADVICE r6: batching all
+    // addData first would drain everything as ONE batch and broadcast
+    // the full 8x query set at once, overstating per-batch probe
+    // cost). Isolated failure domain like RocksDB.
     val (probeN, probeSecs) = try {
       val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
       val tmp = java.nio.file.Files.createTempDirectory("bench_ivfprobe").toString
@@ -277,8 +309,9 @@ object Bench {
         pMs.toDF().toDF("vec_id", "embedding"), s"$tmp/idx", s"$tmp/out", s"$tmp/ck")
       val secs = try {
         val t0 = System.nanoTime()
-        probes.grouped(probes.size / 8).foreach(pMs.addData(_))
-        q4.processAllAvailable()
+        probes.grouped(probes.size / 8).foreach { g =>
+          pMs.addData(g); q4.processAllAvailable()
+        }
         (System.nanoTime() - t0) / 1e9
       } finally q4.stop()
       (probes.size, secs)

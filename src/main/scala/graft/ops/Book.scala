@@ -255,10 +255,10 @@ object Book extends QueryModule {
   }
 
   override def queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
-    "book_features" -> ((s, d) => bookFeatures(s, d)),
-    "candle_features" -> ((s, d) => candleFeatures(s, d)),
-    "calendar_features" -> ((s, d) => calendarFeatures(s, d)),
-    "book_levels" -> ((s, d) => bookLevels(s, d)))
+    "book_features" -> (bookFeatures _),
+    "candle_features" -> (candleFeatures _),
+    "calendar_features" -> (calendarFeatures _),
+    "book_levels" -> (bookLevels _))
 
   override def oracle: Seq[(String, String)] = Seq(
     "book_features" -> bookFeaturesSql,

@@ -378,12 +378,12 @@ object Indicators extends QueryModule {
        |GROUP BY 1""".stripMargin
 
   override def queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
-    "bars_5min" -> ((s, d) => bars(s, d)),
-    "indicators" -> ((s, d) => indicators(s, d)),
-    "feature_matrix" -> ((s, d) => featureMatrix(s, d)),
-    "targets" -> ((s, d) => targets(s, d)),
-    "indicators_by_type" -> ((s, d) => indicatorsBy(s, d)),
-    "sliding_window_avg" -> ((s, d) => slidingWindowAvg(s, d)))
+    "bars_5min" -> (bars _),
+    "indicators" -> (indicators _),
+    "feature_matrix" -> (featureMatrix _),
+    "targets" -> (targets _),
+    "indicators_by_type" -> (indicatorsBy _),
+    "sliding_window_avg" -> (slidingWindowAvg _))
 
   override def oracle: Seq[(String, String)] = Seq(
     "bars_5min" -> barsSql,

@@ -207,11 +207,11 @@ object Joins extends QueryModule {
        |  ON d.user_id = v.user_id AND d.ts >= v.ts""".stripMargin
 
   override def queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
-    "interval_join" -> ((s, d) => intervalJoin(s, d)),
-    "interval_join_dedup" -> ((s, d) => intervalJoinDedup(s, d)),
-    "asof_join" -> ((s, d) => asofJoin(s, d)),
-    "asof_join_by_user" -> ((s, d) => asofJoinByUser(s, d)),
-    "asof_join_tolerance" -> ((s, d) => asofJoinTolerance(s, d)))
+    "interval_join" -> (intervalJoin _),
+    "interval_join_dedup" -> (intervalJoinDedup _),
+    "asof_join" -> (asofJoin _),
+    "asof_join_by_user" -> (asofJoinByUser _),
+    "asof_join_tolerance" -> (asofJoinTolerance _))
 
   override def oracle: Seq[(String, String)] = Seq(
     "interval_join" -> intervalJoinSql,

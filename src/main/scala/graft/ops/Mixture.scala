@@ -196,9 +196,9 @@ object Mixture extends QueryModule {
   }
 
   override def queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
-    "source_caps" -> ((s, d) => sourceCaps(s, d)),
-    "temperature_sample" -> ((s, d) => temperatureSample(s, d)),
-    "source_similarity" -> ((s, d) => sourceSimilarity(s, d)))
+    "source_caps" -> (sourceCaps _),
+    "temperature_sample" -> (temperatureSample _),
+    "source_similarity" -> (sourceSimilarity _))
 
   override def oracle: Seq[(String, String)] = Seq(
     "source_caps" -> sourceCapsSql,

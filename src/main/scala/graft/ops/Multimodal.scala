@@ -90,9 +90,9 @@ object Multimodal extends QueryModule {
   private val defaultChunkChars = 64
   private val defaultChunkStride = 4
 
-  def mediaChunks(spark: SparkSession, dir: String,
-      chunkChars: Int = defaultChunkChars, stride: Int = defaultChunkStride): DataFrame = {
-    val step = chunkChars * stride
+  def mediaChunks(spark: SparkSession, dir: String): DataFrame = {
+    val chunkChars = defaultChunkChars
+    val step = chunkChars * defaultChunkStride
     Core.documents(spark, dir)
       .filter(length(col("text")) > 0)
       .select(col("doc_id"),
@@ -118,24 +118,95 @@ object Multimodal extends QueryModule {
 
   // --- decode / feature-extract plumbing (not oracle-expressible) ---------
 
-  /** A decoded frame: what a real image decode would yield. */
-  case class DecodedFrame(doc_id: Long, width: Int, height: Int,
+  /** A decoded frame: what a real image decode would yield. `format`
+    * is parsed from the container's magic bytes ("png"/"jpeg"/"gif",
+    * or "unknown" for unrecognized payloads). */
+  case class DecodedFrame(doc_id: Long, format: String, width: Int, height: Int,
       n_bytes: Int, mean_intensity: Double)
 
-  /** STUB decoder: a real implementation would call an image codec
-    * here (e.g. javax.imageio / ffmpeg bindings); this container has
-    * none, so it derives a deterministic fake frame from the payload
-    * bytes. The signature and batching shape are the real ones. */
+  /** REAL container-header decode (r6 verdict #7), pure Scala over the
+    * raw bytes — no codec library involved, because none is needed for
+    * the header layer:
+    *  - PNG: 8-byte signature `89 50 4E 47 0D 0A 1A 0A`, then the IHDR
+    *    chunk (always first, per the PNG spec) with big-endian
+    *    width/height at offsets 16/20;
+    *  - JPEG: `FF D8` SOI, then a walk of the marker segments (each
+    *    `FF marker len16 payload`) to the first SOFn frame header
+    *    (C0-CF minus the non-frame C4/C8/CC), which carries big-endian
+    *    height/width at offsets +5/+7; fill bytes (`FF FF`) and
+    *    standalone markers (RSTn/TEM) are skipped without a length;
+    *  - GIF: `GIF87a`/`GIF89a`, little-endian width/height at 6/8.
+    * Returns ("unknown", -1, -1) for anything else — including
+    * truncated headers: every index is bounds-checked, so a cut-off
+    * stream degrades to unknown instead of throwing mid-task.
+    * PIXEL decode (the part that genuinely needs a codec) remains out
+    * of scope for this container; [[decodeStub]] keeps standing in for
+    * it, clearly marked. */
+  def parseMediaHeader(p: Array[Byte]): (String, Int, Int) = {
+    val unknown = ("unknown", -1, -1)
+    def u8(i: Int): Int = p(i) & 0xff
+    def be16(i: Int): Int = (u8(i) << 8) | u8(i + 1)
+    def be32(i: Int): Int = (u8(i) << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) | u8(i + 3)
+    def le16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
+    if (p.length >= 24 &&
+        u8(0) == 0x89 && u8(1) == 0x50 && u8(2) == 0x4e && u8(3) == 0x47 &&
+        u8(4) == 0x0d && u8(5) == 0x0a && u8(6) == 0x1a && u8(7) == 0x0a &&
+        u8(12) == 'I' && u8(13) == 'H' && u8(14) == 'D' && u8(15) == 'R')
+      ("png", be32(16), be32(20))
+    else if (p.length >= 2 && u8(0) == 0xff && u8(1) == 0xd8) {
+      var i = 2
+      var out = unknown
+      var done = false
+      while (!done && i + 1 < p.length) {
+        if (u8(i) != 0xff) done = true // desynced / corrupt stream
+        else u8(i + 1) match {
+          case 0xff => i += 1 // fill byte before a marker
+          case m if m == 0x01 || (m >= 0xd0 && m <= 0xd8) => i += 2 // TEM/RSTn/SOI: no length
+          case 0xd9 => done = true // EOI before any frame header
+          case m =>
+            if (i + 3 >= p.length) done = true
+            else {
+              val len = be16(i + 2)
+              if (len < 2) done = true
+              else if (m >= 0xc0 && m <= 0xcf && m != 0xc4 && m != 0xc8 && m != 0xcc) {
+                // SOFn: [len16 precision8 height16 width16 ...]
+                if (i + 8 < p.length) out = ("jpeg", be16(i + 7), be16(i + 5))
+                done = true
+              } else i += 2 + len
+            }
+        }
+      }
+      out
+    } else if (p.length >= 10 &&
+        u8(0) == 'G' && u8(1) == 'I' && u8(2) == 'F' && u8(3) == '8' &&
+        (u8(4) == '7' || u8(4) == '9') && u8(5) == 'a')
+      ("gif", le16(6), le16(8))
+    else unknown
+  }
+
+  /** STUB pixel decoder: a real implementation would call an image
+    * codec here (e.g. javax.imageio / ffmpeg bindings); this container
+    * has none, so it derives a deterministic fake intensity from the
+    * payload bytes. The signature and batching shape are the real
+    * ones; the header fields come from [[parseMediaHeader]] when the
+    * payload carries a recognized container. */
   def decodeStub(payload: Array[Byte], widthHint: Int, heightHint: Int): DecodedFrame = {
     var acc = 0L
     var i = 0
     while (i < payload.length) { acc = (acc * 31 + (payload(i) & 0xff)) % 100003L; i += 1 }
-    DecodedFrame(-1L, widthHint, heightHint, payload.length, (acc % 256L).toDouble)
+    val (fmt, w, h) = parseMediaHeader(payload)
+    if (fmt == "unknown")
+      DecodedFrame(-1L, fmt, widthHint, heightHint, payload.length, (acc % 256L).toDouble)
+    else
+      DecodedFrame(-1L, fmt, w, h, payload.length, (acc % 256L).toDouble)
   }
 
   /** Distributed decode: mapPartitions so per-partition setup (codec /
     * model handle) happens once per task, not once per row — the shape
-    * that matters at 100 TB where decoder init dominates small rows. */
+    * that matters at 100 TB where decoder init dominates small rows.
+    * Header fields (format/width/height) are REAL (magic-byte parse);
+    * the intensity is the documented stub. Hints only apply to
+    * unrecognized payloads. */
   def decodeFrames(spark: SparkSession, dir: String): DataFrame = {
     val media = mediaTable(spark, dir)
     import spark.implicits._
@@ -162,9 +233,9 @@ object Multimodal extends QueryModule {
       .withColumnsRenamed(Map("pos" -> "chunk_idx", "col" -> "chunk"))
 
   override def queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
-    "media_meta" -> ((s, d) => mediaMeta(s, d)),
-    "media_embed" -> ((s, d) => mediaEmbed(s, d)),
-    "media_chunks" -> ((s, d) => mediaChunks(s, d)))
+    "media_meta" -> (mediaMeta _),
+    "media_embed" -> (mediaEmbed _),
+    "media_chunks" -> (mediaChunks _))
 
   override def oracle: Seq[(String, String)] = Seq(
     "media_meta" -> mediaMetaSql,

@@ -172,10 +172,10 @@ object Normalize extends QueryModule {
        |WINDOW w AS (ORDER BY bucket ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)""".stripMargin
 
   override def queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
-    "chunk_minmax" -> ((s, d) => chunkMinmax(s, d)),
-    "minmax_normalize" -> ((s, d) => minmaxNormalize(s, d)),
-    "zscore_normalize" -> ((s, d) => zscoreNormalize(s, d)),
-    "window_slices" -> ((s, d) => windowSlices(s, d)))
+    "chunk_minmax" -> (chunkMinmax _),
+    "minmax_normalize" -> (minmaxNormalize _),
+    "zscore_normalize" -> (zscoreNormalize _),
+    "window_slices" -> (windowSlices _))
 
   override def oracle: Seq[(String, String)] = Seq(
     "chunk_minmax" -> chunkMinmaxSql,

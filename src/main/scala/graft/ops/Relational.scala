@@ -441,8 +441,10 @@ object Relational extends QueryModule {
     * timestamp extremes only, so the oracle comparison is exact. The
     * streaming twin is StreamingPipeline.streamingSessions
     * (session_window). */
-  def userSessions(spark: SparkSession, dir: String, gapMinutes: Int = 30): DataFrame = {
-    val gapUs = gapMinutes * 60L * 1000000L
+  private[graft] val sessionGapUs: Long = 30L * 60L * 1000000L // ONE constant, shared by engine and oracle
+
+  def userSessions(spark: SparkSession, dir: String): DataFrame = {
+    val gapUs = sessionGapUs
     val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
     val prevTs = lag(col("ts"), 1).over(w)
     val newSession = when(
@@ -465,7 +467,7 @@ object Relational extends QueryModule {
     s"""WITH g AS (
        |  SELECT user_id, event_id, ts,
        |    CASE WHEN lag(ts) OVER w IS NULL
-       |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+       |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > $sessionGapUs
        |         THEN 1 ELSE 0 END AS new_s
        |  FROM ${Core.sqlEvents}
        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
@@ -594,24 +596,24 @@ object Relational extends QueryModule {
       .agg(approx_count_distinct(col("user_id"), rsd).as("n_users_approx"))
 
   override def queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
-    "pricing_summary" -> ((s, d) => pricingSummary(s, d)),
-    "distinct_users" -> ((s, d) => distinctUsers(s, d)),
-    "value_quantiles" -> ((s, d) => valueQuantiles(s, d)),
-    "revenue_rollup" -> ((s, d) => revenueRollup(s, d)),
-    "top_orders" -> ((s, d) => topOrders(s, d)),
-    "big_orders" -> ((s, d) => bigOrders(s, d)),
-    "data_quality" -> ((s, d) => dataQuality(s, d)),
-    "user_sessions" -> ((s, d) => userSessions(s, d)),
-    "overlapping_sessions" -> ((s, d) => overlappingSessions(s, d)),
-    "revenue_by_nation" -> ((s, d) => revenueByNation(s, d)),
-    "latest_point" -> ((s, d) => latestPoint(s, d)),
-    "dedup_rows" -> ((s, d) => dedupRows(s, d)),
-    "anti_join_new" -> ((s, d) => antiJoinNew(s, d)),
-    "calendar_gate" -> ((s, d) => calendarGate(s, d)),
-    "template_fill" -> ((s, d) => templateFill(s, d)),
-    "json_decode" -> ((s, d) => jsonDecode(s, d)),
-    "stale_filter" -> ((s, d) => staleFilter(s, d)),
-    "restamp_guard" -> ((s, d) => restampGuard(s, d)))
+    "pricing_summary" -> (pricingSummary _),
+    "distinct_users" -> (distinctUsers _),
+    "value_quantiles" -> (valueQuantiles _),
+    "revenue_rollup" -> (revenueRollup _),
+    "top_orders" -> (topOrders _),
+    "big_orders" -> (bigOrders _),
+    "data_quality" -> (dataQuality _),
+    "user_sessions" -> (userSessions _),
+    "overlapping_sessions" -> (overlappingSessions _),
+    "revenue_by_nation" -> (revenueByNation _),
+    "latest_point" -> (latestPoint _),
+    "dedup_rows" -> (dedupRows _),
+    "anti_join_new" -> (antiJoinNew _),
+    "calendar_gate" -> (calendarGate _),
+    "template_fill" -> (templateFill _),
+    "json_decode" -> (jsonDecode _),
+    "stale_filter" -> (staleFilter _),
+    "restamp_guard" -> (restampGuard _))
 
   override def oracle: Seq[(String, String)] = Seq(
     "pricing_summary" -> pricingSummarySql,

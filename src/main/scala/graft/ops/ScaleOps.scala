@@ -126,6 +126,16 @@ object ScaleOps extends QueryModule {
       // IVF centroid collects), and the counts ride a scan of the
       // partition columns only.
       val pcols = partitionCols.map(col)
+      // The rewrite reserves _salt/_salt_w/_w_<partitionCol> working
+      // columns; an input already carrying one would hit an
+      // ambiguous-column AnalysisException at the width join (or a
+      // silent drop) deep in the plan — fail fast at the contract
+      // instead, matching the all-partition-columns guard (ADVICE r6).
+      val reserved = df.columns.filter(c =>
+        c == "_salt" || c == "_salt_w" || c.startsWith("_w_"))
+      require(reserved.isEmpty,
+        s"compactParquet: input columns ${reserved.mkString(",")} collide with " +
+          "the reserved working prefixes (_salt, _salt_w, _w_*) of the salted rewrite")
       // The width lookup must be NULL-SAFE: Hive layouts write a null
       // partition value as __HIVE_DEFAULT_PARTITION__ and read it back
       // as null (plausible for lang in crawl data), and a null-unsafe
@@ -192,7 +202,7 @@ object ScaleOps extends QueryModule {
   }
 
   override def queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
-    "salted_agg" -> ((s, d) => saltedAgg(s, d)))
+    "salted_agg" -> (saltedAgg _))
 
   override def oracle: Seq[(String, String)] = Seq(
     "salted_agg" -> saltedAggSql)

@@ -1088,12 +1088,14 @@ object TextDedup extends QueryModule {
     * partial counts; the top-k plans as TakeOrderedAndProject. */
   private val defaultVocabK = 30 // shared by the Scala default and the oracle LIMIT
 
-  def vocabTopK(spark: SparkSession, dir: String, k: Int = defaultVocabK): DataFrame =
+  def vocabTopK(spark: SparkSession, dir: String): DataFrame = {
+    val k = defaultVocabK
     withToks(Core.documents(spark, dir))
       .select(explode(toks).as("token"))
       .groupBy("token").agg(count(lit(1)).as("n_occurrences"))
       .orderBy(col("n_occurrences").desc, col("token"))
       .limit(k)
+  }
 
   val vocabTopKSql: String =
     s"""SELECT token, count(*) AS n_occurrences
@@ -1148,32 +1150,32 @@ object TextDedup extends QueryModule {
   }
 
   override def queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
-    "text_tokens" -> ((s, d) => textTokens(s, d)),
-    "lang_id" -> ((s, d) => langId(s, d)),
-    "text_quality" -> ((s, d) => textQuality(s, d)),
-    "quality_prune" -> ((s, d) => qualityPrune(s, d)),
-    "doc_fingerprint" -> ((s, d) => docFingerprint(s, d)),
-    "dedup_exact" -> ((s, d) => dedupExact(s, d)),
-    "ngram_jaccard_pairs" -> ((s, d) => ngramJaccardPairs(s, d)),
-    "minhash_lsh_candidates" -> ((s, d) => minhashLshCandidates(s, d)),
-    "dedup_clusters" -> ((s, d) => dedupClusters(s, d)),
-    "dedup_apply" -> ((s, d) => dedupApply(s, d)),
-    "simhash" -> ((s, d) => simhash(s, d)),
-    "simhash64" -> ((s, d) => simhash64(s, d)),
-    "simhash_pairs" -> ((s, d) => simhashPairs(s, d)),
-    "dataset_split" -> ((s, d) => datasetSplit(s, d)),
-    "stratified_sample" -> ((s, d) => stratifiedSample(s, d)),
-    "exact_stratified_sample" -> ((s, d) => exactStratifiedSample(s, d)),
-    "split_contamination" -> ((s, d) => splitContamination(s, d)),
-    "decontaminate_train" -> ((s, d) => decontaminateTrain(s, d)),
-    "pii_scrub" -> ((s, d) => piiScrub(s, d)),
-    "lang_confusion" -> ((s, d) => langConfusion(s, d)),
-    "doc_keywords" -> ((s, d) => docKeywords(s, d)),
-    "text_normalize" -> ((s, d) => textNormalize(s, d)),
-    "dedup_exact_normalized" -> ((s, d) => dedupExactNormalized(s, d)),
-    "boilerplate_ngrams" -> ((s, d) => boilerplateNgrams(s, d)),
-    "vocab_topk" -> ((s, d) => vocabTopK(s, d)),
-    "corpus_pipeline" -> ((s, d) => corpusPipeline(s, d)))
+    "text_tokens" -> (textTokens _),
+    "lang_id" -> (langId _),
+    "text_quality" -> (textQuality _),
+    "quality_prune" -> (qualityPrune _),
+    "doc_fingerprint" -> (docFingerprint _),
+    "dedup_exact" -> (dedupExact _),
+    "ngram_jaccard_pairs" -> (ngramJaccardPairs _),
+    "minhash_lsh_candidates" -> (minhashLshCandidates _),
+    "dedup_clusters" -> (dedupClusters _),
+    "dedup_apply" -> (dedupApply _),
+    "simhash" -> (simhash _),
+    "simhash64" -> (simhash64 _),
+    "simhash_pairs" -> (simhashPairs _),
+    "dataset_split" -> (datasetSplit _),
+    "stratified_sample" -> (stratifiedSample _),
+    "exact_stratified_sample" -> (exactStratifiedSample _),
+    "split_contamination" -> (splitContamination _),
+    "decontaminate_train" -> (decontaminateTrain _),
+    "pii_scrub" -> (piiScrub _),
+    "lang_confusion" -> (langConfusion _),
+    "doc_keywords" -> (docKeywords _),
+    "text_normalize" -> (textNormalize _),
+    "dedup_exact_normalized" -> (dedupExactNormalized _),
+    "boilerplate_ngrams" -> (boilerplateNgrams _),
+    "vocab_topk" -> (vocabTopK _),
+    "corpus_pipeline" -> (corpusPipeline _))
 
   override def oracle: Seq[(String, String)] = Seq(
     "text_tokens" -> textTokensSql,

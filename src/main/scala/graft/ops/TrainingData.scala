@@ -996,20 +996,20 @@ object TrainingData extends QueryModule {
   }
 
   override def queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
-    "repetition_metrics" -> ((s, d) => repetitionMetrics(s, d)),
-    "dup_spans" -> ((s, d) => dupSpans(s, d)),
-    "seq_packing" -> ((s, d) => seqPacking(s, d)),
-    "packed_sequences" -> ((s, d) => packedSequences(s, d)),
-    "rag_chunks" -> ((s, d) => ragChunks(s, d)),
-    "bpe_pairs" -> ((s, d) => bpePairs(s, d)),
-    "bpe_vocab" -> ((s, d) => bpeVocab(s, d)),
-    "bpe_encode" -> ((s, d) => bpeEncode(s, d)),
-    "bpe_token_ids" -> ((s, d) => bpeTokenIds(s, d)),
-    "packed_token_ids" -> ((s, d) => packedTokenIds(s, d)),
-    "cdc_chunks" -> ((s, d) => cdcChunks(s, d)),
-    "winnow_fingerprints" -> ((s, d) => winnowFingerprints(s, d)),
-    "ngram_lm" -> ((s, d) => ngramLm(s, d)),
-    "lm_doc_score" -> ((s, d) => lmDocScore(s, d)))
+    "repetition_metrics" -> (repetitionMetrics _),
+    "dup_spans" -> (dupSpans _),
+    "seq_packing" -> (seqPacking _),
+    "packed_sequences" -> (packedSequences _),
+    "rag_chunks" -> (ragChunks _),
+    "bpe_pairs" -> (bpePairs _),
+    "bpe_vocab" -> (bpeVocab _),
+    "bpe_encode" -> (bpeEncode _),
+    "bpe_token_ids" -> (bpeTokenIds _),
+    "packed_token_ids" -> (packedTokenIds _),
+    "cdc_chunks" -> (cdcChunks _),
+    "winnow_fingerprints" -> (winnowFingerprints _),
+    "ngram_lm" -> (ngramLm _),
+    "lm_doc_score" -> (lmDocScore _))
 
   override def oracle: Seq[(String, String)] = Seq(
     "repetition_metrics" -> repetitionMetricsSql,

@@ -12,6 +12,51 @@ class RegistrySpec extends SparkSpec {
     assert((SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet).isEmpty)
   }
 
+  test("every registered query is an eta-expanded (SparkSession, String) => DataFrame def") {
+    // The oracle-parameter-drift gate (r6 verdict #1): a registered query
+    // with an extra tunable parameter (userSessions(gapMinutes), the old
+    // ivfTopK(cells)) lets a caller silently diverge from the checked
+    // engine/oracle pair, because the oracle bakes the constant. Two
+    // layers enforce the rule "registered forms take exactly
+    // (SparkSession, String)":
+    //  1. compile-time — module registries bind `name -> (fn _)`; eta
+    //     expansion only conforms to (SparkSession, String) => DataFrame
+    //     when the def has exactly those two parameters (defaulted extras
+    //     still widen the function type and fail to compile);
+    //  2. this source gate — a lambda `(s, d) => fn(s, d, ...)` would
+    //     bypass layer 1, so the queries blocks must contain only
+    //     eta-expanded bindings.
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    val opsDir = Paths.get("src/main/scala/graft/ops")
+    assert(Files.isDirectory(opsDir), s"expected module sources at $opsDir (run tests from the repo root)")
+    val entryRe = """"([a-z0-9_]+)"\s*->\s*(.+)$""".r
+    val etaRe = """\(\s*[A-Za-z0-9_]+\s+_\s*\)""".r
+    val bindings = Files.list(opsDir).iterator().asScala
+      .filter(_.toString.endsWith(".scala")).flatMap { p =>
+        val lines = Files.readAllLines(p).asScala
+        val start = lines.indexWhere(_.contains("def queries:"))
+        if (start < 0) Iterator.empty
+        else {
+          val block = lines.drop(start).takeWhile(!_.contains("def oracle"))
+          block.flatMap(line => entryRe.findFirstMatchIn(line).map { m =>
+            // strip the entry separator and (on the last entry) the
+            // Seq-closing paren, leaving just the bound expression
+            var rhs = m.group(2).trim.stripSuffix(",")
+            if (rhs.endsWith("))")) rhs = rhs.dropRight(1)
+            (p.getFileName.toString, m.group(1), rhs)
+          })
+        }
+      }.toList
+    assert(bindings.map(_._2).distinct.size == SparkEntry.queries.size,
+      s"registry source scan found ${bindings.size} bindings but SparkEntry has " +
+        s"${SparkEntry.queries.size} queries — the scan regex no longer matches the registry style")
+    val bad = bindings.filterNot { case (_, _, rhs) => etaRe.pattern.matcher(rhs).matches() }
+    assert(bad.isEmpty,
+      "registered queries must be eta-expanded param-free defs (`name -> (fn _)`), " +
+        s"not lambdas that could hide oracle-baked parameters: ${bad.mkString(", ")}")
+  }
+
   test("every query executes at sf0.001") {
     SparkEntry.queries.foreach { case (name, fn) =>
       val n = fn(spark, sf0001).count()

@@ -246,4 +246,78 @@ class SimilaritySpec extends SparkSpec {
     assert(got == want, s"vote recount for $target: got $got want $want")
     out.unpersist()
   }
+
+  test("ann knn vote: candidates from probed cells only, vote matches a recount, measured agreement vs exact") {
+    val ann = Similarity.knnLabelPropagationAnn(spark, sf0001).cache()
+    val exact = Similarity.knnLabelPropagation(spark, sf0001).cache()
+    val emb = graft.ops.Core.embeddings(spark, sf0001)
+    // shape: at most one prediction per target, votes bounded by k,
+    // coverage can only shrink vs exact (targets with no seed in the
+    // probed cells drop out)
+    assert(ann.select("vec_id").distinct().count() == ann.count())
+    assert(ann.count() <= exact.count() && ann.count() > 0)
+    assert(ann.filter($"n_votes" < 1 || $"n_votes" > 5).isEmpty)
+    // full mechanics recount for one target, driver-side from scratch:
+    // centroids -> probe cells -> in-cell seeds -> top-5 -> majority
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      val d = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      d / (math.sqrt(a.map(x => x.toDouble * x.toDouble).sum) *
+        math.sqrt(b.map(x => x.toDouble * x.toDouble).sum))
+    }
+    val vecs = emb.select($"vec_id", $"embedding", $"label")
+      .as[(Long, Seq[Float], Int)].collect().sortBy(_._1)
+    val cents = vecs.filter(_._1 < 16)
+    def cellScores(v: Seq[Float]): Seq[(Double, Long)] = cents.toSeq.map { case (cid, c, _) =>
+      val cc = c.map(x => x.toDouble * x.toDouble).sum
+      val xc = v.zip(c).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      (cc - 2.0 * xc, cid)
+    }.sorted
+    def homeCell(v: Seq[Float]): Long = cellScores(v).head._2
+    val target = ann.select($"vec_id").as[Long].head()
+    val tv = vecs.find(_._1 == target).get._2
+    val probed = cellScores(tv).take(4).map(_._2).toSet
+    val cand = vecs.filter { case (sid, sv, _) => sid % 5 == 0 && probed.contains(homeCell(sv)) }
+    val near5 = cand.map { case (sid, sv, l) => (cos(tv, sv), sid, l) }
+      .sortBy { case (c, sid, _) => (-c, sid) }.take(5)
+    val want = near5.groupBy(_._3).view.mapValues(_.size).toSeq
+      .sortBy { case (l, n) => (-n, l) }.head._1
+    val got = ann.filter($"vec_id" === target).select($"pred_label").as[Int].head()
+    assert(got == want, s"ann vote recount for $target: got $got want $want")
+    // the measured frontier: fraction of shared targets where the
+    // candidate-restricted vote agrees with the exact vote (recorded
+    // in the knnLabelPropagationAnn scaladoc; the absolute level is
+    // this corpus's near-isotropy, not the operator)
+    val joined = ann.select($"vec_id", $"pred_label".as("p_ann"))
+      .join(exact.select($"vec_id", $"pred_label".as("p_exact")), "vec_id")
+    val agree = joined.filter($"p_ann" === $"p_exact").count().toDouble / joined.count()
+    info(f"ann-vs-exact prediction agreement: $agree%.3f over ${joined.count()} shared targets")
+    assert(agree > 0.15, s"ann vote agreement $agree implausibly below the random baseline")
+    ann.unpersist(); exact.unpersist()
+  }
+
+  test("hi-recall clusters: refine-merge of the 8x4 clusters, no dropped duplicate decision") {
+    val hi = Similarity.embedDedupClustersHiRecall(spark, sf0001).cache()
+    val reg = Similarity.embedDedupClusters(spark, sf0001).cache()
+    // the 16x2 pair set contains the 8x4 set, so every 8x4 cluster
+    // must land INSIDE one 16x2 cluster (cluster refinement upward):
+    // per reg cluster, all members share one hi cluster id
+    val merged = reg.select($"vec_id", $"cluster_id".as("reg_c"))
+      .join(hi.select($"vec_id", $"cluster_id".as("hi_c")), "vec_id")
+    assert(merged.count() == reg.count(),
+      "every vector the 8x4 clustering decided on must appear in the hi-recall clustering")
+    val split = merged.groupBy("reg_c")
+      .agg(org.apache.spark.sql.functions.countDistinct($"hi_c").as("n"))
+      .filter($"n" > 1)
+    assert(split.isEmpty, "a 8x4 cluster split across hi-recall clusters breaks pair containment")
+    // superset-or-equal recall story: the hi point may only merge
+    // clusters, so a vector reg marked duplicate (non-survivor) can
+    // never become a survivor at the hi point
+    val regained = reg.filter(!$"is_survivor").select("vec_id")
+      .join(hi.filter($"is_survivor").select("vec_id"), "vec_id")
+    assert(regained.isEmpty,
+      "hi-recall clustering resurrected a duplicate the 8x4 point had dropped")
+    info(s"clusters: reg=${reg.select("cluster_id").distinct().count()} over ${reg.count()} vectors, " +
+      s"hi=${hi.select("cluster_id").distinct().count()} over ${hi.count()} vectors")
+    hi.unpersist(); reg.unpersist()
+  }
 }
