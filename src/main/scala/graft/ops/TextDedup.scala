@@ -443,16 +443,96 @@ object TextDedup extends QueryModule {
         (s.cast("double") / (col("na") + col("nb") - s).cast("double")).as("jaccard"))
   }
 
-  /** The REGISTERED form: every-shingle inverted index + count-only
-    * pair aggregation. "Quadratic in shared shingles" in principle,
-    * but on this corpus's near-uniform frequency profile it beats the
-    * prefix-filtered variant 2.4x steady-state (see
-    * [[ngramJaccardPairsPrefix]] for the full QBench A/B and
-    * DuckDB-counted candidate-set numbers refuting the prefix prune
-    * here) — the per-join-row cost of a counting aggregation is far
-    * below the per-candidate array_intersect verify, and with no rare
-    * tail the prefix only halves the candidates. */
-  def ngramJaccardPairs(spark: SparkSession, dir: String): DataFrame = {
+  /** RARE-FIRST prefix-filtered variant — the branch that wins under
+    * a ZIPFIAN shingle profile (the r6 fixture measured it at 0.17x
+    * the unpruned candidate join rows vs lexicographic-prefix 0.50x):
+    * ordering each document's shingles by ascending corpus doc
+    * frequency puts the Zipf HEAD outside every prefix, so the
+    * inverted index only carries the discriminative tail. Costs one
+    * full-corpus frequency aggregation, a join, and a per-doc
+    * row_number window (partitioned BY doc_id — scales horizontally)
+    * on top of the prefix machinery; exact verify is identical to
+    * [[ngramJaccardPairsPrefix]], so the output provably matches the
+    * unpruned form (TextDedupSpec asserts equality on BOTH the
+    * near-uniform corpus and the Zipf fixture). */
+  private[graft] def ngramJaccardPairsRareFirst(spark: SparkSession, dir: String): DataFrame = {
+    val docs = withNgramArr(Core.documents(spark, dir))
+      .select(col("doc_id"), array_sort(dng).as("ngs"))
+      .withColumn("n", size(col("ngs")))
+      .cache() // same three uses as the lexicographic form
+    val all = docs.select(col("doc_id"), col("n"), explode(col("ngs")).as("ng"))
+    val dfreq = all.groupBy("ng").agg(count(lit(1)).as("df"))
+    val prefLen = (col("n") - ceil(col("n") * lit(0.5)) + lit(1)).cast("int")
+    val wRare = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("df").asc, col("ng"))
+    val prefix = all.join(dfreq, "ng")
+      .withColumn("rnk", row_number().over(wRare))
+      .filter(col("rnk") <= prefLen)
+      .select(col("doc_id"), col("n"), col("ng"))
+    val cand = prefix.as("a").join(prefix.as("b"),
+        col("a.ng") === col("b.ng") && col("a.doc_id") < col("b.doc_id") &&
+          col("a.n") * 2 >= col("b.n") && col("b.n") * 2 >= col("a.n"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val s = size(array_intersect(col("ngs_a"), col("ngs_b")))
+    cand
+      .join(docs.select(col("doc_id").as("doc_a"), col("ngs").as("ngs_a"), col("n").as("na")), "doc_a")
+      .join(docs.select(col("doc_id").as("doc_b"), col("ngs").as("ngs_b"), col("n").as("nb")), "doc_b")
+      .filter(s * lit(3) >= col("na") + col("nb"))
+      .select(col("doc_a"), col("doc_b"), s.cast("long").as("n_shared"),
+        (s.cast("double") / (col("na") + col("nb") - s).cast("double")).as("jaccard"))
+  }
+
+  /** The DATA-DRIVEN branch pick (r6 verdict #6): a cheap
+    * frequency-profile probe on a deterministic ~64-document sample
+    * decides whether the corpus shingle profile is Zipfian enough for
+    * the rare-first prune to win. Statistic: the share of shingle
+    * occurrences carried by the 100 most document-frequent shingles
+    * of the sample — the Zipf-head mass. Calibrated on this repo's
+    * fixtures at the probe's own sample size (~70 docs): the
+    * near-uniform driver corpora measure 0.051 (sf0.001) / 0.052
+    * (sf0.01) while the Zipf fixture measures 0.146 (mean shingle df
+    * 1.08 vs 1.69) — threshold 0.10 splits them with ~2x margin both
+    * ways. Probe cost: one metadata-cheap count plus two aggregations
+    * over the sampled docs' shingles — O(sample), corpus-size-free,
+    * the same eager-small-job pattern as the IVF centroid collect. */
+  private[graft] val jaccardSkewThreshold = 0.10
+
+  private[graft] def jaccardProfileSkewed(spark: SparkSession, dir: String): Boolean = {
+    val docs = Core.documents(spark, dir)
+    val n = math.max(1L, docs.count())
+    val m = math.max(1L, n / 64L)
+    val sample = withNgramArr(docs.filter(pmod(col("doc_id"), lit(m)) === 0))
+      .select(explode(dng).as("ng"))
+    val dfreq = sample.groupBy("ng").agg(count(lit(1)).as("df")).cache()
+    try {
+      val total = dfreq.agg(sum(col("df"))).head().getLong(0)
+      if (total == 0L) false
+      else {
+        val top100 = dfreq.orderBy(col("df").desc).limit(100)
+          .agg(sum(col("df"))).head().getLong(0)
+        top100.toDouble / total >= jaccardSkewThreshold
+      }
+    } finally { dfreq.unpersist(); () }
+  }
+
+  /** The REGISTERED form — ADAPTIVE since r7: a frequency-profile
+    * probe ([[jaccardProfileSkewed]]) picks the branch the fixtures
+    * measured fastest for the corpus's shingle profile. Near-uniform
+    * profile (this driver corpus) -> the every-shingle inverted index
+    * + count-only pair aggregation below, which beats prefix filtering
+    * 2.4x here because with no rare tail the prefix only halves the
+    * candidates while every candidate pays an array_intersect verify
+    * (see [[ngramJaccardPairsPrefix]] for the full QBench A/B).
+    * Zipfian profile -> [[ngramJaccardPairsRareFirst]], measured 0.17x
+    * candidate join rows on the Zipf fixture. Both branches are
+    * output-equal (spec-asserted both ways, both corpora) and the
+    * DuckDB oracle stays the single unpruned formulation. */
+  def ngramJaccardPairs(spark: SparkSession, dir: String): DataFrame =
+    if (jaccardProfileSkewed(spark, dir)) ngramJaccardPairsRareFirst(spark, dir)
+    else ngramJaccardPairsCountAgg(spark, dir)
+
+  private[graft] def ngramJaccardPairsCountAgg(spark: SparkSession, dir: String): DataFrame = {
     // set size n computed map-side from the deduped array — the
     // groupBy-count + broadcast-join-back of the naive form is a whole
     // extra aggregation pass the array form never pays

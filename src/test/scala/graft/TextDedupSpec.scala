@@ -36,6 +36,16 @@ class TextDedupSpec extends SparkSpec {
       .as[(Long, Long, Long, Double)].collect().toSet
     assert(pruned == full,
       s"prefix filter must be exact: ${full.diff(pruned).size} missed, ${pruned.diff(full).size} extra")
+    // the adaptive pick: this corpus profiles near-uniform, so the
+    // registered query must take the count-agg branch...
+    assert(!TextDedup.jaccardProfileSkewed(spark, sf0001),
+      "driver corpus must profile near-uniform (count-agg branch)")
+    // ...and the rare-first branch stays output-equal even here
+    val rare = TextDedup.ngramJaccardPairsRareFirst(spark, sf0001)
+      .select("doc_a", "doc_b", "n_shared", "jaccard")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(rare == full,
+      s"rare-first must be exact on the uniform corpus: ${full.diff(rare).size} missed, ${rare.diff(full).size} extra")
   }
 
   test("zipfian corpus: rare-first prefix cuts candidates hard, both forms stay equal") {
@@ -60,16 +70,29 @@ class TextDedupSpec extends SparkSpec {
       .withColumn("lang", lit("en")).withColumn("source", lit("zipf"))
       .withColumn("n_chars", length($"text").cast("long"))
       .write.parquet(dir + "/documents.parquet")
-    // exactness survives the skewed profile
+    // the probe classifies this fixture Zipfian: the registered query
+    // takes the rare-first branch here (r6 verdict #6 — the regime
+    // rule is now CODE, and this fixture exercises the skewed branch
+    // while the sf0.001 test above exercises the uniform one)
+    assert(TextDedup.jaccardProfileSkewed(spark, dir),
+      "Zipf fixture must profile skewed (rare-first branch)")
+    // exactness survives the skewed profile — all four forms agree:
+    // registered (= rare-first via the probe), count-agg, lex-prefix
     val pruned = TextDedup.ngramJaccardPairsPrefix(spark, dir)
       .select("doc_a", "doc_b", "n_shared", "jaccard")
       .as[(Long, Long, Long, Double)].collect().toSet
-    val full = TextDedup.ngramJaccardPairs(spark, dir)
+    val full = TextDedup.ngramJaccardPairsCountAgg(spark, dir)
+      .select("doc_a", "doc_b", "n_shared", "jaccard")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    val registered = TextDedup.ngramJaccardPairs(spark, dir)
       .select("doc_a", "doc_b", "n_shared", "jaccard")
       .as[(Long, Long, Long, Double)].collect().toSet
     assert(pruned == full,
       s"prefix filter must stay exact on a Zipfian corpus: " +
         s"${full.diff(pruned).size} missed, ${pruned.diff(full).size} extra")
+    assert(registered == full,
+      s"the adaptive rare-first branch must stay exact: " +
+        s"${full.diff(registered).size} missed, ${registered.diff(full).size} extra")
     // candidate-volume measurement (mirrors the ops' shingle build)
     val d = spark.read.parquet(dir + "/documents.parquet")
       .select($"doc_id", array_sort(array_distinct(
