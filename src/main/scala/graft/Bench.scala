@@ -3,16 +3,27 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Round-over-round total context: the per-round total grows with the
-  * registry, so compare SHARED queries, not totals. r6 adds four
-  * registered queries costing ~20s of the sf0.1 total on their own —
-  * embed_near_dup_hirecall ~10.3s (the deliberate recall-knob cost,
-  * see its scaladoc), packed_token_ids ~5.5s and bpe_token_ids ~2.3s
-  * (each re-trains the vocab-sized BPE merge table by design: queries
-  * are self-contained), embed_knn_label ~1.5-2.3s (QBench cold-JVM
-  * reps 2.33/1.63/1.51) — and the r6 clean-run shared-63 ratio vs r5
-  * was 1.15x with no per-query regression beyond noise (big_orders
-  * 1.04->1.76s, embed_quantize 0.43->0.66s; neither file changed in
-  * r6), the same box drift r5 measured at 1.03-1.06x. */
+  * registry, so compare SHARED queries, not totals. r7 clean run at
+  * sf0.1 (box marker warm2=0.28s load=0.83 — clean): total 90.8s over
+  * 99 queries vs r6's clean 84.0s/96q. The two new registered queries
+  * account for ~15s: embed_dedup_clusters_hirecall 13.9s — the
+  * end-to-end hi-recall semantic-dedup decision, decomposing as ~9.5s
+  * pair materialization (the documented 16x2 recall-knob price; the
+  * pairs land in clusterPairs' one-time localCheckpoint, never
+  * re-evaluated across propagation rounds) + ~4.4s min-label rounds,
+  * the same pairs->clusters ratio as the 8x4 point (2.1s->4.4s) —
+  * and embed_knn_label_ann 1.12s, CHEAPER than the exact vote it
+  * approximates (embed_knn_label 1.30s) because the cell equi-join
+  * scores ~nprobe/cells of the seed pairs. ngram_jaccard_pairs 4.8s
+  * now includes the ~0.4s frequency-profile probe (adaptive branch
+  * pick, r6 verdict #6). Shared-query spot checks vs r5/r6 clean:
+  * media_meta 0.20s, indicators 0.36s, big_orders 1.18s — within the
+  * established box-drift band, no plan regressions. Streaming (real
+  * interleaved micro-batches for ivfprobe since r7): bars 61.4k
+  * ev/s (r5 60.8k), indfull 23.0k, dag 2.03k, rocks 1.80k — and
+  * ivfprobe 2.1k vectors/s at sf0.1, lower than r6's recorded 5.2k
+  * because r6 accidentally served the whole load as ONE micro-batch
+  * (ADVICE r6); 2.1k is the honest per-batch cost of 8 batches. */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
