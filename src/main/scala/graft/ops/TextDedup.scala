@@ -879,6 +879,97 @@ object TextDedup extends QueryModule {
        |JOIN ek USING (digest)
        |LEFT JOIN clusters c ON c.doc_id = d.doc_id""".stripMargin
 
+  // --- persisted cross-batch dedup index (the production lifecycle) -------
+
+  /** The digest shared by [[dedupExact]]/[[dedupApply]] and the
+    * persisted index pair below — one rule, so the index interoperates
+    * with the in-corpus layer (null text gets the same sentinel
+    * class). */
+  private def docDigest: Column =
+    coalesce(md5(col("text").cast("binary")), lit("(null-text)"))
+
+  /** PERSISTED EXACT-DEDUP INDEX — the cross-batch lifecycle the
+    * in-corpus queries can't express: a 100 TB pipeline dedupes each
+    * NEW ingest batch against the digests of everything already
+    * curated, not against itself. Mirrors the [[Similarity.writeIvfIndex]]
+    * architecture: the index is an immutable parquet table rebuilt (or
+    * appended) by periodic batch jobs, and probes are pure scans.
+    * Layout: one row per distinct digest with its canonical keep_id,
+    * partitioned by the digest's first hex nibble (16 directories) —
+    * for small probe batches the probed-prefix isin prunes at the
+    * directory level exactly like the IVF cell filter; for large
+    * batches the win is the JOIN SHAPE instead (see [[probeDedupIndex]]).
+    * The digest agg is one shuffle with map-side partial min. */
+  def writeDedupIndex(spark: SparkSession, dir: String, outDir: String): Unit =
+    Core.documents(spark, dir)
+      .select(col("doc_id"), docDigest.as("digest"))
+      .groupBy("digest").agg(min(col("doc_id")).as("keep_id"))
+      .withColumn("prefix", substring(col("digest"), 1, 1))
+      .write.partitionBy("prefix")
+      .mode("overwrite").parquet(outDir)
+
+  /** Probe a NEW batch of documents against a persisted digest index:
+    * one verdict per batch row —
+    *   'dup_of_corpus' — digest already in the index (dup_of = the
+    *                     index's canonical keep_id);
+    *   'dup_in_batch'  — digest new to the corpus but not the minimal
+    *                     doc_id holding it within THIS batch (dup_of =
+    *                     that batch keeper);
+    *   'new'           — first sight of the digest anywhere.
+    * The batch side is assumed small against the index (the daily
+    * ingest vs the accumulated corpus), so every join here broadcasts
+    * batch-derived frames: the index is scanned ONCE, prefix-pruned by
+    * the batch's probed nibbles (collected driver-side, <= 16 values —
+    * the [[Similarity.probeIvfIndex]] literal-isin pattern), inner-joined
+    * against the broadcast batch digest set to a match table that is
+    * itself batch-sized, and the index never shuffles. At 100 TB that
+    * is the difference between a bounded scan and re-sorting the
+    * corpus per ingest. */
+  def probeDedupIndex(spark: SparkSession, batch: DataFrame, indexDir: String): DataFrame = {
+    val b = batch.select(col("doc_id"), docDigest.as("digest"))
+    val batchKeep = b.groupBy("digest").agg(min(col("doc_id")).as("batch_keep_id"))
+    val probedPrefixes = batchKeep
+      .select(substring(col("digest"), 1, 1)).distinct().collect().map(_.getString(0))
+    val matches = spark.read.parquet(indexDir)
+      .filter(col("prefix").isin(probedPrefixes.toSeq: _*))
+      .join(broadcast(batchKeep.select(col("digest"))), Seq("digest"))
+      .select(col("digest"), col("keep_id"))
+    b.join(broadcast(batchKeep), "digest")
+      .join(broadcast(matches), Seq("digest"), "left")
+      .select(col("doc_id"), col("digest"),
+        when(col("keep_id").isNotNull, lit("dup_of_corpus"))
+          .when(col("doc_id") =!= col("batch_keep_id"), lit("dup_in_batch"))
+          .otherwise(lit("new")).as("verdict"),
+        coalesce(col("keep_id"),
+          when(col("doc_id") =!= col("batch_keep_id"), col("batch_keep_id")))
+          .as("dup_of"))
+  }
+
+  /** STREAMING cross-batch dedup: incoming document drops probed
+    * against the persisted index inside foreachBatch, verdicts landed
+    * idempotently per batch_id (the K1 sink rule — replay-safe). The
+    * index stays immutable during the stream and is republished by the
+    * periodic batch rebuild, the same batch-index/stream-probe split as
+    * [[Similarity.streamingIvfProbe]] and for the same reason: mutating
+    * the index in the hot path would serialize every micro-batch
+    * through an index write, while a probe-only stream keeps per-batch
+    * cost ~ batch size. Within-batch duplicate election happens inside
+    * each micro-batch (the 'dup_in_batch' verdict), so replaying a
+    * batch reproduces identical verdicts. */
+  def streamingDedupProbe(spark: SparkSession, incoming: DataFrame,
+      indexDir: String, outDir: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    incoming.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val verdicts = probeDedupIndex(spark, batch, indexDir)
+          graft.streaming.StreamingPipeline.writeBatchIdempotent(verdicts, batchId, outDir)
+        }
+      }
+      .start()
+
   /** Deterministic train/val/test split at scale: the reference's
     * TrainValTestSplit (sql_pytorch_dataloader.py:251-320, 0.80 /
     * 0.12 / 0.08) sliced a *chunk list* on the driver; the 100 TB

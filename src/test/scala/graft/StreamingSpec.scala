@@ -700,4 +700,41 @@ class StreamingSpec extends SparkSpec {
     assert(got.exceptAll(expect).isEmpty && expect.exceptAll(got).isEmpty,
       "streaming probe must equal the batch probe row-for-row")
   }
+
+  test("streaming dedup probe equals the per-batch probe against the persisted index") {
+    implicit val sqlCtx = spark.sqlContext
+    val idxDir = java.nio.file.Files.createTempDirectory("graft_sdix").toString + "/idx"
+    val outDir = java.nio.file.Files.createTempDirectory("graft_sdix_o").toString + "/out"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_sdix_c").toString
+    graft.ops.TextDedup.writeDedupIndex(spark, sf0001, idxDir)
+    // within-batch election is PER MICRO-BATCH by design (replay-safe),
+    // so the duplicate pair rides in one batch and the comparison is
+    // per-batch probe outputs unioned
+    val known = graft.ops.Core.documents(spark, sf0001)
+      .orderBy("doc_id").limit(3)
+      .select(($"doc_id" + 100000L).as("doc_id"), $"text")
+      .as[(Long, String)].collect().toSeq
+    val batch1 = known.take(2) ++ Seq(
+      (200002L, "a duplicated new r7 stream doc"),
+      (200003L, "a duplicated new r7 stream doc"))
+    val batch2 = known.drop(2) ++ Seq((200001L, "a genuinely new r7 stream doc"))
+    val src = MemoryStream[(Long, String)]
+    val q = graft.ops.TextDedup.streamingDedupProbe(spark,
+      src.toDF().toDF("doc_id", "text"), idxDir, outDir, ckpt)
+    try {
+      src.addData(batch1: _*)
+      q.processAllAvailable()
+      src.addData(batch2: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.read.parquet(outDir).drop("batch_id")
+    def probeOf(rows: Seq[(Long, String)]) =
+      graft.ops.TextDedup.probeDedupIndex(spark, rows.toDF("doc_id", "text"), idxDir)
+    val expect = probeOf(batch1).unionByName(probeOf(batch2))
+    assert(got.count() == expect.count() && got.count() == 6)
+    assert(got.exceptAll(expect).isEmpty && expect.exceptAll(got).isEmpty,
+      "streaming dedup verdicts must equal the per-batch probe outputs")
+    // the landing is idempotent per batch_id: no duplicated verdicts
+    assert(got.select("doc_id").distinct().count() == 6)
+  }
 }

@@ -124,6 +124,42 @@ class TextDedupSpec extends SparkSpec {
     assert(nRare < nLex, s"rare-first must beat lexicographic: $nRare vs $nLex")
   }
 
+  test("persisted dedup index: cross-batch verdicts, scan prunes to probed prefixes") {
+    val idxDir = java.nio.file.Files.createTempDirectory("graft_dix").toString + "/idx"
+    TextDedup.writeDedupIndex(spark, sf0001, idxDir)
+    // batch: 3 docs whose text already lives in the corpus (re-ingested
+    // under fresh ids), plus 3 genuinely new docs of which two are
+    // byte-identical to each other (within-batch duplicate)
+    val known = graft.ops.Core.documents(spark, sf0001)
+      .orderBy("doc_id").limit(3)
+      .select(($"doc_id" + 100000L).as("doc_id"), $"text")
+    val fresh = Seq(
+      (200001L, "a genuinely new r7 document"),
+      (200002L, "a duplicated new r7 document"),
+      (200003L, "a duplicated new r7 document")).toDF("doc_id", "text")
+    val v = TextDedup.probeDedupIndex(spark, known.unionByName(fresh), idxDir).cache()
+    assert(v.count() == 6, "one verdict per batch row")
+    // corpus re-ingests point at the index's canonical keeper
+    val corpusDups = v.filter($"verdict" === "dup_of_corpus").cache()
+    assert(corpusDups.count() == 3)
+    assert(corpusDups.filter($"dup_of".isNull || $"dup_of" >= 100000L).isEmpty,
+      "dup_of_corpus must reference the ORIGINAL corpus keep_id")
+    // the within-batch pair: min doc_id wins, the other points at it
+    val verdictOf = v.select($"doc_id", $"verdict", $"dup_of")
+      .as[(Long, String, Option[Long])].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(verdictOf(200001L) == (("new", None)))
+    assert(verdictOf(200002L) == (("new", None)))
+    assert(verdictOf(200003L) == (("dup_in_batch", Some(200002L))))
+    // the probed-prefix isin must reach the index scan as a
+    // PartitionFilter (anchored to that line, like the IVF probe test)
+    val explained = TextDedup.probeDedupIndex(spark, fresh, idxDir)
+      .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+    val pf = explained.linesIterator.filter(_.contains("PartitionFilters")).toSeq
+    assert(pf.exists(l => l.contains("prefix") && l.contains("IN")),
+      s"probe must prune on the digest prefix, got:\n${pf.mkString("\n")}")
+    v.unpersist(); corpusDups.unpersist()
+  }
+
   test("split contamination: only test-split docs, leak bounded by shingle count") {
     val c = TextDedup.splitContamination(spark, sf0001).cache()
     assert(c.filter($"n_leaked" < 1 || $"n_leaked" > $"n_shingles").isEmpty)
