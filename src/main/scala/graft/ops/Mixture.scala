@@ -195,13 +195,113 @@ object Mixture extends QueryModule {
        |GROUP BY 1, 2""".stripMargin
   }
 
+  // --- per-source distribution drift --------------------------------------
+
+  /** Width of the fixed n_chars histogram buckets. Fixed-width (not
+    * quantile) binning keeps the statistic SQL-exact: quantile edges
+    * would themselves be data-derived doubles whose cross-engine
+    * equality is the fragile thing the parity rules exist to avoid. */
+  private val driftBucketChars = 100.0
+
+  /** Distribution DRIFT monitoring — the corpus-health check a 100 TB
+    * ingest pipeline runs per source per day: how far does each
+    * source's document-length histogram and language mix sit from the
+    * corpus-wide baseline? A source whose drift jumps between ingests
+    * changed its crawler, its upstream site, or its parser — the
+    * operational signal that gates a mixture re-weight or a quarantine
+    * (complements [[Relational.dataQuality]]'s hard constraints:
+    * drift is the SOFT, distributional quality gate).
+    *
+    * Statistic: total-variation distance, TVD = 1/2 * sum_i |q_i -
+    * p_i| (q = the source's bucket shares, p = the corpus baseline) —
+    * chosen over the industry-default PSI deliberately: PSI's ln() is
+    * a transcendental whose last-ulp behavior differs across engines
+    * (the repo's standing parity rule bans them), while TVD reduces
+    * to ONE integer sum per source, sum_i |n_si * N - n_i * n_s|,
+    * followed by a single exact double division — bit-identical in
+    * any engine. TVD in [0, 1]; missing buckets contribute their full
+    * baseline mass (the grid join below makes the zero cells
+    * explicit).
+    *
+    * Scale shape: two corpus-scale aggregations with bounded key
+    * cardinality (sources x buckets, sources x langs) and map-side
+    * partial counts; everything after operates on those ~100-row
+    * aggregates (the grid crosses are broadcast joins of
+    * bounded-cardinality frames — allowlisted with justification in
+    * PlanAuditSpec). Overflow note: the integer products are
+    * n_si * N <= N^2, so the exact-long tree holds to N ~ 3e9 docs
+    * per drift scope; shard the scope (per day / per corpus slice)
+    * beyond that. */
+  def sourceDrift(spark: SparkSession, dir: String): DataFrame =
+    sourceDriftFrom(Core.documents(spark, dir))
+
+  /** Core over an arbitrary documents frame (spec injects skewed
+    * sources to prove detection; [[sourceDrift]] binds the corpus). */
+  private[graft] def sourceDriftFrom(docs0: DataFrame): DataFrame = {
+    val docs = docs0.select(col("source"), col("lang"),
+      floor(col("n_chars") / lit(driftBucketChars)).cast("long").as("bucket"))
+    val sb = docs.groupBy(col("source"), col("bucket")).agg(count(lit(1)).as("n_sb"))
+    val sl = docs.groupBy(col("source"), col("lang")).agg(count(lit(1)).as("n_sl"))
+    val s = sb.groupBy(col("source")).agg(sum(col("n_sb")).as("n_s"))
+    val b = sb.groupBy(col("bucket")).agg(sum(col("n_sb")).as("n_b"))
+    val l = sl.groupBy(col("lang")).agg(sum(col("n_sl")).as("n_l"))
+    val tot = sb.agg(sum(col("n_sb")).as("n_total"))
+    val cc = s.crossJoin(broadcast(b)).crossJoin(broadcast(tot))
+      .join(sb, Seq("source", "bucket"), "left")
+      .groupBy(col("source"), col("n_s"), col("n_total"))
+      .agg(sum(abs(coalesce(col("n_sb"), lit(0L)) * col("n_total") -
+        col("n_b") * col("n_s"))).as("sa_chars"))
+    val lc = s.crossJoin(broadcast(l)).crossJoin(broadcast(tot))
+      .join(sl, Seq("source", "lang"), "left")
+      .groupBy(col("source"))
+      .agg(sum(abs(coalesce(col("n_sl"), lit(0L)) * col("n_total") -
+        col("n_l") * col("n_s"))).as("sa_lang"))
+    cc.join(lc, "source")
+      .select(col("source"), col("n_s").as("n_docs"),
+        (col("sa_chars").cast("double") /
+          (col("n_s") * col("n_total")).cast("double") / lit(2.0)).as("tvd_chars"),
+        (col("sa_lang").cast("double") /
+          (col("n_s") * col("n_total")).cast("double") / lit(2.0)).as("tvd_lang"))
+  }
+
+  val sourceDriftSql: String =
+    s"""WITH d AS (
+       |  SELECT source, lang, CAST(FLOOR(n_chars / $driftBucketChars) AS BIGINT) AS bucket
+       |  FROM documents),
+       |sb AS (SELECT source, bucket, count(*) AS n_sb FROM d GROUP BY 1, 2),
+       |sl AS (SELECT source, lang, count(*) AS n_sl FROM d GROUP BY 1, 2),
+       |s AS (SELECT source, sum(n_sb) AS n_s FROM sb GROUP BY 1),
+       |b AS (SELECT bucket, sum(n_sb) AS n_b FROM sb GROUP BY 1),
+       |l AS (SELECT lang, sum(n_sl) AS n_l FROM sl GROUP BY 1),
+       |tot AS (SELECT sum(n_sb) AS n_total FROM sb),
+       |cc AS (
+       |  SELECT g.source, g.n_s, g.n_total,
+       |    sum(abs(coalesce(sb.n_sb, 0) * g.n_total - g.n_b * g.n_s)) AS sa_chars
+       |  FROM (SELECT s.source, s.n_s, b.bucket, b.n_b, t.n_total
+       |        FROM s CROSS JOIN b CROSS JOIN tot t) g
+       |  LEFT JOIN sb ON sb.source = g.source AND sb.bucket = g.bucket
+       |  GROUP BY 1, 2, 3),
+       |lc AS (
+       |  SELECT g.source,
+       |    sum(abs(coalesce(sl.n_sl, 0) * g.n_total - g.n_l * g.n_s)) AS sa_lang
+       |  FROM (SELECT s.source, s.n_s, l.lang, l.n_l, t.n_total
+       |        FROM s CROSS JOIN l CROSS JOIN tot t) g
+       |  LEFT JOIN sl ON sl.source = g.source AND sl.lang = g.lang
+       |  GROUP BY 1)
+       |SELECT cc.source, CAST(cc.n_s AS BIGINT) AS n_docs,
+       |  CAST(sa_chars AS DOUBLE) / CAST(cc.n_s * cc.n_total AS DOUBLE) / 2.0 AS tvd_chars,
+       |  CAST(sa_lang AS DOUBLE) / CAST(cc.n_s * cc.n_total AS DOUBLE) / 2.0 AS tvd_lang
+       |FROM cc JOIN lc ON lc.source = cc.source""".stripMargin
+
   override def queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "source_caps" -> (sourceCaps _),
     "temperature_sample" -> (temperatureSample _),
-    "source_similarity" -> (sourceSimilarity _))
+    "source_similarity" -> (sourceSimilarity _),
+    "source_drift" -> (sourceDrift _))
 
   override def oracle: Seq[(String, String)] = Seq(
     "source_caps" -> sourceCapsSql,
     "temperature_sample" -> temperatureSampleSql,
-    "source_similarity" -> sourceSimilaritySql)
+    "source_similarity" -> sourceSimilaritySql,
+    "source_drift" -> sourceDriftSql)
 }

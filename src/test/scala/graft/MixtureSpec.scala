@@ -96,4 +96,35 @@ class MixtureSpec extends SparkSpec {
     val trueJ = a.intersect(b).size.toDouble / a.union(b).size.toDouble
     assert(math.abs(est - trueJ) <= 3.0 / 8.0, s"est $est vs true $trueJ")
   }
+
+  test("source drift: TVD bounded, totals tie out, skew-planted source ranks first") {
+    val d = Mixture.sourceDrift(spark, sf0001).cache()
+    val docs = graft.ops.Core.documents(spark, sf0001)
+    assert(d.count() == docs.select("source").distinct().count())
+    assert(d.agg(sum($"n_docs")).as[Long].head() == docs.count())
+    assert(d.filter($"tvd_chars" < 0.0 || $"tvd_chars" > 1.0 ||
+      $"tvd_lang" < 0.0 || $"tvd_lang" > 1.0).isEmpty, "TVD must be in [0,1]")
+    // plant a source concentrated in one extreme length bucket and one
+    // language: it must show the LARGEST drift on both axes
+    val planted = docs.select($"source", $"lang", $"n_chars").unionByName(
+      spark.range(0, 40).select(lit("srcSKEW").as("source"),
+        lit("zz").as("lang"), (lit(2000L) + col("id")).as("n_chars")))
+    val pd = Mixture.sourceDriftFrom(planted).cache()
+    val top = pd.orderBy($"tvd_chars".desc).select("source").as[String].head()
+    val topL = pd.orderBy($"tvd_lang".desc).select("source").as[String].head()
+    assert(top == "srcSKEW" && topL == "srcSKEW",
+      s"planted skew must rank first, got chars=$top lang=$topL")
+    // exact hand-computed fixture (the cross-engine-exact contract):
+    // A = 2 docs in buckets {0,1} lang en; B = 2 docs in bucket 9 lang zh
+    // -> TVD_chars(A) = 1/2*(|1/2-1/4| + |1/2-1/4| + |0-1/2|) = 0.5,
+    //    TVD_lang(A) = 1/2*(|1-1/2| + |0-1/2|) = 0.5; symmetric for B
+    val tiny = Seq(
+      ("A", "en", 50L), ("A", "en", 150L),
+      ("B", "zh", 950L), ("B", "zh", 970L)).toDF("source", "lang", "n_chars")
+    val tinyOut = Mixture.sourceDriftFrom(tiny)
+      .as[(String, Long, Double, Double)].collect().sortBy(_._1)
+    assert(tinyOut.toSeq == Seq(("A", 2L, 0.5, 0.5), ("B", 2L, 0.5, 0.5)),
+      s"hand-computed TVD mismatch: ${tinyOut.mkString(", ")}")
+    d.unpersist(); pd.unpersist()
+  }
 }
