@@ -704,10 +704,9 @@ object TextDedup extends QueryModule {
     // the vote expressions alone moved nothing (the buffer update
     // machinery dominated, not the votes); removing the aggregation
     // stage is the fix. The pair query's first shuffle is now its
-    // band join.
-    withNgramArr(Core.documents(spark, dir))
-      .filter(size(toks) > 2)
-      .select(col("doc_id"), simhash64Col(col("ngarr")).as("simhash64"))
+    // band join. (Body = [[simhashSigs]], the rule shared with the
+    // persisted-index build and probes.)
+    simhashSigs(Core.documents(spark, dir))
 
   val simhash64Sql: String = {
     val gCols = simhash64Mixes.zipWithIndex.map { case ((a, b), k) =>
@@ -767,6 +766,96 @@ object TextDedup extends QueryModule {
       .filter(col("hamming") <= 4) // cheap + selective: filter before the pair dedup
       .distinct() // a pair can agree on several bands
   }
+
+  // --- persisted cross-batch NEAR-dup index (simhash) ---------------------
+
+  /** Signatures for an arbitrary documents frame — the one rule shared
+    * by the in-corpus [[simhash64]] query, the persisted index build,
+    * and the batch/streaming probes (same >2-token gate, same mixes). */
+  private[graft] def simhashSigs(docs: DataFrame): DataFrame =
+    withNgramArr(docs)
+      .filter(size(toks) > 2)
+      .select(col("doc_id"), simhash64Col(col("ngarr")).as("simhash64"))
+
+  /** The 5 pigeonhole block keys of a signature, flattened to ONE
+    * sortable key: bandkey = band * 8192 + blockBits (block widths
+    * 13,13,13,13,12 keep every blockBits < 8192, so the flat key is
+    * collision-free across bands). A single flat key — instead of the
+    * (band, bkey) pair the self-join uses — is what makes the
+    * persisted index's probe filter ONE `bandkey IN (...)` predicate
+    * that parquet can evaluate against row-group min/max stats; a
+    * mixed OR over a partition column and a data column would not
+    * push down cleanly. */
+  private def bandKeysCol: Column = expr(
+    "transform(sequence(0, 4), i -> " +
+      "i * 8192 + (shiftright(simhash64, cast(i * 13 AS INT)) & if(i = 4, 4095, 8191)))")
+
+  /** PERSISTED NEAR-DUP INDEX — the cross-batch lifecycle for the
+    * near-dup family, completing the triple the exact-dedup digest
+    * index ([[writeDedupIndex]]) and the ANN index
+    * ([[Similarity.writeIvfIndex]]) already follow: built by periodic
+    * batch jobs, probed by ingests and streams. One row per
+    * (bandkey, doc) — 5 rows/doc — RANGE-partitioned and sorted by
+    * bandkey, so every parquet file and row group covers a narrow
+    * bandkey slice and a probe's `bandkey IN (...)` literal skips all
+    * others on footer min/max stats alone (plan-asserted as a pushed
+    * filter in TextDedupSpec). At 100 TB that layout IS the index:
+    * bytes read per probe ~ (probed bandkeys / 40960) before any row
+    * is decoded. */
+  def writeSimhashIndex(spark: SparkSession, dir: String, outDir: String): Unit =
+    simhashSigs(Core.documents(spark, dir))
+      .select(col("doc_id"), col("simhash64"), explode(bandKeysCol).as("bandkey"))
+      .repartitionByRange(col("bandkey"))
+      .sortWithinPartitions(col("bandkey"))
+      .write.mode("overwrite").parquet(outDir)
+
+  /** Probe a NEW batch of documents against a persisted simhash index:
+    * emits one row per (batch doc, corpus doc) pair within hamming
+    * distance 4 — the near-dup matches an ingest pipeline joins
+    * against before admitting documents the exact-digest probe
+    * ([[probeDedupIndex]]) couldn't catch. Exactness: the pigeonhole
+    * banding guarantees every hamming<=4 pair shares a block, so the
+    * candidate join + exact hamming verify equals the all-pairs scan
+    * (spec-asserted against a direct broadcast computation). Plan
+    * shape mirrors the exact-dedup probe: batch-side frames broadcast,
+    * the index scans ONCE with the probed-bandkey literals pushed to
+    * the parquet footer, and nothing corpus-sized shuffles. The
+    * literal isin is the small-batch path (the collect is bounded by
+    * 5 x batch distinct signatures); a bulk re-dedup of a huge batch
+    * would drop the literals and let the bandkey equi-join carry it. */
+  def probeSimhashIndex(spark: SparkSession, batch: DataFrame, indexDir: String): DataFrame = {
+    val b = simhashSigs(batch)
+      .select(col("doc_id").as("probe_id"), col("simhash64").as("probe_sig"),
+        explode(bandKeysCol).as("bandkey"))
+    val probedKeys = b.select("bandkey").distinct().collect().map(_.getLong(0))
+    spark.read.parquet(indexDir)
+      .filter(col("bandkey").isin(probedKeys.toSeq: _*))
+      .join(broadcast(b), Seq("bandkey"))
+      .select(col("probe_id"), col("doc_id").as("match_id"),
+        bit_count(col("probe_sig").bitwiseXOR(col("simhash64"))).as("hamming"))
+      .filter(col("hamming") <= 4)
+      .distinct() // a pair can agree on several blocks
+  }
+
+  /** STREAMING near-dup gate: incoming drops probed against the
+    * persisted simhash index per micro-batch, matches landed
+    * idempotently (K1 sink rule). Index immutable during the stream,
+    * republished by the periodic batch rebuild — the same
+    * batch-index/stream-probe split as [[streamingDedupProbe]] and
+    * [[Similarity.streamingIvfProbe]]. */
+  def streamingSimhashProbe(spark: SparkSession, incoming: DataFrame,
+      indexDir: String, outDir: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    incoming.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val matches = probeSimhashIndex(spark, batch, indexDir)
+          graft.streaming.StreamingPipeline.writeBatchIdempotent(matches, batchId, outDir)
+        }
+      }
+      .start()
 
   /** The broadcast all-pairs scan — the equality baseline for the
     * banded form (the ~8-byte/doc signature table broadcasts even at

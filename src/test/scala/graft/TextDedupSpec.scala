@@ -160,6 +160,47 @@ class TextDedupSpec extends SparkSpec {
     v.unpersist(); corpusDups.unpersist()
   }
 
+  test("persisted simhash index: probe equals all-pairs hamming, pushes bandkey literals") {
+    val idxDir = java.nio.file.Files.createTempDirectory("graft_shix").toString + "/idx"
+    TextDedup.writeSimhashIndex(spark, sf0001, idxDir)
+    // batch: 3 corpus docs re-ingested verbatim (hamming 0 to their
+    // originals — MUST be found) + 1 alien doc (expected matchless)
+    val known = graft.ops.Core.documents(spark, sf0001)
+      .orderBy("doc_id").limit(3)
+      .select(($"doc_id" + 100000L).as("doc_id"), $"text")
+    val alien = Seq((200001L,
+      "zq xv qj wk vx jz kq xw zv qx completely alien shingle stream"))
+      .toDF("doc_id", "text")
+    val batch = known.unionByName(alien)
+    val got = TextDedup.probeSimhashIndex(spark, batch, idxDir)
+      .as[(Long, Long, Int)].collect().toSet
+    // exactness: the pigeonhole banding + verify must equal the direct
+    // all-pairs hamming scan of batch sigs x corpus sigs
+    val corpusSigs = TextDedup.simhash64(spark, sf0001)
+      .as[(Long, Long)].collect()
+    val batchSigs = TextDedup.simhashSigs(batch).as[(Long, Long)].collect()
+    val expect = (for {
+      (pid, ps) <- batchSigs
+      (cid, cs) <- corpusSigs
+      h = java.lang.Long.bitCount(ps ^ cs)
+      if h <= 4
+    } yield (pid, cid, h)).toSet
+    assert(got == expect,
+      s"probe/all-pairs divergence: ${expect.diff(got).size} missing, ${got.diff(expect).size} extra")
+    // the verbatim re-ingests each find their original at hamming 0
+    val zeroes = got.filter(_._3 == 0).map(m => (m._1, m._2))
+    val knownIds = known.select("doc_id").as[Long].collect().toSet
+    assert(knownIds.forall(k => zeroes.exists { case (p, c) => p == k && c == k - 100000L }),
+      s"every re-ingested doc must match its original at hamming 0, got $zeroes")
+    assert(!got.exists(_._1 == 200001L), "the alien doc must stay matchless")
+    // the probed bandkey literals must push to the parquet scan
+    val explained = TextDedup.probeSimhashIndex(spark, alien, idxDir)
+      .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+    val pushed = explained.linesIterator.filter(_.contains("PushedFilters")).toSeq
+    assert(pushed.exists(l => l.contains("bandkey") && l.contains("In")),
+      s"probe must push bandkey literals, got:\n${pushed.mkString("\n")}")
+  }
+
   test("split contamination: only test-split docs, leak bounded by shingle count") {
     val c = TextDedup.splitContamination(spark, sf0001).cache()
     assert(c.filter($"n_leaked" < 1 || $"n_leaked" > $"n_shingles").isEmpty)
