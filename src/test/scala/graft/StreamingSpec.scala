@@ -737,4 +737,42 @@ class StreamingSpec extends SparkSpec {
     // the landing is idempotent per batch_id: no duplicated verdicts
     assert(got.select("doc_id").distinct().count() == 6)
   }
+
+  test("streaming simhash probe equals the per-batch probe against the persisted index") {
+    implicit val sqlCtx = spark.sqlContext
+    val idxDir = java.nio.file.Files.createTempDirectory("graft_ssix").toString + "/idx"
+    val outDir = java.nio.file.Files.createTempDirectory("graft_ssix_o").toString + "/out"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ssix_c").toString
+    graft.ops.TextDedup.writeSimhashIndex(spark, sf0001, idxDir)
+    // two micro-batches: re-ingested corpus docs (hamming-0 hits) split
+    // across batches, plus an alien doc that must land no match rows
+    val known = graft.ops.Core.documents(spark, sf0001)
+      .orderBy("doc_id").limit(4)
+      .select(($"doc_id" + 100000L).as("doc_id"), $"text")
+      .as[(Long, String)].collect().toSeq
+    val batch1 = known.take(2)
+    val batch2 = known.drop(2) :+ ((200001L,
+      "zq xv qj wk vx jz kq xw zv qx completely alien shingle stream"))
+    val src = MemoryStream[(Long, String)]
+    val q = graft.ops.TextDedup.streamingSimhashProbe(spark,
+      src.toDF().toDF("doc_id", "text"), idxDir, outDir, ckpt)
+    try {
+      src.addData(batch1: _*)
+      q.processAllAvailable()
+      src.addData(batch2: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.read.parquet(outDir).drop("batch_id")
+    def probeOf(rows: Seq[(Long, String)]) =
+      graft.ops.TextDedup.probeSimhashIndex(spark, rows.toDF("doc_id", "text"), idxDir)
+    val expect = probeOf(batch1).unionByName(probeOf(batch2))
+    assert(got.count() == expect.count() && got.count() > 0)
+    assert(got.exceptAll(expect).isEmpty && expect.exceptAll(got).isEmpty,
+      "streaming near-dup matches must equal the per-batch probe outputs")
+    // every re-ingested doc finds its original at hamming 0; the alien none
+    val zeroes = got.filter($"hamming" === 0)
+      .select("probe_id", "match_id").as[(Long, Long)].collect().toSet
+    assert(known.map(_._1).forall(k => zeroes.contains((k, k - 100000L))))
+    assert(got.filter($"probe_id" === 200001L).isEmpty)
+  }
 }
