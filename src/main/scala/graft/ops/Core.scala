@@ -13,11 +13,14 @@ import org.apache.spark.sql.functions._
   */
 object Core {
 
-  /** The driver testdata stores timestamps as parquet TIMESTAMP(NANOS),
-    * which Spark rejects; read them as nano longs and convert to
-    * microsecond timestamps (exact integer division — the underlying
-    * values are microsecond-aligned). The DuckDB oracle mirrors with
-    * CAST(col AS TIMESTAMP) (ns -> us). */
+  /** The driver testdata has stored timestamps two ways across
+    * regenerations: parquet TIMESTAMP(NANOS) (which Spark rejects —
+    * read as nano longs and divide), and plain `timestamp[us]` with
+    * `isAdjustedToUTC=false` (which Spark 4 reads as TIMESTAMP_NTZ).
+    * Normalize BOTH to TimestampType: the session TZ is pinned UTC, so
+    * the NTZ->TZ cast is a bit-exact reinterpretation of the same
+    * microsecond value. The DuckDB oracle mirrors with
+    * CAST(col AS TIMESTAMP) (naive either way). */
   private val tsCols = Map(
     "events" -> Seq("ts"),
     "lineitem" -> Seq("l_shipdate"),
@@ -30,6 +33,8 @@ object Core {
       d.schema.find(_.name == c) match {
         case Some(f) if f.dataType == org.apache.spark.sql.types.LongType =>
           d.withColumn(c, timestamp_micros(expr(s"$c div 1000")))
+        case Some(f) if f.dataType == org.apache.spark.sql.types.TimestampNTZType =>
+          d.withColumn(c, col(c).cast("timestamp"))
         case _ => d
       }
     }

@@ -8,6 +8,40 @@ class RegistrySpec extends SparkSpec {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("schema-drift canary: testdata columns resolve to their pinned Spark types") {
+    // The Aug-13 testdata regeneration silently switched `ts` from parquet
+    // TIMESTAMP(NANOS) to timestamp[us] NTZ and broke 14 queries with no
+    // single named failure (VERDICT r7 #2). This test pins the RESOLVED
+    // types after Core.table normalization, so the next regeneration that
+    // changes a physical type fails here first, naming the column.
+    import org.apache.spark.sql.types._
+    val expected: Seq[(String, Map[String, DataType])] = Seq(
+      "events" -> Map(
+        "event_id" -> LongType, "ts" -> TimestampType, "user_id" -> LongType,
+        "event_type" -> StringType, "value" -> DoubleType, "props" -> StringType),
+      "lineitem" -> Map(
+        "l_orderkey" -> LongType, "l_quantity" -> DoubleType,
+        "l_extendedprice" -> DoubleType, "l_discount" -> DoubleType,
+        "l_returnflag" -> StringType, "l_shipdate" -> TimestampType),
+      "orders" -> Map(
+        "o_orderkey" -> LongType, "o_custkey" -> LongType,
+        "o_totalprice" -> DoubleType, "o_orderdate" -> TimestampType),
+      "documents" -> Map(
+        "doc_id" -> LongType, "text" -> StringType, "lang" -> StringType,
+        "source" -> StringType, "n_chars" -> LongType),
+      "embeddings" -> Map(
+        "vec_id" -> LongType, "embedding" -> ArrayType(FloatType), "label" -> IntegerType))
+    val drift = for {
+      (tbl, cols) <- expected
+      schema = graft.ops.Core.table(spark, sf0001, tbl).schema
+      (col, want) <- cols.toSeq.sortBy(_._1)
+      got = schema.find(_.name == col).map(_.dataType)
+      if !got.contains(want)
+    } yield s"$tbl.$col: expected $want, resolved ${got.getOrElse("MISSING")}"
+    assert(drift.isEmpty,
+      s"testdata schema drift — fix Core.table normalization or update this pin:\n  ${drift.mkString("\n  ")}")
+  }
+
   test("oracle keys are a subset of query keys") {
     assert((SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet).isEmpty)
   }
