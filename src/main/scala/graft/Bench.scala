@@ -51,11 +51,7 @@ object Bench {
     // load average IN the JSON: a contaminated run shows warm2 far off
     // its usual ~0.1s and/or load >> core count, identifiable without
     // access to a sibling clean run.
-    def timeTrivialScan(): Double = {
-      val t0 = System.nanoTime()
-      spark.range(10000000L).selectExpr("sum(id)").collect()
-      (System.nanoTime() - t0) / 1e9
-    }
+    def timeTrivialScan(): Double = trivialScanSec(spark)
     val warmDirOpt = {
       val parent = new java.io.File(sfDir).getParentFile
       val candidate = new java.io.File(parent, "sf0.001")
@@ -74,9 +70,8 @@ object Bench {
     } catch { case t: Throwable =>
       System.err.println(s"[bench] WARNING: trivial-scan marker failed: $t"); (-1.0, -1.0)
     }
-    val loadAvg = java.lang.management.ManagementFactory
-      .getOperatingSystemMXBean.getSystemLoadAverage
-    System.err.println(f"[bench] box marker: warm1=$warm1Sec%.3f s warm2=$warm2Sec%.3f s load_avg=$loadAvg%.2f")
+    val startLoad = loadAvg()
+    System.err.println(f"[bench] box marker: warm1=$warm1Sec%.3f s warm2=$warm2Sec%.3f s load_avg=$startLoad%.2f")
     try {
       val ev = ops.Core.events(spark, sfDir)
       ev.groupBy("event_type").count().collect()
@@ -136,17 +131,57 @@ object Bench {
     // tail window. JSON parsers are order-insensitive, so the driver
     // is unaffected.
     def f4(v: Double): String = f"$v%.4f"
-    val qs = results.toSeq.sortBy(_._2)
+    val sortedQs = results.toSeq.sortBy(_._2)
+    val qs = sortedQs
       .map { case (k, v) => s"\"" + k + "\":" + f4(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
+    // Stage-adjacent box markers (VERDICT r7 #5): the start-of-run
+    // marker says nothing about contention arriving minutes later
+    // during the streaming section (r7: DAG 867 ev/s recorded vs
+    // 2,030 clean, start marker clean). Re-time the trivial scan
+    // immediately before and after the streaming section here, and
+    // between the DAG backends inside streamingBenchBody, so a
+    // late-run contention event is identifiable from the artifact.
+    val preStreamSec = trivialScanSec(spark)
+    val preStreamLoad = loadAvg()
+    System.err.println(f"[bench] pre-stream marker: scan=$preStreamSec%.3f s load=$preStreamLoad%.2f")
     val streamingJson =
       try streamingBench(spark)
       catch { case t: Throwable =>
         System.err.println(s"[bench] WARNING: streaming bench failed: $t"); "{}"
       }
-    val boxJson = s"""{"warm1_sec":${f4(warm1Sec)},"warm2_sec":${f4(warm2Sec)},"load_avg":${f4(loadAvg)}}"""
+    val postStreamSec = trivialScanSec(spark)
+    val postStreamLoad = loadAvg()
+    System.err.println(f"[bench] post-stream marker: scan=$postStreamSec%.3f s load=$postStreamLoad%.2f")
+    val boxJson = s"""{"warm1_sec":${f4(warm1Sec)},"warm2_sec":${f4(warm2Sec)},"load_avg":${f4(startLoad)},""" +
+      s""""pre_stream_sec":${f4(preStreamSec)},"pre_stream_load":${f4(preStreamLoad)},""" +
+      s""""post_stream_sec":${f4(postStreamSec)},"post_stream_load":${f4(postStreamLoad)}}"""
+    // Full artifact line: every per-query timing (cheapest first, so a
+    // bounded tail window truncates the cheap head, never the
+    // expensive queries or the totals that follow).
     println(s"""{"queries":$qs,"streaming":$streamingJson,"box":$boxJson,"metric":"total","value":${f4(total)},"unit":"sec","sf":"$sfDir"}""")
+    // FINAL line: a self-contained summary sized to survive the
+    // driver's bounded tail capture intact (ADVICE r7: BENCH_r07's
+    // single 3KB line head-truncated inside the 2KB window and
+    // parsed:null — the round's numbers existed only as a raw string).
+    // Keeps the costliest queries individually (they are what
+    // round-over-round grading compares), folds the cheap rest into
+    // an aggregate, and carries the full streaming/box/headline
+    // blocks verbatim.
+    val budget = 700
+    val expensiveFirst = sortedQs.reverse
+    val kept = {
+      var used = 0
+      expensiveFirst.takeWhile { case (k, v) =>
+        used += k.length + 12; used <= budget
+      }
+    }
+    val rest = expensiveFirst.drop(kept.size)
+    val keptJson = kept.map { case (k, v) => s"\"" + k + "\":" + f4(v) }.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${f4(total)},"unit":"sec","sf":"$sfDir","n_queries":${results.size},""" +
+      s""""queries":$keptJson,"queries_rest_n":${rest.size},"queries_rest_sec":${f4(rest.map(_._2).sum)},""" +
+      s""""streaming":$streamingJson,"box":$boxJson}""")
     spark.stop()
   }
 
@@ -172,6 +207,23 @@ object Bench {
     * (21.1k) paired with its indfull HIGH (22.5k vs 16.4k/15.1k)
     * shows the noise is anticorrelated across stages, i.e. not a
     * systematic slowdown. */
+  /** The box-marker probe: a trivial in-memory scan whose cost after
+    * JVM warmup is pure box health (~0.1-0.3s clean on this machine).
+    * Timed at run start (warm1/warm2), before the streaming section,
+    * between the DAG state-store backends, and at run end — r7's
+    * adjudication gap (DAG 867 ev/s recorded vs 2,030 clean, with only
+    * a START-of-run marker that looked clean) is exactly the case a
+    * stage-adjacent marker convicts or clears from the artifact
+    * alone (VERDICT r7 #5). */
+  private[graft] def trivialScanSec(spark: SparkSession): Double = {
+    val t0 = System.nanoTime()
+    spark.range(10000000L).selectExpr("sum(id)").collect()
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  private def loadAvg(): Double = java.lang.management.ManagementFactory
+    .getOperatingSystemMXBean.getSystemLoadAverage
+
   private def streamingBench(spark: SparkSession): String = {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
@@ -261,6 +313,11 @@ object Bench {
     // QBench exists to avoid.
     runDag("bench_dag_warm", nDeep / 10)
     val dagSecs = runDag("bench_dag", nDeep)
+    // stage-adjacent marker between the two DAG backends (VERDICT r7
+    // #5): if contention lands mid-section, this timing separates "the
+    // HDFS run was clean, rocks was contended" from a dirty whole run
+    val midDagMarkerSec = trivialScanSec(spark)
+    System.err.println(f"[bench] mid-dag marker: scan=$midDagMarkerSec%.3f s load=${loadAvg()}%.2f")
     val providerKey = "spark.sql.streaming.stateStore.providerClass"
     // isolated failure domain: a RocksDB-only problem (e.g. no
     // rocksdbjni) reports -1 for the rocks numbers instead of
@@ -339,6 +396,7 @@ object Bench {
       s""""indfull_events":$nInd,"indfull_sec":$indSecs,"indfull_events_per_sec":${nInd / indSecs},""" +
       s""""ivfprobe_vectors":$probeN,"ivfprobe_sec":$probeSecs,"ivfprobe_vectors_per_sec":$probeEps,""" +
       s""""dag_events":$totalDagInput,"dag_sec":$dagSecs,"dag_events_per_sec":${totalDagInput / dagSecs},""" +
-      s""""dag_rocksdb_sec":$dagRocksSecs,"dag_rocksdb_events_per_sec":$rocksEps}"""
+      s""""dag_rocksdb_sec":$dagRocksSecs,"dag_rocksdb_events_per_sec":$rocksEps,""" +
+      s""""marker_mid_dag_sec":$midDagMarkerSec}"""
   }
 }
