@@ -459,8 +459,56 @@ object Similarity extends QueryModule {
   private val ndBandsHi = 16
   private val ndRowsHi = 2
 
-  def cosineNearDupPairsHiRecall(spark: SparkSession, dir: String): DataFrame =
-    bandedNearDupPairs(spark, dir, ndThreshold, ndBandsHi, ndRowsHi)
+  /** Adaptive bits-per-band tiers for the hi-recall point (r7 verdict
+    * #6): the scaladoc above derives that fixed 2-bit bands stream
+    * ~n^2/4 candidates per band, so bits/band must grow with log(n).
+    * This table IS that growth, made data-driven the way the jaccard
+    * branch pick is (TextDedup.ngramJaccardPairs): the query counts
+    * the corpus (a parquet metadata read) and picks the first tier
+    * whose cutoff covers it. Bands stay at 16; each +1 bit halves the
+    * candidate stream (bucket count doubles) at a derived recall
+    * price: theoretical band-hit at the adversarial 0.4 threshold
+    * (p_agree/plane = 0.631) is 1-(1-p^r)^16 = 0.9996 / 0.990 / 0.937
+    * for r = 2/3/4. MEASURED at sf0.1 (n=5000, TierMeasure: fresh JVM
+    * per point, 2 reps, forced tier): 16x2 908 pairs 8.88/6.59s;
+    * 16x3 854 pairs 6.77/3.94s; 16x4 727 pairs 5.53/2.64s; exact
+    * all-pairs baseline 920 pairs — i.e. measured recall
+    * 0.987/0.928/0.790 across the full >= 0.4 pair set, and the
+    * candidate halving per bit shows up as the ~1.6x warm-time steps
+    * (6.59 -> 3.94 -> 2.64s; fixed sketch+shuffle cost damps the
+    * ideal 2x). Cutoffs place each r where its predicted candidate
+    * stream (16 * n^2/2^(r+1)) stays under ~2^27 pairs — ~2x the
+    * volume the r=2 point clears in ~7s warm at sf0.1 — i.e.
+    * cutoff(r) = sqrt(2^27 * 2^(r+1)/16):
+    * n <= 8192 -> 16x2, n <= 262144 (32x) -> 16x3, beyond -> 16x4.
+    * Keeps sf0.01/sf0.1 (the oracle-checked scales) on the exact
+    * 16x2 behavior the recall spec pins, while a 100 TB corpus no
+    * longer replays the 2-bit quadratic knob unconditionally. The
+    * DuckDB oracle replays the SAME pick via count-gated branches,
+    * so the hash gate holds whichever tier fires. */
+  private[graft] val ndHiTiers: Seq[(Long, Int, Int)] = Seq(
+    (8192L, 16, 2),
+    (262144L, 16, 3),
+    (Long.MaxValue, 16, 4))
+
+  private[graft] def ndHiPick(n: Long): (Int, Int) = {
+    val t = ndHiTiers.find(n <= _._1).get
+    (t._2, t._3)
+  }
+
+  def cosineNearDupPairsHiRecall(spark: SparkSession, dir: String): DataFrame = {
+    // metadata-only count at plan-construction time (the dedupClusters
+    // / ivfTopK eager-job precedent)
+    val n = Core.embeddings(spark, dir).count()
+    val (bands, rows) = ndHiPick(n)
+    bandedNearDupPairs(spark, dir, ndThreshold, bands, rows)
+  }
+
+  /** Forced-tier variant for measurement (QBench A/B) — not
+    * registered. */
+  private[graft] def cosineNearDupPairsAt(spark: SparkSession, dir: String,
+      bands: Int, rows: Int): DataFrame =
+    bandedNearDupPairs(spark, dir, ndThreshold, bands, rows)
 
   private def bandedNearDupPairs(spark: SparkSession, dir: String,
       threshold: Double, bands: Int, rows: Int): DataFrame = {
@@ -556,8 +604,20 @@ object Similarity extends QueryModule {
 
   val cosineNearDupPairsSql: String = bandedNearDupPairsSql(ndBands, ndRows)
 
+  /** The adaptive-tier oracle: one branch per [[ndHiTiers]] row, each
+    * gated on the corpus count so exactly one branch emits rows — the
+    * SQL replay of [[ndHiPick]]. A nested WITH inside a derived table
+    * keeps each branch the verbatim banding-parameterized generator. */
   val cosineNearDupPairsHiRecallSql: String =
-    bandedNearDupPairsSql(ndBandsHi, ndRowsHi)
+    ndHiTiers.zipWithIndex.map { case ((hi, bands, rows), i) =>
+      val lo = if (i == 0) 0L else ndHiTiers(i - 1)._1
+      val hiGate =
+        if (hi == Long.MaxValue) ""
+        else s" AND (SELECT count(*) FROM embeddings) <= $hi"
+      s"""SELECT vec_a, vec_b, cosine FROM (
+         |${bandedNearDupPairsSql(bands, rows)}
+         |) WHERE (SELECT count(*) FROM embeddings) > $lo$hiGate""".stripMargin
+    }.mkString("\nUNION ALL\n")
 
   /** IVF-style ANN with a deterministic coarse quantizer: the first
     * `cells` vectors are the centroids (sampled centroids are standard
@@ -1193,7 +1253,12 @@ object Similarity extends QueryModule {
     * decomposing as ~9.5s pair materialization (the 16x2 knob price,
     * paid ONCE into clusterPairs' localCheckpoint) + ~4s min-label
     * propagation — the same pairs->clusters overhead ratio as the
-    * 8x4 point (2.1s pairs -> 4.4s clusters in the same bench). */
+    * 8x4 point (2.1s pairs -> 4.4s clusters in the same bench).
+    * Since r8 the pair generator is tier-adaptive ([[ndHiTiers]]):
+    * the containment-vs-8x4 guarantee is a property of the 16x2 tier
+    * (band refinement needs the same plane set), which is exactly the
+    * tier every oracle-checked scale runs; higher tiers trade it for
+    * bounded candidate volume, as documented on the pair query. */
   def embedDedupClustersHiRecall(spark: SparkSession, dir: String): DataFrame =
     Components.clusterPairs(cosineNearDupPairsHiRecall(spark, dir), "vec_a", "vec_b", "vec_id")
 
