@@ -860,6 +860,23 @@ object Similarity extends QueryModule {
       .select(col("qid"), col("vec_id"), col("cosine"), col("rank"))
   }
 
+  /** REGISTERED end-to-end exercise of the persisted IVF index under
+    * the driver's oracle gate — completing the probe-registration
+    * triple with [[graft.ops.TextDedup.dedupIndexProbe]] (exact
+    * digests) and [[graft.ops.TextDedup.simhashIndexProbe]] (near-dup
+    * signatures): build the cell-partitioned index into a temp dir,
+    * then [[probeIvfIndex]] it with the standard query rule. The probe
+    * is spec-asserted equal to the inline [[ivfTopK]] bit-for-bit, so
+    * the oracle IS [[ivfTopKSql]] — what the hash gate adds over the
+    * unit test is the parquet round-trip: cell directory layout,
+    * partition-pruned scan, norm/cell column fidelity. */
+  def ivfIndexProbe(spark: SparkSession, dir: String): DataFrame = {
+    val idxDir = java.nio.file.Files
+      .createTempDirectory("graft_ivf_index_probe").toString
+    writeIvfIndex(spark, dir, idxDir)
+    probeIvfIndex(spark, idxDir)
+  }
+
   /** STREAMING ANN (r5 verdict #8) — probe INCOMING vectors against
     * the persisted cell-partitioned index inside foreachBatch: the
     * batch-index + streaming-probe architecture. Design decision: the
@@ -1298,6 +1315,7 @@ object Similarity extends QueryModule {
     "embed_ann_lsh_topk" -> (annLshTopK _),
     "embed_ivf_topk" -> (ivfTopK _),
     "embed_ivf_multiprobe" -> (ivfTopKMultiProbe _),
+    "ivf_index_probe" -> (ivfIndexProbe _),
     "embed_near_dup_pairs" -> (cosineNearDupPairs _),
     "embed_near_dup_hirecall" -> (cosineNearDupPairsHiRecall _),
     "embed_quantize" -> (embedQuantize _),
@@ -1315,6 +1333,7 @@ object Similarity extends QueryModule {
     "embed_ann_lsh_topk" -> annLshTopKSql,
     "embed_ivf_topk" -> ivfTopKSql,
     "embed_ivf_multiprobe" -> ivfMultiProbeSql,
+    "ivf_index_probe" -> ivfTopKSql,
     "embed_near_dup_pairs" -> cosineNearDupPairsSql,
     "embed_near_dup_hirecall" -> cosineNearDupPairsHiRecallSql,
     "embed_quantize" -> embedQuantizeSql,
