@@ -293,15 +293,91 @@ object Mixture extends QueryModule {
        |  CAST(sa_lang AS DOUBLE) / CAST(cc.n_s * cc.n_total AS DOUBLE) / 2.0 AS tvd_lang
        |FROM cc JOIN lc ON lc.source = cc.source""".stripMargin
 
+  // --- budgeted mixture plan ----------------------------------------------
+
+  /** Token budget the plan allocates. sized so both sampling regimes
+    * occur on the driver corpus at sf0.01 (per-source targets straddle
+    * the per-source token counts): under-represented sources get
+    * epochs > 1 (repetition), over-represented get sample_rate < 1. */
+  private[graft] val planBudget = 25000L
+
+  /** The MIXTURE PLANNING table — the step a pre-training run performs
+    * between corpus statistics and the actual data loader: given the
+    * measured per-source token counts and a target mixture, emit per
+    * source how many tokens the budget allocates it, the epochs of its
+    * data that requires (epochs > 1 = deliberate repetition of
+    * under-represented sources, the Pile/LLaMA recipe), and the
+    * resulting sampling rate (capped at 1 — the plan never invents
+    * more than one pass for the sampler; repetition is the loader's
+    * epoch knob, reported separately). Target mixture = temperature
+    * alpha=0.5 over token mass (target_frac ~ sqrt(n_tokens),
+    * normalized) — the same sqrt-not-pow choice as [[temperatureSample]]
+    * and for the same reason: sqrt and division are IEEE
+    * correctly-rounded in both engines, pow(x, 0.3) is not.
+    *
+    * Determinism: the sqrt-mass normalizer is a LEFT-TO-RIGHT fold of
+    * per-source sqrt values in source order (Spark: aggregate() over
+    * array_sort(collect_list(struct)); DuckDB: list_reduce over
+    * list(... ORDER BY source)) — a plain SUM of doubles would be
+    * order-nondeterministic across engines AND across Spark runs.
+    *
+    * Scale shape: one groupBy(source) with map-side partial counts
+    * (sources << corpus), a single-row normalizer broadcast back —
+    * nothing corpus-sized shuffles twice; the plan table is
+    * |sources| rows whatever the corpus size. */
+  def mixturePlan(spark: SparkSession, dir: String): DataFrame = {
+    val per = Core.documents(spark, dir)
+      .select(col("source"), size(split(col("text"), " ")).cast("long").as("n_toks"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_tokens"))
+    val norm = per
+      .agg(sum(col("n_tokens")).as("total_tokens"),
+        aggregate(
+          transform(array_sort(collect_list(struct(col("source"), col("n_tokens")))),
+            s => sqrt(s.getField("n_tokens").cast("double"))),
+          lit(0.0), (acc, x) => acc + x).as("sqrt_sum"))
+    val targetFrac = sqrt(col("n_tokens").cast("double")) / col("sqrt_sum")
+    val epochs = (lit(planBudget.toDouble) * targetFrac) / col("n_tokens").cast("double")
+    per.crossJoin(broadcast(norm))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        (col("n_tokens").cast("double") / col("total_tokens").cast("double"))
+          .as("natural_frac"),
+        targetFrac.as("target_frac"),
+        (lit(planBudget.toDouble) * targetFrac).as("target_tokens"),
+        epochs.as("epochs"),
+        least(lit(1.0), epochs).as("sample_rate"))
+  }
+
+  val mixturePlanSql: String =
+    s"""WITH per AS (
+       |  SELECT source, count(*) AS n_docs,
+       |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+       |  FROM documents GROUP BY 1),
+       |norm AS (
+       |  SELECT CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |      list(sqrt(CAST(n_tokens AS DOUBLE)) ORDER BY source)),
+       |      (acc, x) -> acc + x) AS sqrt_sum
+       |  FROM per)
+       |SELECT source, n_docs, n_tokens,
+       |  CAST(n_tokens AS DOUBLE) / CAST(total_tokens AS DOUBLE) AS natural_frac,
+       |  sqrt(CAST(n_tokens AS DOUBLE)) / sqrt_sum AS target_frac,
+       |  ${planBudget.toDouble} * (sqrt(CAST(n_tokens AS DOUBLE)) / sqrt_sum) AS target_tokens,
+       |  (${planBudget.toDouble} * (sqrt(CAST(n_tokens AS DOUBLE)) / sqrt_sum)) / CAST(n_tokens AS DOUBLE) AS epochs,
+       |  least(1.0, (${planBudget.toDouble} * (sqrt(CAST(n_tokens AS DOUBLE)) / sqrt_sum)) / CAST(n_tokens AS DOUBLE)) AS sample_rate
+       |FROM per CROSS JOIN norm""".stripMargin
+
   override def queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "source_caps" -> (sourceCaps _),
     "temperature_sample" -> (temperatureSample _),
     "source_similarity" -> (sourceSimilarity _),
-    "source_drift" -> (sourceDrift _))
+    "source_drift" -> (sourceDrift _),
+    "mixture_plan" -> (mixturePlan _))
 
   override def oracle: Seq[(String, String)] = Seq(
     "source_caps" -> sourceCapsSql,
     "temperature_sample" -> temperatureSampleSql,
     "source_similarity" -> sourceSimilaritySql,
-    "source_drift" -> sourceDriftSql)
+    "source_drift" -> sourceDriftSql,
+    "mixture_plan" -> mixturePlanSql)
 }

@@ -127,4 +127,43 @@ class MixtureSpec extends SparkSpec {
       s"hand-computed TVD mismatch: ${tinyOut.mkString(", ")}")
     d.unpersist(); pd.unpersist()
   }
+
+  test("mixture plan: fractions normalize, budget ties out, epochs/rate consistent") {
+    val p = Mixture.mixturePlan(spark, sf0001).cache()
+    val docs = graft.ops.Core.documents(spark, sf0001)
+    assert(p.count() == docs.select("source").distinct().count())
+    assert(p.agg(sum($"n_docs")).as[Long].head() == docs.count())
+    // both fraction columns are distributions (left-to-right fold makes
+    // the target normalizer deterministic, so the sums are clean)
+    val (natSum, tgtSum, tgtTokSum) = p.agg(sum($"natural_frac"), sum($"target_frac"),
+      sum($"target_tokens")).as[(Double, Double, Double)].head()
+    assert(math.abs(natSum - 1.0) < 1e-9, s"natural_frac sums to $natSum")
+    assert(math.abs(tgtSum - 1.0) < 1e-9, s"target_frac sums to $tgtSum")
+    // the allocation exhausts the budget exactly (up to fp roundoff)
+    assert(math.abs(tgtTokSum - Mixture.planBudget.toDouble) < 1e-6,
+      s"allocated $tgtTokSum of ${Mixture.planBudget}")
+    // per-row consistency: epochs = target_tokens / n_tokens,
+    // sample_rate = min(1, epochs)
+    val rows = p.as[(String, Long, Long, Double, Double, Double, Double, Double)]
+      .collect()
+    rows.foreach { case (src, _, nTok, _, _, tgtTok, ep, rate) =>
+      assert(math.abs(ep - tgtTok / nTok.toDouble) < 1e-12, s"$src epochs")
+      assert(rate == math.min(1.0, ep), s"$src sample_rate")
+    }
+    // sqrt-flattening: monotone in token mass (rank-preserving), and
+    // the EXTREME sources move toward uniform — the largest source's
+    // target share shrinks below its natural share, the smallest
+    // grows above it. (Deliberately NOT asserted for middle sources:
+    // between the arithmetic and sqrt-weighted means a source's
+    // target can legitimately exceed both its natural share and
+    // uniform.)
+    val byTok = rows.sortBy(_._3)
+    assert(byTok.map(_._5).zip(byTok.tail.map(_._5)).forall { case (a, b) => a <= b },
+      "target_frac must be monotone in n_tokens")
+    if (byTok.head._3 != byTok.last._3) {
+      assert(byTok.last._5 < byTok.last._4, "largest source must flatten down")
+      assert(byTok.head._5 > byTok.head._4, "smallest source must flatten up")
+    }
+    p.unpersist()
+  }
 }
