@@ -114,6 +114,29 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("adaptive hi-recall tiers: pick matches cutoffs, every tier sound vs exact") {
+    // the tier rule itself (r8): first covering cutoff wins
+    assert(Similarity.ndHiPick(1L) == ((16, 2)))
+    assert(Similarity.ndHiPick(8192L) == ((16, 2)))
+    assert(Similarity.ndHiPick(8193L) == ((16, 3)))
+    assert(Similarity.ndHiPick(262144L) == ((16, 3)))
+    assert(Similarity.ndHiPick(262145L) == ((16, 4)))
+    assert(Similarity.ndHiPick(1000000000L) == ((16, 4)))
+    // soundness holds at every tier, not just the one the corpus size
+    // selects: the banded candidate set feeds an exact cosine verify,
+    // so forced 16x3/16x4 outputs are subsets of the all-pairs join
+    // with identical cosines (recall is the documented knob; soundness
+    // is not allowed to move)
+    val exact = Similarity.cosineNearDupPairsExact(spark, sf0001)
+      .as[(Long, Long, Double)].collect().toSet
+    Seq(3, 4).foreach { r =>
+      val forced = Similarity.cosineNearDupPairsAt(spark, sf0001, 16, r)
+        .as[(Long, Long, Double)].collect().toSet
+      assert(forced.subsetOf(exact),
+        s"16x$r produced ${forced.diff(exact).size} pairs the exact join doesn't have")
+    }
+  }
+
   test("int8 quantization: codes in [-127,127], error within half a step per dim") {
     val qz = Similarity.embedQuantize(spark, sf0001).cache()
     assert(qz.filter($"q" < -127 || $"q" > 127).isEmpty)
