@@ -293,6 +293,113 @@ object Mixture extends QueryModule {
        |  CAST(sa_lang AS DOUBLE) / CAST(cc.n_s * cc.n_total AS DOUBLE) / 2.0 AS tvd_lang
        |FROM cc JOIN lc ON lc.source = cc.source""".stripMargin
 
+  // --- persisted drift baseline + batch/streaming probes -------------------
+
+  /** Persist the corpus-wide distributions [[sourceDrift]] compares
+    * against — the cross-batch lifecycle for the MIXTURE family,
+    * completing the pattern the three persisted indexes follow
+    * (exact-digest, simhash, IVF): a periodic batch job publishes the
+    * baseline, ingests and streams probe against it. Layout: one tiny
+    * parquet with a `kind` discriminator — char-bucket counts
+    * (kind='chars', key=bucket), language counts (kind='lang',
+    * key=lang), and the corpus total (kind='total') — a few dozen
+    * rows regardless of corpus size, so every probe broadcasts it. */
+  def writeDriftBaseline(spark: SparkSession, dir: String, outDir: String): Unit =
+    writeDriftBaselineFrom(Core.documents(spark, dir), outDir)
+
+  private[graft] def writeDriftBaselineFrom(docs0: DataFrame, outDir: String): Unit = {
+    val docs = docs0.select(col("lang"),
+      floor(col("n_chars") / lit(driftBucketChars)).cast("long").as("bucket"))
+    val b = docs.groupBy("bucket").agg(count(lit(1)).as("n"))
+      .select(lit("chars").as("kind"), col("bucket").cast("string").as("key"), col("n"))
+    val l = docs.groupBy("lang").agg(count(lit(1)).as("n"))
+      .select(lit("lang").as("kind"), col("lang").as("key"), col("n"))
+    val t = docs.agg(count(lit(1)).as("n"))
+      .select(lit("total").as("kind"), lit("").as("key"), col("n"))
+    b.unionByName(l).unionByName(t).coalesce(1)
+      .write.mode("overwrite").parquet(outDir)
+  }
+
+  /** Probe a NEW batch of documents against the persisted baseline:
+    * per batch source, the total-variation distance of its char-bucket
+    * and language distributions from the CORPUS the baseline was built
+    * on — the ingest-time canary that flags a source whose latest
+    * crawl suddenly ships a different language mix or length profile
+    * than the curated corpus. Same integer-exact TVD as [[sourceDrift]]
+    * (|n_sk*n_total - n_k*n_s| summed, divided once at the end), over
+    * the UNION of batch and baseline keys: a batch-only bucket
+    * contributes its full batch mass, a baseline-only bucket its full
+    * corpus mass — dropping either side would understate drift.
+    *
+    * Plan shape: the baseline is a few dozen rows (broadcast); the
+    * only batch-sized work is one groupBy(source, kind, key). Nothing
+    * corpus-sized is touched at probe time at all — at 100 TB the
+    * probe cost is the batch's, not the corpus's. */
+  def probeDriftBaseline(spark: SparkSession, batch: DataFrame,
+      baselineDir: String): DataFrame = {
+    val base = spark.read.parquet(baselineDir)
+    val nTotal = base.filter(col("kind") === "total")
+      .select(col("n")).head().getLong(0)
+    val baseKeys = base.filter(col("kind") =!= "total")
+      .select(col("kind"), col("key"), col("n").as("n_k"))
+    val docs = batch.select(col("source"), col("lang"),
+      floor(col("n_chars") / lit(driftBucketChars)).cast("long").as("bucket"))
+    val sCounts = docs
+      .select(col("source"), lit("chars").as("kind"),
+        col("bucket").cast("string").as("key"))
+      .unionByName(docs.select(col("source"), lit("lang").as("kind"),
+        col("lang").as("key")))
+      .groupBy(col("source"), col("kind"), col("key"))
+      .agg(count(lit(1)).as("n_sk"))
+    val sTotals = docs.groupBy(col("source")).agg(count(lit(1)).as("n_s"))
+    // baseline-key rows per source (left join brings batch mass where
+    // present), plus batch-only keys the baseline has never seen
+    val onBase = sTotals.crossJoin(broadcast(baseKeys))
+      .join(sCounts, Seq("source", "kind", "key"), "left")
+      .select(col("source"), col("kind"), col("n_s"),
+        coalesce(col("n_sk"), lit(0L)).as("n_sk"), col("n_k"))
+    val extras = sCounts.join(broadcast(baseKeys), Seq("kind", "key"), "left_anti")
+      .join(sTotals, "source")
+      .select(col("source"), col("kind"), col("n_s"), col("n_sk"), lit(0L).as("n_k"))
+    onBase.unionByName(extras)
+      .groupBy(col("source"), col("n_s"))
+      .agg(
+        sum(when(col("kind") === "chars",
+          abs(col("n_sk") * lit(nTotal) - col("n_k") * col("n_s")))
+          .otherwise(lit(0L))).as("sa_chars"),
+        sum(when(col("kind") === "lang",
+          abs(col("n_sk") * lit(nTotal) - col("n_k") * col("n_s")))
+          .otherwise(lit(0L))).as("sa_lang"))
+      .select(col("source"), col("n_s").as("n_docs"),
+        (col("sa_chars").cast("double") /
+          (col("n_s") * lit(nTotal)).cast("double") / lit(2.0)).as("tvd_chars"),
+        (col("sa_lang").cast("double") /
+          (col("n_s") * lit(nTotal)).cast("double") / lit(2.0)).as("tvd_lang"))
+  }
+
+  /** STREAMING drift canary: incoming document drops probed against
+    * the persisted baseline per micro-batch, per-source TVD rows
+    * landed idempotently per batch_id (the K1 sink rule). The baseline
+    * stays immutable during the stream and is republished by the
+    * periodic batch rebuild — the same split as the dedup/simhash/IVF
+    * index probes, for the same reason: a mutable in-stream baseline
+    * would both serialize batches through a write and make drift
+    * self-referential (today's skewed batch polluting the yardstick
+    * it is measured against). */
+  def streamingDriftProbe(spark: SparkSession, incoming: DataFrame,
+      baselineDir: String, outDir: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    incoming.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val drift = probeDriftBaseline(spark, batch, baselineDir)
+          graft.streaming.StreamingPipeline.writeBatchIdempotent(drift, batchId, outDir)
+        }
+      }
+      .start()
+
   // --- budgeted mixture plan ----------------------------------------------
 
   /** Token budget the plan allocates. sized so both sampling regimes

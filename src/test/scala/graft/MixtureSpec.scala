@@ -128,6 +128,28 @@ class MixtureSpec extends SparkSpec {
     d.unpersist(); pd.unpersist()
   }
 
+  test("drift baseline probe: corpus-mirror batch at zero, planted skew near one, batch-only keys counted") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_drift_base").toString
+    Mixture.writeDriftBaseline(spark, sf0001, dir)
+    val docs = graft.ops.Core.documents(spark, sf0001)
+    // a batch that IS the corpus under one source label: every batch
+    // fraction equals the baseline fraction, so the integer-exact TVD
+    // is exactly 0.0 on both axes — no tolerance needed
+    val mirror = docs.select(lit("mirror").as("source"), $"lang", $"n_chars")
+    // a source concentrated in one alien bucket and language: both its
+    // keys are batch-only, so its TVD is exactly 1.0 if (and only if)
+    // batch-only keys carry their full mass
+    val plant = spark.range(0, 30).select(lit("plant").as("source"),
+      lit("zz").as("lang"), (lit(5000L) + col("id")).as("n_chars"))
+    val got = Mixture.probeDriftBaseline(spark, mirror.unionByName(plant), dir)
+      .as[(String, Long, Double, Double)].collect().sortBy(_._1).toSeq
+    assert(got.map(_._1) == Seq("mirror", "plant"))
+    val Seq((_, nMirror, mc, ml), (_, nPlant, pc, pl)) = got
+    assert(nMirror == docs.count() && nPlant == 30L)
+    assert(mc == 0.0 && ml == 0.0, s"corpus-mirror batch must sit at TVD 0, got $mc/$ml")
+    assert(pc == 1.0 && pl == 1.0, s"fully-alien source must sit at TVD 1, got $pc/$pl")
+  }
+
   test("mixture plan: fractions normalize, budget ties out, epochs/rate consistent") {
     val p = Mixture.mixturePlan(spark, sf0001).cache()
     val docs = graft.ops.Core.documents(spark, sf0001)

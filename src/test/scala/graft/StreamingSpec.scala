@@ -775,4 +775,44 @@ class StreamingSpec extends SparkSpec {
     assert(known.map(_._1).forall(k => zeroes.contains((k, k - 100000L))))
     assert(got.filter($"probe_id" === 200001L).isEmpty)
   }
+
+  test("streaming drift probe equals the per-batch probe against the persisted baseline") {
+    implicit val sqlCtx = spark.sqlContext
+    val baseDir = java.nio.file.Files.createTempDirectory("graft_sdrift").toString + "/base"
+    val outDir = java.nio.file.Files.createTempDirectory("graft_sdrift_o").toString + "/out"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_sdrift_c").toString
+    graft.ops.Mixture.writeDriftBaseline(spark, sf0001, baseDir)
+    // batch 1: an in-distribution sample; batch 2: the same plus an
+    // alien source (new lang, new length bucket) that must rank first
+    val sample = graft.ops.Core.documents(spark, sf0001)
+      .orderBy("doc_id").limit(20)
+      .select(lit("ingestA").as("source"), $"lang", $"n_chars")
+      .as[(String, String, Long)].collect().toSeq
+    val alien = (0 until 10).map(i => ("ingestB", "zz", 5000L + i))
+    val src = MemoryStream[(String, String, Long)]
+    val q = graft.ops.Mixture.streamingDriftProbe(spark,
+      src.toDF().toDF("source", "lang", "n_chars"), baseDir, outDir, ckpt)
+    try {
+      src.addData(sample: _*)
+      q.processAllAvailable()
+      src.addData(alien: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.read.parquet(outDir)
+    // idempotent landing: one row per (batch, source)
+    assert(got.count() == 2)
+    assert(got.select("batch_id").distinct().count() == 2)
+    // equals the batch probe, batch by batch
+    def probeOf(rows: Seq[(String, String, Long)]) =
+      graft.ops.Mixture.probeDriftBaseline(spark,
+        rows.toDF("source", "lang", "n_chars"), baseDir)
+    val expect = probeOf(sample).unionByName(probeOf(alien))
+    val gotRows = got.drop("batch_id")
+    assert(gotRows.exceptAll(expect).isEmpty && expect.exceptAll(gotRows).isEmpty,
+      "streaming drift rows must equal the per-batch probe outputs")
+    // the fully-alien source sits at exactly TVD 1 on both axes
+    val b = got.filter($"source" === "ingestB")
+      .select("tvd_chars", "tvd_lang").as[(Double, Double)].head()
+    assert(b == ((1.0, 1.0)), s"alien source must hit TVD 1, got $b")
+  }
 }
