@@ -474,17 +474,211 @@ object Mixture extends QueryModule {
        |  least(1.0, (${planBudget.toDouble} * (sqrt(CAST(n_tokens AS DOUBLE)) / sqrt_sum)) / CAST(n_tokens AS DOUBLE)) AS sample_rate
        |FROM per CROSS JOIN norm""".stripMargin
 
+  // --- exact source overlap (the sketch's audit twin) -----------------------
+
+  /** EXACT pairwise source shingle-overlap — the audit twin of
+    * [[sourceSimilarity]]'s bottom-k estimate, the same pairing the
+    * ANN family maintains (`embed_cosine_topk` exact baseline vs the
+    * IVF/LSH scale paths): run the exact form on a slice to calibrate
+    * the sketch, run the sketch at corpus scale. Jaccard here is over
+    * each source's DISTINCT shingle-hash set (identical hash on both
+    * engines, so collisions — ~|set|/P — merge the same shingles on
+    * both sides and the result stays hash-exact).
+    *
+    * Scale shape: one distinct-(source, h) shuffle, then an equi-join
+    * on h — a shingle shared by s sources fans out to s·(s-1)/2 pair
+    * rows, so the join output is bounded by sources² × distinct
+    * shingles, NOT corpus². Linear in corpus size for a bounded source
+    * list, but the constant is the shared-vocabulary mass — which is
+    * exactly why the registered 100 TB path is the k-row-per-source
+    * sketch and this form is the calibration audit (MixtureSpec
+    * asserts the sketch's estimates track these exact values). */
+  def sourceOverlapExact(spark: SparkSession, dir: String): DataFrame =
+    sourceOverlapExactFrom(Core.documents(spark, dir))
+
+  private[graft] def sourceOverlapExactFrom(docs: DataFrame): DataFrame = {
+    val dn = TextDedup.withNgramArr(docs)
+      .select(col("source"), explode(array_distinct(col("ngarr"))).as("ng"))
+      .select(col("source"), graft.functions.poly_hash(col("ng")).as("h"))
+      .distinct()
+      .cache() // three uses: sizes + both sides of the pair join
+    val sz = dn.groupBy("source").agg(count(lit(1)).as("n"))
+    val inter = dn.as("a").join(dn.as("b"),
+        col("a.h") === col("b.h") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    inter
+      .join(broadcast(sz.select(col("source").as("src_a"), col("n").as("n_a"))), "src_a")
+      .join(broadcast(sz.select(col("source").as("src_b"), col("n").as("n_b"))), "src_b")
+      .select(col("src_a"), col("src_b"), col("n_a"), col("n_b"), col("n_shared"),
+        (col("n_shared").cast("double") /
+          (col("n_a") + col("n_b") - col("n_shared")).cast("double")).as("jaccard"))
+  }
+
+  val sourceOverlapExactSql: String = {
+    val ngHash = TextDedup.charHashSql("ng")
+    s"""WITH dn AS (
+       |  SELECT DISTINCT source, $ngHash AS h FROM (
+       |    SELECT source, unnest(list_distinct(${TextDedup.ngramsSql})) AS ng FROM documents)),
+       |sz AS (SELECT source, count(*) AS n FROM dn GROUP BY 1),
+       |inter AS (
+       |  SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_shared
+       |  FROM dn a JOIN dn b ON a.h = b.h AND a.source < b.source
+       |  GROUP BY 1, 2)
+       |SELECT src_a, src_b, sa.n AS n_a, sb.n AS n_b, n_shared,
+       |  CAST(n_shared AS DOUBLE) / CAST(sa.n + sb.n - n_shared AS DOUBLE) AS jaccard
+       |FROM inter JOIN sz sa ON src_a = sa.source JOIN sz sb ON src_b = sb.source""".stripMargin
+  }
+
+  // --- KMV approximate distinct-cardinality ---------------------------------
+
+  /** Bottom-k of the KMV estimator (same k as the similarity sketch). */
+  private[graft] val kmvK = 64
+
+  /** KMV (k-minimum-values) APPROXIMATE DISTINCT cardinality per
+    * source — the "how many distinct shingles does each source
+    * contribute" statistic a vocabulary-budget or dedup-cost planner
+    * needs, WITHOUT a full distinct count at 100 TB. Estimator
+    * (Bar-Yossef et al. 2002): treat the k smallest of the distinct
+    * hash values (uniform on [0, P)) as order statistics — the k-th
+    * smallest h_k estimates D ≈ (k-1)·P / h_k. The per-source bottom-k
+    * set is a MERGEABLE sketch (union = bottom-k of the union), so
+    * shards combine associatively — the property exact counts lack.
+    *
+    * The registered query is the CALIBRATION table: exact distinct
+    * count and KMV estimate side by side with the signed relative
+    * error (MixtureSpec bounds it; the expected s.e. is ~1/sqrt(k-1) ≈
+    * 0.126 at k=64). At 100 TB the exact column is dropped and only
+    * the k-row-per-source bottom-k sketch is aggregated. Hash-exact
+    * cross-engine: the estimate is one literal-product division —
+    * (k-1)·P is exact in a double (6.3e7 << 2^53), h_k is an integer,
+    * and a single IEEE division is correctly rounded in both engines.
+    * Sources with fewer than k distinct hashes report the exact count
+    * as the estimate (h_k undefined — NULL kth_hash). */
+  def distinctShinglesKmv(spark: SparkSession, dir: String): DataFrame =
+    distinctShinglesKmvFrom(Core.documents(spark, dir))
+
+  private[graft] def distinctShinglesKmvFrom(docs: DataFrame): DataFrame = {
+    val dn = TextDedup.withNgramArr(docs)
+      .select(col("source"), explode(array_distinct(col("ngarr"))).as("ng"))
+      .select(col("source"), graft.functions.poly_hash(col("ng")).as("h"))
+      .distinct()
+      .cache() // two uses: exact count + the bottom-k window
+    val exact = dn.groupBy("source").agg(count(lit(1)).as("n_exact"))
+    val w = Window.partitionBy(col("source")).orderBy(col("h"))
+    val kth = dn.withColumn("r", row_number().over(w))
+      .filter(col("r") === kmvK)
+      .select(col("source"), col("h").as("kth_hash"))
+    val estProduct = (kmvK - 1).toLong * graft.functions.PolyHash.P // exact in a double
+    exact.join(kth, Seq("source"), "left")
+      .withColumn("est_kmv",
+        when(col("kth_hash").isNull, col("n_exact").cast("double"))
+          .otherwise(lit(estProduct.toDouble) / col("kth_hash").cast("double")))
+      .select(col("source"), col("n_exact"), col("kth_hash"), col("est_kmv"),
+        ((col("est_kmv") - col("n_exact").cast("double")) /
+          col("n_exact").cast("double")).as("rel_err"))
+  }
+
+  val distinctShinglesKmvSql: String = {
+    val ngHash = TextDedup.charHashSql("ng")
+    val estProduct = (kmvK - 1).toLong * graft.functions.PolyHash.P
+    s"""WITH dn AS (
+       |  SELECT DISTINCT source, $ngHash AS h FROM (
+       |    SELECT source, unnest(list_distinct(${TextDedup.ngramsSql})) AS ng FROM documents)),
+       |exact AS (SELECT source, count(*) AS n_exact FROM dn GROUP BY 1),
+       |kth AS (
+       |  SELECT source, h AS kth_hash FROM (
+       |    SELECT source, h, ROW_NUMBER() OVER (PARTITION BY source ORDER BY h) AS r FROM dn)
+       |  WHERE r = $kmvK),
+       |est AS (
+       |  SELECT e.source, e.n_exact, k.kth_hash,
+       |    CASE WHEN k.kth_hash IS NULL THEN CAST(e.n_exact AS DOUBLE)
+       |         ELSE $estProduct.0 / CAST(k.kth_hash AS DOUBLE) END AS est_kmv
+       |  FROM exact e LEFT JOIN kth k ON k.source = e.source)
+       |SELECT source, n_exact, kth_hash, est_kmv,
+       |  (est_kmv - CAST(n_exact AS DOUBLE)) / CAST(n_exact AS DOUBLE) AS rel_err
+       |FROM est""".stripMargin
+  }
+
+  // --- vocabulary growth (Heaps' law curve) ---------------------------------
+
+  /** VOCABULARY GROWTH curve — distinct word types vs cumulative token
+    * occurrences over the corpus in ingestion (doc_id) order, the
+    * Heaps'-law diagnostic that sizes a tokenizer vocabulary and
+    * detects corpus saturation (the curve flattening means new data
+    * stops contributing new vocabulary — the signal to stop crawling a
+    * source). Buckets are LOG2-spaced over doc_id (bucket =
+    * floor(log2(doc_id+1)), computed integer-exactly as
+    * length(bin(doc_id+1))-1 — no floating log whose last-ulp boundary
+    * behavior could differ across engines), so the bucket count is
+    * ≤64 FOREVER — the growth curve of a 100 TB corpus is the same
+    * handful of rows as this one's.
+    *
+    * Scale shape: one groupBy(token) min(doc_id) shuffle (map-side
+    * partial min) + one per-bucket aggregate; the cumulative window
+    * runs over the ≤64-row bucket table (global window allowlisted
+    * with that justification). */
+  def vocabGrowth(spark: SparkSession, dir: String): DataFrame = {
+    def bucketOf(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      (length(bin(c + lit(1))) - lit(1)).cast("int")
+    val docs = Core.documents(spark, dir)
+    val firstSeen = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy("tok").agg(min(col("doc_id")).as("first_doc"))
+    val newTypes = firstSeen
+      .groupBy(bucketOf(col("first_doc")).as("bucket"))
+      .agg(count(lit(1)).as("n_new_types"))
+    val occ = docs
+      .select(bucketOf(col("doc_id")).as("bucket"),
+        size(split(col("text"), " ")).cast("long").as("ntok"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"), sum(col("ntok")).as("n_token_occurrences"))
+    val w = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    occ.join(newTypes, Seq("bucket"), "left")
+      .withColumn("n_new_types", coalesce(col("n_new_types"), lit(0L)))
+      .withColumn("cum_tokens", sum(col("n_token_occurrences")).over(w))
+      .withColumn("cum_types", sum(col("n_new_types")).over(w))
+  }
+
+  val vocabGrowthSql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+      |fs AS (SELECT tok, min(doc_id) AS first_doc FROM tok GROUP BY 1),
+      |nt AS (
+      |  SELECT CAST(length(bin(first_doc + 1)) - 1 AS INTEGER) AS bucket,
+      |    count(*) AS n_new_types
+      |  FROM fs GROUP BY 1),
+      |occ AS (
+      |  SELECT CAST(length(bin(doc_id + 1)) - 1 AS INTEGER) AS bucket,
+      |    count(*) AS n_docs,
+      |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_token_occurrences
+      |  FROM documents GROUP BY 1)
+      |SELECT occ.bucket, n_docs, n_token_occurrences,
+      |  CAST(coalesce(n_new_types, 0) AS BIGINT) AS n_new_types,
+      |  CAST(sum(n_token_occurrences) OVER (ORDER BY occ.bucket
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens,
+      |  CAST(sum(coalesce(n_new_types, 0)) OVER (ORDER BY occ.bucket
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_types
+      |FROM occ LEFT JOIN nt USING (bucket)""".stripMargin
+
   override def queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "source_caps" -> (sourceCaps _),
     "temperature_sample" -> (temperatureSample _),
     "source_similarity" -> (sourceSimilarity _),
     "source_drift" -> (sourceDrift _),
-    "mixture_plan" -> (mixturePlan _))
+    "mixture_plan" -> (mixturePlan _),
+    "source_overlap_exact" -> (sourceOverlapExact _),
+    "distinct_shingles_kmv" -> (distinctShinglesKmv _),
+    "vocab_growth" -> (vocabGrowth _))
 
   override def oracle: Seq[(String, String)] = Seq(
     "source_caps" -> sourceCapsSql,
     "temperature_sample" -> temperatureSampleSql,
     "source_similarity" -> sourceSimilaritySql,
     "source_drift" -> sourceDriftSql,
-    "mixture_plan" -> mixturePlanSql)
+    "mixture_plan" -> mixturePlanSql,
+    "source_overlap_exact" -> sourceOverlapExactSql,
+    "distinct_shingles_kmv" -> distinctShinglesKmvSql,
+    "vocab_growth" -> vocabGrowthSql)
 }

@@ -150,6 +150,87 @@ class MixtureSpec extends SparkSpec {
     assert(pc == 1.0 && pl == 1.0, s"fully-alien source must sit at TVD 1, got $pc/$pl")
   }
 
+  test("exact source overlap: mirror pair at 1.0, sketch estimates track the exact values") {
+    val docs = Core.documents(spark, sf0001)
+    val mirror = docs.filter($"source" === "src0")
+      .withColumn("doc_id", $"doc_id" + 100000L)
+      .withColumn("source", lit("srcX"))
+    val planted = docs.unionByName(mirror)
+    val exact = Mixture.sourceOverlapExactFrom(planted)
+      .select("src_a", "src_b", "n_a", "n_b", "n_shared", "jaccard")
+      .as[(String, String, Long, Long, Long, Double)].collect()
+    assert(exact.nonEmpty)
+    exact.foreach { case (a, b, na, nb, sh, j) =>
+      assert(a < b && sh >= 1 && sh <= math.min(na, nb), s"$a/$b counts")
+      assert(j > 0.0 && j <= 1.0, s"$a/$b jaccard $j")
+    }
+    // identical shingle sets -> EXACT jaccard is 1 (the sketch test
+    // only got the estimator to 1; this is the ground truth)
+    val mirrorJ = exact.collectFirst { case ("src0", "srcX", _, _, _, j) => j }.get
+    assert(mirrorJ == 1.0, s"mirror pair exact jaccard $mirrorJ")
+    // calibration: every sketch estimate within 3 s.e. (3/8 at k=64)
+    // of its exact value — the claim that justifies running the
+    // sketch INSTEAD of this query at corpus scale
+    val est = Mixture.sourceSimilarityFrom(planted)
+      .select("src_a", "src_b", "jaccard_est")
+      .as[(String, String, Double)].collect()
+      .map { case (a, b, j) => (a, b) -> j }.toMap
+    val errs = exact.map { case (a, b, _, _, _, j) => math.abs(est((a, b)) - j) }
+    assert(errs.forall(_ <= 3.0 / 8.0), s"max sketch error ${errs.max}")
+    assert(errs.sum / errs.length <= 0.15, s"mean sketch error ${errs.sum / errs.length}")
+  }
+
+  test("KMV distinct: error within bounds, small-source branch exact, estimate positive") {
+    val rows = Mixture.distinctShinglesKmv(spark, sf0001)
+      .select("source", "n_exact", "kth_hash", "est_kmv", "rel_err")
+      .as[(String, Long, Option[Long], Double, Double)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (src, nExact, kth, est, relErr) =>
+      assert(est > 0.0, s"$src estimate $est")
+      assert(relErr == (est - nExact) / nExact.toDouble, s"$src rel_err wiring")
+      kth match {
+        case Some(h) =>
+          assert(nExact >= Mixture.kmvK, s"$src has kth_hash but only $nExact")
+          assert(est == 63.0 * 1000003.0 / h.toDouble, s"$src estimator arithmetic")
+          // 4 sigma at s.e. ~ 1/sqrt(k-1) ~ 0.126
+          assert(math.abs(relErr) <= 0.5, s"$src rel_err $relErr")
+        case None =>
+          assert(nExact < Mixture.kmvK && est == nExact.toDouble,
+            s"$src small-source branch must be exact")
+      }
+    }
+    // exercise the <k branch explicitly: a 1-doc source has few shingles
+    val tiny = Seq((999999L, "a b c d e f", "en", "srcTINY", 11L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val t = Mixture.distinctShinglesKmvFrom(tiny)
+      .select("n_exact", "kth_hash", "est_kmv").as[(Long, Option[Long], Double)]
+      .collect().head
+    assert(t._1 == 4L && t._2.isEmpty && t._3 == 4.0, s"tiny source: $t")
+  }
+
+  test("vocab growth: buckets contiguous log2, cumulatives tie out to corpus totals") {
+    val g = Mixture.vocabGrowth(spark, sf0001)
+      .select("bucket", "n_docs", "n_token_occurrences", "n_new_types",
+        "cum_tokens", "cum_types")
+      .as[(Int, Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    val docs = Core.documents(spark, sf0001)
+    val nDocs = docs.count()
+    // log2 buckets: 0 .. floor(log2(n)) contiguous, so the curve stays
+    // a handful of rows at ANY corpus size
+    val expectBuckets = (0 to (63 - java.lang.Long.numberOfLeadingZeros(nDocs))).toList
+    assert(g.map(_._1).toList == expectBuckets, s"buckets ${g.map(_._1).toList}")
+    assert(g.map(_._2).sum == nDocs)
+    val totalToks = docs.select(sum(size(split($"text", " ")))).as[Long].head()
+    val totalTypes = docs
+      .select(explode(split($"text", " ")).as("t")).distinct().count()
+    assert(g.last._5 == totalToks, s"final cum_tokens ${g.last._5} != $totalToks")
+    assert(g.last._6 == totalTypes, s"final cum_types ${g.last._6} != $totalTypes")
+    // cumulative columns are running sums of the per-bucket columns
+    val runTok = g.scanLeft(0L)(_ + _._3).tail
+    val runTyp = g.scanLeft(0L)(_ + _._4).tail
+    assert(g.map(_._5).toSeq == runTok.toSeq && g.map(_._6).toSeq == runTyp.toSeq)
+  }
+
   test("mixture plan: fractions normalize, budget ties out, epochs/rate consistent") {
     val p = Mixture.mixturePlan(spark, sf0001).cache()
     val docs = graft.ops.Core.documents(spark, sf0001)

@@ -60,7 +60,8 @@ class PlanAuditSpec extends SparkSpec {
     "asof_join" -> "reference-parity global as-of; partitioned twin = asof_join_by_user",
     "boilerplate_ngrams" -> "rank window over an already-truncated top-20",
     "bpe_token_ids" -> "id-assignment rank over the VOCABULARY aggregate — corpus-size-independent input",
-    "packed_token_ids" -> "embeds bpe_token_ids' vocab-sized id-assignment rank; the packing window itself is shard-partitioned")
+    "packed_token_ids" -> "embeds bpe_token_ids' vocab-sized id-assignment rank; the packing window itself is shard-partitioned",
+    "vocab_growth" -> "cumulative sums over the <=64-row log2-bucket aggregate — corpus-size-independent input")
 
   // detection runs on the OPTIMIZED LOGICAL plan: the AQE-wrapped
   // executedPlan does not traverse into its inner plan pre-execution,
