@@ -400,6 +400,94 @@ object Mixture extends QueryModule {
       }
       .start()
 
+  // --- persisted-baseline mixture gate -------------------------------------
+
+  /** The APPLY side of temperature rebalancing at ingest time: gate each
+    * incoming document by the keep rate its language earns under the
+    * PERSISTED corpus baseline ([[writeDriftBaseline]]'s lang rows) —
+    * the same artifact that feeds the drift canary now also drives the
+    * mixture gate, so one periodic batch job publishes one baseline and
+    * every ingest consumes it twice. Rate = sqrt(n_min / n_lang), the
+    * identical correctly-rounded arithmetic as [[temperatureSample]];
+    * the gate is the same content-hash threshold, so gating the corpus
+    * against its own baseline reproduces temperatureSample's kept
+    * counts exactly (spec-asserted). A language the baseline has never
+    * seen keeps everything (rate 1.0): an unseen language is by
+    * definition the most under-represented class, and the next baseline
+    * republish prices it properly.
+    *
+    * Plan shape: map-side only — the baseline is a few dozen broadcast
+    * rows and the verdict is a per-row expression; nothing shuffles,
+    * nothing corpus-sized is read at probe time. The cheapest possible
+    * streaming operator. */
+  def probeMixtureGate(spark: SparkSession, batch: DataFrame,
+      baselineDir: String): DataFrame = {
+    val langs = spark.read.parquet(baselineDir)
+      .filter(col("kind") === "lang")
+      .select(col("key").as("lang"), col("n").as("n_lang"))
+    val minc = langs.agg(min(col("n_lang")).as("n_min"))
+    val rate = when(col("n_lang").isNull, lit(1.0))
+      .otherwise(sqrt(col("n_min").cast("double") / col("n_lang").cast("double")))
+    batch.select(col("doc_id"), col("lang"),
+        (graft.functions.poly_hash(col("text")) % lit(1000000L)).as("h"))
+      .join(broadcast(langs), Seq("lang"), "left")
+      .crossJoin(broadcast(minc))
+      .withColumn("keep_rate", rate)
+      .select(col("doc_id"), col("lang"), col("keep_rate"),
+        when(col("h").cast("double") < col("keep_rate") * lit(1000000.0), 1)
+          .otherwise(0).as("kept"))
+  }
+
+  /** STREAMING ingest-time mixture gate: per micro-batch, every incoming
+    * document's keep verdict against the persisted baseline, landed
+    * idempotently per batch_id (audit rows carry the drops too — the
+    * loader filters kept=1). Immutable-baseline split as the other
+    * persisted probes: the gate never updates the counts it reads, so
+    * batches are embarrassingly parallel and a skewed burst cannot
+    * re-price itself mid-stream. */
+  def streamingMixtureGate(spark: SparkSession, incoming: DataFrame,
+      baselineDir: String, outDir: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    incoming.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val gated = probeMixtureGate(spark, batch, baselineDir)
+          graft.streaming.StreamingPipeline.writeBatchIdempotent(gated, batchId, outDir)
+        }
+      }
+      .start()
+
+  /** Registered CROSS-BATCH form under the hash gate (the index-probe
+    * pattern, TextDedup.dedupIndexProbe): publish the baseline from the
+    * even-doc_id half of the corpus, gate the odd half against it —
+    * genuinely cross-batch rates, round-tripped through the parquet
+    * baseline. QBench cold-JVM sf0.1: [1.038, 0.901]s. */
+  def mixtureGateProbe(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Core.documents(spark, dir)
+    val baseDir = java.nio.file.Files
+      .createTempDirectory("graft_mixture_gate").toString
+    writeDriftBaselineFrom(docs.filter(col("doc_id") % 2 === 0), baseDir)
+    probeMixtureGate(spark, docs.filter(col("doc_id") % 2 === 1), baseDir)
+  }
+
+  val mixtureGateProbeSql: String = {
+    val rate = """CASE WHEN base.n_lang IS NULL THEN 1.0
+                 | ELSE sqrt(CAST(n_min AS DOUBLE) / CAST(n_lang AS DOUBLE)) END"""
+      .stripMargin.replace("\n", " ")
+    s"""WITH base AS (
+       |  SELECT lang, count(*) AS n_lang FROM documents WHERE doc_id % 2 = 0 GROUP BY 1),
+       |m AS (SELECT min(n_lang) AS n_min FROM base),
+       |b AS (
+       |  SELECT doc_id, lang, ${TextDedup.charHashSql("text")} % 1000000 AS h
+       |  FROM documents WHERE doc_id % 2 = 1)
+       |SELECT b.doc_id, b.lang, $rate AS keep_rate,
+       |  CAST(CASE WHEN CAST(h AS DOUBLE) < ($rate) * 1000000.0
+       |    THEN 1 ELSE 0 END AS INTEGER) AS kept
+       |FROM b LEFT JOIN base USING (lang) CROSS JOIN m""".stripMargin
+  }
+
   // --- budgeted mixture plan ----------------------------------------------
 
   /** Token budget the plan allocates. sized so both sampling regimes
@@ -431,7 +519,8 @@ object Mixture extends QueryModule {
     * Scale shape: one groupBy(source) with map-side partial counts
     * (sources << corpus), a single-row normalizer broadcast back —
     * nothing corpus-sized shuffles twice; the plan table is
-    * |sources| rows whatever the corpus size. */
+    * |sources| rows whatever the corpus size.
+    * QBench cold-JVM sf0.1: [0.862, 0.858]s. */
   def mixturePlan(spark: SparkSession, dir: String): DataFrame = {
     val per = Core.documents(spark, dir)
       .select(col("source"), size(split(col("text"), " ")).cast("long").as("n_toks"))
@@ -492,7 +581,8 @@ object Mixture extends QueryModule {
     * list, but the constant is the shared-vocabulary mass — which is
     * exactly why the registered 100 TB path is the k-row-per-source
     * sketch and this form is the calibration audit (MixtureSpec
-    * asserts the sketch's estimates track these exact values). */
+    * asserts the sketch's estimates track these exact values).
+    * QBench cold-JVM sf0.1: [2.110, 1.769]s. */
   def sourceOverlapExact(spark: SparkSession, dir: String): DataFrame =
     sourceOverlapExactFrom(Core.documents(spark, dir))
 
@@ -554,7 +644,8 @@ object Mixture extends QueryModule {
     * (k-1)·P is exact in a double (6.3e7 << 2^53), h_k is an integer,
     * and a single IEEE division is correctly rounded in both engines.
     * Sources with fewer than k distinct hashes report the exact count
-    * as the estimate (h_k undefined — NULL kth_hash). */
+    * as the estimate (h_k undefined — NULL kth_hash).
+    * QBench cold-JVM sf0.1: [1.647, 0.762]s. */
   def distinctShinglesKmv(spark: SparkSession, dir: String): DataFrame =
     distinctShinglesKmvFrom(Core.documents(spark, dir))
 
@@ -617,7 +708,7 @@ object Mixture extends QueryModule {
     * Scale shape: one groupBy(token) min(doc_id) shuffle (map-side
     * partial min) + one per-bucket aggregate; the cumulative window
     * runs over the ≤64-row bucket table (global window allowlisted
-    * with that justification). */
+    * with that justification). QBench cold-JVM sf0.1: [0.575, 0.407]s. */
   def vocabGrowth(spark: SparkSession, dir: String): DataFrame = {
     def bucketOf(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
       (length(bin(c + lit(1))) - lit(1)).cast("int")
@@ -670,7 +761,8 @@ object Mixture extends QueryModule {
     "mixture_plan" -> (mixturePlan _),
     "source_overlap_exact" -> (sourceOverlapExact _),
     "distinct_shingles_kmv" -> (distinctShinglesKmv _),
-    "vocab_growth" -> (vocabGrowth _))
+    "vocab_growth" -> (vocabGrowth _),
+    "mixture_gate_probe" -> (mixtureGateProbe _))
 
   override def oracle: Seq[(String, String)] = Seq(
     "source_caps" -> sourceCapsSql,
@@ -680,5 +772,6 @@ object Mixture extends QueryModule {
     "mixture_plan" -> mixturePlanSql,
     "source_overlap_exact" -> sourceOverlapExactSql,
     "distinct_shingles_kmv" -> distinctShinglesKmvSql,
-    "vocab_growth" -> vocabGrowthSql)
+    "vocab_growth" -> vocabGrowthSql,
+    "mixture_gate_probe" -> mixtureGateProbeSql)
 }

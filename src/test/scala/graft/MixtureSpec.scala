@@ -231,6 +231,59 @@ class MixtureSpec extends SparkSpec {
     assert(g.map(_._5).toSeq == runTok.toSeq && g.map(_._6).toSeq == runTyp.toSeq)
   }
 
+  test("mixture gate: self-baseline reproduces temperature_sample, unknown lang keeps all") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_mixgate").toString
+    Mixture.writeDriftBaseline(spark, sf0001, dir)
+    val docs = Core.documents(spark, sf0001)
+    val gated = Mixture.probeMixtureGate(spark, docs, dir).cache()
+    assert(gated.count() == docs.count(), "gate must emit a verdict per doc")
+    // gating the corpus against its own baseline IS temperatureSample:
+    // per-lang kept counts and keep rates must match exactly
+    val fromGate = gated.groupBy("lang")
+      .agg(max($"keep_rate").as("keep_rate"), sum($"kept").as("n_kept"))
+      .as[(String, Double, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    val fromTemp = Mixture.temperatureSample(spark, sf0001)
+      .select("lang", "keep_rate", "n_kept")
+      .as[(String, Double, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(fromGate == fromTemp, s"gate $fromGate != temperature $fromTemp")
+    // a language the baseline never saw keeps everything at rate 1.0
+    val alien = Seq((777777L, "alien words here now", "zz", "srcA", 20L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val a = Mixture.probeMixtureGate(spark, alien, dir)
+      .select("keep_rate", "kept").as[(Double, Int)].collect().head
+    assert(a == ((1.0, 1)), s"unknown lang must keep at rate 1.0, got $a")
+    gated.unpersist()
+  }
+
+  test("streaming mixture gate equals the batch probe, lands idempotently per batch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val baseDir = java.nio.file.Files.createTempDirectory("graft_smg_b").toString + "/base"
+    val outDir = java.nio.file.Files.createTempDirectory("graft_smg_o").toString + "/out"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_smg_c").toString
+    Mixture.writeDriftBaseline(spark, sf0001, baseDir)
+    val sample = Core.documents(spark, sf0001).orderBy("doc_id").limit(20)
+      .select("doc_id", "text", "lang").as[(Long, String, String)].collect().toSeq
+    val batch2 = Seq((888888L, "novel language content", "qq"))
+    val src = MemoryStream[(Long, String, String)]
+    val q = Mixture.streamingMixtureGate(spark,
+      src.toDF().toDF("doc_id", "text", "lang"), baseDir, outDir, ckpt)
+    try {
+      src.addData(sample: _*)
+      q.processAllAvailable()
+      src.addData(batch2: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.read.parquet(outDir)
+    assert(got.count() == 21 && got.select("batch_id").distinct().count() == 2)
+    def probeOf(rows: Seq[(Long, String, String)]) =
+      Mixture.probeMixtureGate(spark, rows.toDF("doc_id", "text", "lang"), baseDir)
+    val expect = probeOf(sample).unionByName(probeOf(batch2))
+    val gotRows = got.drop("batch_id")
+    assert(gotRows.exceptAll(expect).isEmpty && expect.exceptAll(gotRows).isEmpty,
+      "streaming gate rows must equal the per-batch probe outputs")
+  }
+
   test("mixture plan: fractions normalize, budget ties out, epochs/rate consistent") {
     val p = Mixture.mixturePlan(spark, sf0001).cache()
     val docs = graft.ops.Core.documents(spark, sf0001)
