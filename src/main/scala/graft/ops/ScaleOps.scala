@@ -201,9 +201,103 @@ object ScaleOps extends QueryModule {
       new java.io.ByteArrayInputStream(bytes))
   }
 
+  /** Bits per dimension of the Z-order (Morton) curve: 8 bits → a
+    * 256×256 bucket grid, 16-bit z-values. Coarse on purpose — the
+    * z-value orders ROW GROUPS, not rows; 256 buckets per dimension is
+    * far finer than any realistic row-group count per file. */
+  private val zBits = 8
+
+  /** Events with both dimensions range-scaled to [0, 2^zBits) and the
+    * Morton-interleaved `zval` attached (u on odd bits, t on even).
+    * All-integer math: (x - min) * 256 DIV (max - min + 1) — the
+    * scalar min/max bounds broadcast as one row (allowlisted), and
+    * integer DIV / bit ops are bit-identical in any engine. */
+  private def withZval(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Core.events(spark, dir)
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("tus"))
+    val bounds = ev.agg(
+      min(col("user_id")).as("min_u"), max(col("user_id")).as("max_u"),
+      min(col("tus")).as("min_t"), max(col("tus")).as("max_t"))
+    val z = (0 until zBits).map { i =>
+      shiftleft(shiftright(col("u8"), i).bitwiseAND(lit(1L)), 2 * i + 1)
+        .bitwiseOR(shiftleft(shiftright(col("t8"), i).bitwiseAND(lit(1L)), 2 * i))
+    }.reduce(_ bitwiseOR _)
+    ev.crossJoin(broadcast(bounds))
+      .withColumn("u8", expr(s"((user_id - min_u) * ${1 << zBits}) DIV (max_u - min_u + 1)"))
+      .withColumn("t8", expr(s"((tus - min_t) * ${1 << zBits}) DIV (max_t - min_t + 1)"))
+      .withColumn("zval", z)
+  }
+
+  /** Z-ORDER (Morton curve) multi-dimension clustering — the data
+    * LAYOUT lever for a 100 TB fact table queried along more than one
+    * axis. A time-sorted layout gives tight parquet row-group min/max
+    * stats on ts but every row group spans the full user_id range, so
+    * a user predicate prunes nothing; sorting by the interleaved
+    * z-value of (user_id, ts) bounds BOTH dimensions per contiguous
+    * run — each 256-z-value tile fixes the high 4 bits of both scaled
+    * dimensions, so a predicate on EITHER column prunes ~15/16 of the
+    * row groups (Delta/Iceberg OPTIMIZE ZORDER is this exact
+    * technique; the curve is Morton 1966).
+    *
+    * The registered query is the AUDIT VIEW of that claim: per
+    * 16×16-bucket tile (zval DIV 256), the event count and the
+    * min/max of both raw dimensions — ScaleOpsSpec asserts every
+    * tile's span stays inside its 1/16-of-range slab on both axes,
+    * and [[writeZOrdered]] + its spec measure the per-FILE span
+    * shrinkage against a time-sorted layout. All-integer outputs;
+    * hash-exact vs the DuckDB oracle replaying the same interleave.
+    * QBench cold-JVM sf0.1: [1.233, 0.597]s. */
+  def zorderTiles(spark: SparkSession, dir: String): DataFrame =
+    withZval(spark, dir)
+      .groupBy(expr(s"CAST(zval DIV ${1 << zBits} AS INT)").as("tile"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("user_id")).as("u_lo"), max(col("user_id")).as("u_hi"),
+        min(col("tus")).as("t_lo"), max(col("tus")).as("t_hi"))
+
+  val zorderTilesSql: String = {
+    val n = 1 << zBits
+    val inter = (0 until zBits).map(i =>
+      s"((((u8 >> $i) & 1) << ${2 * i + 1}) | (((t8 >> $i) & 1) << ${2 * i}))")
+      .mkString(" | ")
+    s"""WITH ev AS (
+       |  SELECT event_id, user_id, epoch_us(ts) AS tus FROM ${Core.sqlEvents}),
+       |b AS (
+       |  SELECT min(user_id) AS min_u, max(user_id) AS max_u,
+       |         min(tus) AS min_t, max(tus) AS max_t FROM ev),
+       |s AS (
+       |  SELECT user_id, tus,
+       |    ((user_id - min_u) * $n) // (max_u - min_u + 1) AS u8,
+       |    ((tus - min_t) * $n) // (max_t - min_t + 1) AS t8
+       |  FROM ev CROSS JOIN b),
+       |z AS (SELECT user_id, tus, ($inter) AS zval FROM s)
+       |SELECT CAST(zval // $n AS INTEGER) AS tile, count(*) AS n_events,
+       |  min(user_id) AS u_lo, max(user_id) AS u_hi,
+       |  min(tus) AS t_lo, max(tus) AS t_hi
+       |FROM z GROUP BY 1""".stripMargin
+  }
+
+  /** Write the events table Z-ORDERED into `files` parquet files:
+    * range-partition on zval (contiguous curve runs per file), sort
+    * within each file so row-group stats are tight at sub-file
+    * granularity too. At 100 TB this replaces the time-sorted ingest
+    * layout for fact tables with a second hot predicate dimension;
+    * the rewrite is one range shuffle — same cost class as the sort
+    * the time layout already pays. ScaleOpsSpec measures per-file
+    * user_id-span shrinkage vs the time-sorted twin on identical
+    * data. */
+  def writeZOrdered(spark: SparkSession, dir: String, outDir: String,
+      files: Int): Unit =
+    withZval(spark, dir)
+      .select(col("event_id"), col("user_id"), col("tus"), col("zval"))
+      .repartitionByRange(files, col("zval"))
+      .sortWithinPartitions(col("zval"))
+      .write.mode("overwrite").parquet(outDir)
+
   override def queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
-    "salted_agg" -> (saltedAgg _))
+    "salted_agg" -> (saltedAgg _),
+    "zorder_tiles" -> (zorderTiles _))
 
   override def oracle: Seq[(String, String)] = Seq(
-    "salted_agg" -> saltedAggSql)
+    "salted_agg" -> saltedAggSql,
+    "zorder_tiles" -> zorderTilesSql)
 }

@@ -192,6 +192,56 @@ class ScaleOpsSpec extends SparkSpec {
     assert(new java.io.File(out2).exists())
   }
 
+  test("zorder tiles: every tile fixes the high nibble of both scaled dimensions") {
+    val ev = graft.ops.Core.events(spark, sf0001)
+      .select($"user_id", unix_micros($"ts").as("tus"))
+    val (minU, maxU, minT, maxT) = ev
+      .agg(min($"user_id"), max($"user_id"), min($"tus"), max($"tus"))
+      .as[(Long, Long, Long, Long)].head()
+    def u8(u: Long) = (u - minU) * 256 / (maxU - minU + 1)
+    def t8(x: Long) = (x - minT) * 256 / (maxT - minT + 1)
+    val tiles = ScaleOps.zorderTiles(spark, sf0001)
+      .as[(Int, Long, Long, Long, Long, Long)].collect()
+    assert(tiles.nonEmpty && tiles.map(_._2).sum == ev.count())
+    tiles.foreach { case (tile, _, uLo, uHi, tLo, tHi) =>
+      // a 256-zval tile fixes bits 15..8 = the high 4 bits of BOTH
+      // dimensions — the min/max-pruning property the layout claims
+      assert(u8(uLo) / 16 == u8(uHi) / 16, s"tile $tile user slab [$uLo,$uHi]")
+      assert(t8(tLo) / 16 == t8(tHi) / 16, s"tile $tile time slab [$tLo,$tHi]")
+    }
+  }
+
+  test("z-ordered layout shrinks per-file user span vs the time-sorted twin") {
+    val zdir = java.nio.file.Files.createTempDirectory("graft_z").toString + "/z"
+    val tdir = java.nio.file.Files.createTempDirectory("graft_t").toString + "/t"
+    ScaleOps.writeZOrdered(spark, sf0001, zdir, 16)
+    graft.ops.Core.events(spark, sf0001)
+      .select($"event_id", $"user_id", unix_micros($"ts").as("tus"))
+      .repartitionByRange(16, $"tus").sortWithinPartitions($"tus")
+      .write.mode("overwrite").parquet(tdir)
+    def meanSpans(dir: String): (Double, Double, Long) = {
+      val f = spark.read.parquet(dir)
+        .groupBy(input_file_name())
+        .agg((max($"user_id") - min($"user_id")).as("uspan"),
+          (max($"tus") - min($"tus")).as("tspan"), count(lit(1)).as("n"))
+      val (u, t) = f.agg(avg($"uspan"), avg($"tspan")).as[(Double, Double)].head()
+      (u, t, f.agg(sum($"n")).as[Long].head())
+    }
+    val (zu, zt, zn) = meanSpans(zdir)
+    val (tu, tt, tn) = meanSpans(tdir)
+    assert(zn == tn, "both layouts hold the same rows")
+    // a 1/16 run of the curve fixes 2 high bits of each dimension: the
+    // z layout's mean per-file user span must be well under the
+    // time-sorted layout's (which is ~the full user range per file) —
+    // that shrinkage IS the row-group pruning a user predicate buys
+    assert(zu < 0.5 * tu, s"z user span $zu vs time-sorted $tu")
+    // and the time dimension stays bounded (the curve trades a 16x
+    // time slab for bounding both axes, it does not give time away)
+    val fullT = spark.read.parquet(tdir)
+      .agg(max($"tus") - min($"tus")).as[Long].head()
+    assert(zt < 0.5 * fullT, s"z time span $zt vs full range $fullT")
+  }
+
   test("count-min sketch bounds every top-token estimate (one-sided, eps*N slack)") {
     val eps = 0.001
     val sk = ScaleOps.tokenCountSketch(spark, sf0001, eps = eps)
