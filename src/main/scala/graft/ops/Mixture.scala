@@ -507,6 +507,24 @@ object Mixture extends QueryModule {
       .groupBy("tok").agg(count(lit(1)).as("df"))
       .write.mode("overwrite").parquet(outDir)
 
+  /** MERGE persisted vocabulary indexes — the incremental rebuild for
+    * the vocab family (the [[TextDedup.mergeDedupIndexes]] lifecycle):
+    * document frequencies over DISJOINT corpus slices sum, so merging
+    * per-slice indexes equals a full rebuild over the combined corpus
+    * (spec-asserted). Shuffles vocabulary rows only — sublinear in
+    * the corpora behind them (Heaps' law). Slices must be disjoint
+    * (each document indexed exactly once); re-indexing an overlapping
+    * slice double-counts its df mass, the same contract a COUNT
+    * sketch merge carries. */
+  def mergeVocabIndexes(spark: SparkSession, indexDirs: Seq[String],
+      outDir: String): Unit = {
+    require(indexDirs.nonEmpty, "mergeVocabIndexes: need at least one index")
+    indexDirs.map(d => spark.read.parquet(d).select(col("tok"), col("df")))
+      .reduce(_ unionByName _)
+      .groupBy("tok").agg(sum(col("df")).as("df"))
+      .write.mode("overwrite").parquet(outDir)
+  }
+
   /** Probe a batch against the persisted vocabulary: per batch source,
     * total token occurrences, distinct types, the types/occurrences the
     * vocabulary has never seen, and the OOV rate (share of occurrences

@@ -1037,6 +1037,49 @@ object TextDedup extends QueryModule {
       .write.partitionBy("prefix")
       .mode("overwrite").parquet(outDir)
 
+  /** MERGE persisted digest indexes — the INCREMENTAL rebuild step
+    * that closes the index lifecycle (build → probe → merge): instead
+    * of re-digesting the accumulated corpus daily, the periodic job
+    * indexes only the newly-admitted slice and merges it with the
+    * standing index. Sound because the index row is (digest,
+    * min doc_id) and min is associative-commutative: merging
+    * per-slice minima equals the minimum over the union — the merged
+    * index is EXACTLY the index a full rebuild over the combined
+    * corpora would produce (spec-asserted frame equality). Cost: one
+    * shuffle over INDEX rows (distinct digests, with map-side partial
+    * min) — never over the corpora behind them; at 100 TB that is the
+    * difference between re-reading everything curated and touching
+    * only digests. */
+  def mergeDedupIndexes(spark: SparkSession, indexDirs: Seq[String],
+      outDir: String): Unit = {
+    require(indexDirs.nonEmpty, "mergeDedupIndexes: need at least one index")
+    indexDirs.map(d => spark.read.parquet(d)
+        .select(col("digest"), col("keep_id"), col("prefix")))
+      .reduce(_ unionByName _)
+      .groupBy(col("digest"), col("prefix"))
+      .agg(min(col("keep_id")).as("keep_id"))
+      .select(col("digest"), col("keep_id"), col("prefix"))
+      .write.partitionBy("prefix")
+      .mode("overwrite").parquet(outDir)
+  }
+
+  /** Same lifecycle step for the simhash near-dup index: signatures
+    * are per-document and independent, so the merge is a union +
+    * distinct (a document indexed in two slices collapses) re-laid
+    * into the bandkey-range layout the probe's footer pruning relies
+    * on. Shuffles index rows only (5 per doc), never documents. */
+  def mergeSimhashIndexes(spark: SparkSession, indexDirs: Seq[String],
+      outDir: String): Unit = {
+    require(indexDirs.nonEmpty, "mergeSimhashIndexes: need at least one index")
+    indexDirs.map(d => spark.read.parquet(d)
+        .select(col("doc_id"), col("simhash64"), col("bandkey")))
+      .reduce(_ unionByName _)
+      .distinct()
+      .repartitionByRange(col("bandkey"))
+      .sortWithinPartitions(col("bandkey"))
+      .write.mode("overwrite").parquet(outDir)
+  }
+
   /** Probe a NEW batch of documents against a persisted digest index:
     * one verdict per batch row —
     *   'dup_of_corpus' — digest already in the index (dup_of = the

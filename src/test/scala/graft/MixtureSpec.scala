@@ -339,6 +339,21 @@ class MixtureSpec extends SparkSpec {
       "streaming vocab rows must equal the per-batch probe outputs")
   }
 
+  test("vocab index merge over disjoint slices equals the full rebuild") {
+    val docs = Core.documents(spark, sf0001)
+    def tmp(p: String) = java.nio.file.Files.createTempDirectory(p).toString + "/idx"
+    val (vEven, vOdd, vMerged, vFull) =
+      (tmp("graft_ve"), tmp("graft_vo"), tmp("graft_vm"), tmp("graft_vf"))
+    Mixture.writeVocabIndexFrom(docs.filter($"doc_id" % 2 === 0), vEven)
+    Mixture.writeVocabIndexFrom(docs.filter($"doc_id" % 2 === 1), vOdd)
+    Mixture.mergeVocabIndexes(spark, Seq(vEven, vOdd), vMerged)
+    Mixture.writeVocabIndexFrom(docs, vFull)
+    val m = spark.read.parquet(vMerged)
+    val f = spark.read.parquet(vFull)
+    assert(m.exceptAll(f).isEmpty && f.exceptAll(m).isEmpty,
+      "merged vocab index must equal the full rebuild (disjoint slices)")
+  }
+
   test("epoch realization: copies bracket epochs, source totals realize the plan") {
     val plan = Mixture.mixturePlan(spark, sf0001)
       .select("source", "epochs", "target_tokens")

@@ -485,6 +485,43 @@ class TextDedupSpec extends SparkSpec {
     assert(got.exists(_._2 == 0), "expected some clean test docs")
   }
 
+  test("index merge equals full rebuild: dedup digests and simhash bands") {
+    val docs = graft.ops.Core.documents(spark, sf0001)
+    def tmp(p: String) = java.nio.file.Files.createTempDirectory(p).toString + "/idx"
+    // dedup: index even and odd halves separately, merge, compare to
+    // the one-shot full-corpus index — min(keep_id) is associative so
+    // the frames must be identical
+    val (dEven, dOdd, dMerged, dFull) =
+      (tmp("graft_me"), tmp("graft_mo"), tmp("graft_mm"), tmp("graft_mf"))
+    TextDedup.writeDedupIndexFrom(docs.filter($"doc_id" % 2 === 0), dEven)
+    TextDedup.writeDedupIndexFrom(docs.filter($"doc_id" % 2 === 1), dOdd)
+    TextDedup.mergeDedupIndexes(spark, Seq(dEven, dOdd), dMerged)
+    TextDedup.writeDedupIndexFrom(docs, dFull)
+    val merged = spark.read.parquet(dMerged)
+      .select($"digest", $"keep_id", $"prefix".cast("string"))
+    val full = spark.read.parquet(dFull)
+      .select($"digest", $"keep_id", $"prefix".cast("string"))
+    assert(merged.exceptAll(full).isEmpty && full.exceptAll(merged).isEmpty,
+      "merged dedup index must equal the full rebuild")
+    // simhash: signatures are per-doc independent — union distinct
+    // equals the full build
+    val (sEven, sOdd, sMerged, sFull) =
+      (tmp("graft_se"), tmp("graft_so"), tmp("graft_sm"), tmp("graft_sf"))
+    TextDedup.writeSimhashIndexFrom(docs.filter($"doc_id" % 2 === 0), sEven)
+    TextDedup.writeSimhashIndexFrom(docs.filter($"doc_id" % 2 === 1), sOdd)
+    TextDedup.mergeSimhashIndexes(spark, Seq(sEven, sOdd), sMerged)
+    TextDedup.writeSimhashIndexFrom(docs, sFull)
+    val sm = spark.read.parquet(sMerged)
+    val sfu = spark.read.parquet(sFull)
+    assert(sm.exceptAll(sfu).isEmpty && sfu.exceptAll(sm).isEmpty,
+      "merged simhash index must equal the full rebuild")
+    // and the merged index probes identically to the full one
+    val probe = docs.limit(10)
+    val viaMerged = TextDedup.probeSimhashIndex(spark, probe, sMerged)
+    val viaFull = TextDedup.probeSimhashIndex(spark, probe, sFull)
+    assert(viaMerged.exceptAll(viaFull).isEmpty && viaFull.exceptAll(viaMerged).isEmpty)
+  }
+
   test("dataset split partitions the corpus near 80/12/8") {
     val s = TextDedup.datasetSplit(spark, sf0001).cache()
     val total = s.agg(sum("n_docs")).as[Long].collect()(0)
