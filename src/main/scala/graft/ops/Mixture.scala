@@ -135,13 +135,28 @@ object Mixture extends QueryModule {
   def sourceSimilarity(spark: SparkSession, dir: String): DataFrame =
     sourceSimilarityFrom(Core.documents(spark, dir))
 
-  /** The sketch + estimator core over any (source, text) frame — shared
-    * with MixtureSpec's planted-mirror and half-overlap assertions. */
-  def sourceSimilarityFrom(docs: DataFrame): DataFrame = {
-    val dn = TextDedup.withNgramArr(docs)
+  /** The distinct (source, shingle-hash) frame every source-statistics
+    * op starts from — ONE rule shared by the similarity sketch, its
+    * exact calibration twin, and the KMV distinct estimator, so the
+    * three stay comparable by construction (the calibration claims
+    * depend on it). The matching SQL fragment is [[srcDnSql]]. */
+  private def sourceShingleHashes(docs: DataFrame): DataFrame =
+    TextDedup.withNgramArr(docs)
       .select(col("source"), explode(array_distinct(col("ngarr"))).as("ng"))
       .select(col("source"), graft.functions.poly_hash(col("ng")).as("h"))
       .distinct()
+
+  /** DuckDB twin of [[sourceShingleHashes]], used as `dn` in the three
+    * source-statistics oracles. */
+  private def srcDnSql: String =
+    s"""SELECT DISTINCT source, ${TextDedup.charHashSql("ng")} AS h FROM (
+       |    SELECT source, unnest(list_distinct(${TextDedup.ngramsSql})) AS ng FROM documents)"""
+      .stripMargin
+
+  /** The sketch + estimator core over any (source, text) frame — shared
+    * with MixtureSpec's planted-mirror and half-overlap assertions. */
+  def sourceSimilarityFrom(docs: DataFrame): DataFrame = {
+    val dn = sourceShingleHashes(docs)
     val w = Window.partitionBy(col("source")).orderBy(col("h"))
     val sk = dn.withColumn("r", row_number().over(w)).filter(col("r") <= skK)
       .select(col("source"), col("h"))
@@ -165,10 +180,7 @@ object Mixture extends QueryModule {
   }
 
   val sourceSimilaritySql: String = {
-    val ngHash = TextDedup.charHashSql("ng")
-    s"""WITH dn AS (
-       |  SELECT DISTINCT source, $ngHash AS h FROM (
-       |    SELECT source, unnest(list_distinct(${TextDedup.ngramsSql})) AS ng FROM documents)),
+    s"""WITH dn AS ($srcDnSql),
        |sk AS (
        |  SELECT source, h FROM (
        |    SELECT source, h, ROW_NUMBER() OVER (PARTITION BY source ORDER BY h) AS r FROM dn)
@@ -503,7 +515,8 @@ object Mixture extends QueryModule {
     writeVocabIndexFrom(Core.documents(spark, dir), outDir)
 
   private[graft] def writeVocabIndexFrom(docs: DataFrame, outDir: String): Unit =
-    docs.select(explode(split(col("text"), " ")).as("tok"))
+    docs.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .distinct() // per-doc dedup first, so df is a true DOCUMENT frequency
       .groupBy("tok").agg(count(lit(1)).as("df"))
       .write.mode("overwrite").parquet(outDir)
 
@@ -706,10 +719,7 @@ object Mixture extends QueryModule {
     sourceOverlapExactFrom(Core.documents(spark, dir))
 
   private[graft] def sourceOverlapExactFrom(docs: DataFrame): DataFrame = {
-    val dn = TextDedup.withNgramArr(docs)
-      .select(col("source"), explode(array_distinct(col("ngarr"))).as("ng"))
-      .select(col("source"), graft.functions.poly_hash(col("ng")).as("h"))
-      .distinct()
+    val dn = sourceShingleHashes(docs)
       .cache() // three uses: sizes + both sides of the pair join
     val sz = dn.groupBy("source").agg(count(lit(1)).as("n"))
     val inter = dn.as("a").join(dn.as("b"),
@@ -725,10 +735,7 @@ object Mixture extends QueryModule {
   }
 
   val sourceOverlapExactSql: String = {
-    val ngHash = TextDedup.charHashSql("ng")
-    s"""WITH dn AS (
-       |  SELECT DISTINCT source, $ngHash AS h FROM (
-       |    SELECT source, unnest(list_distinct(${TextDedup.ngramsSql})) AS ng FROM documents)),
+    s"""WITH dn AS ($srcDnSql),
        |sz AS (SELECT source, count(*) AS n FROM dn GROUP BY 1),
        |inter AS (
        |  SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_shared
@@ -769,10 +776,7 @@ object Mixture extends QueryModule {
     distinctShinglesKmvFrom(Core.documents(spark, dir))
 
   private[graft] def distinctShinglesKmvFrom(docs: DataFrame): DataFrame = {
-    val dn = TextDedup.withNgramArr(docs)
-      .select(col("source"), explode(array_distinct(col("ngarr"))).as("ng"))
-      .select(col("source"), graft.functions.poly_hash(col("ng")).as("h"))
-      .distinct()
+    val dn = sourceShingleHashes(docs)
       .cache() // two uses: exact count + the bottom-k window
     val exact = dn.groupBy("source").agg(count(lit(1)).as("n_exact"))
     val w = Window.partitionBy(col("source")).orderBy(col("h"))
@@ -790,11 +794,8 @@ object Mixture extends QueryModule {
   }
 
   val distinctShinglesKmvSql: String = {
-    val ngHash = TextDedup.charHashSql("ng")
     val estProduct = (kmvK - 1).toLong * graft.functions.PolyHash.P
-    s"""WITH dn AS (
-       |  SELECT DISTINCT source, $ngHash AS h FROM (
-       |    SELECT source, unnest(list_distinct(${TextDedup.ngramsSql})) AS ng FROM documents)),
+    s"""WITH dn AS ($srcDnSql),
        |exact AS (SELECT source, count(*) AS n_exact FROM dn GROUP BY 1),
        |kth AS (
        |  SELECT source, h AS kth_hash FROM (

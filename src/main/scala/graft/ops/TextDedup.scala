@@ -743,6 +743,16 @@ object TextDedup extends QueryModule {
     * signature-dominated), where the 32-bit banding was ~3x slower
     * than broadcast. At 100x corpus size broadcast goes quadratic
     * per executor; banded stays linear per bucket. */
+  /** The 5-block pigeonhole band fan-out over a `simhash64` column —
+    * ONE definition shared by the in-corpus pair search and the fuzzy
+    * cross-split contamination query, because both exactness proofs
+    * ("equals the all-pairs scan at hamming <= 4") depend on the
+    * identical 13/13/13/13/12-bit block layout; [[bandKeysCol]] is the
+    * flattened single-key form the persisted index uses. */
+  private def bandPosexplode: Column = expr(
+    "posexplode(transform(sequence(0, 4), i -> " +
+      "shiftright(simhash64, cast(i * 13 AS INT)) & if(i = 4, 4095, 8191)))")
+
   def simhashPairs(spark: SparkSession, dir: String): DataFrame = {
     // cached for the same two reasons as the MinHash band table: the
     // posexplode's inferred size()>0 guard would otherwise push the
@@ -754,9 +764,7 @@ object TextDedup extends QueryModule {
     // simhash_pack copies), with pos as the block index.
     val s = simhash64(spark, dir).cache()
     val bands = s
-      .select(col("doc_id"), col("simhash64"), expr(
-        "posexplode(transform(sequence(0, 4), i -> " +
-          "shiftright(simhash64, cast(i * 13 AS INT)) & if(i = 4, 4095, 8191)))"))
+      .select(col("doc_id"), col("simhash64"), bandPosexplode)
       .toDF("doc_id", "simhash64", "band", "bkey")
     bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
@@ -1187,8 +1195,11 @@ object TextDedup extends QueryModule {
     * but its simhash lands within hamming <= 4. Per TEST-split
     * document (the same content-hash split as [[datasetSplit]]): how
     * many TRAIN documents sit within hamming 4, and the closest
-    * distance — one row per test doc, zero-neighbor rows included
-    * (they ARE the decontamination verdict).
+    * distance — one row per test doc CARRYING A SIGNATURE (>2 tokens;
+    * shorter documents are outside simhash's domain and are the
+    * exact-digest check's responsibility — [[probeDedupIndex]] catches
+    * their verbatim copies), zero-neighbor rows included (they ARE
+    * the decontamination verdict).
     *
     * Scale shape: the 5-block pigeonhole banding of [[simhashPairs]],
     * restricted test x train — candidates stream per band bucket
@@ -1206,9 +1217,7 @@ object TextDedup extends QueryModule {
       .select(col("doc_id"), (charHash(col("text")) % lit(100L)).as("h"),
         simhash64Col(col("ngarr")).as("simhash64"))
       .cache() // two uses: band fan-out + the verdict left join
-    val bands = s.select(col("doc_id"), col("h"), col("simhash64"), expr(
-      "posexplode(transform(sequence(0, 4), i -> " +
-        "shiftright(simhash64, cast(i * 13 AS INT)) & if(i = 4, 4095, 8191)))"))
+    val bands = s.select(col("doc_id"), col("h"), col("simhash64"), bandPosexplode)
       .toDF("doc_id", "h", "simhash64", "band", "bkey")
     val test = bands.filter(col("h") >= 92)
     val train = bands.filter(col("h") < 80)

@@ -28,10 +28,18 @@ class ScanAuditSpec extends SparkSpec {
     * global-window allowlists. */
   private val fullScanAllowed: Map[String, String] = Map.empty
 
+  /** Plans are deterministic within the suite, and instantiating the
+    * *_probe queries eagerly builds their temp-dir indexes/baselines —
+    * memoize so each query's (expensive) instantiation happens once
+    * across the three tests instead of per test. */
+  private val scanCache =
+    scala.collection.mutable.Map.empty[String, Seq[FileSourceScanExec]]
+
   private def scansOf(name: String): Seq[FileSourceScanExec] =
-    SparkEntry.queries(name)(spark, sf0001).queryExecution.sparkPlan.collect {
-      case f: FileSourceScanExec => f
-    }
+    scanCache.getOrElseUpdate(name,
+      SparkEntry.queries(name)(spark, sf0001).queryExecution.sparkPlan.collect {
+        case f: FileSourceScanExec => f
+      })
 
   test("no registered query reads the full schema of a wide base table") {
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
