@@ -332,6 +332,21 @@ object Mixture extends QueryModule {
       .write.mode("overwrite").parquet(outDir)
   }
 
+  /** MERGE persisted drift baselines over DISJOINT corpus slices — all
+    * three kinds (char buckets, language counts, the total) are plain
+    * counts, so per-slice baselines sum into exactly the full-rebuild
+    * baseline (spec-asserted). Same disjointness contract as
+    * [[mergeVocabIndexes]]. */
+  def mergeDriftBaselines(spark: SparkSession, baselineDirs: Seq[String],
+      outDir: String): Unit = {
+    require(baselineDirs.nonEmpty, "mergeDriftBaselines: need at least one baseline")
+    baselineDirs.map(d => spark.read.parquet(d).select(col("kind"), col("key"), col("n")))
+      .reduce(_ unionByName _)
+      .groupBy("kind", "key").agg(sum(col("n")).as("n"))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(outDir)
+  }
+
   /** Probe a NEW batch of documents against the persisted baseline:
     * per batch source, the total-variation distance of its char-bucket
     * and language distributions from the CORPUS the baseline was built

@@ -664,13 +664,53 @@ object Similarity extends QueryModule {
       .sortBy(_._1)
     require(seedRows.nonEmpty,
       s"ivfScored: no centroid seeds (no rows with vec_id < $cells in $dir/embeddings)")
-    val scoreStructs = seedRows.map { case (sid, semb) =>
+    (emb, centroidStructs(seedRows.toSeq))
+  }
+
+  /** The per-row (score, sid) centroid structs for an EXPLICIT codebook
+    * — shared by the corpus build ([[ivfScored]]) and the index append
+    * path, which must assign against the index's ORIGINAL codebook
+    * rather than re-deriving one from whatever corpus is at hand.
+    * least() over these structs is lexicographic min = argmin score
+    * with sid tie-break. */
+  private def centroidStructs(seedRows: Seq[(Long, Seq[Float])]): Seq[Column] =
+    seedRows.map { case (sid, semb) =>
       val sembLit = typedLit(semb)
       val ss = dot(sembLit, sembLit)
       struct((ss - lit(2.0) * dot(col("embedding"), sembLit)).as("score"),
         lit(sid).as("sid"))
     }
-    (emb, scoreStructs)
+
+  /** APPEND new vectors to a persisted IVF index under its ORIGINAL
+    * codebook — the incremental maintenance step for the ANN family
+    * (the [[graft.ops.TextDedup.mergeDedupIndexes]] lifecycle, adapted:
+    * IVF indexes built over different corpora have different codebooks,
+    * so a blind merge is NOT sound; the sound operation is assigning
+    * the new batch against the standing index's own centroids — read
+    * back from the index, where the seed vectors live — and appending
+    * into the same cell-partitioned layout). Probes see old and new
+    * vectors identically because cell semantics never changed; recall
+    * against the original codebook is preserved by construction. The
+    * periodic full rebuild (which re-derives centroids) remains the
+    * compaction/re-balance step, exactly as a production IVF deployment
+    * splits fast-append from slow-retrain. */
+  def appendToIvfIndex(spark: SparkSession, batch: DataFrame,
+      indexDir: String): Unit = {
+    val cells = readIvfCells(spark, indexDir)
+    val seedRows = spark.read.parquet(indexDir)
+      .filter(col("vec_id") < cells)
+      .select(col("vec_id"), col("embedding"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1)))
+      .sortBy(_._1).toSeq
+    require(seedRows.nonEmpty,
+      s"appendToIvfIndex: no codebook rows (vec_id < $cells) in $indexDir")
+    batch
+      .select(col("vec_id"), col("embedding"),
+        sqrt(dot(col("embedding"), col("embedding"))).as("norm"))
+      .withColumn("cell", least(centroidStructs(seedRows): _*).getField("sid"))
+      .write.partitionBy("cell")
+      .mode("append").parquet(indexDir)
   }
 
   def ivfTopK(spark: SparkSession, dir: String): DataFrame = {

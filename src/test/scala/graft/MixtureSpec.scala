@@ -339,6 +339,25 @@ class MixtureSpec extends SparkSpec {
       "streaming vocab rows must equal the per-batch probe outputs")
   }
 
+  test("drift baseline merge over disjoint slices equals the full rebuild") {
+    val docs = Core.documents(spark, sf0001)
+    def tmp(p: String) = java.nio.file.Files.createTempDirectory(p).toString + "/b"
+    val (bEven, bOdd, bMerged, bFull) =
+      (tmp("graft_be"), tmp("graft_bo"), tmp("graft_bm"), tmp("graft_bf"))
+    Mixture.writeDriftBaselineFrom(docs.filter($"doc_id" % 2 === 0), bEven)
+    Mixture.writeDriftBaselineFrom(docs.filter($"doc_id" % 2 === 1), bOdd)
+    Mixture.mergeDriftBaselines(spark, Seq(bEven, bOdd), bMerged)
+    Mixture.writeDriftBaselineFrom(docs, bFull)
+    val m = spark.read.parquet(bMerged)
+    val f = spark.read.parquet(bFull)
+    assert(m.exceptAll(f).isEmpty && f.exceptAll(m).isEmpty,
+      "merged drift baseline must equal the full rebuild")
+    // and it drives the probe identically
+    val viaMerged = Mixture.probeDriftBaseline(spark, docs, bMerged)
+    val viaFull = Mixture.probeDriftBaseline(spark, docs, bFull)
+    assert(viaMerged.exceptAll(viaFull).isEmpty && viaFull.exceptAll(viaMerged).isEmpty)
+  }
+
   test("vocab index merge over disjoint slices equals the full rebuild") {
     val docs = Core.documents(spark, sf0001)
     def tmp(p: String) = java.nio.file.Files.createTempDirectory(p).toString + "/idx"

@@ -235,6 +235,42 @@ class SimilaritySpec extends SparkSpec {
       s"probe must prune on cell, got:\n${pf.mkString("\n")}")
   }
 
+  test("ivf index append: original codebook preserved, copies land in their twins' cells") {
+    val idxDir = java.nio.file.Files.createTempDirectory("graft_ivfapp").toString + "/idx"
+    Similarity.writeIvfIndex(spark, sf0001, idxDir)
+    val before = spark.read.parquet(idxDir)
+      .select($"vec_id", $"cell".cast("long")).as[(Long, Long)].collect().toMap
+    // append exact COPIES of existing vectors under new ids: under the
+    // SAME codebook each copy must be assigned its twin's cell — an
+    // exact expectation with no scoring arithmetic replicated in the test
+    val emb = graft.ops.Core.embeddings(spark, sf0001)
+    val copies = emb.filter($"vec_id" % 7 === 3)
+      .select(($"vec_id" + 100000L).as("vec_id"), $"embedding", $"label")
+    val nCopies = copies.count()
+    Similarity.appendToIvfIndex(spark, copies, idxDir)
+    val after = spark.read.parquet(idxDir)
+      .select($"vec_id", $"cell".cast("long")).as[(Long, Long)].collect().toMap
+    assert(after.size == before.size + nCopies, "append must add exactly the batch")
+    before.foreach { case (id, c) =>
+      assert(after(id) == c, s"existing vector $id moved cell $c -> ${after(id)}")
+    }
+    after.filter(_._1 >= 100000L).foreach { case (id, c) =>
+      assert(c == before(id - 100000L),
+        s"copy $id landed in cell $c, twin ${id - 100000L} sits in ${before(id - 100000L)}")
+    }
+    // probing the appended index: every query whose twin-copy exists
+    // must now rank it at the top with cosine ~ 1 (same cell by the
+    // twin argument, identical vector up to float sqrt rounding)
+    val probed = Similarity.probeIvfIndex(spark, idxDir)
+      .filter($"rank" === 1 && ($"qid" % 7 === 3) && $"qid" < 100000L)
+      .select($"qid", $"vec_id", $"cosine").as[(Long, Long, Double)].collect()
+    assert(probed.nonEmpty, "expected probed queries with appended twins")
+    probed.foreach { case (qid, vid, cos) =>
+      assert(vid == qid + 100000L && cos > 0.999999,
+        s"query $qid top neighbor should be its twin, got $vid at $cos")
+    }
+  }
+
   test("knn label propagation: full coverage, bounded votes, vote matches a recount") {
     val out = Similarity.knnLabelPropagation(spark, sf0001).cache()
     val emb = graft.ops.Core.embeddings(spark, sf0001)
