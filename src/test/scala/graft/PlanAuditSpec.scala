@@ -26,7 +26,8 @@ class PlanAuditSpec extends SparkSpec {
     "mixture_plan" -> "scalar broadcast: the 1-row (total_tokens, sqrt_sum) normalizer against the |sources|-row plan table",
     "mixture_gate_probe" -> "scalar broadcast: the 1-row n_min from the persisted baseline's lang rows",
     "zorder_tiles" -> "scalar broadcast: the 1-row min/max bounds both dimensions scale against",
-    "epoch_realize" -> "inherits mixture_plan's 1-row normalizer broadcast; the plan side is |sources| rows")
+    "epoch_realize" -> "inherits mixture_plan's 1-row normalizer broadcast; the plan side is |sources| rows",
+    "doc_attributes" -> "scalar broadcast: the 1-row n_min for the temperature gate (the temperature_sample pattern)")
 
   test("no registered query plans a cartesian product or an unjustified BNLJ") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>

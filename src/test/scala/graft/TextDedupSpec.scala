@@ -565,6 +565,39 @@ class TextDedupSpec extends SparkSpec {
     v.unpersist()
   }
 
+  test("doc attributes: one row per doc, admitted is the exact gate conjunction, no gate vacuous") {
+    val attrs = TextDedup.docAttributes(spark, sf0001).cache()
+    val docs = graft.ops.Core.documents(spark, sf0001)
+    assert(attrs.count() == docs.count(), "one attribute row per document")
+    val rows = attrs.select("quality_score", "dedup_verdict", "cap_kept",
+      "temp_kept", "admitted").as[(Double, String, Int, Int, Int)].collect()
+    rows.foreach { case (q, v, c, t, a) =>
+      val expect = if (q >= 0.55 && v == "kept" && c == 1 && t == 1) 1 else 0
+      assert(a == expect, s"admitted wiring: q=$q v=$v cap=$c temp=$t -> $a")
+    }
+    // every gate must actually exclude someone on this corpus — a
+    // vacuous gate means the composition silently lost a signal
+    assert(rows.exists(_._1 < 0.55), "quality gate vacuous")
+    assert(rows.exists(_._3 == 0), "cap gate vacuous")
+    assert(rows.exists(_._4 == 0), "temperature gate vacuous")
+    assert(rows.exists(_._5 == 1) && rows.exists(_._5 == 0), "admission must split")
+    // split column reproduces dataset_split's partition sizes
+    val bySplit = attrs.groupBy("split").count()
+      .as[(String, Long)].collect().toMap
+    val expectSplit = TextDedup.datasetSplit(spark, sf0001)
+      .select("split", "n_docs").as[(String, Long)].collect().toMap
+    assert(bySplit == expectSplit, s"split counts $bySplit != $expectSplit")
+    // per-lang admitted counts are bounded by the temperature keeps
+    val admitted = attrs.filter($"admitted" === 1).groupBy("lang").count()
+      .as[(String, Long)].collect().toMap
+    val tempKeeps = graft.ops.Mixture.temperatureSample(spark, sf0001)
+      .select("lang", "n_kept").as[(String, Long)].collect().toMap
+    admitted.foreach { case (lang, n) =>
+      assert(n <= tempKeeps(lang), s"$lang admitted $n > temperature keep ${tempKeeps(lang)}")
+    }
+    attrs.unpersist()
+  }
+
   test("quality prune keeps the top half per (lang, source) cell") {
     val p = TextDedup.qualityPrune(spark, sf0001).cache()
     // per cell: kept count is exactly ceil(n/2)
