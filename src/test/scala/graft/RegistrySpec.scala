@@ -91,6 +91,33 @@ class RegistrySpec extends SparkSpec {
         s"not lambdas that could hide oracle-baked parameters: ${bad.mkString(", ")}")
   }
 
+  test("views: every query addressable from SQL, composable with raw tables, still pruned") {
+    Views.register(spark, sf0001)
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // a view answers plain SQL and equals the direct DataFrame form
+    val viaSql = spark.sql("SELECT count(*) FROM indicators").as[Long].head()
+    assert(viaSql == graft.ops.Indicators.indicators(spark, sf0001).count())
+    // views compose with raw tables in one statement (the reference's
+    // dataloader pattern: SELECT from a view constrained by base data)
+    val joined = spark.sql(
+      """SELECT b.bucket, b.close, o.o_orderkey
+        |FROM bars_5min b CROSS JOIN (SELECT min(o_orderkey) AS o_orderkey FROM orders) o
+        |LIMIT 5""".stripMargin)
+    assert(joined.count() == 5)
+    // the lazy-plan claim: filtering a view pushes into the scan — the
+    // events scan under the filtered view must carry a data filter
+    val filtered = spark.sql("SELECT * FROM latest_point WHERE event_type = 'view'")
+    val scans = filtered.queryExecution.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
+    assert(scans.exists(_.dataFilters.nonEmpty),
+      "a view-level predicate must reach the parquet scan")
+    // registration is idempotent
+    Views.register(spark, sf0001)
+    assert(spark.sql("SELECT count(*) FROM documents").as[Long].head() ==
+      graft.ops.Core.documents(spark, sf0001).count())
+  }
+
   test("every query executes at sf0.001") {
     SparkEntry.queries.foreach { case (name, fn) =>
       val n = fn(spark, sf0001).count()
