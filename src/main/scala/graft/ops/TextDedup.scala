@@ -506,7 +506,10 @@ object TextDedup extends QueryModule {
       .select(explode(dng).as("ng"))
     val dfreq = sample.groupBy("ng").agg(count(lit(1)).as("df")).cache()
     try {
-      val total = dfreq.agg(sum(col("df"))).head().getLong(0)
+      // coalesce: sum over ZERO rows is NULL, and an empty corpus (a
+      // routine empty slice at scale) must probe as not-skewed rather
+      // than throw on the null row
+      val total = dfreq.agg(coalesce(sum(col("df")), lit(0L))).head().getLong(0)
       if (total == 0L) false
       else {
         val top100 = dfreq.orderBy(col("df").desc).limit(100)
@@ -1110,7 +1113,14 @@ object TextDedup extends QueryModule {
     val batchKeep = b.groupBy("digest").agg(min(col("doc_id")).as("batch_keep_id"))
     val probedPrefixes = batchKeep
       .select(substring(col("digest"), 1, 1)).distinct().collect().map(_.getString(0))
-    val matches = spark.read.parquet(indexDir)
+    // explicit schema: a partitionBy write over an EMPTY build slice
+    // creates no data files at all (only _SUCCESS), and schema
+    // inference then throws UNABLE_TO_INFER_SCHEMA — an empty index
+    // must instead mean "everything is new", the routine state of a
+    // fresh deployment's first ingest. (Also skips inference I/O.)
+    val matches = spark.read
+      .schema("digest STRING, keep_id BIGINT, prefix STRING")
+      .parquet(indexDir)
       .filter(col("prefix").isin(probedPrefixes.toSeq: _*))
       .join(broadcast(batchKeep.select(col("digest"))), Seq("digest"))
       .select(col("digest"), col("keep_id"))

@@ -1,0 +1,52 @@
+package graft
+
+/** Empty-input robustness gate: a 100 TB pipeline constantly meets
+  * empty slices — a day with no events, a source with no documents, a
+  * fresh shard before first ingest — and an operator that throws on
+  * them turns a routine backfill into a paged incident. Every
+  * registered query must either produce a (possibly empty) result on
+  * an all-empty corpus or appear in the allowlist naming the
+  * documented input contract it requires. */
+class EmptyInputSpec extends SparkSpec {
+
+  /** Queries whose CONTRACT requires non-empty input, with the reason
+    * (each is a `require` in the operator, not an accidental crash). */
+  private val emptyAllowed: Map[String, String] = Map(
+    "embed_ivf_topk" -> "documented require: the IVF codebook IS corpus rows vec_id < cells — an ANN structure over zero vectors has no semantics",
+    "embed_ivf_multiprobe" -> "same ivfScored codebook require",
+    "embed_knn_label_ann" -> "same ivfScored codebook require",
+    "ivf_index_probe" -> "builds an IVF index first — same codebook require",
+    "diversity_sample" -> "medoid representatives are per-IVF-cell — same codebook require")
+
+  private lazy val emptyDir: String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_empty").toString
+    Seq("region", "nation", "customer", "supplier", "part", "orders",
+      "lineitem", "events", "documents", "embeddings").foreach { t =>
+      graft.ops.Core.table(spark, sf0001, t).limit(0)
+        .write.mode("overwrite").parquet(s"$dir/$t.parquet")
+    }
+    dir
+  }
+
+  test("every registered query handles an all-empty corpus (or documents why not)") {
+    val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      if (emptyAllowed.contains(name)) None
+      else
+        try { fn(spark, emptyDir).count(); None }
+        catch { case e: Throwable =>
+          Some(s"$name: ${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(100)}")
+        }
+    }
+    assert(failures.isEmpty,
+      s"queries that cannot take an empty corpus:\n${failures.mkString("\n")}")
+  }
+
+  test("the empty-input allowlist carries no dead entries") {
+    val stillFailing = emptyAllowed.keys.filter { name =>
+      try { SparkEntry.queries(name)(spark, emptyDir).count(); false }
+      catch { case _: Throwable => true }
+    }
+    assert(stillFailing.toSet == emptyAllowed.keySet,
+      s"allowlist entries no longer needed (remove them): ${emptyAllowed.keySet -- stillFailing.toSet}")
+  }
+}
