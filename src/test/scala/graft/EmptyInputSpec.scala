@@ -41,6 +41,32 @@ class EmptyInputSpec extends SparkSpec {
       s"queries that cannot take an empty corpus:\n${failures.mkString("\n")}")
   }
 
+  /** The other degenerate shape: exactly ONE row per table — exercises
+    * zero-range windows, self-join emptiness, and every division whose
+    * denominator is a count-minus-one. */
+  private lazy val oneRowDir: String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_one").toString
+    Seq("region", "nation", "customer", "supplier", "part", "orders",
+      "lineitem", "events", "documents", "embeddings").foreach { t =>
+      graft.ops.Core.table(spark, sf0001, t).limit(1)
+        .write.mode("overwrite").parquet(s"$dir/$t.parquet")
+    }
+    dir
+  }
+
+  test("every registered query handles a one-row corpus (or documents why not)") {
+    val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      if (emptyAllowed.contains(name)) None
+      else
+        try { fn(spark, oneRowDir).count(); None }
+        catch { case e: Throwable =>
+          Some(s"$name: ${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(100)}")
+        }
+    }
+    assert(failures.isEmpty,
+      s"queries that cannot take a one-row corpus:\n${failures.mkString("\n")}")
+  }
+
   test("the empty-input allowlist carries no dead entries") {
     val stillFailing = emptyAllowed.keys.filter { name =>
       try { SparkEntry.queries(name)(spark, emptyDir).count(); false }
