@@ -23,8 +23,10 @@ import graft.ops.Core
   * statement. */
 object Views {
 
-  /** The raw testdata tables, view-named as themselves. */
-  private val tables = Seq("region", "nation", "customer", "supplier",
+  /** The raw testdata tables, view-named as themselves — THE canonical
+    * table list (EmptyInputSpec's degenerate-corpus builders reuse it,
+    * so a new base table is automatically covered by those gates). */
+  private[graft] val tables = Seq("region", "nation", "customer", "supplier",
     "part", "orders", "lineitem", "events", "documents", "embeddings")
 
   /** Register the raw tables and EVERY declared query as temp views

@@ -697,14 +697,16 @@ object Similarity extends QueryModule {
   def appendToIvfIndex(spark: SparkSession, batch: DataFrame,
       indexDir: String): Unit = {
     val cells = readIvfCells(spark, indexDir)
-    val seedRows = spark.read.parquet(indexDir)
-      .filter(col("vec_id") < cells)
-      .select(col("vec_id"), col("embedding"))
-      .collect()
-      .map(r => (r.getLong(0), r.getSeq[Float](1)))
-      .sortBy(_._1).toSeq
+    val seedRows = readIvfSeeds(spark, indexDir)
     require(seedRows.nonEmpty,
-      s"appendToIvfIndex: no codebook rows (vec_id < $cells) in $indexDir")
+      s"appendToIvfIndex: no codebook seeds recorded in $indexDir")
+    // the codebook recovery contract is `vec_id < cells` = seed rows;
+    // a batch row inside that id range would shadow a centroid on the
+    // NEXT codebook read and silently skew every later assignment —
+    // fail fast at the contract instead (re-embedded documents must
+    // re-id or trigger the full-rebuild path)
+    require(batch.filter(col("vec_id") < cells).isEmpty,
+      s"appendToIvfIndex: batch carries vec_ids inside the codebook range [0, $cells)")
     batch
       .select(col("vec_id"), col("embedding"),
         sqrt(dot(col("embedding"), col("embedding"))).as("norm"))
@@ -869,7 +871,21 @@ object Similarity extends QueryModule {
     import spark.implicits._
     Seq(cells).toDF("cells").coalesce(1).write
       .mode("overwrite").parquet(s"$outDir/_graft_meta")
+    // The codebook rows themselves ride a second hidden sidecar, so
+    // append/stream consumers recover the ~`cells` seed vectors by
+    // reading ~`cells` rows instead of scanning every cell partition's
+    // (vec_id, embedding) data for `vec_id < cells` — at scale that
+    // scan made each "fast append" cost a full index read.
+    Core.embeddings(spark, dir).filter(col("vec_id") < cells)
+      .select(col("vec_id"), col("embedding"))
+      .coalesce(1).write
+      .mode("overwrite").parquet(s"$outDir/_graft_seeds")
   }
+
+  /** The codebook recorded by [[writeIvfIndex]]'s seed sidecar. */
+  private def readIvfSeeds(spark: SparkSession, indexDir: String): Seq[(Long, Seq[Float])] =
+    spark.read.parquet(s"$indexDir/_graft_seeds")
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1))).sortBy(_._1).toSeq
 
   /** The build-time cell count recorded by [[writeIvfIndex]]. */
   private def readIvfCells(spark: SparkSession, indexDir: String): Int =
@@ -947,20 +963,10 @@ object Similarity extends QueryModule {
     // cells comes from the index's own metadata, never from the caller
     // (ADVICE r6): a probe-time count different from the build's would
     // assign incoming vectors against the wrong centroid set.
-    val cells = readIvfCells(spark, indexDir)
-    val seedRows = idx.filter(col("vec_id") < cells)
-      .select(col("vec_id"), col("embedding"))
-      .collect()
-      .map(r => (r.getLong(0), r.getSeq[Float](1)))
-      .sortBy(_._1)
+    val seedRows = readIvfSeeds(spark, indexDir)
     require(seedRows.nonEmpty,
       s"streamingIvfProbe: index at $indexDir carries no centroid seeds")
-    val scoreStructs = seedRows.map { case (sid, semb) =>
-      val sembLit = typedLit(semb)
-      val ss = dot(sembLit, sembLit)
-      struct((ss - lit(2.0) * dot(col("embedding"), sembLit)).as("score"),
-        lit(sid).as("sid"))
-    }
+    val scoreStructs = centroidStructs(seedRows.toSeq)
     incoming.writeStream
       .option("checkpointLocation", checkpoint)
       .outputMode("append")
@@ -1049,12 +1055,7 @@ object Similarity extends QueryModule {
       .sortBy(_._1)
     require(seedRows.nonEmpty,
       s"diversitySample: no centroid seeds (no rows with vec_id < $cells in $dir/embeddings)")
-    val scoreStructs = seedRows.map { case (sid, semb) =>
-      val sembLit = typedLit(semb)
-      val ss = dot(sembLit, sembLit)
-      struct((ss - lit(2.0) * dot(col("embedding"), sembLit)).as("score"),
-        lit(sid).as("sid"))
-    }
+    val scoreStructs = centroidStructs(seedRows.toSeq)
     val assigned = emb
       .withColumn("best", least(scoreStructs: _*))
       .select(col("vec_id"), col("best.sid").as("cell"),

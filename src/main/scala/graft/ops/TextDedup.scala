@@ -730,6 +730,16 @@ object TextDedup extends QueryModule {
        |SELECT doc_id, $packed AS simhash64 FROM sums""".stripMargin
   }
 
+  /** The 5-block pigeonhole band fan-out over a `simhash64` column —
+    * ONE definition shared by the in-corpus pair search and the fuzzy
+    * cross-split contamination query, because both exactness proofs
+    * ("equals the all-pairs scan at hamming <= 4") depend on the
+    * identical 13/13/13/13/12-bit block layout; [[bandKeysCol]] is the
+    * flattened single-key form the persisted index uses. */
+  private def bandPosexplode: Column = expr(
+    "posexplode(transform(sequence(0, 4), i -> " +
+      "shiftright(simhash64, cast(i * 13 AS INT)) & if(i = 4, 4095, 8191)))")
+
   /** SimHash near-dup pairs over the 64-bit signature, via EXACT
     * pigeonhole banding: the 64 bits split into 5 blocks (13,13,13,
     * 13,12); a pair within hamming distance 4 differs in at most 4
@@ -746,16 +756,6 @@ object TextDedup extends QueryModule {
     * signature-dominated), where the 32-bit banding was ~3x slower
     * than broadcast. At 100x corpus size broadcast goes quadratic
     * per executor; banded stays linear per bucket. */
-  /** The 5-block pigeonhole band fan-out over a `simhash64` column —
-    * ONE definition shared by the in-corpus pair search and the fuzzy
-    * cross-split contamination query, because both exactness proofs
-    * ("equals the all-pairs scan at hamming <= 4") depend on the
-    * identical 13/13/13/13/12-bit block layout; [[bandKeysCol]] is the
-    * flattened single-key form the persisted index uses. */
-  private def bandPosexplode: Column = expr(
-    "posexplode(transform(sequence(0, 4), i -> " +
-      "shiftright(simhash64, cast(i * 13 AS INT)) & if(i = 4, 4095, 8191)))")
-
   def simhashPairs(spark: SparkSession, dir: String): DataFrame = {
     // cached for the same two reasons as the MinHash band table: the
     // posexplode's inferred size()>0 guard would otherwise push the
@@ -1064,7 +1064,13 @@ object TextDedup extends QueryModule {
   def mergeDedupIndexes(spark: SparkSession, indexDirs: Seq[String],
       outDir: String): Unit = {
     require(indexDirs.nonEmpty, "mergeDedupIndexes: need at least one index")
-    indexDirs.map(d => spark.read.parquet(d)
+    // explicit schema for the same reason as probeDedupIndex: an index
+    // built from an EMPTY slice (a day with zero admitted documents)
+    // has no data files under its partitionBy layout, and inference
+    // would throw where the merge should simply contribute nothing
+    indexDirs.map(d => spark.read
+        .schema("digest STRING, keep_id BIGINT, prefix STRING")
+        .parquet(d)
         .select(col("digest"), col("keep_id"), col("prefix")))
       .reduce(_ unionByName _)
       .groupBy(col("digest"), col("prefix"))
@@ -1620,7 +1626,7 @@ object TextDedup extends QueryModule {
       .stripMargin.replace("\n", "")
     s"""WITH q AS (SELECT doc_id, quality_score FROM ($textQualitySql)),
        |v AS (SELECT * FROM ($dedupApplySql)),
-       |caps AS (SELECT doc_id, src_rank, kept FROM ($sourceCapsSubSql)),
+       |caps AS (SELECT doc_id, src_rank, kept FROM (${Mixture.sourceCapsSql})),
        |base AS (
        |  SELECT doc_id, lang, source, CAST(len($toksSql) AS INTEGER) AS n_tokens,
        |    ${charHashSql("text")} % 100 AS h100,
@@ -1641,10 +1647,6 @@ object TextDedup extends QueryModule {
        |JOIN q USING (doc_id) JOIN v USING (doc_id) JOIN caps USING (doc_id)
        |JOIN counts USING (lang) CROSS JOIN m""".stripMargin
   }
-
-  /** [[graft.ops.Mixture.sourceCapsSql]] re-exposed for the attributes
-    * oracle (Mixture already owns the canonical definition). */
-  private def sourceCapsSubSql: String = Mixture.sourceCapsSql
 
   /** Capstone: the end-to-end training-data curation pipeline as ONE
     * query — quality gate -> exact-dedup survivors -> per-language

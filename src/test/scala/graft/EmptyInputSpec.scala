@@ -18,15 +18,19 @@ class EmptyInputSpec extends SparkSpec {
     "ivf_index_probe" -> "builds an IVF index first — same codebook require",
     "diversity_sample" -> "medoid representatives are per-IVF-cell — same codebook require")
 
-  private lazy val emptyDir: String = {
-    val dir = java.nio.file.Files.createTempDirectory("graft_empty").toString
-    Seq("region", "nation", "customer", "supplier", "part", "orders",
-      "lineitem", "events", "documents", "embeddings").foreach { t =>
-      graft.ops.Core.table(spark, sf0001, t).limit(0)
+  /** A testdata dir whose every table holds exactly `n` rows of the
+    * sf0.001 data (table list shared with Views so new tables are
+    * covered automatically). */
+  private def degenerateDir(prefix: String, n: Int): String = {
+    val dir = java.nio.file.Files.createTempDirectory(prefix).toString
+    Views.tables.foreach { t =>
+      graft.ops.Core.table(spark, sf0001, t).limit(n)
         .write.mode("overwrite").parquet(s"$dir/$t.parquet")
     }
     dir
   }
+
+  private lazy val emptyDir: String = degenerateDir("graft_empty", 0)
 
   test("every registered query handles an all-empty corpus (or documents why not)") {
     val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
@@ -44,15 +48,7 @@ class EmptyInputSpec extends SparkSpec {
   /** The other degenerate shape: exactly ONE row per table — exercises
     * zero-range windows, self-join emptiness, and every division whose
     * denominator is a count-minus-one. */
-  private lazy val oneRowDir: String = {
-    val dir = java.nio.file.Files.createTempDirectory("graft_one").toString
-    Seq("region", "nation", "customer", "supplier", "part", "orders",
-      "lineitem", "events", "documents", "embeddings").foreach { t =>
-      graft.ops.Core.table(spark, sf0001, t).limit(1)
-        .write.mode("overwrite").parquet(s"$dir/$t.parquet")
-    }
-    dir
-  }
+  private lazy val oneRowDir: String = degenerateDir("graft_one", 1)
 
   test("every registered query handles a one-row corpus (or documents why not)") {
     val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
@@ -68,8 +64,15 @@ class EmptyInputSpec extends SparkSpec {
   }
 
   test("the empty-input allowlist carries no dead entries") {
+    // resolve the registry entry OUTSIDE the try: a stale allowlist key
+    // for a removed/renamed query would otherwise throw the map lookup
+    // inside the catch and masquerade as "still failing" — defeating
+    // the test's one purpose
+    val stale = emptyAllowed.keySet -- SparkEntry.queries.keySet
+    assert(stale.isEmpty, s"allowlist names unknown queries: $stale")
     val stillFailing = emptyAllowed.keys.filter { name =>
-      try { SparkEntry.queries(name)(spark, emptyDir).count(); false }
+      val fn = SparkEntry.queries(name)
+      try { fn(spark, emptyDir).count(); false }
       catch { case _: Throwable => true }
     }
     assert(stillFailing.toSet == emptyAllowed.keySet,
