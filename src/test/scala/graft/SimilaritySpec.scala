@@ -115,21 +115,36 @@ class SimilaritySpec extends SparkSpec {
   }
 
   test("adaptive hi-recall tiers: pick matches cutoffs, every tier sound vs exact") {
-    // the tier rule itself (r8): first covering cutoff wins
+    // the derived rule (r9): r = smallest bits/band with
+    // n^2 <= 2^(24+r), floor 2 — integer-exact at every boundary
+    assert(Similarity.ndHiCutoff(2) == 8192L)
+    assert(Similarity.ndHiCutoff(3) == 11585L)
+    assert(Similarity.ndHiCutoff(4) == 16384L)
+    assert(Similarity.ndHiCutoff(5) == 23170L)
+    assert(Similarity.ndHiCutoff(6) == 32768L)
     assert(Similarity.ndHiPick(1L) == ((16, 2)))
     assert(Similarity.ndHiPick(8192L) == ((16, 2)))
     assert(Similarity.ndHiPick(8193L) == ((16, 3)))
-    assert(Similarity.ndHiPick(262144L) == ((16, 3)))
-    assert(Similarity.ndHiPick(262145L) == ((16, 4)))
-    assert(Similarity.ndHiPick(1000000000L) == ((16, 4)))
+    assert(Similarity.ndHiPick(11585L) == ((16, 3)))
+    assert(Similarity.ndHiPick(11586L) == ((16, 4)))
+    assert(Similarity.ndHiPick(16384L) == ((16, 4)))
+    assert(Similarity.ndHiPick(16385L) == ((16, 5)))
+    assert(Similarity.ndHiPick(32768L) == ((16, 6)))
+    // unbounded growth: +1 bit per sqrt(2)x corpus, until the BIGINT
+    // bkey representation cap (62 bits, first binding past n = 2^43)
+    assert(Similarity.ndHiRows(1000000L) == 16)
+    assert((2 to 20).forall(r =>
+      Similarity.ndHiRows(Similarity.ndHiCutoff(r)) == r &&
+        Similarity.ndHiRows(Similarity.ndHiCutoff(r) + 1) == r + 1))
+    assert(Similarity.ndHiRows(Long.MaxValue) == Similarity.ndHiMaxRows)
     // soundness holds at every tier, not just the one the corpus size
     // selects: the banded candidate set feeds an exact cosine verify,
-    // so forced 16x3/16x4 outputs are subsets of the all-pairs join
+    // so forced 16x3..16x6 outputs are subsets of the all-pairs join
     // with identical cosines (recall is the documented knob; soundness
     // is not allowed to move)
     val exact = Similarity.cosineNearDupPairsExact(spark, sf0001)
       .as[(Long, Long, Double)].collect().toSet
-    Seq(3, 4).foreach { r =>
+    Seq(3, 4, 5, 6).foreach { r =>
       val forced = Similarity.cosineNearDupPairsAt(spark, sf0001, 16, r)
         .as[(Long, Long, Double)].collect().toSet
       assert(forced.subsetOf(exact),
