@@ -11,6 +11,18 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench/verify driver parses the FINAL stdout line as JSON. Two
+// rounds of sbt defeating that: (a) forked-run output was logged with
+// an "[info] " prefix; (b) sbt's "[success] Total time ..." trailer
+// printed AFTER the summary, so the summary was never the last line.
+// StdoutOutput inherits the forked process's stdout unwrapped, and
+// showSuccess drops the trailer — the bench summary JSON is now the
+// true final stdout line of `sbt "runMain graft.Bench"`.
+run / outputStrategy := Some(StdoutOutput)
+showSuccess := false
+// showSuccess is consumed by sbt's command layer, which the unused-key
+// lint can't see — excluded to keep the build output warning-free
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -109,15 +109,44 @@ object Bench {
       case t: Throwable =>
         System.err.println(s"[bench] WARNING: warmup failed: $t")
     }
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      val sec = (System.nanoTime() - t0) / 1e9
+    // Per-query artifact decomposition (r8 verdict #5/#6):
+    //  - build_sec: DataFrame-CONSTRUCTION time, nonzero for the
+    //    *_probe queries, which materialize their temp-dir index at
+    //    plan-construction. The operational number at scale is
+    //    probe-only (the index build is periodic, the probe is
+    //    per-batch), so the artifact must let the two be separated;
+    //    reported as "probe_build_sec" for the probe queries.
+    //  - rep2/load: any query whose first rep exceeds 2s is re-run
+    //    once and the OS load average sampled, so a single
+    //    box-contaminated query can be convicted (rep1 >> rep2 with
+    //    high load) or cleared (rep1 ~ rep2) from the artifact alone
+    //    — the stage-adjacent-marker protocol, per query. "queries"/
+    //    "value" stay REP-1 cost (construction + execution, the same
+    //    semantics as every prior round) for round-over-round
+    //    comparability; rep2 is adjudication evidence, not the score.
+    val repThreshold = 2.0
+    case class QMeas(sec: Double, buildSec: Double, rep2: Double, load: Double)
+    val meas = SparkEntry.queries.map { case (name, fn) =>
+      def onePass(): (Double, Double) = {
+        val t0 = System.nanoTime()
+        val df = fn(spark, sfDir)
+        val build = (System.nanoTime() - t0) / 1e9
+        df.count()
+        ((System.nanoTime() - t0) / 1e9, build)
+      }
+      val (sec, buildSec) = try onePass() catch { case _: Throwable => (-1.0, -1.0) }
+      val (rep2, load) =
+        if (sec > repThreshold) {
+          val r2 = try onePass()._1 catch { case _: Throwable => -1.0 }
+          (r2, loadAvg())
+        } else (-1.0, -1.0)
       // per-query progress on stderr: survives even if the stdout JSON
       // line is cut, and shows live progress during the ~8 min run
-      System.err.println(f"[bench] $name%s ${sec}%.3f s")
-      name -> sec
+      System.err.println(f"[bench] $name%s $sec%.3f s" +
+        (if (rep2 >= 0) f" (rep2=$rep2%.3f load=$load%.2f)" else ""))
+      name -> QMeas(sec, buildSec, rep2, load)
     }
+    val results = meas.map { case (k, m) => k -> m.sec }
     // Round 4's capture lost the HEAD of this line (a bounded tail
     // window kept only the last ~3 KB: the leading "metric":"total"
     // and the first 17 per-query timings were cut). Three fixes:
@@ -136,6 +165,17 @@ object Bench {
       .map { case (k, v) => s"\"" + k + "\":" + f4(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
+    // the five registered queries that build a persisted index at
+    // plan-construction: their build-vs-probe split (r8 verdict #6)
+    val probeNames = Set("dedup_index_probe", "simhash_index_probe",
+      "ivf_index_probe", "mixture_gate_probe", "vocab_novelty_probe")
+    val probeBuildJson = meas.collect {
+      case (k, m) if probeNames(k) => s"\"$k\":${f4(m.buildSec)}"
+    }.mkString("{", ",", "}")
+    // [rep2_sec, load_avg] for every query re-run under the 2s rule
+    val repsJson = meas.collect {
+      case (k, m) if m.rep2 >= 0 => s"\"$k\":[${f4(m.rep2)},${f4(m.load)}]"
+    }.mkString("{", ",", "}")
     // Stage-adjacent box markers (VERDICT r7 #5): the start-of-run
     // marker says nothing about contention arriving minutes later
     // during the streaming section (r7: DAG 867 ev/s recorded vs
@@ -160,7 +200,7 @@ object Bench {
     // Full artifact line: every per-query timing (cheapest first, so a
     // bounded tail window truncates the cheap head, never the
     // expensive queries or the totals that follow).
-    println(s"""{"queries":$qs,"streaming":$streamingJson,"box":$boxJson,"metric":"total","value":${f4(total)},"unit":"sec","sf":"$sfDir"}""")
+    println(s"""{"queries":$qs,"queries_rep2_load":$repsJson,"probe_build_sec":$probeBuildJson,"streaming":$streamingJson,"box":$boxJson,"metric":"total","value":${f4(total)},"unit":"sec","sf":"$sfDir"}""")
     // FINAL line: a self-contained summary sized to survive the
     // driver's bounded tail capture intact (ADVICE r7: BENCH_r07's
     // single 3KB line head-truncated inside the 2KB window and
@@ -179,9 +219,18 @@ object Bench {
     }
     val rest = expensiveFirst.drop(kept.size)
     val keptJson = kept.map { case (k, v) => s"\"" + k + "\":" + f4(v) }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${f4(total)},"unit":"sec","sf":"$sfDir","n_queries":${results.size},""" +
-      s""""queries":$keptJson,"queries_rest_n":${rest.size},"queries_rest_sec":${f4(rest.map(_._2).sum)},""" +
-      s""""streaming":$streamingJson,"box":$boxJson}""")
+    val summary =
+      s"""{"metric":"total","value":${f4(total)},"unit":"sec","sf":"$sfDir","n_queries":${results.size},""" +
+        s""""queries":$keptJson,"queries_rest_n":${rest.size},"queries_rest_sec":${f4(rest.map(_._2).sum)},""" +
+        s""""probe_build_sec":$probeBuildJson,"streaming":$streamingJson,"box":$boxJson}"""
+    // file twin of the summary (belt for the stdout-parse braces): a
+    // parse-proof artifact independent of whatever sbt appends
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("target/bench_summary.json"), summary + "\n")
+    catch { case t: Throwable =>
+      System.err.println(s"[bench] WARNING: summary file write failed: $t")
+    }
+    println(summary)
     spark.stop()
   }
 

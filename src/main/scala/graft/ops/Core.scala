@@ -72,3 +72,42 @@ object Core {
     * identical in Spark and DuckDB). */
   def dec2(c: Column): Column = c.cast("decimal(18,2)")
 }
+
+/** One MEMOIZED temp-dir index build per (kind, source dir) per JVM
+  * (ADVICE r8): the registered `*_probe` queries materialize their
+  * persisted index at DataFrame-construction time — correct for the
+  * oracle, but `Views.register` (and any bench/test sweep)
+  * constructs every query, so each pass re-built the index into a
+  * fresh, never-deleted directory under /tmp. The build now runs
+  * once per (kind, dir) and a JVM shutdown hook removes the
+  * directories. Memoization cannot change results: each index is a
+  * pure function of (kind, dir), so a rebuild would write identical
+  * rows — and it sharpens the bench decomposition, because a probe
+  * query's second rep measures probe-only cost, the operational
+  * number at scale. */
+private[ops] object ProbeTemp {
+  private val dirs =
+    scala.collection.concurrent.TrieMap.empty[(String, String), String]
+  // every dir ever created, memoized or not: a build that THROWS (e.g.
+  // the IVF codebook require on an empty corpus) must still have its
+  // partial dir swept at exit, and must NOT be memoized (the next
+  // construction retries, so the failure stays observable)
+  private val created = new java.util.concurrent.ConcurrentLinkedQueue[String]
+
+  Runtime.getRuntime.addShutdownHook(new Thread(() =>
+    created.forEach { d =>
+      import scala.jdk.CollectionConverters._
+      val root = java.nio.file.Paths.get(d)
+      if (java.nio.file.Files.exists(root))
+        java.nio.file.Files.walk(root).iterator().asScala.toSeq
+          .reverse.foreach(java.nio.file.Files.deleteIfExists(_))
+    }))
+
+  def dir(kind: String, srcDir: String)(build: String => Unit): String =
+    dirs.getOrElseUpdate((kind, srcDir), {
+      val d = java.nio.file.Files.createTempDirectory(s"graft_$kind").toString
+      created.add(d)
+      build(d)
+      d
+    })
+}

@@ -493,9 +493,8 @@ object Mixture extends QueryModule {
     * baseline. QBench cold-JVM sf0.1: [1.038, 0.901]s. */
   def mixtureGateProbe(spark: SparkSession, dir: String): DataFrame = {
     val docs = Core.documents(spark, dir)
-    val baseDir = java.nio.file.Files
-      .createTempDirectory("graft_mixture_gate").toString
-    writeDriftBaselineFrom(docs.filter(col("doc_id") % 2 === 0), baseDir)
+    val baseDir = ProbeTemp.dir("mixture_gate", dir)(d =>
+      writeDriftBaselineFrom(docs.filter(col("doc_id") % 2 === 0), d))
     probeMixtureGate(spark, docs.filter(col("doc_id") % 2 === 1), baseDir)
   }
 
@@ -607,9 +606,8 @@ object Mixture extends QueryModule {
     * against it. QBench cold-JVM sf0.1: [0.749, 0.678]s. */
   def vocabNoveltyProbe(spark: SparkSession, dir: String): DataFrame = {
     val docs = Core.documents(spark, dir)
-    val idxDir = java.nio.file.Files
-      .createTempDirectory("graft_vocab_index").toString
-    writeVocabIndexFrom(docs.filter(col("doc_id") % 2 === 0), idxDir)
+    val idxDir = ProbeTemp.dir("vocab_index", dir)(d =>
+      writeVocabIndexFrom(docs.filter(col("doc_id") % 2 === 0), d))
     probeVocabIndex(spark, docs.filter(col("doc_id") % 2 === 1), idxDir)
   }
 

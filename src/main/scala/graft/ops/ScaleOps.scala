@@ -213,8 +213,11 @@ object ScaleOps extends QueryModule {
     * scalar min/max bounds broadcast as one row (allowlisted), and
     * integer DIV / bit ops are bit-identical in any engine. */
   private def withZval(spark: SparkSession, dir: String): DataFrame = {
+    // keeps every events column (Catalyst prunes the unused ones out
+    // of the tiles aggregation's scan) so [[writeZOrdered]] can emit
+    // the original schema unchanged
     val ev = Core.events(spark, dir)
-      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("tus"))
+      .withColumn("tus", unix_micros(col("ts")))
     val bounds = ev.agg(
       min(col("user_id")).as("min_u"), max(col("user_id")).as("max_u"),
       min(col("tus")).as("min_t"), max(col("tus")).as("max_t"))
@@ -284,14 +287,22 @@ object ScaleOps extends QueryModule {
     * the rewrite is one range shuffle — same cost class as the sort
     * the time layout already pays. ScaleOpsSpec measures per-file
     * user_id-span shrinkage vs the time-sorted twin on identical
-    * data. */
+    * data.
+    *
+    * The written schema is the EVENTS schema, unchanged (ADVICE r8:
+    * an earlier cut emitted raw microseconds in place of `ts`, so the
+    * layout was not the drop-in replacement it claims to be): the
+    * curve key orders the write and is then projected away — readers
+    * see the same columns as the ingest layout, just clustered. */
   def writeZOrdered(spark: SparkSession, dir: String, outDir: String,
-      files: Int): Unit =
+      files: Int): Unit = {
+    val evCols = Core.events(spark, dir).columns.map(col)
     withZval(spark, dir)
-      .select(col("event_id"), col("user_id"), col("tus"), col("zval"))
       .repartitionByRange(files, col("zval"))
       .sortWithinPartitions(col("zval"))
+      .select(evCols.toSeq: _*)
       .write.mode("overwrite").parquet(outDir)
+  }
 
   override def queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "salted_agg" -> (saltedAgg _),

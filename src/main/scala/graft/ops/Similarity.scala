@@ -482,7 +482,7 @@ object Similarity extends QueryModule {
     * Recall per added bit at the adversarial 0.4 threshold
     * (p_agree/plane = 0.631): theoretical band-hit 1-(1-p^r)^16 =
     * 0.9996 / 0.990 / 0.937 / 0.815 / 0.648 for r = 2/3/4/5/6.
-    * MEASURED at sf0.1 (n=5000, TierMeasure: fresh JVM per point,
+    * MEASURED at sf0.1 (n=2000, TierMeasure: fresh JVM per point,
     * 2 reps, forced tier; exact all-pairs baseline 920 pairs):
     * 16x2 908 pairs 8.88/6.59s; 16x3 854 pairs 6.77/3.94s;
     * 16x4 727 pairs 5.53/2.64s; 16x5 601 pairs 4.86/2.48s (r9);
@@ -502,7 +502,7 @@ object Similarity extends QueryModule {
     * any n, and the branch boundaries are the Spark pick's
     * boundaries by construction. The top branch is open-ended, so
     * the SQL horizon is n <= cutoff(maxR) = 32,768 — 6.5x beyond
-    * the largest checkable scale (sf0.1 n=5000; the r9 synthesized
+    * the largest checkable scale (sf0.1 n=2000; the r9 synthesized
     * 16x3 slice n=10,000); past it the oracle would need maxR bumped
     * (a one-constant change re-using the same generator), while the
     * Spark side needs nothing. */
@@ -737,6 +737,16 @@ object Similarity extends QueryModule {
     // re-id or trigger the full-rebuild path)
     require(batch.filter(col("vec_id") < cells).isEmpty,
       s"appendToIvfIndex: batch carries vec_ids inside the codebook range [0, $cells)")
+    // the same uniqueness contract for NON-seed ids (ADVICE r8): a
+    // batch row reusing a vec_id already in the index would append a
+    // second vector under that id, and probes would return
+    // duplicate/ambiguous neighbor ids for it. Checked with a
+    // semi-join against the index's own id column — index rows only,
+    // never a corpus scan, so the guard costs one pruned index read.
+    require(batch.select("vec_id")
+        .join(spark.read.parquet(indexDir).select("vec_id"),
+          Seq("vec_id"), "left_semi").isEmpty,
+      s"appendToIvfIndex: batch reuses vec_ids already present in $indexDir")
     batch
       .select(col("vec_id"), col("embedding"),
         sqrt(dot(col("embedding"), col("embedding"))).as("norm"))
@@ -957,9 +967,8 @@ object Similarity extends QueryModule {
     * unit test is the parquet round-trip: cell directory layout,
     * partition-pruned scan, norm/cell column fidelity. */
   def ivfIndexProbe(spark: SparkSession, dir: String): DataFrame = {
-    val idxDir = java.nio.file.Files
-      .createTempDirectory("graft_ivf_index_probe").toString
-    writeIvfIndex(spark, dir, idxDir)
+    val idxDir = ProbeTemp.dir("ivf_index_probe", dir)(d =>
+      writeIvfIndex(spark, dir, d))
     probeIvfIndex(spark, idxDir)
   }
 

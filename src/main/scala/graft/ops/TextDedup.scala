@@ -888,9 +888,8 @@ object TextDedup extends QueryModule {
     * (the [[dedupClusters]] precedent). */
   def simhashIndexProbe(spark: SparkSession, dir: String): DataFrame = {
     val docs = Core.documents(spark, dir)
-    val idxDir = java.nio.file.Files
-      .createTempDirectory("graft_simhash_index_probe").toString
-    writeSimhashIndexFrom(docs.filter(col("doc_id") % 2 === 0), idxDir)
+    val idxDir = ProbeTemp.dir("simhash_index_probe", dir)(d =>
+      writeSimhashIndexFrom(docs.filter(col("doc_id") % 2 === 0), d))
     probeSimhashIndex(spark, docs.filter(col("doc_id") % 2 === 1), idxDir)
   }
 
@@ -1181,9 +1180,8 @@ object TextDedup extends QueryModule {
     * joins) under the hash gate. */
   def dedupIndexProbe(spark: SparkSession, dir: String): DataFrame = {
     val docs = Core.documents(spark, dir)
-    val idxDir = java.nio.file.Files
-      .createTempDirectory("graft_dedup_index_probe").toString
-    writeDedupIndexFrom(docs.filter(col("doc_id") % 2 === 0), idxDir)
+    val idxDir = ProbeTemp.dir("dedup_index_probe", dir)(d =>
+      writeDedupIndexFrom(docs.filter(col("doc_id") % 2 === 0), d))
     probeDedupIndex(spark, docs.filter(col("doc_id") % 2 === 1), idxDir)
   }
 

@@ -70,10 +70,16 @@ class EmptyInputSpec extends SparkSpec {
     // the test's one purpose
     val stale = emptyAllowed.keySet -- SparkEntry.queries.keySet
     assert(stale.isEmpty, s"allowlist names unknown queries: $stale")
+    // an entry is LIVE if the query fails on EITHER degenerate corpus
+    // (ADVICE r8: checking only the empty corpus would flag an entry
+    // needed solely for the one-row shape as dead, forcing its removal
+    // while the one-row test still requires it)
     val stillFailing = emptyAllowed.keys.filter { name =>
       val fn = SparkEntry.queries(name)
-      try { fn(spark, emptyDir).count(); false }
-      catch { case _: Throwable => true }
+      Seq(emptyDir, oneRowDir).exists { d =>
+        try { fn(spark, d).count(); false }
+        catch { case _: Throwable => true }
+      }
     }
     assert(stillFailing.toSet == emptyAllowed.keySet,
       s"allowlist entries no longer needed (remove them): ${emptyAllowed.keySet -- stillFailing.toSet}")

@@ -216,11 +216,16 @@ class ScaleOpsSpec extends SparkSpec {
     val tdir = java.nio.file.Files.createTempDirectory("graft_t").toString + "/t"
     ScaleOps.writeZOrdered(spark, sf0001, zdir, 16)
     graft.ops.Core.events(spark, sf0001)
-      .select($"event_id", $"user_id", unix_micros($"ts").as("tus"))
-      .repartitionByRange(16, $"tus").sortWithinPartitions($"tus")
+      .repartitionByRange(16, $"ts").sortWithinPartitions($"ts")
       .write.mode("overwrite").parquet(tdir)
+    // drop-in claim (ADVICE r8): the z layout's schema is the events
+    // schema, byte-for-byte — no curve key, no raw-microsecond ts
+    assert(spark.read.parquet(zdir).schema ==
+      graft.ops.Core.events(spark, sf0001).schema,
+      "z-ordered layout must present the unchanged events schema")
     def meanSpans(dir: String): (Double, Double, Long) = {
       val f = spark.read.parquet(dir)
+        .withColumn("tus", unix_micros($"ts"))
         .groupBy(input_file_name())
         .agg((max($"user_id") - min($"user_id")).as("uspan"),
           (max($"tus") - min($"tus")).as("tspan"), count(lit(1)).as("n"))
@@ -238,7 +243,7 @@ class ScaleOpsSpec extends SparkSpec {
     // and the time dimension stays bounded (the curve trades a 16x
     // time slab for bounding both axes, it does not give time away)
     val fullT = spark.read.parquet(tdir)
-      .agg(max($"tus") - min($"tus")).as[Long].head()
+      .agg(max(unix_micros($"ts")) - min(unix_micros($"ts"))).as[Long].head()
     assert(zt < 0.5 * fullT, s"z time span $zt vs full range $fullT")
   }
 
