@@ -1185,22 +1185,63 @@ object TextDedup extends QueryModule {
     probeDedupIndex(spark, docs.filter(col("doc_id") % 2 === 1), idxDir)
   }
 
+  /** The probe oracle, parameterized by the corpus/batch split — the
+    * [[dedupIndexProbe]] even/odd split and the
+    * [[dedupIndexMergeProbe]] thirds/remainder split replay the
+    * IDENTICAL digest self-join, so both persisted paths sit under
+    * one checked shape. */
+  private def dedupIndexProbeSqlFor(idxPred: String, batchPred: String): String =
+    s"""WITH d AS (
+       |  SELECT doc_id, coalesce(md5(text), '(null-text)') AS digest FROM documents),
+       |idx AS (
+       |  SELECT digest, min(doc_id) AS keep_id FROM d WHERE $idxPred GROUP BY 1),
+       |b AS (SELECT doc_id, digest FROM d WHERE $batchPred),
+       |bk AS (SELECT digest, min(doc_id) AS batch_keep_id FROM b GROUP BY 1)
+       |SELECT b.doc_id, b.digest,
+       |  CASE WHEN i.keep_id IS NOT NULL THEN 'dup_of_corpus'
+       |       WHEN b.doc_id <> bk.batch_keep_id THEN 'dup_in_batch'
+       |       ELSE 'new' END AS verdict,
+       |  coalesce(i.keep_id,
+       |    CASE WHEN b.doc_id <> bk.batch_keep_id THEN bk.batch_keep_id END) AS dup_of
+       |FROM b
+       |JOIN bk USING (digest)
+       |LEFT JOIN idx i USING (digest)""".stripMargin
+
   val dedupIndexProbeSql: String =
-    """WITH d AS (
-      |  SELECT doc_id, coalesce(md5(text), '(null-text)') AS digest FROM documents),
-      |idx AS (
-      |  SELECT digest, min(doc_id) AS keep_id FROM d WHERE doc_id % 2 = 0 GROUP BY 1),
-      |b AS (SELECT doc_id, digest FROM d WHERE doc_id % 2 = 1),
-      |bk AS (SELECT digest, min(doc_id) AS batch_keep_id FROM b GROUP BY 1)
-      |SELECT b.doc_id, b.digest,
-      |  CASE WHEN i.keep_id IS NOT NULL THEN 'dup_of_corpus'
-      |       WHEN b.doc_id <> bk.batch_keep_id THEN 'dup_in_batch'
-      |       ELSE 'new' END AS verdict,
-      |  coalesce(i.keep_id,
-      |    CASE WHEN b.doc_id <> bk.batch_keep_id THEN bk.batch_keep_id END) AS dup_of
-      |FROM b
-      |JOIN bk USING (digest)
-      |LEFT JOIN idx i USING (digest)""".stripMargin
+    dedupIndexProbeSqlFor("doc_id % 2 = 0", "doc_id % 2 = 1")
+
+  /** REGISTERED end-to-end exercise of the index MERGE lifecycle under
+    * the driver's oracle gate (VERDICT r8 #3 — [[mergeDedupIndexes]]
+    * previously carried only a spec-asserted rebuild-equivalence, no
+    * CORRECTNESS entry): three slices of the corpus (doc_id % 4 = 0/1/2
+    * — the accumulated ingest days) are indexed SEPARATELY, merged with
+    * [[mergeDedupIndexes]], and the remainder (doc_id % 4 = 3, the new
+    * ingest) probed against the merged index. The DuckDB oracle is the
+    * SAME digest self-join as [[dedupIndexProbeSql]] computed over a
+    * single flat union of the three slices — so a hash match proves,
+    * end to end through the parquet round-trip, that per-slice build +
+    * merge equals the full rebuild (min over slice-minima = min over
+    * the union). Reference analogue: the cross-RUN registry
+    * accumulation in economic_indicators_spider.py:67-96 (each scrape
+    * folds its new URLs into the standing registry). QBench cold-JVM
+    * sf0.1: [4.169, 0.939]s measured under load_avg 35 (a concurrent
+    * DuckDB parity sweep owned the box); rep2 is probe-only — the
+    * memoized build pays the three slice writes + merge once. */
+  def dedupIndexMergeProbe(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Core.documents(spark, dir)
+    val root = ProbeTemp.dir("dedup_index_merged", dir) { d =>
+      val slices = (0 to 2).map { r =>
+        val sliceDir = s"$d/slice$r"
+        writeDedupIndexFrom(docs.filter(col("doc_id") % 4 === r), sliceDir)
+        sliceDir
+      }
+      mergeDedupIndexes(spark, slices, s"$d/merged")
+    }
+    probeDedupIndex(spark, docs.filter(col("doc_id") % 4 === 3), s"$root/merged")
+  }
+
+  val dedupIndexMergeProbeSql: String =
+    dedupIndexProbeSqlFor("doc_id % 4 < 3", "doc_id % 4 = 3")
 
   /** FUZZY cross-split contamination — the near-dup complement of
     * [[splitContamination]]'s exact-shingle leak detection: a test
@@ -1706,6 +1747,7 @@ object TextDedup extends QueryModule {
     "simhash64" -> (simhash64 _),
     "simhash_pairs" -> (simhashPairs _),
     "dedup_index_probe" -> (dedupIndexProbe _),
+    "dedup_index_merge_probe" -> (dedupIndexMergeProbe _),
     "simhash_index_probe" -> (simhashIndexProbe _),
     "dataset_split" -> (datasetSplit _),
     "stratified_sample" -> (stratifiedSample _),
@@ -1738,6 +1780,7 @@ object TextDedup extends QueryModule {
     "simhash64" -> simhash64Sql,
     "simhash_pairs" -> simhashPairsSql,
     "dedup_index_probe" -> dedupIndexProbeSql,
+    "dedup_index_merge_probe" -> dedupIndexMergeProbeSql,
     "simhash_index_probe" -> simhashIndexProbeSql,
     "dataset_split" -> datasetSplitSql,
     "stratified_sample" -> stratifiedSampleSql,

@@ -118,6 +118,24 @@ class RegistrySpec extends SparkSpec {
       graft.ops.Core.documents(spark, sf0001).count())
   }
 
+  test("views equivalence gate: every registered view equals its DataFrame result") {
+    // VERDICT r8 #7: the SQL surface (Views.register) must never drift
+    // from the oracle-checked plans. A view is the query's OWN lazy
+    // plan, so equality holds by construction TODAY — this gate pins
+    // it against future registration bugs: a name collision, a stale
+    // view surviving re-registration, or a register() refactor that
+    // materializes or re-derives. Compared as row multisets (same
+    // plan => bit-identical values, so string render is exact).
+    Views.register(spark, sf0001)
+    val diffs = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      val direct = fn(spark, sf0001).collect().map(_.toString).sorted.toSeq
+      val viaSql = spark.sql(s"SELECT * FROM `$name`").collect().map(_.toString).sorted.toSeq
+      if (direct == viaSql) None
+      else Some(s"$name: direct ${direct.size} rows != view ${viaSql.size} rows (or values differ)")
+    }
+    assert(diffs.isEmpty, s"view/DataFrame divergence:\n${diffs.mkString("\n")}")
+  }
+
   test("every query executes at sf0.001") {
     SparkEntry.queries.foreach { case (name, fn) =>
       val n = fn(spark, sf0001).count()
