@@ -608,25 +608,42 @@ object Similarity extends QueryModule {
   }
 
   /** The banding-parameterized oracle — shared by the 8x4 registered
-    * point and the 16x2 hi-recall point, so both replay the identical
-    * plane/threshold constants as their Scala twins. */
+    * point and every hi-recall tier, so all replay the identical
+    * plane/threshold constants as their Scala twins.
+    *
+    * Written to mirror the SPARK plan's evaluation shape, not just
+    * its values (r9 rewrite): norms once per VECTOR in `v` (the
+    * Spark side's per-row `norm` column), the pair dot once per
+    * CANDIDATE, the threshold filter BEFORE the distinct — exactly
+    * `.filter(cosine >= t).distinct()`. Bit-exactness is untouched
+    * (the per-vector sqrt and the dot fold are the same IEEE trees;
+    * only how often they are evaluated changed), but the old form
+    * re-computed five interpreted 64-element folds per joined row
+    * and distinct-ed before filtering, which priced the oracle at
+    * ~5x the necessary work — the r9 n=10,000 tier-2 slice (~1e8
+    * candidates, the 2^27 budget by design) took the old oracle
+    * past 45 minutes in DuckDB; the rewrite brings the full slice
+    * parity into single-digit minutes. */
   private def bandedNearDupPairsSql(bands: Int, rows: Int): String = {
     def bandKeySql(v: String, b: Int): String =
       (0 until rows).map { j =>
         s"(CASE WHEN (${planeDotSql(v, b * rows + j)}) >= 0.0 THEN CAST(${1L << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
       }.mkString(" + ")
     val bandSelects = (0 until bands).map { b =>
-      s"SELECT vec_id, embedding, $b AS band, ${bandKeySql("embedding", b)} AS bkey FROM embeddings"
+      s"SELECT vec_id, embedding, norm, $b AS band, ${bandKeySql("embedding", b)} AS bkey FROM v"
     }.mkString(" UNION ALL ")
-    s"""WITH bands AS ($bandSelects),
+    s"""WITH v AS (
+       |  SELECT vec_id, embedding,
+       |    sqrt(${dotSql("embedding", "embedding")}) AS norm
+       |  FROM embeddings),
+       |bands AS ($bandSelects),
        |cand AS (
-       |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b,
-       |    ${dotSql("a.embedding", "b.embedding")} /
-       |      (sqrt(${dotSql("a.embedding", "a.embedding")}) * sqrt(${dotSql("b.embedding", "b.embedding")})) AS cosine
-       |  FROM bands a JOIN bands b
-       |    ON a.band = b.band AND a.bkey = b.bkey AND a.vec_id < b.vec_id
-       |  WHERE ${dotSql("a.embedding", "b.embedding")} /
-       |      (sqrt(${dotSql("a.embedding", "a.embedding")}) * sqrt(${dotSql("b.embedding", "b.embedding")})) >= $ndThreshold)
+       |  SELECT DISTINCT vec_a, vec_b, cosine FROM (
+       |    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       |      ${dotSql("a.embedding", "b.embedding")} / (a.norm * b.norm) AS cosine
+       |    FROM bands a JOIN bands b
+       |      ON a.band = b.band AND a.bkey = b.bkey AND a.vec_id < b.vec_id)
+       |  WHERE cosine >= $ndThreshold)
        |SELECT vec_a, vec_b, cosine FROM cand""".stripMargin
   }
 

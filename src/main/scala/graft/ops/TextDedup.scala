@@ -893,13 +893,46 @@ object TextDedup extends QueryModule {
     probeSimhashIndex(spark, docs.filter(col("doc_id") % 2 === 1), idxDir)
   }
 
-  val simhashIndexProbeSql: String =
+  /** The probe oracle, parameterized by the corpus/batch split — the
+    * same one-checked-shape rule as [[dedupIndexProbeSqlFor]]. */
+  private def simhashIndexProbeSqlFor(idxPred: String, batchPred: String): String =
     s"""WITH s AS ($simhash64Sql),
-       |e AS (SELECT doc_id, simhash64 FROM s WHERE doc_id % 2 = 0),
-       |o AS (SELECT doc_id, simhash64 FROM s WHERE doc_id % 2 = 1)
+       |e AS (SELECT doc_id, simhash64 FROM s WHERE $idxPred),
+       |o AS (SELECT doc_id, simhash64 FROM s WHERE $batchPred)
        |SELECT o.doc_id AS probe_id, e.doc_id AS match_id,
        |  CAST(bit_count(xor(o.simhash64, e.simhash64)) AS INTEGER) AS hamming
        |FROM o JOIN e ON bit_count(xor(o.simhash64, e.simhash64)) <= 4""".stripMargin
+
+  val simhashIndexProbeSql: String =
+    simhashIndexProbeSqlFor("doc_id % 2 = 0", "doc_id % 2 = 1")
+
+  /** REGISTERED merge-lifecycle exercise for the NEAR-DUP index —
+    * [[dedupIndexMergeProbe]]'s twin over [[mergeSimhashIndexes]]
+    * (VERDICT r8 #2: the merge steps carried spec-asserted
+    * rebuild-equivalence but no CORRECTNESS entry). Three corpus
+    * slices (doc_id % 4 = 0/1/2) are signature-indexed separately,
+    * merged (union + distinct, re-laid into the bandkey-range layout
+    * the probe's footer pruning needs), and the remainder probed. The
+    * oracle is the flat all-pairs batch x union scan — a hash match
+    * proves the merged layout serves probes exactly like a full
+    * rebuild, through the parquet round-trip. QBench cold-JVM sf0.1:
+    * [1.581, 0.354]s (quiet box); rep2 is probe-only (memoized
+    * build). */
+  def simhashIndexMergeProbe(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Core.documents(spark, dir)
+    val root = ProbeTemp.dir("simhash_index_merged", dir) { d =>
+      val slices = (0 to 2).map { r =>
+        val sliceDir = s"$d/slice$r"
+        writeSimhashIndexFrom(docs.filter(col("doc_id") % 4 === r), sliceDir)
+        sliceDir
+      }
+      mergeSimhashIndexes(spark, slices, s"$d/merged")
+    }
+    probeSimhashIndex(spark, docs.filter(col("doc_id") % 4 === 3), s"$root/merged")
+  }
+
+  val simhashIndexMergeProbeSql: String =
+    simhashIndexProbeSqlFor("doc_id % 4 < 3", "doc_id % 4 = 3")
 
   /** The broadcast all-pairs scan — the equality baseline for the
     * banded form (the ~8-byte/doc signature table broadcasts even at
@@ -1748,6 +1781,7 @@ object TextDedup extends QueryModule {
     "simhash_pairs" -> (simhashPairs _),
     "dedup_index_probe" -> (dedupIndexProbe _),
     "dedup_index_merge_probe" -> (dedupIndexMergeProbe _),
+    "simhash_index_merge_probe" -> (simhashIndexMergeProbe _),
     "simhash_index_probe" -> (simhashIndexProbe _),
     "dataset_split" -> (datasetSplit _),
     "stratified_sample" -> (stratifiedSample _),
@@ -1781,6 +1815,7 @@ object TextDedup extends QueryModule {
     "simhash_pairs" -> simhashPairsSql,
     "dedup_index_probe" -> dedupIndexProbeSql,
     "dedup_index_merge_probe" -> dedupIndexMergeProbeSql,
+    "simhash_index_merge_probe" -> simhashIndexMergeProbeSql,
     "simhash_index_probe" -> simhashIndexProbeSql,
     "dataset_split" -> datasetSplitSql,
     "stratified_sample" -> stratifiedSampleSql,
