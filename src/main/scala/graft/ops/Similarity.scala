@@ -789,16 +789,23 @@ object Similarity extends QueryModule {
       .select(col("qid"), col("vec_id"), col("cosine"), col("rank"))
   }
 
-  val ivfTopKSql: String = {
+  /** The IVF probe oracle, parameterized over its CORPUS — shared by
+    * the inline/persisted forms (corpus = the embeddings table) and
+    * the APPEND form (corpus = embeddings plus the id-shifted batch),
+    * so every IVF path replays one checked shape. The codebook rule
+    * `vec_id < cells` resolves to the ORIGINAL seeds in both cases
+    * (appended ids sit far above the cell range by construction). */
+  private def ivfTopKSqlOver(corpusSql: String): String = {
     val cells = ivfCells
-    s"""WITH seeds AS (
+    s"""WITH corpus AS ($corpusSql),
+       |seeds AS (
        |  SELECT vec_id AS sid, embedding AS semb,
        |    ${dotSql("embedding", "embedding")} AS ss
-       |  FROM embeddings WHERE vec_id < $cells),
+       |  FROM corpus WHERE vec_id < $cells),
        |scored AS (
        |  SELECT e.vec_id, e.embedding, s.sid,
        |    s.ss - 2.0 * ${dotSql("e.embedding", "s.semb")} AS score
-       |  FROM embeddings e CROSS JOIN seeds s),
+       |  FROM corpus e CROSS JOIN seeds s),
        |assigned AS (
        |  SELECT vec_id, embedding, sid AS cell FROM (
        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY score, sid) AS rn
@@ -815,6 +822,9 @@ object Similarity extends QueryModule {
        |  FROM pairs)
        |SELECT qid, vec_id, cosine, CAST("rank" AS INTEGER) AS "rank" FROM ranked WHERE "rank" <= 5""".stripMargin
   }
+
+  val ivfTopKSql: String =
+    ivfTopKSqlOver("SELECT vec_id, embedding FROM embeddings")
 
   /** MULTI-PROBE IVF (round-4 verdict #6): probe the `ivfNprobe`
     * nearest cells per query instead of only the home cell. IVF's
@@ -988,6 +998,46 @@ object Similarity extends QueryModule {
       writeIvfIndex(spark, dir, d))
     probeIvfIndex(spark, idxDir)
   }
+
+  /** ONE id offset shared by [[ivfAppendProbe]] and its oracle — far
+    * above any corpus vec_id, so appended rows can never shadow the
+    * codebook (`vec_id < cells`) or collide with standing ids. */
+  private val ivfAppendShift = 1000000L
+
+  /** REGISTERED exercise of the APPEND lifecycle under the oracle gate
+    * (VERDICT r8 #2 completion: after the dedup and simhash MERGE
+    * probes, [[appendToIvfIndex]] was the last index-maintenance step
+    * with only unit coverage): build the index over the corpus, append
+    * an id-shifted batch (every vec_id % 10 = 3 vector under a new id
+    * — assigned under the ORIGINAL codebook, per the append contract),
+    * and probe. The oracle is [[ivfTopKSqlOver]] with the corpus
+    * replaced by the same union — a hash match proves appended rows
+    * land in exactly the cells a full rebuild under the original
+    * codebook would give them AND become visible to probes through the
+    * cell-partitioned layout (appended twins displace original top-5
+    * neighbors at cosine 1.0, so the probe output materially changes
+    * if the append path breaks). The batch residue (% 10 = 3) shares
+    * no ids with the probe rule (% 50 = 0), so the query set is
+    * unchanged and only NEIGHBOR visibility is under test. QBench
+    * cold-JVM sf0.1: [2.425, 0.883]s; rep2 is probe-only (memoized
+    * build + append). */
+  def ivfAppendProbe(spark: SparkSession, dir: String): DataFrame = {
+    val root = ProbeTemp.dir("ivf_append_probe", dir) { d =>
+      writeIvfIndex(spark, dir, s"$d/idx")
+      val batch = Core.embeddings(spark, dir)
+        .filter(col("vec_id") % 10 === 3)
+        .select((col("vec_id") + lit(ivfAppendShift)).as("vec_id"),
+          col("embedding"))
+      appendToIvfIndex(spark, batch, s"$d/idx")
+    }
+    probeIvfIndex(spark, s"$root/idx")
+  }
+
+  val ivfAppendProbeSql: String = ivfTopKSqlOver(
+    s"""SELECT vec_id, embedding FROM embeddings
+       | UNION ALL
+       | SELECT vec_id + $ivfAppendShift, embedding FROM embeddings
+       | WHERE vec_id % 10 = 3""".stripMargin.replace("\n", ""))
 
   /** STREAMING ANN (r5 verdict #8) — probe INCOMING vectors against
     * the persisted cell-partitioned index inside foreachBatch: the
@@ -1413,6 +1463,7 @@ object Similarity extends QueryModule {
     "embed_ivf_topk" -> (ivfTopK _),
     "embed_ivf_multiprobe" -> (ivfTopKMultiProbe _),
     "ivf_index_probe" -> (ivfIndexProbe _),
+    "ivf_append_probe" -> (ivfAppendProbe _),
     "embed_near_dup_pairs" -> (cosineNearDupPairs _),
     "embed_near_dup_hirecall" -> (cosineNearDupPairsHiRecall _),
     "embed_quantize" -> (embedQuantize _),
@@ -1431,6 +1482,7 @@ object Similarity extends QueryModule {
     "embed_ivf_topk" -> ivfTopKSql,
     "embed_ivf_multiprobe" -> ivfMultiProbeSql,
     "ivf_index_probe" -> ivfTopKSql,
+    "ivf_append_probe" -> ivfAppendProbeSql,
     "embed_near_dup_pairs" -> cosineNearDupPairsSql,
     "embed_near_dup_hirecall" -> cosineNearDupPairsHiRecallSql,
     "embed_quantize" -> embedQuantizeSql,
