@@ -611,13 +611,15 @@ object Mixture extends QueryModule {
     probeVocabIndex(spark, docs.filter(col("doc_id") % 2 === 1), idxDir)
   }
 
-  val vocabNoveltyProbeSql: String =
-    """WITH idx AS (
+  /** The OOV-probe oracle, parameterized by the corpus/batch split —
+    * the one-checked-shape rule of the TextDedup probe oracles. */
+  private def vocabNoveltyProbeSqlFor(idxPred: String, batchPred: String): String =
+    s"""WITH idx AS (
       |  SELECT DISTINCT unnest(string_split(text, ' ')) AS tok
-      |  FROM documents WHERE doc_id % 2 = 0),
+      |  FROM documents WHERE $idxPred),
       |bt AS (
       |  SELECT source, unnest(string_split(text, ' ')) AS tok
-      |  FROM documents WHERE doc_id % 2 = 1),
+      |  FROM documents WHERE $batchPred),
       |pt AS (SELECT source, tok, count(*) AS n_occ FROM bt GROUP BY 1, 2),
       |j AS (
       |  SELECT pt.source, pt.tok, pt.n_occ,
@@ -632,6 +634,36 @@ object Mixture extends QueryModule {
       |  CAST(sum(CASE WHEN is_new = 1 THEN n_occ ELSE 0 END) AS DOUBLE) /
       |    CAST(sum(n_occ) AS DOUBLE) AS oov_rate
       |FROM j GROUP BY 1""".stripMargin
+
+  val vocabNoveltyProbeSql: String =
+    vocabNoveltyProbeSqlFor("doc_id % 2 = 0", "doc_id % 2 = 1")
+
+  /** REGISTERED merge-lifecycle exercise for the VOCABULARY index —
+    * the [[graft.ops.TextDedup.dedupIndexMergeProbe]] pattern over
+    * [[mergeVocabIndexes]], completing the merge-probe set (exact
+    * digests, simhash signatures, IVF append, vocabulary df): three
+    * corpus slices (doc_id % 4 = 0/1/2) vocabulary-indexed separately,
+    * df-sum merged, and the remainder's OOV rates probed against the
+    * merged index. The oracle computes the same novelty report over a
+    * flat union of the slices — a hash match proves summing per-slice
+    * document frequencies equals a full rebuild (disjoint slices, so
+    * df is additive), through the parquet round-trip. QBench cold-JVM
+    * sf0.1: [1.919, 0.334]s (quiet box); rep2 probe-only. */
+  def vocabMergeProbe(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Core.documents(spark, dir)
+    val root = ProbeTemp.dir("vocab_index_merged", dir) { d =>
+      val slices = (0 to 2).map { r =>
+        val sliceDir = s"$d/slice$r"
+        writeVocabIndexFrom(docs.filter(col("doc_id") % 4 === r), sliceDir)
+        sliceDir
+      }
+      mergeVocabIndexes(spark, slices, s"$d/merged")
+    }
+    probeVocabIndex(spark, docs.filter(col("doc_id") % 4 === 3), s"$root/merged")
+  }
+
+  val vocabMergeProbeSql: String =
+    vocabNoveltyProbeSqlFor("doc_id % 4 < 3", "doc_id % 4 = 3")
 
   // --- budgeted mixture plan ----------------------------------------------
 
@@ -943,6 +975,7 @@ object Mixture extends QueryModule {
     "vocab_growth" -> (vocabGrowth _),
     "mixture_gate_probe" -> (mixtureGateProbe _),
     "vocab_novelty_probe" -> (vocabNoveltyProbe _),
+    "vocab_merge_probe" -> (vocabMergeProbe _),
     "epoch_realize" -> (epochRealize _))
 
   override def oracle: Seq[(String, String)] = Seq(
@@ -956,5 +989,6 @@ object Mixture extends QueryModule {
     "vocab_growth" -> vocabGrowthSql,
     "mixture_gate_probe" -> mixtureGateProbeSql,
     "vocab_novelty_probe" -> vocabNoveltyProbeSql,
+    "vocab_merge_probe" -> vocabMergeProbeSql,
     "epoch_realize" -> epochRealizeSql)
 }

@@ -1431,8 +1431,13 @@ object Similarity extends QueryModule {
     * semantics (the same shared-generator pattern as
     * [[bandedNearDupPairsSql]]). */
   private def embedClustersSqlFrom(pairsSql: String): String =
-    s"""WITH RECURSIVE cand AS ($pairsSql),
-       |edges AS (
+    // MATERIALIZED: `edges` is referenced inside the recursive term,
+    // and DuckDB re-inlines non-materialized CTEs per reference — the
+    // banded pair subquery would re-run every fixpoint iteration
+    // (hours at the n=10,000 tier-2 slice). Evaluation count only;
+    // values are unchanged.
+    s"""WITH RECURSIVE cand AS MATERIALIZED ($pairsSql),
+       |edges AS MATERIALIZED (
        |  SELECT vec_a AS src, vec_b AS dst FROM cand
        |  UNION ALL SELECT vec_b, vec_a FROM cand),
        |reach(src, dst) AS (

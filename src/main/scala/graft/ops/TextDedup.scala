@@ -979,9 +979,16 @@ object TextDedup extends QueryModule {
     // semantic-dedup clusters)
     Components.clusterPairs(minhashLshCandidates(spark, dir), "doc_a", "doc_b", "doc_id")
 
+  // MATERIALIZED (r9): DuckDB inlines non-materialized CTEs at every
+  // reference, and `edges` is referenced from INSIDE the recursive
+  // `reach` term — without the hint the full candidate-pair subquery
+  // re-evaluates on every fixpoint iteration, turning a
+  // seconds-per-pass plan into hours on a large corpus slice (the
+  // n=10,000 tier-2 parity run surfaced it). The hint changes
+  // evaluation count only, never values.
   val dedupClustersSql: String =
-    s"""WITH RECURSIVE cand AS ($minhashLshCandidatesSql),
-       |edges AS (
+    s"""WITH RECURSIVE cand AS MATERIALIZED ($minhashLshCandidatesSql),
+       |edges AS MATERIALIZED (
        |  SELECT doc_a AS src, doc_b AS dst FROM cand
        |  UNION ALL SELECT doc_b, doc_a FROM cand),
        |reach(src, dst) AS (
