@@ -404,6 +404,75 @@ object Mixture extends QueryModule {
           (col("n_s") * lit(nTotal)).cast("double") / lit(2.0)).as("tvd_lang"))
   }
 
+  /** REGISTERED exercise of the drift-baseline lifecycle under the
+    * oracle gate — the first CORRECTNESS entry for BOTH
+    * [[probeDriftBaseline]] (previously unit/streaming-only) and
+    * [[mergeDriftBaselines]] (the last merge step without one): three
+    * corpus slices (doc_id % 4 = 0/1/2) publish baselines separately,
+    * count-sum merged, and the remainder's per-source TVD probed
+    * against the merged baseline. The oracle recomputes the probe's
+    * exact integer TVD tree (|n_sk*N - n_k*n_s| over the union of
+    * baseline and batch keys, one double division at the end — the
+    * [[sourceDrift]] parity rule) with the baseline derived from a
+    * flat union of the slices: counts are additive over disjoint
+    * slices, and the hash match proves it through the parquet
+    * round-trip. QBench cold-JVM sf0.1: [1.356, 0.323]s (quiet box);
+    * rep2 probe-only. */
+  def driftBaselineMergeProbe(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Core.documents(spark, dir)
+    val root = ProbeTemp.dir("drift_baseline_merged", dir) { d =>
+      val slices = (0 to 2).map { r =>
+        val sliceDir = s"$d/slice$r"
+        writeDriftBaselineFrom(docs.filter(col("doc_id") % 4 === r), sliceDir)
+        sliceDir
+      }
+      mergeDriftBaselines(spark, slices, s"$d/merged")
+    }
+    probeDriftBaseline(spark, docs.filter(col("doc_id") % 4 === 3), s"$root/merged")
+  }
+
+  val driftBaselineMergeProbeSql: String = {
+    val idxPred = "doc_id % 4 < 3"
+    val batchPred = "doc_id % 4 = 3"
+    s"""WITH bld AS (
+       |  SELECT lang, CAST(FLOOR(n_chars / $driftBucketChars) AS BIGINT) AS bucket
+       |  FROM documents WHERE $idxPred),
+       |bl AS (
+       |  SELECT 'chars' AS kind, CAST(bucket AS VARCHAR) AS key, count(*) AS n_k
+       |  FROM bld GROUP BY 2
+       |  UNION ALL
+       |  SELECT 'lang' AS kind, lang AS key, count(*) AS n_k FROM bld GROUP BY 2),
+       |tot AS (SELECT count(*) AS n_total FROM bld),
+       |bd AS (
+       |  SELECT source, lang, CAST(FLOOR(n_chars / $driftBucketChars) AS BIGINT) AS bucket
+       |  FROM documents WHERE $batchPred),
+       |sc AS (
+       |  SELECT source, 'chars' AS kind, CAST(bucket AS VARCHAR) AS key, count(*) AS n_sk
+       |  FROM bd GROUP BY 1, 3
+       |  UNION ALL
+       |  SELECT source, 'lang' AS kind, lang AS key, count(*) AS n_sk FROM bd GROUP BY 1, 3),
+       |st AS (SELECT source, count(*) AS n_s FROM bd GROUP BY 1),
+       |onbase AS (
+       |  SELECT st.source, bl.kind, st.n_s, coalesce(sc.n_sk, 0) AS n_sk, bl.n_k
+       |  FROM st CROSS JOIN bl
+       |  LEFT JOIN sc ON sc.source = st.source AND sc.kind = bl.kind AND sc.key = bl.key),
+       |extras AS (
+       |  SELECT sc.source, sc.kind, st.n_s, sc.n_sk, 0 AS n_k
+       |  FROM sc JOIN st ON st.source = sc.source
+       |  LEFT JOIN bl ON bl.kind = sc.kind AND bl.key = sc.key
+       |  WHERE bl.kind IS NULL),
+       |u AS (SELECT * FROM onbase UNION ALL SELECT * FROM extras)
+       |SELECT u.source, CAST(u.n_s AS BIGINT) AS n_docs,
+       |  CAST(sum(CASE WHEN u.kind = 'chars'
+       |    THEN abs(u.n_sk * t.n_total - u.n_k * u.n_s) ELSE 0 END) AS DOUBLE)
+       |    / CAST(u.n_s * t.n_total AS DOUBLE) / 2.0 AS tvd_chars,
+       |  CAST(sum(CASE WHEN u.kind = 'lang'
+       |    THEN abs(u.n_sk * t.n_total - u.n_k * u.n_s) ELSE 0 END) AS DOUBLE)
+       |    / CAST(u.n_s * t.n_total AS DOUBLE) / 2.0 AS tvd_lang
+       |FROM u CROSS JOIN tot t
+       |GROUP BY u.source, u.n_s, t.n_total""".stripMargin
+  }
+
   /** STREAMING drift canary: incoming document drops probed against
     * the persisted baseline per micro-batch, per-source TVD rows
     * landed idempotently per batch_id (the K1 sink rule). The baseline
@@ -976,6 +1045,7 @@ object Mixture extends QueryModule {
     "mixture_gate_probe" -> (mixtureGateProbe _),
     "vocab_novelty_probe" -> (vocabNoveltyProbe _),
     "vocab_merge_probe" -> (vocabMergeProbe _),
+    "drift_baseline_merge_probe" -> (driftBaselineMergeProbe _),
     "epoch_realize" -> (epochRealize _))
 
   override def oracle: Seq[(String, String)] = Seq(
@@ -990,5 +1060,6 @@ object Mixture extends QueryModule {
     "mixture_gate_probe" -> mixtureGateProbeSql,
     "vocab_novelty_probe" -> vocabNoveltyProbeSql,
     "vocab_merge_probe" -> vocabMergeProbeSql,
+    "drift_baseline_merge_probe" -> driftBaselineMergeProbeSql,
     "epoch_realize" -> epochRealizeSql)
 }
