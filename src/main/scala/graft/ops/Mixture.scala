@@ -416,7 +416,7 @@ object Mixture extends QueryModule {
     * [[sourceDrift]] parity rule) with the baseline derived from a
     * flat union of the slices: counts are additive over disjoint
     * slices, and the hash match proves it through the parquet
-    * round-trip. QBench cold-JVM sf0.1: [1.356, 0.323]s (quiet box);
+    * round-trip. QBench cold-JVM sf0.1 (quiet box): [2.009, 0.656]s;
     * rep2 probe-only. */
   def driftBaselineMergeProbe(spark: SparkSession, dir: String): DataFrame = {
     val docs = Core.documents(spark, dir)
@@ -717,7 +717,7 @@ object Mixture extends QueryModule {
     * flat union of the slices — a hash match proves summing per-slice
     * document frequencies equals a full rebuild (disjoint slices, so
     * df is additive), through the parquet round-trip. QBench cold-JVM
-    * sf0.1: [1.919, 0.334]s (quiet box); rep2 probe-only. */
+    * sf0.1 (quiet box): [1.817, 0.323]s; rep2 probe-only. */
   def vocabMergeProbe(spark: SparkSession, dir: String): DataFrame = {
     val docs = Core.documents(spark, dir)
     val root = ProbeTemp.dir("vocab_index_merged", dir) { d =>

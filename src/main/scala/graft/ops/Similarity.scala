@@ -1019,8 +1019,8 @@ object Similarity extends QueryModule {
     * if the append path breaks). The batch residue (% 10 = 3) shares
     * no ids with the probe rule (% 50 = 0), so the query set is
     * unchanged and only NEIGHBOR visibility is under test. QBench
-    * cold-JVM sf0.1: [2.425, 0.883]s; rep2 is probe-only (memoized
-    * build + append). */
+    * cold-JVM sf0.1 (quiet box): [2.772, 0.567]s; rep2 is probe-only
+    * (memoized build + append). */
   def ivfAppendProbe(spark: SparkSession, dir: String): DataFrame = {
     val root = ProbeTemp.dir("ivf_append_probe", dir) { d =>
       writeIvfIndex(spark, dir, s"$d/idx")

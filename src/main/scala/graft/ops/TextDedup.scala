@@ -915,8 +915,8 @@ object TextDedup extends QueryModule {
     * the probe's footer pruning needs), and the remainder probed. The
     * oracle is the flat all-pairs batch x union scan — a hash match
     * proves the merged layout serves probes exactly like a full
-    * rebuild, through the parquet round-trip. QBench cold-JVM sf0.1:
-    * [1.581, 0.354]s (quiet box); rep2 is probe-only (memoized
+    * rebuild, through the parquet round-trip. QBench cold-JVM sf0.1
+    * (quiet box): [2.801, 0.913]s; rep2 is probe-only (memoized
     * build). */
   def simhashIndexMergeProbe(spark: SparkSession, dir: String): DataFrame = {
     val docs = Core.documents(spark, dir)
@@ -1264,8 +1264,7 @@ object TextDedup extends QueryModule {
     * the union). Reference analogue: the cross-RUN registry
     * accumulation in economic_indicators_spider.py:67-96 (each scrape
     * folds its new URLs into the standing registry). QBench cold-JVM
-    * sf0.1: [4.169, 0.939]s measured under load_avg 35 (a concurrent
-    * DuckDB parity sweep owned the box); rep2 is probe-only — the
+    * sf0.1 (quiet box): [2.600, 0.529]s; rep2 is probe-only — the
     * memoized build pays the three slice writes + merge once. */
   def dedupIndexMergeProbe(spark: SparkSession, dir: String): DataFrame = {
     val docs = Core.documents(spark, dir)
