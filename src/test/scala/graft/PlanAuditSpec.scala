@@ -23,6 +23,7 @@ class PlanAuditSpec extends SparkSpec {
     "embed_knn_label" -> "exact-vote baseline; the labeled seed side is the small broadcastable one",
     "embed_ann_sq8_topk" -> "ADC stage: tiny query set against codes, documented two-stage design",
     "source_drift" -> "aggregate-grid crosses: sources x buckets/langs x the 1-row total — all bounded-cardinality aggregate frames, corpus-size-independent",
+    "drift_baseline_merge_probe" -> "the probeDriftBaseline grid cross: batch sources x the few-dozen-row broadcast merged baseline (explicit zero cells for TVD, the source_drift justification over the persisted path)",
     "mixture_plan" -> "scalar broadcast: the 1-row (total_tokens, sqrt_sum) normalizer against the |sources|-row plan table",
     "mixture_gate_probe" -> "scalar broadcast: the 1-row n_min from the persisted baseline's lang rows",
     "zorder_tiles" -> "scalar broadcast: the 1-row min/max bounds both dimensions scale against",
