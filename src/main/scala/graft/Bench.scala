@@ -162,10 +162,13 @@ object Bench {
       .map { case (k, v) => s"\"" + k + "\":" + f4(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    // the five registered queries that build a persisted index at
-    // plan-construction: their build-vs-probe split (r8 verdict #6)
-    val probeNames = Set("dedup_index_probe", "simhash_index_probe",
-      "ivf_index_probe", "mixture_gate_probe", "vocab_novelty_probe")
+    // every registered query that builds a persisted index/baseline at
+    // plan-construction reports its build-vs-probe split (r8 verdict
+    // #6). Derived from the naming convention rather than a literal
+    // list: the r9 review caught the list silently missing the five
+    // new merge/append probes, dropping their (dominant) build cost
+    // from the artifact.
+    val probeNames = SparkEntry.queries.keySet.filter(_.endsWith("_probe"))
     val probeBuildJson = meas.collect {
       case (k, m) if probeNames(k) => s"\"$k\":${f4(m.buildSec)}"
     }.mkString("{", ",", "}")

@@ -12,6 +12,11 @@ object Verify {
     val sfDir = args(0)
     val outDir = args(1)
     val only = args.drop(2).toSet
+    // fail fast on a typo'd name: a silently-empty filter would write a
+    // zero-query dump that parity.py reports as a PASSING run (0 ok, 0
+    // fail) — a verification that verified nothing
+    val unknown = only -- SparkEntry.queries.keySet
+    require(unknown.isEmpty, s"unknown queries: ${unknown.mkString(", ")}")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

@@ -500,15 +500,20 @@ object Similarity extends QueryModule {
     * branches generated from the SAME cutoffs ([[ndHiCutoff]]) for
     * r = 2..[[ndHiOracleMaxR]] — exactly one branch emits rows at
     * any n, and the branch boundaries are the Spark pick's
-    * boundaries by construction. The top branch is open-ended, so
-    * the SQL horizon is n <= cutoff(maxR) = 32,768 — 6.5x beyond
-    * the largest checkable scale (sf0.1 n=2000; the r9 synthesized
-    * 16x3 slice n=10,000); past it the oracle would need maxR bumped
-    * (a one-constant change re-using the same generator), while the
-    * Spark side needs nothing. */
+    * boundaries by construction. A finite SQL cannot replay an
+    * unbounded rule, so the oracle has an explicit HORIZON:
+    * n <= cutoff(maxR=8) = 65,536 — 6.5x the largest checkable
+    * scale (the r9 synthesized 16x3 slice, n=10,000; sf0.1 itself is
+    * n=2,000). The horizon is a TESTED constant (SimilaritySpec pins
+    * ndHiRows(cutoff(maxR)) == maxR and names the first divergent
+    * n), and past it the top branch — deliberately open-ended —
+    * emits the r=8 pair SET while Spark bands at r>=9, so a parity
+    * run out there fails LOUDLY on row count rather than silently
+    * passing; bumping maxR is the one-constant response, the Spark
+    * side needs nothing. */
   private[graft] val ndHiBands = 16
   private[graft] val ndHiMaxRows = 62 // BIGINT bkey: one sign bit per plane
-  private[graft] val ndHiOracleMaxR = 6
+  private[graft] val ndHiOracleMaxR = 8
 
   /** Largest corpus count served by r sign bits under the 2^27
     * candidate budget: max n with n^2 <= 2^(24+r) (integer-exact). */
@@ -757,19 +762,38 @@ object Similarity extends QueryModule {
     // the same uniqueness contract for NON-seed ids (ADVICE r8): a
     // batch row reusing a vec_id already in the index would append a
     // second vector under that id, and probes would return
-    // duplicate/ambiguous neighbor ids for it. Checked with a
-    // semi-join against the index's own id column — index rows only,
-    // never a corpus scan, so the guard costs one pruned index read.
-    require(batch.select("vec_id")
-        .join(spark.read.parquet(indexDir).select("vec_id"),
-          Seq("vec_id"), "left_semi").isEmpty,
-      s"appendToIvfIndex: batch reuses vec_ids already present in $indexDir")
+    // duplicate/ambiguous neighbor ids for it. Checked against the
+    // SORTED id sidecar, pre-filtered to the batch's id range so
+    // parquet min/max stats prune the scan (r9 review: the first cut
+    // semi-joined the full index's id column, re-introducing the
+    // O(index)-per-append read the seeds sidecar was built to kill).
+    // An index written before the sidecar existed pays one full id
+    // read HERE to materialize it, then never again.
+    val idsPath = s"$indexDir/_graft_ids"
+    if (!new java.io.File(idsPath).exists)
+      writeIdSidecar(spark.read.parquet(indexDir).select(col("vec_id")),
+        idsPath, overwrite = true)
+    val range = batch.agg(min(col("vec_id")), max(col("vec_id"))).head()
+    if (!range.isNullAt(0)) {
+      val (mn, mx) = (range.getLong(0), range.getLong(1))
+      require(batch.select("vec_id")
+          .join(spark.read.parquet(idsPath)
+            .filter(col("vec_id").between(mn, mx)), Seq("vec_id"), "left_semi")
+          .isEmpty,
+        s"appendToIvfIndex: batch reuses vec_ids already present in $indexDir")
+    }
     batch
       .select(col("vec_id"), col("embedding"),
         sqrt(dot(col("embedding"), col("embedding"))).as("norm"))
       .withColumn("cell", least(centroidStructs(seedRows): _*).getField("sid"))
       .write.partitionBy("cell")
       .mode("append").parquet(indexDir)
+    // keep the sidecar complete for the NEXT append. Written after the
+    // data lands: a crash between the two writes leaves the new ids
+    // unguarded (fail-open) rather than blocking a legitimate retry of
+    // the same batch (fail-closed) — the periodic full rebuild
+    // re-materializes the sidecar either way.
+    writeIdSidecar(batch.select(col("vec_id")), idsPath, overwrite = false)
   }
 
   def ivfTopK(spark: SparkSession, dir: String): DataFrame = {
@@ -947,7 +971,24 @@ object Similarity extends QueryModule {
       .select(col("vec_id"), col("embedding"))
       .coalesce(1).write
       .mode("overwrite").parquet(s"$outDir/_graft_seeds")
+    // Sorted id SIDECAR for the append-time uniqueness guard (r9
+    // review): the guard must check batch ids against EVERY standing
+    // id — a reused id may live in any cell — and scanning the index
+    // data for that, even column-pruned, re-reads O(index) per
+    // append, the exact cost class the seeds sidecar exists to avoid.
+    // Ids land range-partitioned and sorted, so parquet file/
+    // row-group min/max stats prune the guard's scan to the files
+    // overlapping the batch's id range: under the standard
+    // monotonically-growing id scheme a fresh batch overlaps nothing
+    // and the guard reads ~zero rows.
+    writeIdSidecar(Core.embeddings(spark, dir).select(col("vec_id")),
+      s"$outDir/_graft_ids", overwrite = true)
   }
+
+  private def writeIdSidecar(ids: DataFrame, path: String,
+      overwrite: Boolean): Unit =
+    ids.repartitionByRange(col("vec_id")).sortWithinPartitions("vec_id")
+      .write.mode(if (overwrite) "overwrite" else "append").parquet(path)
 
   /** The codebook recorded by [[writeIvfIndex]]'s seed sidecar. */
   private def readIvfSeeds(spark: SparkSession, indexDir: String): Seq[(Long, Seq[Float])] =

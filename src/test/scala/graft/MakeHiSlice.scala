@@ -57,12 +57,19 @@ object MakeHiSlice {
     }.reduce(_ unionAll _)
     // DuckDB (the oracle side) reads a single file path, not a
     // directory, so collapse to one part file and move it into place
-    val tmp = Files.createTempDirectory("graft_hislice").toString
-    unioned.coalesce(1).write.mode("overwrite").parquet(tmp)
-    val part = Files.list(Paths.get(tmp)).filter(_.toString.endsWith(".parquet"))
-      .findFirst.get
+    val tmp = Files.createTempDirectory("graft_hislice")
+    unioned.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    val listing = Files.list(tmp)
+    val part =
+      try listing.filter(_.toString.endsWith(".parquet")).findFirst.get
+      finally listing.close()
     Files.move(part, Paths.get(s"$outDir/embeddings.parquet"),
       StandardCopyOption.REPLACE_EXISTING)
+    // sweep the staging dir (_SUCCESS/.crc leftovers) — no /tmp litter
+    import scala.jdk.CollectionConverters._
+    val walk = Files.walk(tmp)
+    try walk.iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+    finally walk.close()
 
     val n = spark.read.parquet(s"$outDir/embeddings.parquet").count()
     val (bands, rows) = ops.Similarity.ndHiPick(n)

@@ -130,6 +130,14 @@ class SimilaritySpec extends SparkSpec {
     assert(Similarity.ndHiPick(16384L) == ((16, 4)))
     assert(Similarity.ndHiPick(16385L) == ((16, 5)))
     assert(Similarity.ndHiPick(32768L) == ((16, 6)))
+    // the oracle horizon is a tested constant: every n the SQL's
+    // count-gated branches cover picks a tier the SQL generates, and
+    // the first divergent n (oracle emits maxR pairs, Spark bands
+    // maxR+1) is pinned so the boundary can never drift silently
+    assert(Similarity.ndHiRows(Similarity.ndHiCutoff(Similarity.ndHiOracleMaxR))
+      == Similarity.ndHiOracleMaxR)
+    assert(Similarity.ndHiRows(Similarity.ndHiCutoff(Similarity.ndHiOracleMaxR) + 1)
+      == Similarity.ndHiOracleMaxR + 1)
     // unbounded growth: +1 bit per sqrt(2)x corpus, until the BIGINT
     // bkey representation cap (62 bits, first binding past n = 2^43)
     assert(Similarity.ndHiRows(1000000L) == 16)
@@ -273,6 +281,20 @@ class SimilaritySpec extends SparkSpec {
       assert(c == before(id - 100000L),
         s"copy $id landed in cell $c, twin ${id - 100000L} sits in ${before(id - 100000L)}")
     }
+    // the id-uniqueness guard: re-appending the SAME batch must be
+    // rejected — the sorted id sidecar absorbed the first append, so
+    // the range-pruned semi-join sees the clash...
+    intercept[IllegalArgumentException] {
+      Similarity.appendToIvfIndex(spark, copies, idxDir)
+    }
+    // ...while a fresh id range sails through (the guard prunes to the
+    // overlapping sidecar files; a disjoint range reads ~nothing).
+    // Ties at cosine 1.0 resolve by vec_id ASC, so the later probe
+    // assertions (twin at +100000 on top) are unaffected.
+    Similarity.appendToIvfIndex(spark,
+      emb.filter($"vec_id" % 7 === 3)
+        .select(($"vec_id" + 200000L).as("vec_id"), $"embedding", $"label"),
+      idxDir)
     // probing the appended index: every query whose twin-copy exists
     // must now rank it at the top with cosine ~ 1 (same cell by the
     // twin argument, identical vector up to float sqrt rounding)
