@@ -738,6 +738,43 @@ class StreamingSpec extends SparkSpec {
     assert(got.select("doc_id").distinct().count() == 6)
   }
 
+  test("republished dedup index serves the NEXT micro-batch without a stream restart") {
+    // The operational guarantee behind the batch-index/stream-probe
+    // split: the periodic batch job REPUBLISHES the index (full
+    // rebuild or merge) while the probe stream keeps running, and the
+    // very next micro-batch probes the new index — because
+    // probeDedupIndex plans a fresh explicit-schema read of indexDir
+    // inside every foreachBatch invocation. (Documented contrast:
+    // streamingIvfProbe pins its CODEBOOK at stream start — centroids
+    // are literal expressions — so an IVF retrain requires a stream
+    // restart; the digest/simhash/vocab/drift probes do not.)
+    implicit val sqlCtx = spark.sqlContext
+    val idxDir = java.nio.file.Files.createTempDirectory("graft_repub").toString + "/idx"
+    val outDir = java.nio.file.Files.createTempDirectory("graft_repub_o").toString + "/out"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_repub_c").toString
+    val v1 = Seq((1L, "alpha doc"), (2L, "beta doc")).toDF("doc_id", "text")
+    graft.ops.TextDedup.writeDedupIndexFrom(v1, idxDir)
+    val src = MemoryStream[(Long, String)]
+    val q = graft.ops.TextDedup.streamingDedupProbe(spark,
+      src.toDF().toDF("doc_id", "text"), idxDir, outDir, ckpt)
+    try {
+      src.addData((300001L, "gamma doc"))
+      q.processAllAvailable()
+      // the periodic batch job lands a new index version mid-stream
+      graft.ops.TextDedup.writeDedupIndexFrom(
+        v1.unionByName(Seq((3L, "gamma doc")).toDF("doc_id", "text")), idxDir)
+      src.addData((300002L, "gamma doc"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.read.parquet(outDir)
+      .select($"doc_id", $"verdict", $"dup_of").as[(Long, String, Option[Long])]
+      .collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got(300001L) == (("new", None)),
+      "before the republish the digest is unknown to the index")
+    assert(got(300002L) == (("dup_of_corpus", Some(3L))),
+      "the republished index must serve the next batch without restart")
+  }
+
   test("streaming simhash probe equals the per-batch probe against the persisted index") {
     implicit val sqlCtx = spark.sqlContext
     val idxDir = java.nio.file.Files.createTempDirectory("graft_ssix").toString + "/idx"
