@@ -23,6 +23,8 @@ object QBench {
     "embed_near_dup_exact" -> ((s, d) => ops.Similarity.cosineNearDupPairsExact(s, d)),
     "embed_near_dup_16x2" -> ((s, d) => ops.Similarity.cosineNearDupPairsHiRecall(s, d)),
     "embed_near_dup_lean" -> ((s, d) => ops.Similarity.cosineNearDupPairsLean(s, d)),
+    "embed_near_dup_16x2_lean" -> ((s, d) =>
+      ops.Similarity.cosineNearDupPairsLean(s, d, bands = 16, rows = 2)),
     "cdc_chunks_hof" -> ((s, d) => ops.TrainingData.cdcChunksHof(s, d)),
     "bpe_pairs_hof" -> ((s, d) => ops.TrainingData.bpePairsHof(s, d))
   )

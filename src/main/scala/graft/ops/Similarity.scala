@@ -483,14 +483,17 @@ object Similarity extends QueryModule {
     * (p_agree/plane = 0.631): theoretical band-hit 1-(1-p^r)^16 =
     * 0.9996 / 0.990 / 0.937 / 0.815 / 0.648 for r = 2/3/4/5/6.
     * MEASURED at sf0.1 (n=2000, TierMeasure: fresh JVM per point,
-    * 2 reps, forced tier; exact all-pairs baseline 920 pairs):
-    * 16x2 908 pairs 8.88/6.59s; 16x3 854 pairs 6.77/3.94s;
-    * 16x4 727 pairs 5.53/2.64s; 16x5 601 pairs 4.86/2.48s (r9);
-    * 16x6 477 pairs 4.71/1.54s (r9) — measured recall
+    * 2 reps, forced tier, the LEAN production shape — see
+    * [[cosineNearDupPairsHiRecall]]; exact all-pairs baseline 920
+    * pairs): 16x2 908 pairs 8.84/4.19s; 16x3 854 pairs 7.26/2.86s;
+    * 16x4 727 pairs 6.44/2.66s; 16x5 601 pairs 6.14/1.89s;
+    * 16x6 477 pairs 6.37/1.82s — measured recall
     * 0.987/0.928/0.790/0.653/0.519, tracking the theoretical curve
     * from above as the near-threshold tail thins, while warm time
-    * keeps stepping down with the candidate halving (6.59 -> 3.94 ->
-    * 2.64 -> 2.48 -> 1.54s). The decay is the price of a fixed-band budget
+    * steps down with the candidate halving (4.19 -> 2.86 -> 2.66 ->
+    * 1.89 -> 1.82s; the step flattens at high r where the lean
+    * shape's two re-join joins dominate the shrinking candidate
+    * stream). The decay is the price of a fixed-band budget
     * at this corpus's unusually low threshold; production near-dup
     * thresholds (0.9+, p_agree ~ 0.97) keep p^r selective to far
     * larger r. sf0.01/sf0.1 (the oracle-checked scales) still land
@@ -529,19 +532,35 @@ object Similarity extends QueryModule {
 
   private[graft] def ndHiPick(n: Long): (Int, Int) = (ndHiBands, ndHiRows(n))
 
+  /** The hi-recall path runs the LEAN (late-materialization) shape
+    * (r9): the r7 lean-vs-direct A/B at the 8x4 point measured a tie
+    * and recorded "the lean shape becomes preferable when embedding
+    * payload dominates the band shuffle (dims >> 32 or bands > 8)" —
+    * and every hi-recall tier has 16 bands. Re-measured head-on at
+    * the 16x2 point (QBench `embed_near_dup_16x2` vs
+    * `embed_near_dup_16x2_lean`, fresh JVMs, sf0.1): direct
+    * 6.33/6.50/6.29s, lean 3.52/3.16/2.95s — 2.1x, identical 908
+    * rows, because the 16-way band fan-out otherwise shuffles the
+    * ~150-byte embedding+norm payload 16 times per vector where the
+    * lean shape shuffles 24-byte keys and joins vectors back once
+    * per DISTINCT candidate. The 8x4 registered point keeps the
+    * direct shape (measured tie, better cold). Output sets are
+    * provably identical (same bands, same verify; spec-asserted at
+    * the 8x4 point), so the oracle is unchanged. */
   def cosineNearDupPairsHiRecall(spark: SparkSession, dir: String): DataFrame = {
     // metadata-only count at plan-construction time (the dedupClusters
     // / ivfTopK eager-job precedent)
     val n = Core.embeddings(spark, dir).count()
     val (bands, rows) = ndHiPick(n)
-    bandedNearDupPairs(spark, dir, ndThreshold, bands, rows)
+    cosineNearDupPairsLean(spark, dir, ndThreshold, bands, rows)
   }
 
-  /** Forced-tier variant for measurement (QBench A/B) — not
-    * registered. */
+  /** Forced-tier variant for measurement (QBench A/B, TierMeasure) —
+    * not registered; runs the SAME lean shape as the adaptive pick so
+    * tier measurements price the production plan. */
   private[graft] def cosineNearDupPairsAt(spark: SparkSession, dir: String,
       bands: Int, rows: Int): DataFrame =
-    bandedNearDupPairs(spark, dir, ndThreshold, bands, rows)
+    cosineNearDupPairsLean(spark, dir, ndThreshold, bands, rows)
 
   private def bandedNearDupPairs(spark: SparkSession, dir: String,
       threshold: Double, bands: Int, rows: Int): DataFrame = {
@@ -573,13 +592,14 @@ object Similarity extends QueryModule {
     * the price of two extra vec_id joins. Measured at sf0.1 (cold-JVM
     * reps): see scaladoc on the registered form for the verdict. */
   private[graft] def cosineNearDupPairsLean(spark: SparkSession, dir: String,
-      threshold: Double = ndThreshold): DataFrame = {
+      threshold: Double = ndThreshold,
+      bands: Int = ndBands, rows: Int = ndRows): DataFrame = {
     val emb = Core.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding"),
         sqrt(dot(col("embedding"), col("embedding"))).as("norm"))
     val keys = emb
       .select(col("vec_id"),
-        explode(array(ndBandStructs(col("embedding"), ndBands, ndRows): _*)).as("b"))
+        explode(array(ndBandStructs(col("embedding"), bands, rows): _*)).as("b"))
       .select(col("vec_id"), col("b.band").as("band"), col("b.bkey").as("bkey"))
     val cand = keys.as("a").join(keys.as("b"),
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
