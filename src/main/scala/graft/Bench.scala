@@ -4,14 +4,16 @@ import org.apache.spark.sql.SparkSession
 
 /** Round-over-round total context: the per-round total grows with the
   * registry, so compare SHARED queries, not totals. r9 clean min-of-3
-  * at sf0.1 (box marker warm2=0.167s load=0.84 — clean): total 95.97s
-  * over 118 queries vs r8's clean 90.6s/113q. The five new registered
-  * maintenance probes (dedup/simhash/vocab/drift merges + IVF append)
-  * account for 10.73s, so the shared-113 total is ~85.2s — ~5s FASTER
-  * than r8 on identical queries, with the hot spots stepping down:
-  * embed_dedup_clusters_hirecall 9.77s (r8 9.85, r7 13.9),
-  * embed_near_dup_hirecall 7.00s, ngram_jaccard_pairs 4.39s (r8
-  * 4.49). New artifact fields this round: "queries_rep2_load" re-runs
+  * at sf0.1, FINAL (after the lean hi-recall switch; box marker
+  * warm2=0.142s — clean): total 91.15s over 118 queries vs r8's clean
+  * 90.6s/113q. The five new registered maintenance probes
+  * (dedup/simhash/vocab/drift merges + IVF append) account for ~11s,
+  * so the shared-113 total is ~80s — ~10s FASTER than r8 on identical
+  * queries. Hot spots: embed_dedup_clusters_hirecall 6.40s (pre-lean
+  * r9 9.77, r8 9.85, r7 13.9), embed_near_dup_hirecall 3.91s
+  * (pre-lean 7.00 — the measured 2.1x of the late-materialization
+  * shape at 16 bands), ngram_jaccard_pairs 4.65s (r8 4.49, within
+  * drift). New artifact fields this round: "queries_rep2_load" re-runs
   * any query over 2s once with a load sample (per-query contention
   * adjudication — r8 verdict #5) and "probe_build_sec" splits the
   * *_probe queries' periodic index-build cost from per-batch probe
