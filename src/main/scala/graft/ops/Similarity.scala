@@ -584,13 +584,18 @@ object Similarity extends QueryModule {
       .distinct() // a pair can agree on several bands
   }
 
-  /** Late-materialization A/B twin of [[cosineNearDupPairs]] (QBench
-    * `embed_near_dup_lean`): shuffle only (vec_id, band, bkey) through
-    * the band self-join, distinct the candidate id pairs, THEN join
-    * the vectors back for the cosine verify — the band shuffle carries
-    * 24 bytes/row instead of the ~150-byte embedding+norm payload, at
-    * the price of two extra vec_id joins. Measured at sf0.1 (cold-JVM
-    * reps): see scaladoc on the registered form for the verdict. */
+  /** LATE-MATERIALIZATION banded pair generator: shuffle only
+    * (vec_id, band, bkey) through the band self-join, distinct the
+    * candidate id pairs, THEN join the vectors back for the cosine
+    * verify — the band shuffle carries 24 bytes/row instead of the
+    * ~150-byte embedding+norm payload, at the price of two extra
+    * vec_id joins. Born as the A/B twin of [[cosineNearDupPairs]]
+    * (QBench `embed_near_dup_lean`: tie at 8 bands), PROMOTED in r9
+    * to the production shape of every hi-recall tier
+    * ([[cosineNearDupPairsHiRecall]]: measured 2.1x at 16 bands).
+    * Output set provably equals the direct shape's (same bands, same
+    * exact verify) — spec-asserted at 8x4, parity-proven at 16x2 and
+    * on the 16x3 slice. */
   private[graft] def cosineNearDupPairsLean(spark: SparkSession, dir: String,
       threshold: Double = ndThreshold,
       bands: Int = ndBands, rows: Int = ndRows): DataFrame = {
@@ -1474,11 +1479,11 @@ object Similarity extends QueryModule {
     * group the low-recall point found (superset-or-equal merge —
     * spec-asserted in SimilaritySpec). Carries the hi-recall point's
     * documented candidate-volume price; same scale note. Measured
-    * cost (QBench cold-JVM reps at sf0.1): 12.80/11.30/10.81s,
-    * decomposing as ~9.5s pair materialization (the 16x2 knob price,
-    * paid ONCE into clusterPairs' localCheckpoint) + ~4s min-label
-    * propagation — the same pairs->clusters overhead ratio as the
-    * 8x4 point (2.1s pairs -> 4.4s clusters in the same bench).
+    * cost (QBench cold-JVM reps at sf0.1): 12.80/11.30/10.81s with
+    * the r6-r8 direct pair shape; 10.04/8.76/7.59s after the r9 lean
+    * switch — the pair materialization (paid ONCE into clusterPairs'
+    * localCheckpoint) dropped with the 2.1x pair win while the ~4s
+    * min-label propagation is unchanged.
     * Since r8 the pair generator is tier-adaptive ([[ndHiRows]]):
     * the containment-vs-8x4 guarantee is a property of the 16x2 tier
     * (band refinement needs the same plane set), which is exactly the
