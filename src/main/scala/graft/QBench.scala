@@ -25,6 +25,8 @@ object QBench {
     "embed_near_dup_lean" -> ((s, d) => ops.Similarity.cosineNearDupPairsLean(s, d)),
     "embed_near_dup_16x2_lean" -> ((s, d) =>
       ops.Similarity.cosineNearDupPairsLean(s, d, bands = 16, rows = 2)),
+    "embed_near_dup_16x2_direct" -> ((s, d) =>
+      ops.Similarity.cosineNearDupPairsDirectAt(s, d, 16, 2)),
     "cdc_chunks_hof" -> ((s, d) => ops.TrainingData.cdcChunksHof(s, d)),
     "bpe_pairs_hof" -> ((s, d) => ops.TrainingData.bpePairsHof(s, d))
   )

@@ -537,9 +537,11 @@ object Similarity extends QueryModule {
     * and recorded "the lean shape becomes preferable when embedding
     * payload dominates the band shuffle (dims >> 32 or bands > 8)" —
     * and every hi-recall tier has 16 bands. Re-measured head-on at
-    * the 16x2 point (QBench `embed_near_dup_16x2` vs
-    * `embed_near_dup_16x2_lean`, fresh JVMs, sf0.1): direct
-    * 6.33/6.50/6.29s, lean 3.52/3.16/2.95s — 2.1x, identical 908
+    * the 16x2 point (QBench `embed_near_dup_16x2_direct` vs
+    * `embed_near_dup_16x2_lean` — the direct baseline stays reachable
+    * through [[cosineNearDupPairsDirectAt]]; fresh JVMs, sf0.1): direct
+    * 6.46/6.27s, lean 4.43/3.42/3.23s (with the duplicate-id terminal
+    * distinct; 2.95s without) — ~2x, identical 908
     * rows, because the 16-way band fan-out otherwise shuffles the
     * ~150-byte embedding+norm payload 16 times per vector where the
     * lean shape shuffles 24-byte keys and joins vectors back once
@@ -619,7 +621,21 @@ object Similarity extends QueryModule {
       .select(col("vec_a"), col("vec_b"),
         (dot(col("ea"), col("eb")) / (col("na") * col("nb"))).as("cosine"))
       .filter(col("cosine") >= threshold)
+      // terminal dedup, matching the direct shape and the oracle: a
+      // corpus with DUPLICATE vec_id rows would otherwise fan each
+      // candidate id pair out N*M times through the two join-backs
+      // (r9 review). A no-op shuffle over the tiny verified pair set
+      // on unique-id corpora.
+      .distinct()
   }
+
+  /** Forced-DIRECT banded generator at caller-chosen geometry — kept
+    * so the lean-vs-direct A/B behind the r9 promotion stays
+    * reproducible at HEAD (QBench `embed_near_dup_16x2_direct`):
+    * without it no code path reaches the direct shape at 16 bands. */
+  private[graft] def cosineNearDupPairsDirectAt(spark: SparkSession,
+      dir: String, bands: Int, rows: Int): DataFrame =
+    bandedNearDupPairs(spark, dir, ndThreshold, bands, rows)
 
   /** The exact all-pairs form — the recall baseline cosineNearDupPairs
     * is measured against in SimilaritySpec. Deliberately NOT registered:
@@ -641,11 +657,15 @@ object Similarity extends QueryModule {
     * point and every hi-recall tier, so all replay the identical
     * plane/threshold constants as their Scala twins.
     *
-    * Written to mirror the SPARK plan's evaluation shape, not just
+    * Written to mirror the DIRECT Spark shape's evaluation, not just
     * its values (r9 rewrite): norms once per VECTOR in `v` (the
     * Spark side's per-row `norm` column), the pair dot once per
     * CANDIDATE, the threshold filter BEFORE the distinct — exactly
-    * `.filter(cosine >= t).distinct()`. Bit-exactness is untouched
+    * the 8x4 point's `.filter(cosine >= t).distinct()`. The
+    * hi-recall tiers run the LEAN Spark twin
+    * ([[cosineNearDupPairsLean]]: distinct id pairs BEFORE the
+    * verify, then a terminal distinct), so for them the invariant is
+    * SET equality, not operator order. Bit-exactness is untouched
     * (the per-vector sqrt and the dot fold are the same IEEE trees;
     * only how often they are evaluated changed), but the old form
     * re-computed five interpreted 64-element folds per joined row
