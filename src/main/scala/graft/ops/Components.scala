@@ -19,18 +19,34 @@ import org.apache.spark.sql.functions._
   * round, so convergence is O(log n) rounds on any shape — the same
   * bound as large-star/small-star (Kiveris et al., SOCC'14;
   * hash-to-min of Rastogi et al., ICDE'13) with a simpler per-round
-  * plan. Measured on a 10,000-node path graph (the adversarial
-  * diameter case, ComponentsSpec): 13 rounds vs 9,999 for pure
-  * propagation; the spec pins rounds <= 2*ceil(log2 n).
+  * plan. Doubling is doubly gated — to rounds >= 2, and to rounds
+  * where step 1 still changed a label (a propagation fixpoint IS
+  * global convergence, so doubling can never rescue a quiet round):
+  * the registered dup graphs are clique-shaped (every near-dup pair
+  * is an edge), converge in 2 propagation rounds, and never execute
+  * the label-x-label self-join at all; a path graph defers its first
+  * hop by at most one round. Measured on a 10,000-node path graph
+  * (the adversarial diameter case, ComponentsSpec): 14 rounds vs
+  * 9,999 for pure propagation, and 2 rounds on clique graphs; the
+  * spec pins rounds <= 2*ceil(log2 n) + 1 on the path and <= 3 on
+  * cliques.
   *
-  * Scale shape: per round, TWO shuffle joins (edge x label, then
-  * label x label) plus one min-aggregation, each cut from the plan
-  * lineage by a localCheckpoint — O(log n) * O(|V|+|E|) total traffic
-  * vs O(diameter) * O(|V|+|E|) for propagation alone. The convergence
-  * signal is carried THROUGH each round's checkpoint (`changed` is
-  * computed in the same pass that builds the new labels), so each
-  * round is one eager checkpoint job plus an isEmpty scan of the
-  * cached blocks that short-circuits on the first changed row. */
+  * Scale shape: per round, one shuffle join (edge x label) plus one
+  * min-aggregation, and in active doubling rounds a second shuffle
+  * join (label x label, the hop) — O(log n) * O(|V|+|E|) total
+  * traffic vs O(diameter) * O(|V|+|E|) for propagation alone. The
+  * step-1 result (`half`) is localCheckpoint'd each round: it is the
+  * convergence witness (an isEmpty over cached blocks that
+  * short-circuits on the first `label < old_label` row) and, in
+  * doubling rounds, feeds both sides of the hop self-join — so the
+  * join+aggregate subtree materializes exactly once per round. The
+  * doubling output is checkpointed too, cutting the loop lineage.
+  *
+  * QBench cold-JVM min-of-2 at sf0.1 (load ~2): the double gate cuts
+  * `dedup_clusters` 1.60 -> 1.38-1.42s (r10's unconditional doubling
+  * taxed the clique-shaped common case +35% vs r9's propagation-only
+  * 1.22s on a quiet box) and `embed_dedup_clusters_hirecall` holds at
+  * 6.73s (r10: 7.08s) with the O(log n) path-graph bound intact. */
 object Components {
 
   /** Cluster an undirected pair list. `aCol`/`bCol` name the pair
@@ -43,8 +59,9 @@ object Components {
     clusterPairsCounted(pairs, aCol, bCol, idName)._1
 
   /** As `clusterPairs`, also returning the number of label-update
-    * rounds the loop ran before converging (asserted O(log n) by
-    * ComponentsSpec on a path graph — the worst case for propagation). */
+    * rounds the loop ran before converging (ComponentsSpec asserts
+    * rounds <= 2*ceil(log2 n) + 1 on a 10,000-node path graph — the
+    * worst case for propagation — and measured 14 there). */
   def clusterPairsCounted(pairs: DataFrame, aCol: String, bCol: String,
       idName: String): (DataFrame, Int) = {
     val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
@@ -60,23 +77,38 @@ object Components {
         .join(labels.select(col("id").as("src"), col("label").as("src_label")), "src")
         .groupBy(col("dst").as("id"))
         .agg(min(col("src_label")).as("nbr_label"))
-      // Step 1: min over self + neighborhood. `old_label` rides along so
-      // the post-doubling change test needs no third join.
+      // Step 1: min over self + neighborhood, checkpointed — it is the
+      // convergence witness and (in doubling rounds) feeds two join
+      // sides, so the join+aggregate subtree materializes exactly once.
       val half = labels
         .join(nbrMin, Seq("id"), "left")
         .select(col("id"), col("label").as("old_label"),
           least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
-      // Step 2: pointer doubling — label := label(label). Every label
-      // value is a member node id, so the hop table covers it; the left
-      // join + coalesce only guards degenerate inputs.
-      val next = half
-        .join(half.select(col("label").as("hop"), col("id").as("label")), Seq("label"), "left")
-        .select(col("id"),
-          coalesce(col("hop"), col("label")).as("label"),
-          (coalesce(col("hop"), col("label")) < col("old_label")).as("changed"))
         .localCheckpoint(true)
-      converged = next.filter(col("changed")).isEmpty
-      labels = next.select(col("id"), col("label"))
+      // A propagation fixpoint IS global convergence: if labels differed
+      // within a component, some edge would cross the boundary and the
+      // larger side would have taken the min. Doubling therefore never
+      // un-converges anything, and convergence is decided from step 1
+      // alone — an isEmpty over cached blocks that short-circuits on the
+      // first changed row.
+      val step1Active = !half.filter(col("label") < col("old_label")).isEmpty
+      if (!step1Active) {
+        converged = true
+      } else if (rounds >= 2) {
+        // Step 2 (rounds >= 2, step 1 still active): pointer doubling —
+        // label := label(label). Every label value is a member node id,
+        // so the hop table covers it; the left join + coalesce only
+        // guards degenerate inputs. Clique-shaped dup graphs (the
+        // registered workloads) converge in 2 propagation rounds and
+        // never reach this join; a path graph defers its first hop by
+        // at most one round.
+        labels = half
+          .join(half.select(col("label").as("hop"), col("id").as("label")), Seq("label"), "left")
+          .select(col("id"), coalesce(col("hop"), col("label")).as("label"))
+          .localCheckpoint(true)
+      } else {
+        labels = half.select(col("id"), col("label"))
+      }
     }
     val sizes = labels.groupBy(col("label")).agg(count(lit(1)).as("cluster_size"))
     val out = labels.join(sizes, "label")

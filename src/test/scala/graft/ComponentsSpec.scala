@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Components
+
+/** Pins the convergence bound and correctness of the shared
+  * connected-components kernel (ops/Components.scala).
+  *
+  * The path graph is the adversarial case: pure min-label propagation
+  * needs diameter rounds (9,999 on 10,000 nodes), while propagation +
+  * pointer doubling (gated to rounds >= 2) is O(log n). The spec pins
+  * rounds <= 2*ceil(log2 n) + 1 — the +1 pays for the gated first
+  * round — and full cluster correctness against the closed form.
+  * The clique test pins the OTHER regime: the registered dup graphs
+  * are clique-shaped and must converge in a constant few rounds with
+  * the doubling gate keeping round 1 single-join. */
+class ComponentsSpec extends SparkSpec {
+
+  test("10k-node path graph: O(log n) rounds, one exact cluster") {
+    val n = 10000
+    val pairs = spark.range(0, n - 1).toDF("a")
+      .select(col("a"), (col("a") + 1).as("b"))
+    val (out, rounds) = Components.clusterPairsCounted(pairs, "a", "b", "node_id")
+    val bound = 2 * math.ceil(math.log(n) / math.log(2)).toInt + 1
+    info(s"path graph n=$n converged in $rounds rounds (bound $bound, propagation alone: ${n - 1})")
+    assert(rounds <= bound, s"expected <= $bound rounds, got $rounds")
+    val rows = out.collect()
+    assert(rows.length == n)
+    assert(rows.forall(r => r.getLong(r.fieldIndex("cluster_id")) == 0L))
+    assert(rows.forall(r => r.getLong(r.fieldIndex("cluster_size")) == n.toLong))
+    val survivors = rows.filter(_.getBoolean(rows.head.fieldIndex("is_survivor")))
+    assert(survivors.map(_.getLong(0)).toSeq == Seq(0L))
+  }
+
+  test("disjoint cliques: constant rounds, exact min-label membership") {
+    // Three cliques {0..9}, {100..109}, {200..204}: every pair an edge.
+    val members = Seq(0L until 10L, 100L until 110L, 200L until 205L)
+    val pairs = members.flatMap(m =>
+      for (a <- m; b <- m if a < b) yield (a, b))
+    val df = spark.createDataFrame(pairs).toDF("a", "b")
+    val (out, rounds) = Components.clusterPairsCounted(df, "a", "b", "node_id")
+    info(s"clique graph converged in $rounds rounds")
+    assert(rounds <= 3, s"cliques must converge in <= 3 rounds, got $rounds")
+    val got = out.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+      .sortBy(_._1)
+    val want = members.flatMap(m =>
+      m.map(id => (id, m.min, m.size.toLong, id == m.min))).sortBy(_._1)
+    assert(got.toSeq == want)
+  }
+}
