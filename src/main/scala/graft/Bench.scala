@@ -18,7 +18,15 @@ import org.apache.spark.sql.SparkSession
   * adjudication — r8 verdict #5) and "probe_build_sec" splits the
   * *_probe queries' periodic index-build cost from per-batch probe
   * cost (r8 verdict #6; builds are memoized per (kind, dir) per JVM,
-  * so rep2 of a probe query IS the probe-only number). Streaming
+  * so rep2 of a probe query IS the probe-only number). r11: the FINAL
+  * stdout line and the file twin `target/bench_summary.json` are both
+  * self-sufficient for contention adjudication — the twin holds the
+  * FULL record (every timing + rep2/load + probe_build + failures),
+  * the final line folds in rep2/load for the 10 costliest queries
+  * (r9/r10 verdict: rep2 lived only on the penultimate line, which
+  * the driver's tail capture truncated two rounds running); a failed
+  * query (sec=-1) is excluded from the headline total and listed in
+  * "queries_failed" instead of silently deflating it. Streaming
   * (clean, stage-adjacent markers 0.11-0.15s): bars 67.5k ev/s,
   * indfull 31.4k, ivfprobe 2,287 vec/s, DAG 2,460 ev/s, RocksDB DAG
   * 1,902 — all within the r8 clean band (72.4k/36.2k/2,725/2,382/
@@ -146,6 +154,14 @@ object Bench {
       name -> QMeas(sec, buildSec, rep2, load)
     }
     val results = meas.map { case (k, m) => k -> m.sec }
+    // A failed query reports sec = -1.0 in the per-query map (the
+    // driver's signal) but MUST NOT be summed into the headline total —
+    // r10 ADVICE: a single failure would otherwise silently DEFLATE the
+    // total by 1s and corrupt round-over-round comparison. The total is
+    // the sum over succeeded queries only, and failures are listed by
+    // name in "queries_failed" in both artifact lines.
+    val failedNames = meas.collect { case (k, m) if m.sec < 0 => k }.toSeq.sorted
+    val failedJson = failedNames.map("\"" + _ + "\"").mkString("[", ",", "]")
     // Round 4's capture lost the HEAD of this line (a bounded tail
     // window kept only the last ~3 KB: the leading "metric":"total"
     // and the first 17 per-query timings were cut). Three fixes:
@@ -163,7 +179,7 @@ object Bench {
     val qs = sortedQs
       .map { case (k, v) => s"\"" + k + "\":" + f4(v) }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.values.filter(_ >= 0).sum
     // every registered query that builds a persisted index/baseline at
     // plan-construction reports its build-vs-probe split (r8 verdict
     // #6). Derived from the naming convention rather than a literal
@@ -202,16 +218,36 @@ object Bench {
     // Full artifact line: every per-query timing (cheapest first, so a
     // bounded tail window truncates the cheap head, never the
     // expensive queries or the totals that follow).
-    println(s"""{"queries":$qs,"queries_rep2_load":$repsJson,"probe_build_sec":$probeBuildJson,"streaming":$streamingJson,"box":$boxJson,"metric":"total","value":${f4(total)},"unit":"sec","sf":"$sfDir"}""")
+    val fullRecord =
+      s"""{"queries":$qs,"queries_rep2_load":$repsJson,"queries_failed":$failedJson,""" +
+        s""""probe_build_sec":$probeBuildJson,"streaming":$streamingJson,"box":$boxJson,""" +
+        s""""metric":"total","value":${f4(total)},"unit":"sec","n_queries":${results.size},"sf":"$sfDir"}"""
+    println(fullRecord)
+    // File twin carries the FULL record (r9+r10 verdict #3, twice
+    // burned: the driver's bounded tail capture cut the penultimate
+    // stdout line both rounds, losing the per-query rep2/load evidence
+    // exactly when it was needed to adjudicate contamination). A
+    // parse-proof artifact independent of stdout capture: every
+    // timing + rep2/load + probe_build + failures.
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("target/bench_summary.json"), fullRecord + "\n")
+    catch { case t: Throwable =>
+      System.err.println(s"[bench] WARNING: summary file write failed: $t")
+    }
     // FINAL line: a self-contained summary sized to survive the
-    // driver's bounded tail capture intact (ADVICE r7: BENCH_r07's
+    // driver's ~2KB tail capture intact (ADVICE r7: BENCH_r07's
     // single 3KB line head-truncated inside the 2KB window and
     // parsed:null — the round's numbers existed only as a raw string).
     // Keeps the costliest queries individually (they are what
-    // round-over-round grading compares), folds the cheap rest into
-    // an aggregate, and carries the full streaming/box/headline
-    // blocks verbatim.
-    val budget = 700
+    // round-over-round grading compares) WITH their rep2/load
+    // adjudication evidence (r10 verdict #3: rep2 lived only on the
+    // truncated penultimate line), folds the cheap rest into an
+    // aggregate, and carries the streaming/box/headline blocks
+    // verbatim. rep2 entries are capped to the 10 costliest kept
+    // queries (rep2 only exists for >2s queries, which sort into the
+    // kept head anyway) to hold the line under the capture window;
+    // the file twin above carries the uncapped map.
+    val budget = 500
     val expensiveFirst = sortedQs.reverse
     val kept = {
       var used = 0
@@ -220,18 +256,16 @@ object Bench {
       }
     }
     val rest = expensiveFirst.drop(kept.size)
+    val keptNames = kept.map(_._1).take(10).toSet
     val keptJson = kept.map { case (k, v) => s"\"" + k + "\":" + f4(v) }.mkString("{", ",", "}")
+    val keptRepsJson = meas.collect {
+      case (k, m) if m.rep2 >= 0 && keptNames(k) => s"\"$k\":[${f4(m.rep2)},${f4(m.load)}]"
+    }.mkString("{", ",", "}")
     val summary =
       s"""{"metric":"total","value":${f4(total)},"unit":"sec","sf":"$sfDir","n_queries":${results.size},""" +
         s""""queries":$keptJson,"queries_rest_n":${rest.size},"queries_rest_sec":${f4(rest.map(_._2).sum)},""" +
+        s""""queries_rep2_load":$keptRepsJson,"queries_failed":$failedJson,""" +
         s""""probe_build_sec":$probeBuildJson,"streaming":$streamingJson,"box":$boxJson}"""
-    // file twin of the summary (belt for the stdout-parse braces): a
-    // parse-proof artifact independent of whatever sbt appends
-    try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("target/bench_summary.json"), summary + "\n")
-    catch { case t: Throwable =>
-      System.err.println(s"[bench] WARNING: summary file write failed: $t")
-    }
     println(summary)
     spark.stop()
   }
