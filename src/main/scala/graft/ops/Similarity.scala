@@ -496,7 +496,11 @@ object Similarity extends QueryModule {
     * stream). The decay is the price of a fixed-band budget
     * at this corpus's unusually low threshold; production near-dup
     * thresholds (0.9+, p_agree ~ 0.97) keep p^r selective to far
-    * larger r. sf0.01/sf0.1 (the oracle-checked scales) still land
+    * larger r — MEASURED, not just argued: the oracle-gated
+    * [[cosineNearDupPairsStrict]] twin runs the same tiers at
+    * threshold 0.9 with recall 1.0000 at r = 2 through 6 and warm
+    * cost falling 3.7x (its scaladoc has the per-tier points).
+    * sf0.01/sf0.1 (the oracle-checked scales) still land
     * on the exact 16x2 behavior the recall spec pins.
     *
     * The DuckDB oracle replays the SAME derivation via count-gated
@@ -549,10 +553,20 @@ object Similarity extends QueryModule {
     * direct shape (measured tie, better cold). Output sets are
     * provably identical (same bands, same verify; spec-asserted at
     * the 8x4 point), so the oracle is unchanged. */
+  /** Corpus count at plan-construction time, memoized per (dir, JVM)
+    * à la ProbeTemp (r9 verdict #6: the eager count job previously ran
+    * once per CONSTRUCTION — every Verify/bench/audit instantiation —
+    * rather than once per corpus). Same contract as ProbeTemp: the
+    * source dir is immutable for the JVM's lifetime (true of the
+    * testdata dirs and of any production snapshot path); a mutated
+    * dir needs a new JVM or a new path to be re-counted. */
+  private val corpusCounts =
+    scala.collection.concurrent.TrieMap.empty[String, Long]
+  private[graft] def corpusCount(spark: SparkSession, dir: String): Long =
+    corpusCounts.getOrElseUpdate(dir, Core.embeddings(spark, dir).count())
+
   def cosineNearDupPairsHiRecall(spark: SparkSession, dir: String): DataFrame = {
-    // metadata-only count at plan-construction time (the dedupClusters
-    // / ivfTopK eager-job precedent)
-    val n = Core.embeddings(spark, dir).count()
+    val n = corpusCount(spark, dir)
     val (bands, rows) = ndHiPick(n)
     cosineNearDupPairsLean(spark, dir, ndThreshold, bands, rows)
   }
@@ -600,8 +614,16 @@ object Similarity extends QueryModule {
     * on the 16x3 slice. */
   private[graft] def cosineNearDupPairsLean(spark: SparkSession, dir: String,
       threshold: Double = ndThreshold,
-      bands: Int = ndBands, rows: Int = ndRows): DataFrame = {
-    val emb = Core.embeddings(spark, dir)
+      bands: Int = ndBands, rows: Int = ndRows): DataFrame =
+    cosineNearDupPairsLeanOver(Core.embeddings(spark, dir), threshold, bands, rows)
+
+  /** The lean generator over an arbitrary (vec_id, embedding) corpus
+    * frame — shared by the dir-reading form above and the strict-
+    * threshold twin, whose corpus is the augmented frame of
+    * [[augmentedEmbeddings]]. */
+  private[graft] def cosineNearDupPairsLeanOver(corpus: DataFrame,
+      threshold: Double, bands: Int, rows: Int): DataFrame = {
+    val emb = corpus
       .select(col("vec_id"), col("embedding"),
         sqrt(dot(col("embedding"), col("embedding"))).as("norm"))
     val keys = emb
@@ -637,13 +659,86 @@ object Similarity extends QueryModule {
       dir: String, bands: Int, rows: Int): DataFrame =
     bandedNearDupPairs(spark, dir, ndThreshold, bands, rows)
 
+  /** THE PRODUCTION-THRESHOLD REGIME, oracle-gated (r9/r10 verdict:
+    * the claim that "production near-dup thresholds >= 0.9 keep p^r
+    * selective and recall near 1" was defended above from theory but
+    * never exercised — every registered banding query ran at this
+    * corpus's adversarial 0.4 threshold, where recall decays 0.987 ->
+    * 0.519 across tiers).
+    *
+    * No pair of natural corpus vectors reaches cosine 0.9 (max
+    * pairwise ~0.45), so the query builds the near-dup regime
+    * DETERMINISTICALLY from the corpus itself: each vector gains a
+    * twin under vec_id + [[ndStrictTwinOffset]] whose coordinates are
+    * scaled by 1.1 / 0.9 alternating on (vec_id + i) parity — an
+    * angle of ~5.7 degrees (cosine ~0.995 to its source, minimized
+    * over mass splits at ~0.9950), while cross pairs stay below ~0.55.
+    * Both halves of the augmentation are pure IEEE double arithmetic
+    * rounded back to float (exact float->double cast, one double
+    * multiply, round-to-nearest float cast), so the DuckDB oracle
+    * replays the corpus bit-for-bit and the whole query stays
+    * hash-exact. The expected output is exactly one pair per source
+    * vector; what the banding machinery must DEMONSTRATE is that the
+    * same 16-band adaptive tiers that lose recall at 0.4 keep it at
+    * 0.9 (per-plane agreement p = 1 - arccos(0.995)/pi ~ 0.968, so
+    * even r = 6 gives band-hit 1-(1-p^6)^16 ~ 1).
+    *
+    * MEASURED (SimilaritySpec at sf0.001 augmented n=1000: recall
+    * 1.0000 at both tier extremes r=2 and r=6, spec-asserted >= 0.95;
+    * TierMeasure strict points at sf0.1 augmented n=4000, fresh JVM
+    * per point, exact baseline 2000 pairs): 16x2 2000 pairs
+    * 12.24/8.15s; 16x4 2000 pairs 7.60/3.93s; 16x6 2000 pairs
+    * 5.80/2.20s — recall = 1.0000 at EVERY tier while warm cost FALLS
+    * 3.7x with deeper keys, vs recall 0.987/0.790/0.519 at r=2/4/6
+    * under the 0.4 threshold. The [[ndHiRows]] frontier note's
+    * "production thresholds keep p^r selective to far larger r" is
+    * now a gated fact, not a defense: at 0.9 the tier ladder is pure
+    * selectivity win. */
+  def cosineNearDupPairsStrict(spark: SparkSession, dir: String): DataFrame = {
+    val n = 2L * corpusCount(spark, dir) // the augmented corpus size
+    val (bands, rows) = ndHiPick(n)
+    cosineNearDupPairsLeanOver(augmentedEmbeddings(spark, dir),
+      ndStrictThreshold, bands, rows)
+  }
+
+  /** Forced-tier strict variant (TierMeasure / SimilaritySpec) — same
+    * lean shape as the adaptive pick. */
+  private[graft] def cosineNearDupPairsStrictAt(spark: SparkSession,
+      dir: String, bands: Int, rows: Int): DataFrame =
+    cosineNearDupPairsLeanOver(augmentedEmbeddings(spark, dir),
+      ndStrictThreshold, bands, rows)
+
+  /** The corpus of [[cosineNearDupPairsStrict]]: originals plus their
+    * deterministic high-cosine twins. Kept separate so the exact
+    * recall baseline ([[cosineNearDupPairsExactOver]]) and the forced
+    * tiers run over the identical frame. */
+  private[graft] def augmentedEmbeddings(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Core.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    val twin = emb.select(
+      (col("vec_id") + lit(ndStrictTwinOffset)).as("vec_id"),
+      transform(col("embedding"), (x, i) =>
+        (x.cast("double") *
+          when(((col("vec_id") + i) % 2) === 0, lit(1.1)).otherwise(lit(0.9)))
+          .cast("float")).as("embedding"))
+    emb.unionByName(twin)
+  }
+
+  private[graft] val ndStrictThreshold = 0.9
+  private[graft] val ndStrictTwinOffset = 1000000L
+
   /** The exact all-pairs form — the recall baseline cosineNearDupPairs
     * is measured against in SimilaritySpec. Deliberately NOT registered:
     * its plan is a broadcast nested-loop join, quadratic in corpus
     * size. */
   def cosineNearDupPairsExact(spark: SparkSession, dir: String,
-      threshold: Double = ndThreshold): DataFrame = {
-    val emb = Core.embeddings(spark, dir)
+      threshold: Double = ndThreshold): DataFrame =
+    cosineNearDupPairsExactOver(Core.embeddings(spark, dir), threshold)
+
+  /** Exact form over an arbitrary corpus frame — the recall baseline
+    * for the strict-threshold twin runs over [[augmentedEmbeddings]]. */
+  private[graft] def cosineNearDupPairsExactOver(corpus: DataFrame,
+      threshold: Double): DataFrame = {
+    val emb = corpus
       .select(col("vec_id"), col("embedding"),
         sqrt(dot(col("embedding"), col("embedding"))).as("norm"))
     emb.as("a").join(emb.as("b"), col("a.vec_id") < col("b.vec_id"))
@@ -674,7 +769,16 @@ object Similarity extends QueryModule {
     * candidates, the 2^27 budget by design) took the old oracle
     * past 45 minutes in DuckDB; the rewrite brings the full slice
     * parity into single-digit minutes. */
-  private def bandedNearDupPairsSql(bands: Int, rows: Int): String = {
+  private def bandedNearDupPairsSql(bands: Int, rows: Int): String =
+    bandedNearDupPairsSqlOver(
+      "SELECT vec_id, embedding FROM embeddings", ndThreshold, bands, rows)
+
+  /** The banded generator over an arbitrary (vec_id, embedding) source
+    * query — the SQL mirror of [[cosineNearDupPairsLeanOver]]'s corpus
+    * parameter; the strict-threshold oracle passes the augmented-
+    * corpus SELECT. */
+  private def bandedNearDupPairsSqlOver(srcSql: String, threshold: Double,
+      bands: Int, rows: Int): String = {
     def bandKeySql(v: String, b: Int): String =
       (0 until rows).map { j =>
         s"(CASE WHEN (${planeDotSql(v, b * rows + j)}) >= 0.0 THEN CAST(${1L << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
@@ -685,7 +789,7 @@ object Similarity extends QueryModule {
     s"""WITH v AS (
        |  SELECT vec_id, embedding,
        |    sqrt(${dotSql("embedding", "embedding")}) AS norm
-       |  FROM embeddings),
+       |  FROM ($srcSql)),
        |bands AS ($bandSelects),
        |cand AS (
        |  SELECT DISTINCT vec_a, vec_b, cosine FROM (
@@ -693,7 +797,7 @@ object Similarity extends QueryModule {
        |      ${dotSql("a.embedding", "b.embedding")} / (a.norm * b.norm) AS cosine
        |    FROM bands a JOIN bands b
        |      ON a.band = b.band AND a.bkey = b.bkey AND a.vec_id < b.vec_id)
-       |  WHERE cosine >= $ndThreshold)
+       |  WHERE cosine >= $threshold)
        |SELECT vec_a, vec_b, cosine FROM cand""".stripMargin
   }
 
@@ -714,6 +818,38 @@ object Similarity extends QueryModule {
       s"""SELECT vec_a, vec_b, cosine FROM (
          |${bandedNearDupPairsSql(ndHiBands, r)}
          |) WHERE (SELECT count(*) FROM embeddings) > $lo$hiGate""".stripMargin
+    }.mkString("\nUNION ALL\n")
+
+  /** The augmented corpus of the strict-threshold twin in SQL —
+    * replays [[augmentedEmbeddings]] bit-for-bit: exact float->double
+    * element cast, one IEEE double multiply by 1.1/0.9 on (vec_id +
+    * zero-based index) parity, round-to-nearest cast back to REAL.
+    * DuckDB's range/list indexing is 1-based, hence the i - 1. */
+  private val augEmbeddingsSql: String =
+    s"""SELECT vec_id, embedding FROM embeddings
+       |  UNION ALL
+       |  SELECT vec_id + $ndStrictTwinOffset AS vec_id,
+       |    list_transform(range(1, $dims + 1), i ->
+       |      CAST(CAST(embedding[i] AS DOUBLE) *
+       |        (CASE WHEN (vec_id + i - 1) % 2 = 0 THEN 1.1 ELSE 0.9 END) AS REAL)) AS embedding
+       |  FROM embeddings""".stripMargin
+
+  /** The adaptive-tier oracle of [[cosineNearDupPairsStrict]]: the
+    * hi-recall branch structure with the corpus-count gates reading
+    * 2*count(embeddings) — the augmented corpus size [[ndHiPick]] is
+    * fed on the Spark side — and each branch the banded generator
+    * over the augmented source at threshold [[ndStrictThreshold]].
+    * Same horizon contract as the hi-recall oracle (now at
+    * count(embeddings) <= cutoff(maxR)/2 = 32,768 source vectors). */
+  val cosineNearDupPairsStrictSql: String =
+    (2 to ndHiOracleMaxR).map { r =>
+      val lo = if (r == 2) 0L else ndHiCutoff(r - 1)
+      val hiGate =
+        if (r == ndHiOracleMaxR) ""
+        else s" AND (SELECT 2 * count(*) FROM embeddings) <= ${ndHiCutoff(r)}"
+      s"""SELECT vec_a, vec_b, cosine FROM (
+         |${bandedNearDupPairsSqlOver(augEmbeddingsSql, ndStrictThreshold, ndHiBands, r)}
+         |) WHERE (SELECT 2 * count(*) FROM embeddings) > $lo$hiGate""".stripMargin
     }.mkString("\nUNION ALL\n")
 
   /** IVF-style ANN with a deterministic coarse quantizer: the first
@@ -1557,6 +1693,7 @@ object Similarity extends QueryModule {
     "ivf_append_probe" -> (ivfAppendProbe _),
     "embed_near_dup_pairs" -> (cosineNearDupPairs _),
     "embed_near_dup_hirecall" -> (cosineNearDupPairsHiRecall _),
+    "embed_near_dup_strict" -> (cosineNearDupPairsStrict _),
     "embed_quantize" -> (embedQuantize _),
     "embed_ann_sq8_topk" -> (annSq8TopK _),
     "embed_dedup_clusters" -> (embedDedupClusters _),
@@ -1576,6 +1713,7 @@ object Similarity extends QueryModule {
     "ivf_append_probe" -> ivfAppendProbeSql,
     "embed_near_dup_pairs" -> cosineNearDupPairsSql,
     "embed_near_dup_hirecall" -> cosineNearDupPairsHiRecallSql,
+    "embed_near_dup_strict" -> cosineNearDupPairsStrictSql,
     "embed_quantize" -> embedQuantizeSql,
     "embed_ann_sq8_topk" -> annSq8TopKSql,
     "embed_dedup_clusters" -> embedDedupClustersSql,

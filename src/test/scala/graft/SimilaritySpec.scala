@@ -86,6 +86,32 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("strict threshold (0.9): every twin pair exists, recall >= 0.95 at BOTH tier extremes") {
+    // The selective-recall regime the hi-recall frontier notes defend
+    // from theory: at production thresholds (p_agree/plane ~ 0.968 for
+    // the ~0.995-cosine twins) banding recall must stay ~1 even at the
+    // deep tiers where the 0.4-threshold recall decays to 0.519.
+    val aug = Similarity.augmentedEmbeddings(spark, sf0001)
+    val exact = Similarity.cosineNearDupPairsExactOver(aug, 0.9)
+      .as[(Long, Long, Double)].collect().toSet
+    val n = graft.ops.Core.embeddings(spark, sf0001).count()
+    // every source vector's deterministic twin qualifies, nothing else
+    assert(exact.count { case (a, b, _) => b == a + 1000000L } == n)
+    assert(exact.size == n, s"unexpected extra >= 0.9 pairs: ${exact.size} vs $n")
+    for (r <- Seq(2, 6)) {
+      val banded = Similarity.cosineNearDupPairsStrictAt(spark, sf0001, 16, r)
+        .as[(Long, Long, Double)].collect().toSet
+      assert(banded.subsetOf(exact),
+        s"16x$r invented ${banded.diff(exact).size} pairs")
+      val recall = banded.size.toDouble / exact.size.toDouble
+      info(f"strict 16x$r recall = $recall%.4f (${banded.size}/${exact.size})")
+      assert(recall >= 0.95, s"strict 16x$r recall $recall")
+    }
+    // the registered adaptive query lands on the same machinery
+    assert(Similarity.cosineNearDupPairsStrict(spark, sf0001)
+      .as[(Long, Long, Double)].collect().toSet.subsetOf(exact))
+  }
+
   test("lean (late-materialization) twin emits exactly the registered pairs") {
     val lean = Similarity.cosineNearDupPairsLean(spark, sf0001)
       .as[(Long, Long, Double)].collect().toSet

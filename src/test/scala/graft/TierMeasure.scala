@@ -26,6 +26,20 @@ object TierMeasure {
       case "exact" =>
         val (n, t) = time(ops.Similarity.cosineNearDupPairsExact(spark, dir).count())
         println(f"[tier] EXACT pairs=$n t=$t%.2f s")
+      // strict-threshold (0.9) points over the augmented twin corpus
+      // (r10 verdict #3): `strict_exact` is the recall denominator,
+      // `strict <rows>` a forced tier of the registered
+      // embed_near_dup_strict machinery
+      case "strict_exact" =>
+        val aug = ops.Similarity.augmentedEmbeddings(spark, dir)
+        val (n, t) = time(ops.Similarity.cosineNearDupPairsExactOver(aug, 0.9).count())
+        println(f"[tier] STRICT-EXACT pairs=$n t=$t%.2f s")
+      case "strict" =>
+        val rows = args(1).toInt
+        val q = ops.Similarity.cosineNearDupPairsStrictAt(spark, dir, 16, rows)
+        val (n1, t1) = time(q.count())
+        val (_, t2) = time(q.count())
+        println(f"[tier] STRICT 16x$rows%d pairs=$n1 rep1=$t1%.2f s rep2=$t2%.2f s")
       case rows =>
         val q = ops.Similarity.cosineNearDupPairsAt(spark, dir, 16, rows.toInt)
         val (n1, t1) = time(q.count())
