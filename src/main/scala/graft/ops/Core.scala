@@ -84,10 +84,22 @@ object Core {
   * pure function of (kind, dir), so a rebuild would write identical
   * rows — and it sharpens the bench decomposition, because a probe
   * query's second rep measures probe-only cost, the operational
-  * number at scale. */
+  * number at scale.
+  *
+  * CONTRACT (r10 ADVICE): "pure function of (kind, dir)" assumes the
+  * source dir is IMMUTABLE for the JVM's lifetime — true of the
+  * testdata dirs and of production snapshot paths; a pipeline that
+  * rewrites a dir in place must use a new path (or JVM) to see a
+  * rebuilt index. Concurrent first builds of the SAME key are
+  * serialized by a per-key lock below: TrieMap.getOrElseUpdate alone
+  * can evaluate the build thunk in two racing threads (one result is
+  * discarded but both SIDE EFFECTS run — two temp dirs, one leaked
+  * until exit, and a double build bill in any parallel test sweep). */
 private[ops] object ProbeTemp {
   private val dirs =
     scala.collection.concurrent.TrieMap.empty[(String, String), String]
+  private val locks =
+    scala.collection.concurrent.TrieMap.empty[(String, String), Object]
   // every dir ever created, memoized or not: a build that THROWS (e.g.
   // the IVF codebook require on an empty corpus) must still have its
   // partial dir swept at exit, and must NOT be memoized (the next
@@ -103,11 +115,22 @@ private[ops] object ProbeTemp {
           .reverse.foreach(java.nio.file.Files.deleteIfExists(_))
     }))
 
-  def dir(kind: String, srcDir: String)(build: String => Unit): String =
-    dirs.getOrElseUpdate((kind, srcDir), {
-      val d = java.nio.file.Files.createTempDirectory(s"graft_$kind").toString
-      created.add(d)
-      build(d)
-      d
-    })
+  def dir(kind: String, srcDir: String)(build: String => Unit): String = {
+    val key = (kind, srcDir)
+    dirs.get(key) match {
+      case Some(d) => d
+      case None =>
+        // per-key lock so exactly one thread runs the build; the lock
+        // object itself is tiny and never removed (bounded by the
+        // number of distinct (kind, dir) pairs a JVM touches)
+        locks.getOrElseUpdate(key, new Object).synchronized {
+          dirs.getOrElseUpdate(key, {
+            val d = java.nio.file.Files.createTempDirectory(s"graft_$kind").toString
+            created.add(d)
+            build(d)
+            d
+          })
+        }
+    }
+  }
 }

@@ -949,11 +949,23 @@ object Similarity extends QueryModule {
     // semi-joined the full index's id column, re-introducing the
     // O(index)-per-append read the seeds sidecar was built to kill).
     // An index written before the sidecar existed pays one full id
-    // read HERE to materialize it, then never again.
+    // read HERE to materialize it, then never again. Existence via the
+    // Hadoop FileSystem of the PATH (r10 ADVICE: java.io.File.exists
+    // answered false for any non-local index dir — hdfs://, s3a:// —
+    // silently re-materializing the sidecar on every append).
     val idsPath = s"$indexDir/_graft_ids"
-    if (!new java.io.File(idsPath).exists)
+    val hIdsPath = new org.apache.hadoop.fs.Path(idsPath)
+    val fs = hIdsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(hIdsPath))
       writeIdSidecar(spark.read.parquet(indexDir).select(col("vec_id")),
         idsPath, overwrite = true)
+    // the batch must also be internally unique (r10 ADVICE: a batch
+    // carrying the same vec_id twice passes the index-side semi-join —
+    // neither id is in the index yet — and lands two vectors under one
+    // id in a single append). One small agg over the batch.
+    require(batch.groupBy(col("vec_id")).agg(count(lit(1)).as("c"))
+        .filter(col("c") > 1).isEmpty,
+      "appendToIvfIndex: batch carries duplicate vec_ids")
     val range = batch.agg(min(col("vec_id")), max(col("vec_id"))).head()
     if (!range.isNullAt(0)) {
       val (mn, mx) = (range.getLong(0), range.getLong(1))

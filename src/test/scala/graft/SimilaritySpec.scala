@@ -313,6 +313,17 @@ class SimilaritySpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Similarity.appendToIvfIndex(spark, copies, idxDir)
     }
+    // batch-INTERNAL duplicates must be rejected too (r10 ADVICE: two
+    // rows sharing a fresh vec_id pass the index-side semi-join —
+    // neither is in the sidecar yet — and would land two vectors
+    // under one id in a single append)
+    intercept[IllegalArgumentException] {
+      Similarity.appendToIvfIndex(spark,
+        copies.limit(1).select(($"vec_id" + 300000L).as("vec_id"), $"embedding", $"label")
+          .unionAll(copies.limit(1)
+            .select(($"vec_id" + 300000L).as("vec_id"), $"embedding", $"label")),
+        idxDir)
+    }
     // ...while a fresh id range sails through (the guard prunes to the
     // overlapping sidecar files; a disjoint range reads ~nothing).
     // Ties at cosine 1.0 resolve by vec_id ASC, so the later probe
