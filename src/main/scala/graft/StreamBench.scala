@@ -9,20 +9,97 @@ import org.apache.spark.sql.SparkSession
   * state volume, not core count — see Bench.streamingBench).
   *
   * Usage: runMain graft.StreamBench [width=8]
-  * Prints the same one-line streaming JSON as Bench's streaming section.
-  */
+  *        runMain graft.StreamBench dag <batches> [width=4]
+  * The first form prints the same one-line streaming JSON as Bench's
+  * streaming section. The `dag` form is the r10-verdict #5 probe: it
+  * drives the full 9-stateful-op reference DAG with the deep stream
+  * forced into EXACTLY <batches> micro-batches (processAllAvailable
+  * between chunks), isolating the per-micro-batch cost — incremental
+  * planning of the 4-way symmetric-hash join + one state-store
+  * commit/snapshot per partition per operator per batch — from the
+  * per-event join work.
+  *
+  * MEASURED (r11, fresh JVM per point, width 4, nDeep = 20,000 after
+  * an untimed warm pass, quiet box): batches=1 -> 8.50s (2.35k ev/s),
+  * 4 -> 23.2s (0.86k), 16 -> 78.9s (0.25k) — ~4.7s of FIXED cost per
+  * additional forced batch cycle ((78.9-8.5)/15) against an ~8.5s
+  * floor of per-event work. The DAG's ~2.7k ev/s in Bench is therefore
+  * the per-batch-overhead regime, not a per-event join bound: the
+  * 9-stateful-op pipeline pays incremental planning + a state-store
+  * commit per partition per operator per cycle, and each data batch is
+  * followed by a watermark-flush no-data micro-batch that repeats the
+  * commit half. Splitting the two (SPARK_GRAFT_NODATA=false suppresses
+  * the flush cycle): 16 batches 78.9 -> 45.7s (+73% throughput),
+  * 4 batches 23.2 -> 16.1s (+44%) — the flush cycle is ~40% of the
+  * fixed cost, the data cycle's plan+commit the other ~2.5s/batch.
+  * The levers at scale are batch SIZE (trigger interval) first and
+  * the flush cadence second (suppressing no-data batches trades tail
+  * output latency of closed windows); join shape is NOT the
+  * bottleneck. RocksDB's lower Bench throughput (~1.9k) is the same
+  * fixed cost with a costlier per-batch snapshot. */
 object StreamBench {
   def main(args: Array[String]): Unit = {
-    val width = args.headOption.getOrElse("8")
+    val isDag = args.headOption.contains("dag")
+    val width = if (isDag) args.lift(2).getOrElse("4") else args.headOption.getOrElse("8")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", width)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // probe knob (SPARK_GRAFT_NODATA=false): suppress the watermark
+      // flush micro-batch that follows every data batch, to split the
+      // per-batch fixed cost between the data cycle and the flush cycle
+      .config("spark.sql.streaming.noDataMicroBatches.enabled",
+        sys.env.getOrElse("SPARK_GRAFT_NODATA", "true"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    println(s"""{"width":$width,"streaming":${Bench.streamingBenchBody(spark)}}""")
+    if (isDag) {
+      val batches = args(1).toInt
+      val nDeep = 20000
+      dagForcedBatches(spark, nDeep / 10, math.max(batches / 10, 1)) // untimed JIT warm
+      val sec = dagForcedBatches(spark, nDeep, batches)
+      println(f"""{"dag_batches":$batches,"width":$width,"deep_events":$nDeep,"sec":$sec%.3f,"events_per_sec":${nDeep / sec}%.1f}""")
+    } else {
+      println(s"""{"width":$width,"streaming":${Bench.streamingBenchBody(spark)}}""")
+    }
     spark.stop()
+  }
+
+  /** One DAG run with the deep stream forced into exactly `batches`
+    * micro-batches: all four aux feeds land first (one batch), then
+    * each deep chunk is drained with processAllAvailable before the
+    * next is added. Same DAG, cadences, and aux density as
+    * Bench.streamingBenchBody's runDag. */
+  private def dagForcedBatches(spark: SparkSession, n: Int, batches: Int): Double = {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.StreamingPipeline
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    val deepMs = MemoryStream[(Long, java.sql.Timestamp, String, Double)]
+    val auxMs = (1 to 4).map(_ => MemoryStream[(java.sql.Timestamp, Double)])
+    val auxes = auxMs.zipWithIndex.map { case (m, i) =>
+      s"aux$i" -> m.toDF().toDF("ts", s"aux${i}_v")
+    }
+    val dag = StreamingPipeline.referenceDag(
+      deepMs.toDF().toDF("event_id", "ts", "event_type", "value"), auxes)
+    val q = dag.writeStream.format("memory")
+      .queryName(s"probe_dag_${n}_$batches").outputMode("append").start()
+    try {
+      val events = (0 until n).map { i =>
+        (i.toLong, new java.sql.Timestamp(base + i * 1000L), "t" + (i % 4), (i % 1000).toDouble)
+      }
+      val aIdx = 0 until n by 300
+      val t0 = System.nanoTime()
+      auxMs.foreach { m =>
+        m.addData(aIdx.map(i => (new java.sql.Timestamp(base + i * 1000L + 30000L), i.toDouble)))
+      }
+      q.processAllAvailable()
+      events.grouped(math.max(n / batches, 1)).foreach { g =>
+        deepMs.addData(g); q.processAllAvailable()
+      }
+      (System.nanoTime() - t0) / 1e9
+    } finally q.stop()
   }
 }
