@@ -1692,6 +1692,21 @@ object Similarity extends QueryModule {
   val embedDedupClustersHiRecallSql: String =
     embedClustersSqlFrom(cosineNearDupPairsHiRecallSql)
 
+  /** The PRODUCTION-THRESHOLD dedup decision end-to-end: components
+    * over the >= 0.9 strict pairs ([[cosineNearDupPairsStrict]]), so
+    * the whole pairs -> clusters -> survivor path a production corpus
+    * runs (threshold 0.9, recall-1 banding, O(log n) components) is
+    * under the hash gate — not just the pair stage. On the augmented
+    * corpus every cluster is an (original, twin) pair with the
+    * original elected survivor: the drop/keep decision is exact by
+    * construction, and the oracle replays the same recursive closure
+    * over the strict pair set. */
+  def embedDedupClustersStrict(spark: SparkSession, dir: String): DataFrame =
+    Components.clusterPairs(cosineNearDupPairsStrict(spark, dir), "vec_a", "vec_b", "vec_id")
+
+  val embedDedupClustersStrictSql: String =
+    embedClustersSqlFrom(cosineNearDupPairsStrictSql)
+
   override def queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "embed_cosine_topk" -> (cosineTopK _),
     "embed_knn_label" -> (knnLabelPropagation _),
@@ -1710,6 +1725,7 @@ object Similarity extends QueryModule {
     "embed_ann_sq8_topk" -> (annSq8TopK _),
     "embed_dedup_clusters" -> (embedDedupClusters _),
     "embed_dedup_clusters_hirecall" -> (embedDedupClustersHiRecall _),
+    "embed_dedup_clusters_strict" -> (embedDedupClustersStrict _),
     "diversity_sample" -> (diversitySample _))
 
   override def oracle: Seq[(String, String)] = Seq(
@@ -1730,5 +1746,6 @@ object Similarity extends QueryModule {
     "embed_ann_sq8_topk" -> annSq8TopKSql,
     "embed_dedup_clusters" -> embedDedupClustersSql,
     "embed_dedup_clusters_hirecall" -> embedDedupClustersHiRecallSql,
+    "embed_dedup_clusters_strict" -> embedDedupClustersStrictSql,
     "diversity_sample" -> diversitySampleSql)
 }

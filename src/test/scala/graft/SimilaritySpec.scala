@@ -110,6 +110,17 @@ class SimilaritySpec extends SparkSpec {
     // the registered adaptive query lands on the same machinery
     assert(Similarity.cosineNearDupPairsStrict(spark, sf0001)
       .as[(Long, Long, Double)].collect().toSet.subsetOf(exact))
+    // decision layer end-to-end: every strict cluster is exactly
+    // {v, v + offset} with the original elected survivor
+    val clusters = Similarity.embedDedupClustersStrict(spark, sf0001).collect()
+    assert(clusters.length == 2 * n)
+    clusters.foreach { row =>
+      val id = row.getLong(0); val cid = row.getLong(1)
+      assert(row.getLong(2) == 2L, s"cluster of $id has size ${row.getLong(2)}")
+      assert(cid == (if (id >= 1000000L) id - 1000000L else id),
+        s"$id clustered under $cid")
+      assert(row.getBoolean(3) == (id == cid))
+    }
   }
 
   test("lean (late-materialization) twin emits exactly the registered pairs") {
