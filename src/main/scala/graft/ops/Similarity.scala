@@ -696,10 +696,28 @@ object Similarity extends QueryModule {
     * selectivity win. */
   def cosineNearDupPairsStrict(spark: SparkSession, dir: String): DataFrame = {
     val n = 2L * corpusCount(spark, dir) // the augmented corpus size
-    val (bands, rows) = ndHiPick(n)
+    val (bands, rows) = ndStrictPick(n)
     cosineNearDupPairsLeanOver(augmentedEmbeddings(spark, dir),
       ndStrictThreshold, bands, rows)
   }
+
+  /** Threshold-AWARE tier pick: bits per band scale with log2(n) for
+    * the candidate budget ([[ndHiRows]]) AND with the threshold for
+    * recall feasibility. At cosine >= 0.9 the per-plane agreement of
+    * a qualifying pair is p >= 1 - arccos(0.9)/pi ~ 0.856 (worst case,
+    * AT the boundary), so a floor of r = 6 keeps worst-case band-hit
+    * 1-(1-p^6)^16 >= 0.9997 while cutting candidate volume 2^4 vs the
+    * budget-only r = 2 the corpus size alone would pick — the 0.4
+    * threshold CAN'T take this floor (p ~ 0.631 -> recall 0.519 at
+    * r = 6, measured), which is exactly the asymmetry the strict twin
+    * exists to demonstrate. Measured at sf0.1 (TierMeasure strict
+    * points, augmented n = 4000): r = 2 8.15s warm -> r = 6 2.20s
+    * warm, recall 1.0000 at both; registered-query QBench cold-JVM
+    * min-of-2 after the floor landed: pairs 9.9 -> 2.56s, clusters
+    * 14.2 -> 3.44s (bench rep-1 vs QBench min-of-2). */
+  private[graft] val ndStrictFloorRows = 6
+  private[graft] def ndStrictPick(n: Long): (Int, Int) =
+    (ndHiBands, math.max(ndHiRows(n), ndStrictFloorRows))
 
   /** Forced-tier strict variant (TierMeasure / SimilaritySpec) — same
     * lean shape as the adaptive pick. */
@@ -836,14 +854,18 @@ object Similarity extends QueryModule {
 
   /** The adaptive-tier oracle of [[cosineNearDupPairsStrict]]: the
     * hi-recall branch structure with the corpus-count gates reading
-    * 2*count(embeddings) — the augmented corpus size [[ndHiPick]] is
-    * fed on the Spark side — and each branch the banded generator
+    * 2*count(embeddings) — the augmented corpus size [[ndStrictPick]]
+    * is fed on the Spark side — and each branch the banded generator
     * over the augmented source at threshold [[ndStrictThreshold]].
-    * Same horizon contract as the hi-recall oracle (now at
-    * count(embeddings) <= cutoff(maxR)/2 = 32,768 source vectors). */
+    * Branches start at the threshold-aware floor r =
+    * [[ndStrictFloorRows]] (max(ndHiRows(2n), 6) can only land on
+    * 6..maxR below the horizon), mirroring the Spark pick by
+    * construction. Same horizon contract as the hi-recall oracle
+    * (now at count(embeddings) <= cutoff(maxR)/2 = 32,768 source
+    * vectors). */
   val cosineNearDupPairsStrictSql: String =
-    (2 to ndHiOracleMaxR).map { r =>
-      val lo = if (r == 2) 0L else ndHiCutoff(r - 1)
+    (ndStrictFloorRows to ndHiOracleMaxR).map { r =>
+      val lo = if (r == ndStrictFloorRows) 0L else ndHiCutoff(r - 1)
       val hiGate =
         if (r == ndHiOracleMaxR) ""
         else s" AND (SELECT 2 * count(*) FROM embeddings) <= ${ndHiCutoff(r)}"
