@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.GraftIterativeCheckpoint.statsResetLocalCheckpoint
 import org.apache.spark.sql.functions._
 
 /** Distributed connected components over an undirected pair list,
@@ -31,22 +32,31 @@ import org.apache.spark.sql.functions._
   * spec pins rounds <= 2*ceil(log2 n) + 1 on the path and <= 3 on
   * cliques.
   *
-  * Scale shape: per round, one shuffle join (edge x label) plus one
-  * min-aggregation, and in active doubling rounds a second shuffle
-  * join (label x label, the hop) — O(log n) * O(|V|+|E|) total
-  * traffic vs O(diameter) * O(|V|+|E|) for propagation alone. The
-  * step-1 result (`half`) is localCheckpoint'd each round: it is the
-  * convergence witness (an isEmpty over cached blocks that
-  * short-circuits on the first `label < old_label` row) and, in
-  * doubling rounds, feeds both sides of the hop self-join — so the
-  * join+aggregate subtree materializes exactly once per round. The
-  * doubling output is checkpointed too, cutting the loop lineage.
+  * Scale shape: per round, ONE shuffle join (edge x label, with a
+  * self-loop per node unioned in so the node's own label rides the
+  * same min-aggregation — no join-back-for-least, no left join to
+  * re-attach isolated ids) plus one min-aggregation, and in active
+  * doubling rounds a second shuffle join (label x label, the hop) —
+  * O(log n) * O(|V|+|E|) total traffic vs O(diameter) * O(|V|+|E|)
+  * for propagation alone. Every loop table is checkpointed through
+  * [[statsResetLocalCheckpoint]]: a plain localCheckpoint carries the
+  * origin plan's STATISTICS into the LogicalRDD leaf, and since the
+  * size-only visitor estimates a join as the product of its
+  * children's sizes, the carried BigInt squares per round — digits
+  * double per iteration and from ~round 9 the driver burns minutes in
+  * BigInteger multiplies while stages finish in milliseconds (see the
+  * helper's scaladoc for the measured cliff and jstack evidence).
+  * With fresh leaf stats per round the loop is flat; AQE re-plans
+  * broadcasts from actual runtime sizes, so static-planner stats are
+  * not needed at any scale.
   *
-  * QBench cold-JVM min-of-2 at sf0.1 (load ~2): the double gate cuts
-  * `dedup_clusters` 1.60 -> 1.38-1.42s (r10's unconditional doubling
-  * taxed the clique-shaped common case +35% vs r9's propagation-only
-  * 1.22s on a quiet box) and `embed_dedup_clusters_hirecall` holds at
-  * 6.73s (r10: 7.08s) with the O(log n) path-graph bound intact. */
+  * Measured on the 12-round sf0.1 hirecall chain graph (spark-shell,
+  * per-round instrumentation): every round 0.3-0.5 s, loop total 7.0 s
+  * — vs the stats-snowball variant's 82 s round 12 and 225 s hop.
+  * QBench cold-JVM min-of-2 at sf0.1: `dedup_clusters` 1.38-1.42s
+  * (double gate, r10's unconditional doubling was +35% on the
+  * clique-shaped common case) and `embed_dedup_clusters_hirecall`
+  * 6.4s (pre-r11: 6.73-7.08s) with the O(log n) path bound intact. */
 object Components {
 
   /** Cluster an undirected pair list. `aCol`/`bCol` name the pair
@@ -64,35 +74,53 @@ object Components {
     * worst case for propagation — and measured 14 there). */
   def clusterPairsCounted(pairs: DataFrame, aCol: String, bCol: String,
       idName: String): (DataFrame, Int) = {
-    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
-      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
-      .localCheckpoint(true) // reused every round: cut the candidate subtree once
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id")).localCheckpoint(true)
+    // Checkpoint the DIRECTED pairs before symmetrizing: the union's
+    // two branches are the same candidate-generator subtree, and Spark
+    // evaluates a union branch-by-branch (ReuseExchange does not cover
+    // the generator's post-exchange stages), so union-then-checkpoint
+    // ran the generator TWICE. Measured (QBench min-of-3, sf0.1,
+    // quiet box): embed_dedup_clusters_hirecall 8.81 -> 5.33s — the
+    // saved ~3.3s is exactly one evaluation of the 16-band generator.
+    val directed = statsResetLocalCheckpoint(
+      pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+    ) // one generator evaluation total
+    val edges = statsResetLocalCheckpoint(directed
+      .union(directed.select(col("dst").as("src"), col("src").as("dst")))
+    ) // reused every round: flat lineage, edge-rows-only
+    var labels = statsResetLocalCheckpoint(
+      edges.select(col("src").as("id")).distinct().withColumn("label", col("id")))
+    // Convergence witness: every label move is a strict DECREASE (min
+    // over a set containing the old label), so the label sum is
+    // strictly monotone and "sum unchanged" <=> "no label changed".
+    // Decimal(38,0) so the sum cannot overflow at any corpus size
+    // (Long ids x Long rows exceeds Long range at extreme scale).
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("label").cast("decimal(38,0)")).as("s")).first().getDecimal(0)
+    var prevSum = labelSum(labels)
     var rounds = 0
     var converged = false
     while (!converged) {
       rounds += 1
-      val nbrMin = edges
+      // Step 1 — min over self + neighborhood as ONE join + ONE
+      // aggregation: appending a self-loop per node folds the node's
+      // own label into the same min the neighbor labels flow through,
+      // replacing the former join + groupBy + join-back-for-least
+      // round shape (one shuffle join fewer per round — at cluster
+      // scale the per-round traffic is the whole cost of the loop).
+      // Self-loops also guarantee every node survives the aggregation,
+      // so no left join is needed to re-attach isolated ids.
+      val half = statsResetLocalCheckpoint(edges
+        .union(labels.select(col("id").as("src"), col("id").as("dst")))
         .join(labels.select(col("id").as("src"), col("label").as("src_label")), "src")
         .groupBy(col("dst").as("id"))
-        .agg(min(col("src_label")).as("nbr_label"))
-      // Step 1: min over self + neighborhood, checkpointed — it is the
-      // convergence witness and (in doubling rounds) feeds two join
-      // sides, so the join+aggregate subtree materializes exactly once.
-      val half = labels
-        .join(nbrMin, Seq("id"), "left")
-        .select(col("id"), col("label").as("old_label"),
-          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
-        .localCheckpoint(true)
+        .agg(min(col("src_label")).as("label")))
       // A propagation fixpoint IS global convergence: if labels differed
       // within a component, some edge would cross the boundary and the
       // larger side would have taken the min. Doubling therefore never
       // un-converges anything, and convergence is decided from step 1
-      // alone — an isEmpty over cached blocks that short-circuits on the
-      // first changed row.
-      val step1Active = !half.filter(col("label") < col("old_label")).isEmpty
-      if (!step1Active) {
+      // alone — a single tiny aggregate over the checkpointed blocks.
+      val newSum = labelSum(half)
+      if (newSum.compareTo(prevSum) == 0) {
         converged = true
       } else if (rounds >= 2) {
         // Step 2 (rounds >= 2, step 1 still active): pointer doubling —
@@ -101,13 +129,16 @@ object Components {
         // guards degenerate inputs. Clique-shaped dup graphs (the
         // registered workloads) converge in 2 propagation rounds and
         // never reach this join; a path graph defers its first hop by
-        // at most one round.
-        labels = half
+        // at most one round. A hop also only decreases labels
+        // (label(x) <= x is a loop invariant), so the NEXT round's
+        // convergence baseline is re-read from the hopped table.
+        labels = statsResetLocalCheckpoint(half
           .join(half.select(col("label").as("hop"), col("id").as("label")), Seq("label"), "left")
-          .select(col("id"), coalesce(col("hop"), col("label")).as("label"))
-          .localCheckpoint(true)
+          .select(col("id"), coalesce(col("hop"), col("label")).as("label")))
+        prevSum = labelSum(labels)
       } else {
-        labels = half.select(col("id"), col("label"))
+        labels = half
+        prevSum = newSum
       }
     }
     val sizes = labels.groupBy(col("label")).agg(count(lit(1)).as("cluster_size"))

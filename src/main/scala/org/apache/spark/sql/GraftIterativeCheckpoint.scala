@@ -1,0 +1,44 @@
+package org.apache.spark.sql
+
+/** Stats-resetting eager localCheckpoint for ITERATIVE DataFrame loops.
+  *
+  * `Dataset.localCheckpoint` cuts the RDD lineage but deliberately
+  * carries the origin plan's STATISTICS (and constraints) into the new
+  * `LogicalRDD` leaf (`LogicalRDD.rewriteStatsAndConstraints`,
+  * sql/core ExistingRDD.scala). In an iterative loop that re-joins its
+  * own checkpoint every round this is a time bomb: the size-only stats
+  * visitor estimates a join as the PRODUCT of its children's
+  * sizeInBytes (SizeInBytesOnlyStatsPlanVisitor default), so the
+  * carried BigInt roughly SQUARES per round — its digit count doubles
+  * every iteration, and from ~round 9 the driver spends its time in
+  * BigInteger.multiplyToomCook3 on million-digit numbers while the
+  * actual stages finish in milliseconds. Measured on the connected-
+  * components loop (graft.ops.Components, 12-round chain graph at
+  * sf0.1): rounds 1-8 flat at ~0.35 s, round 10 1.7 s, round 11 11 s,
+  * round 12 82 s, the following hop 225 s — total stage time across a
+  * 26 s job was under 0.3 s (jstack: the driver RUNNABLE inside
+  * BigInteger.multiply under LogicalPlan.stats under
+  * LogicalRDD.rewriteStatsAndConstraints).
+  *
+  * The fix is to REBUILD the frame on the just-checkpointed
+  * InternalRow RDD with fresh leaf statistics (the conf default) —
+  * the loop becomes flat again (same graph: every round ~0.4 s, loop
+  * total 7 s). Static join planning then sees "unknown/huge" for the
+  * loop tables, which is correct: their sizes change every round, and
+  * AQE re-plans broadcasts from ACTUAL runtime sizes at each shuffle
+  * anyway, so nothing is lost at any scale. Placed in
+  * org.apache.spark.sql because `internalCreateDataFrame` is
+  * private[sql]; the alternative public route
+  * (`createDataFrame(c.rdd, c.schema)`) round-trips every row through
+  * an external Row decode/re-encode per iteration — a full extra CPU
+  * pass over the table per round at cluster scale.
+  */
+object GraftIterativeCheckpoint {
+
+  /** Eager localCheckpoint + fresh-stats rebuild on the SAME
+    * checkpointed InternalRow RDD (no data copy, no re-encode). */
+  def statsResetLocalCheckpoint(df: DataFrame): DataFrame = {
+    val c = df.localCheckpoint(eager = true).asInstanceOf[classic.Dataset[Row]]
+    c.sparkSession.createDataFrame(c.rdd, c.schema)
+  }
+}
