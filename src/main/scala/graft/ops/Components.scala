@@ -74,6 +74,11 @@ object Components {
     * worst case for propagation — and measured 14 there). */
   def clusterPairsCounted(pairs: DataFrame, aCol: String, bCol: String,
       idName: String): (DataFrame, Int) = {
+    require(pairs.schema(aCol).dataType.isInstanceOf[org.apache.spark.sql.types.NumericType] &&
+      pairs.schema(bCol).dataType.isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"clusterPairs requires numeric pair columns (got ${pairs.schema(aCol).dataType}, " +
+        s"${pairs.schema(bCol).dataType}): the sum-based convergence witness casts ids to " +
+        "decimal(38,0), and non-numeric ids would cast to null")
     // Checkpoint the DIRECTED pairs before symmetrizing: the union's
     // two branches are the same candidate-generator subtree, and Spark
     // evaluates a union branch-by-branch (ReuseExchange does not cover
@@ -94,8 +99,16 @@ object Components {
     // strictly monotone and "sum unchanged" <=> "no label changed".
     // Decimal(38,0) so the sum cannot overflow at any corpus size
     // (Long ids x Long rows exceeds Long range at extreme scale).
+    // sum() over ZERO rows is SQL NULL — a pair-less corpus (an empty
+    // shard, a dup-free backfill day) is a valid input to this kernel,
+    // so coalesce the null to zero: both sums are then 0, the loop
+    // converges on round 1, and the empty cluster frame falls out.
+    // Requires NUMERIC pair columns (Long ids at every call site): a
+    // non-numeric id would cast to null and break the witness, so fail
+    // fast with a clear error instead of converging to garbage.
     def labelSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("label").cast("decimal(38,0)")).as("s")).first().getDecimal(0)
+      Option(df.agg(sum(col("label").cast("decimal(38,0)")).as("s")).first().getDecimal(0))
+        .getOrElse(java.math.BigDecimal.ZERO)
     var prevSum = labelSum(labels)
     var rounds = 0
     var converged = false

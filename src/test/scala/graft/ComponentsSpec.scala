@@ -47,4 +47,27 @@ class ComponentsSpec extends SparkSpec {
       m.map(id => (id, m.min, m.size.toLong, id == m.min))).sortBy(_._1)
     assert(got.toSeq == want)
   }
+
+  test("empty pair set: one round, empty cluster frame (r11 NPE regression)") {
+    // A dup-free corpus slice produces ZERO candidate pairs — a valid
+    // input to this shared kernel (4 call sites). r11's sum-based
+    // convergence witness NPE'd here: sum() over zero rows is SQL
+    // NULL, and newSum.compareTo(prevSum) threw on round 1. With the
+    // null coalesced to zero, both sums are 0 and the loop converges
+    // immediately to the (correct) empty result.
+    val empty = spark.range(0).select(col("id").as("a"), col("id").as("b"))
+    val (out, rounds) = Components.clusterPairsCounted(empty, "a", "b", "node_id")
+    assert(out.count() == 0L)
+    assert(rounds == 1, s"empty input must converge on round 1, got $rounds")
+  }
+
+  test("non-numeric pair columns are rejected with a clear error") {
+    // The decimal(38,0) convergence witness silently casts string ids
+    // to null; the kernel fails fast instead of converging to garbage.
+    val strPairs = spark.createDataFrame(Seq(("a", "b"))).toDF("a", "b")
+    val e = intercept[IllegalArgumentException] {
+      Components.clusterPairsCounted(strPairs, "a", "b", "node_id")
+    }
+    assert(e.getMessage.contains("numeric pair columns"))
+  }
 }
