@@ -228,9 +228,13 @@ object Bench {
     // stdout line both rounds, losing the per-query rep2/load evidence
     // exactly when it was needed to adjudicate contamination). A
     // parse-proof artifact independent of stdout capture: every
-    // timing + rep2/load + probe_build + failures.
+    // timing + rep2/load + probe_build + failures. Written to a
+    // GIT-TRACKED path (r11 verdict #3: target/ is untracked, so three
+    // rounds of full records never made it into the round artifacts —
+    // BENCH_SUMMARY.json at the repo root rides the end-of-round
+    // snapshot commit instead).
     try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("target/bench_summary.json"), fullRecord + "\n")
+      java.nio.file.Paths.get("BENCH_SUMMARY.json"), fullRecord + "\n")
     catch { case t: Throwable =>
       System.err.println(s"[bench] WARNING: summary file write failed: $t")
     }
@@ -243,29 +247,38 @@ object Bench {
     // adjudication evidence (r10 verdict #3: rep2 lived only on the
     // truncated penultimate line), folds the cheap rest into an
     // aggregate, and carries the streaming/box/headline blocks
-    // verbatim. rep2 entries are capped to the 10 costliest kept
-    // queries (rep2 only exists for >2s queries, which sort into the
-    // kept head anyway) to hold the line under the capture window;
-    // the file twin above carries the uncapped map.
-    val budget = 500
+    // verbatim. The length is ENFORCED, not estimated (r11 verdict #3:
+    // a static name-count budget missed the window by ~6 bytes — the
+    // third consecutive parsed:null): build the line, and while it
+    // exceeds maxLen shrink the kept-query and rep2 maps step by step
+    // (cheapest kept query dropped first, rep2 capped to what remains)
+    // down to a floor of totals + streaming + box, which is ~900
+    // chars and always fits. The file twin above carries everything.
+    val maxLen = 1900
     val expensiveFirst = sortedQs.reverse
-    val kept = {
-      var used = 0
-      expensiveFirst.takeWhile { case (k, v) =>
-        used += k.length + 12; used <= budget
-      }
-    }
-    val rest = expensiveFirst.drop(kept.size)
-    val keptNames = kept.map(_._1).take(10).toSet
-    val keptJson = kept.map { case (k, v) => s"\"" + k + "\":" + f4(v) }.mkString("{", ",", "}")
-    val keptRepsJson = meas.collect {
-      case (k, m) if m.rep2 >= 0 && keptNames(k) => s"\"$k\":[${f4(m.rep2)},${f4(m.load)}]"
-    }.mkString("{", ",", "}")
-    val summary =
+    def mkSummary(keepN: Int, repN: Int): String = {
+      val kept = expensiveFirst.take(keepN)
+      val rest = expensiveFirst.drop(kept.size)
+      val repNames = kept.map(_._1).take(repN).toSet
+      val keptJson = kept.map { case (k, v) => s"\"" + k + "\":" + f4(v) }.mkString("{", ",", "}")
+      val keptRepsJson = meas.collect {
+        case (k, m) if m.rep2 >= 0 && repNames(k) => s"\"$k\":[${f4(m.rep2)},${f4(m.load)}]"
+      }.mkString("{", ",", "}")
       s"""{"metric":"total","value":${f4(total)},"unit":"sec","sf":"$sfDir","n_queries":${results.size},""" +
         s""""queries":$keptJson,"queries_rest_n":${rest.size},"queries_rest_sec":${f4(rest.map(_._2).sum)},""" +
         s""""queries_rep2_load":$keptRepsJson,"queries_failed":$failedJson,""" +
         s""""probe_build_sec":$probeBuildJson,"streaming":$streamingJson,"box":$boxJson}"""
+    }
+    val shrinkSteps = Seq((16, 10), (14, 8), (12, 6), (10, 5), (8, 4), (6, 3), (4, 2), (2, 1), (0, 0))
+    val summary = shrinkSteps.iterator.map { case (k, r) => mkSummary(k, r) }
+      .find(_.length <= maxLen)
+      .getOrElse {
+        // floor without the probe-build map — totals/streaming/box only
+        s"""{"metric":"total","value":${f4(total)},"unit":"sec","sf":"$sfDir",""" +
+          s""""n_queries":${results.size},"queries":{},"queries_failed":$failedJson,""" +
+          s""""streaming":$streamingJson,"box":$boxJson}"""
+      }
+    System.err.println(s"[bench] final summary line: ${summary.length} chars (budget $maxLen)")
     println(summary)
     spark.stop()
   }
@@ -364,20 +377,22 @@ object Bench {
     // bug, not a throughput signal
     val nDeep = 20000
     val auxIdx = 0 until nDeep by 300 // deep steps 1s -> one aux per bucket
-    def runDag(queryName: String, n: Int): Double = {
+    def runDag(queryName: String, n: Int, chunks: Int = 4, pivot: Boolean = false): Double = {
       val aIdx = 0 until n by 300
       val deepMs = MemoryStream[(Long, java.sql.Timestamp, String, Double)]
       val auxMs = (1 to 4).map(_ => MemoryStream[(java.sql.Timestamp, Double)])
       val auxes = auxMs.zipWithIndex.map { case (m, i) =>
         s"aux$i" -> m.toDF().toDF("ts", s"aux${i}_v")
       }
-      val dag = StreamingPipeline.referenceDag(
-        deepMs.toDF().toDF("event_id", "ts", "event_type", "value"), auxes)
+      val deepDf = deepMs.toDF().toDF("event_id", "ts", "event_type", "value")
+      val dag =
+        if (pivot) StreamingPipeline.referenceDagPivot(deepDf, auxes)
+        else StreamingPipeline.referenceDag(deepDf, auxes)
       val q2 = dag.writeStream.format("memory").queryName(queryName)
         .outputMode("append").start()
       try {
         val t0 = System.nanoTime()
-        events(n, 1000L).grouped(math.max(n / 4, 1)).foreach(deepMs.addData(_))
+        events(n, 1000L).grouped(math.max(n / chunks, 1)).foreach(deepMs.addData(_))
         auxMs.foreach { m =>
           m.addData(aIdx.map(i => (new java.sql.Timestamp(base + i * 1000L + 30000L), i.toDouble)))
         }
@@ -419,6 +434,27 @@ object Bench {
     } catch {
       case t: Throwable =>
         System.err.println(s"[bench] WARNING: RocksDB DAG run failed: $t"); -1.0
+    }
+    // The tuned regime the r11 StreamBench probe + r12 dagprofile
+    // proved out: the pivot DAG shape (referenceDagPivot — one tagged
+    // interval join + one windowed pivot agg replacing 4 widening
+    // joins + full-row dedup), batch size up (one MemoryStream chunk
+    // instead of four — the trigger-interval lever in driver form),
+    // and the no-data flush cycle off
+    // (StreamingPipeline.dagThroughputConf). Same 20k events, so
+    // dag_tuned_* vs dag_* in the artifact is a direct measure of how
+    // much of the default-regime cost is DAG shape + micro-batch
+    // cadence rather than per-event join work. Conf is restored after:
+    // the default-cadence numbers above stay comparable across rounds.
+    val dagTunedSecs = {
+      val prevConfs = StreamingPipeline.dagThroughputConf.keys
+        .map(k => k -> spark.conf.getOption(k)).toMap
+      StreamingPipeline.dagThroughputConf.foreach { case (k, v) => spark.conf.set(k, v) }
+      try runDag("bench_dag_tuned", nDeep, chunks = 1, pivot = true)
+      finally prevConfs.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None) => spark.conf.unset(k)
+      }
     }
 
     // 3) the full in-stream indicator stack (r5): bars + the 100-min
@@ -482,6 +518,7 @@ object Bench {
       s""""ivfprobe_vectors":$probeN,"ivfprobe_sec":$probeSecs,"ivfprobe_vectors_per_sec":$probeEps,""" +
       s""""dag_events":$totalDagInput,"dag_sec":$dagSecs,"dag_events_per_sec":${totalDagInput / dagSecs},""" +
       s""""dag_rocksdb_sec":$dagRocksSecs,"dag_rocksdb_events_per_sec":$rocksEps,""" +
+      s""""dag_tuned_sec":$dagTunedSecs,"dag_tuned_events_per_sec":${totalDagInput / dagTunedSecs},""" +
       s""""marker_mid_dag_sec":$midDagMarkerSec}"""
   }
 }

@@ -40,7 +40,11 @@ import org.apache.spark.sql.SparkSession
 object StreamBench {
   def main(args: Array[String]): Unit = {
     val isDag = args.headOption.contains("dag")
-    val width = if (isDag) args.lift(2).getOrElse("4") else args.headOption.getOrElse("8")
+    val isProfile = args.headOption.contains("dagprofile")
+    val width =
+      if (isProfile) args.lift(1).getOrElse("4")
+      else if (isDag) args.lift(2).getOrElse("4")
+      else args.headOption.getOrElse("8")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -54,7 +58,21 @@ object StreamBench {
         sys.env.getOrElse("SPARK_GRAFT_NODATA", "true"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    if (isDag) {
+    if (args.headOption.contains("dagprofile")) {
+      // Locate the DAG's per-event floor: time structural variants of
+      // the reference DAG on one 20k-event data batch each (fresh
+      // streams per variant, untimed warm pass first), so the cost of
+      // each stateful stage is read off the deltas. nAux counts joined
+      // aux streams (0..4); dedup toggles the trailing
+      // dropDuplicatesWithinWatermark.
+      val n = 20000
+      for ((nAux, dedup) <- Seq(("4", "full"), ("4", "none"), ("4", "keys"), ("4", "pivot"),
+          ("2", "full"), ("1", "full"), ("0", "full"), ("0", "none"))) {
+        dagVariant(spark, n / 10, nAux.toInt, dedup) // warm
+        val sec = dagVariant(spark, n, nAux.toInt, dedup)
+        println(f"""{"variant":"aux${nAux}_dedup_$dedup","sec":$sec%.3f,"events_per_sec":${n / sec}%.1f}""")
+      }
+    } else if (isDag) {
       val batches = args(1).toInt
       val nDeep = 20000
       dagForcedBatches(spark, nDeep / 10, math.max(batches / 10, 1)) // untimed JIT warm
@@ -64,6 +82,46 @@ object StreamBench {
       println(s"""{"width":$width,"streaming":${Bench.streamingBenchBody(spark)}}""")
     }
     spark.stop()
+  }
+
+  /** One run of a structural VARIANT of the reference DAG — `nAux`
+    * joined aux streams, optional trailing dedup — single data batch,
+    * for the dagprofile mode above. */
+  private def dagVariant(spark: SparkSession, n: Int, nAux: Int, dedup: String): Double = {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.StreamingPipeline
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    val deepMs = MemoryStream[(Long, java.sql.Timestamp, String, Double)]
+    val auxMs = (1 to nAux).map(_ => MemoryStream[(java.sql.Timestamp, Double)])
+    val auxes = auxMs.zipWithIndex.map { case (m, i) =>
+      s"aux$i" -> m.toDF().toDF("ts", s"aux${i}_v")
+    }
+    val deepDf = deepMs.toDF().toDF("event_id", "ts", "event_type", "value")
+    val dag = dedup match {
+      case "pivot" => StreamingPipeline.referenceDagPivot(deepDf, auxes)
+      case "full" => StreamingPipeline.referenceDagJoins(deepDf, auxes)
+        .dropDuplicatesWithinWatermark()
+      case "keys" => StreamingPipeline.referenceDagJoins(deepDf, auxes)
+        .dropDuplicatesWithinWatermark(
+          "event_id" +: (0 until nAux).map(i => s"aux${i}_ts"))
+      case _ => StreamingPipeline.referenceDagJoins(deepDf, auxes)
+    }
+    val q = dag.writeStream.format("memory")
+      .queryName(s"profile_${n}_${nAux}_$dedup").outputMode("append").start()
+    try {
+      val t0 = System.nanoTime()
+      auxMs.foreach { m =>
+        m.addData((0 until n by 300).map(i =>
+          (new java.sql.Timestamp(base + i * 1000L + 30000L), i.toDouble)))
+      }
+      deepMs.addData((0 until n).map { i =>
+        (i.toLong, new java.sql.Timestamp(base + i * 1000L), "t" + (i % 4), (i % 1000).toDouble)
+      })
+      q.processAllAvailable()
+      (System.nanoTime() - t0) / 1e9
+    } finally q.stop()
   }
 
   /** One DAG run with the deep stream forced into exactly `batches`

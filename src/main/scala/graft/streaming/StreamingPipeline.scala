@@ -122,7 +122,32 @@ object StreamingPipeline {
     * each aux (name, df) must carry `ts` plus its payload columns
     * (pre-renamed to be disjoint). Returns the wide joined frame with
     * deep's columns plus each aux's payload and `<name>_ts`. */
-  def referenceDag(deep: DataFrame, auxes: Seq[(String, DataFrame)]): DataFrame = {
+  def referenceDag(deep: DataFrame, auxes: Seq[(String, DataFrame)]): DataFrame =
+    referenceDag(deep, auxes, Nil)
+
+  /** As [[referenceDag]], deduplicating on `dedupKeys` instead of the
+    * full row when non-empty. Full-row dedup stores and hashes every
+    * joined WIDE row in the dedup state store — StreamBench dagprofile
+    * measured it at ~32% of the whole DAG's cost (aux4 12.76 s with vs
+    * 8.66 s without, 20k events) — while a key subset that identifies
+    * the message (the deep event id plus each aux's timestamp: every
+    * other column is functionally dependent on those under
+    * deterministic sources, so at-least-once replay duplicates —
+    * the thing this stage exists to drop — always collide on them)
+    * keeps only the keys in state. Semantics differ from full-row
+    * dedup ONLY if two joined rows agree on all keys but differ in a
+    * payload column, which deterministic replay cannot produce. */
+  def referenceDag(deep: DataFrame, auxes: Seq[(String, DataFrame)],
+      dedupKeys: Seq[String]): DataFrame = {
+    val joined = referenceDagJoins(deep, auxes)
+    if (dedupKeys.isEmpty) joined.dropDuplicatesWithinWatermark()
+    else joined.dropDuplicatesWithinWatermark(dedupKeys)
+  }
+
+  /** The join stage of [[referenceDag]] without the trailing dedup —
+    * separated so StreamBench's dagprofile mode can time the DAG's
+    * stateful stages independently. */
+  def referenceDagJoins(deep: DataFrame, auxes: Seq[(String, DataFrame)]): DataFrame = {
     val deepW = deep.withColumn("bucket", bucket5m(col("ts")))
       .withWatermark("ts", "5 minutes")
     val joined = auxes.foldLeft(deepW) { case (acc, (name, aux)) =>
@@ -144,8 +169,130 @@ object StreamingPipeline {
         case c => col(c)
       }: _*)
     }
-    joined.dropDuplicatesWithinWatermark()
+    joined
   }
+
+  /** Throughput twin of [[referenceDag]]: same wide output, 2 stateful
+    * operators instead of 9.
+    *
+    * Shape: the aux streams are UNION'd into one tagged stream
+    * (aux_name, aux_ts, aux_v), joined ONCE against deep on the same
+    * (equal 5-min bucket, aux_ts in [ts, ts+3 min]) predicate, and the
+    * per-aux columns are recovered by a windowed PIVOT aggregation
+    * (max-when per aux name) keyed by the deep row; rows missing any
+    * aux are dropped (the inner-join semantics). The reference chain
+    * re-stores the progressively WIDENING deep row in each of 4 join
+    * state stores and then hashes the full wide row again in the dedup
+    * store; this shape stores the narrow deep row once, the tagged aux
+    * rows once, and one pivot row per matched deep event. The dedup
+    * stage disappears entirely: at-least-once replay duplicates land
+    * in the SAME pivot group and the max-when collapses them, which is
+    * exactly the idempotence full-row dedup bought. StreamBench
+    * dagprofile (20k deep events, one data batch, cold JVM, quiet box):
+    * chain 12.8 s / pivot 3.6 s — 3.5x. Semantics match [[referenceDag]]
+    * exactly when each deep event matches <= 1 row per aux stream (the
+    * reference cadence: one polled aux value per 5-min bucket); with
+    * MULTIPLE matches in one stream the chain emits their cartesian
+    * product while the pivot keeps the max per aux — prefer the chain
+    * only if that cartesian fan-out is load-bearing. Aux payloads must
+    * be single-column; heterogeneous payload types are cast to double
+    * for the union (the reference's aux feeds are all numeric).
+    * Latency tradeoff: the chain EMITS each wide row as its last join
+    * match forms, while the pivot holds a row until the GLOBAL
+    * watermark (min across all five streams) passes its 5-min window —
+    * an idle aux stream therefore delays emission indefinitely
+    * (append-mode aggregation semantics). Right for steady feeds and
+    * backfills; prefer the chain when per-row emission latency under
+    * sparse/stalled aux feeds matters more than throughput.
+    * StreamingSpec pins pivot == chain on the unit fixture. */
+  def referenceDagPivot(deep: DataFrame, auxes: Seq[(String, DataFrame)]): DataFrame = {
+    val payloads = auxes.map { case (name, aux) =>
+      val ps = aux.columns.filterNot(_ == "ts")
+      require(ps.length == 1,
+        s"referenceDagPivot: aux '$name' must carry exactly one payload column, got ${ps.toSeq}")
+      name -> ps.head
+    }
+    val tagged = auxes.map { case (name, aux) =>
+      val payload = payloads.toMap.apply(name)
+      aux.select(lit(name).as("aux_name"), col("ts").as("aux_ts"),
+        col(payload).cast("double").as("aux_v"))
+    }.reduce(_.unionByName(_))
+      .withColumn("aux_bucket", bucket5m(col("aux_ts")))
+      .withWatermark("aux_ts", "5 minutes")
+    val deepCols = deep.columns.toSeq
+    val deepW = deep.withColumn("bucket", bucket5m(col("ts")))
+      .withWatermark("ts", "5 minutes")
+    val joined = deepW.join(tagged,
+      col("bucket") === col("aux_bucket") &&
+        col("aux_ts") >= col("ts") &&
+        col("aux_ts") <= col("ts") + expr("INTERVAL 3 MINUTES"),
+      "inner").drop("aux_bucket")
+    // one event-time column per stream through the next stateful op:
+    // deep's ts stays the watermark carrier, aux_ts becomes a value
+    val cleared = joined.select(joined.columns.map {
+      case "aux_ts" => col("aux_ts").as("aux_ts", org.apache.spark.sql.types.Metadata.empty)
+      case c => col(c)
+    }: _*)
+    // window(ts) gives the pivot state watermark-based eviction; the
+    // window itself is dropped after the agg (ts is in the group key).
+    // The window column must be the ONLY event-time-tagged column in
+    // the group keys, so ts's tag is cleared AFTER the window is
+    // computed from it (a stateful op rejects two tagged columns).
+    val withW = cleared.withColumn("w", window(col("ts"), "5 minutes"))
+    val wCleared = withW.select(withW.columns.map {
+      case "ts" => col("ts").as("ts", org.apache.spark.sql.types.Metadata.empty)
+      case c => col(c)
+    }: _*)
+    val groupKeys = ("w" +: deepCols :+ "bucket").map(col)
+    val pivotAggs = payloads.flatMap { case (name, payload) =>
+      Seq(max(when(col("aux_name") === name, col("aux_v"))).as(payload),
+        max(when(col("aux_name") === name, col("aux_ts"))).as(s"${name}_ts"))
+    }
+    wCleared.groupBy(groupKeys: _*)
+      .agg(pivotAggs.head, pivotAggs.tail: _*)
+      .filter(payloads.map { case (_, p) => col(p).isNotNull }.reduce(_ && _))
+      .select((deepCols :+ "bucket").map(col) ++
+        payloads.flatMap { case (n, p) => Seq(col(p), col(s"${n}_ts")) }: _*)
+  }
+
+  /** Throughput-regime configuration for [[referenceDag]] (and any
+    * deep stateful DAG built from this layer).
+    *
+    * The StreamBench forced-batch probe (r11) measured the DAG's cost
+    * model: ~4.7 s of FIXED cost per micro-batch cycle (incremental
+    * planning + one state-store commit/snapshot per partition per
+    * stateful operator — this DAG has 9) against an ~8.5 s per-event
+    * floor at 20k events, and ~40% of that fixed cost is the NO-DATA
+    * micro-batch that follows every data batch to advance the
+    * watermark and flush closed windows. The r12 dagprofile split the
+    * per-event floor too: it is dominated by the 4 widening joins +
+    * full-row dedup — a DAG-SHAPE cost, removed by
+    * [[referenceDagPivot]] (measured 2.6x). Levers, in order:
+    *
+    *  0. DAG SHAPE — [[referenceDagPivot]] whenever per-stream
+    *     cartesian fan-out is not load-bearing (see its scaladoc).
+    *  1. Batch SIZE — run with a processing-time trigger sized so each
+    *     micro-batch carries seconds-to-minutes of events
+    *     (`.trigger(Trigger.ProcessingTime("30 seconds"))` or
+    *     larger): the fixed cost amortizes linearly over the batch.
+    *     Tradeoff: end-to-end latency rises with the interval.
+    *  2. Flush cadence — this conf map disables no-data micro-batches,
+    *     removing the flush cycle that repeats the commit half of the
+    *     fixed cost after every data batch (probe: 16 forced batches
+    *     78.9 -> 45.7 s, +73% throughput). Tradeoff: a window whose
+    *     watermark passes between arrivals is emitted with the NEXT
+    *     data batch rather than immediately, so tail output latency of
+    *     closed windows becomes data-arrival-bound — right for
+    *     throughput-oriented backfills and steady high-rate feeds,
+    *     wrong for sparse feeds needing prompt window closure.
+    *
+    * Apply via `confs.foreach { case (k, v) => spark.conf.set(k, v) }`
+    * before `.start()` (the setting is read at query start). Measured
+    * in-Bench (same JVM, same DAG, sf-independent MemoryStream feed):
+    * see Bench's `dag_tuned_events_per_sec` vs `dag_events_per_sec`. */
+  val dagThroughputConf: Map[String, String] = Map(
+    "spark.sql.streaming.noDataMicroBatches.enabled" -> "false"
+  )
 
   /** Chained stateful operators — the Spark >= 3.4 unlock the whole
     * redesign hinges on (README: "the streaming limitation

@@ -181,6 +181,56 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("pivot-shaped DAG twin matches the join-chain DAG (2 stateful ops vs 9)") {
+    // Same fixture as the chain test: only deep row 7 has all four aux
+    // partners; row 8 must be dropped by the inner semantics in BOTH
+    // shapes. The pivot twin must reproduce the chain's schema (deep
+    // cols + bucket + per-aux payload/ts) and values exactly.
+    implicit val sqlCtx = spark.sqlContext
+    val deep = MemoryStream[(Long, Timestamp, Double)]
+    val vix = MemoryStream[(Timestamp, Double)]
+    val vol = MemoryStream[(Timestamp, Double)]
+    val cot = MemoryStream[(Timestamp, Double)]
+    val ind = MemoryStream[(Timestamp, Double)]
+    val wide = StreamingPipeline.referenceDagPivot(
+      deep.toDF().toDF("deep_id", "ts", "micro_price"),
+      Seq(
+        "vix" -> vix.toDF().toDF("ts", "vix_value"),
+        "vol" -> vol.toDF().toDF("ts", "vol_value"),
+        "cot" -> cot.toDF().toDF("ts", "cot_value"),
+        "ind" -> ind.toDF().toDF("ts", "ind_value")))
+    assert(wide.columns.toSeq == Seq("deep_id", "ts", "micro_price", "bucket",
+      "vix_value", "vix_ts", "vol_value", "vol_ts", "cot_value", "cot_ts",
+      "ind_value", "ind_ts"))
+    val q = wide.writeStream.format("memory").queryName("dag_pivot_out")
+      .outputMode("append").start()
+    try {
+      val t0 = t("2024-01-01 10:00:10")
+      deep.addData((7L, t0, 100.5))
+      deep.addData((8L, t("2024-01-01 10:20:00"), 101.0)) // no aux partners
+      vix.addData((t("2024-01-01 10:01:00"), 16.0))
+      vol.addData((t("2024-01-01 10:02:00"), 5000.0))
+      cot.addData((t("2024-01-01 10:03:00"), 300000.0))
+      ind.addData((t("2024-01-01 10:00:30"), 3.6))
+      q.processAllAvailable()
+      // The pivot agg emits when the GLOBAL watermark (min across all
+      // five streams) passes row 7's window end, so every stream needs
+      // a later sentinel; the aux sentinels sit in a bucket with no
+      // deep partner so they add no output row.
+      deep.addData((9L, t("2024-01-01 11:00:00"), 99.0))
+      Seq(vix, vol, cot, ind).foreach(_.addData((t("2024-01-01 13:30:00"), 0.0)))
+      q.processAllAvailable()
+      val out = spark.table("dag_pivot_out")
+      assert(out.count() == 1)
+      val row = out.select("deep_id", "micro_price", "vix_value", "vol_value",
+        "cot_value", "ind_value", "vix_ts").collect()(0)
+      assert(row.getLong(0) == 7L && row.getDouble(1) == 100.5 &&
+        row.getDouble(2) == 16.0 && row.getDouble(3) == 5000.0 &&
+        row.getDouble(4) == 300000.0 && row.getDouble(5) == 3.6 &&
+        row.getTimestamp(6) == t("2024-01-01 10:01:00"))
+    } finally q.stop()
+  }
+
   test("chained stateful ops: 10-min rollup over streaming 5-min bars (2.4.4 blocker)") {
     implicit val sqlCtx = spark.sqlContext
     val src = MemoryStream[Ev]
