@@ -34,9 +34,15 @@ import org.apache.spark.sql.SparkSession
   * fixed cost, the data cycle's plan+commit the other ~2.5s/batch.
   * The levers at scale are batch SIZE (trigger interval) first and
   * the flush cadence second (suppressing no-data batches trades tail
-  * output latency of closed windows); join shape is NOT the
-  * bottleneck. RocksDB's lower Bench throughput (~1.9k) is the same
-  * fixed cost with a costlier per-batch snapshot. */
+  * output latency of closed windows). RocksDB's lower Bench throughput
+  * (~1.9k) is the same fixed cost with a costlier per-batch snapshot.
+  *
+  * r12 REVISION (dagprofile mode below): once batch cadence is fixed
+  * (one data batch), the remaining per-event floor IS join shape —
+  * the 4 widening joins + full-row dedup dominate it (aux4+dedup
+  * 12.8s vs aux0 0.9s, 20k events). referenceDagPivot removes that
+  * floor (measured 2.6x cold; in-Bench dag_tuned ~6.6k ev/s vs ~2.1k
+  * for the chain at the same feed). */
 object StreamBench {
   def main(args: Array[String]): Unit = {
     val isDag = args.headOption.contains("dag")
