@@ -1,7 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.GraftIterativeCheckpoint.statsResetLocalCheckpoint
+import org.apache.spark.sql.GraftIterativeCheckpoint.{statsResetLocalCheckpoint, statsResetLocalCheckpointWithLongSum}
 import org.apache.spark.sql.functions._
 
 /** Distributed connected components over an undirected pair list,
@@ -92,24 +92,40 @@ object Components {
     val edges = statsResetLocalCheckpoint(directed
       .union(directed.select(col("dst").as("src"), col("src").as("dst")))
     ) // reused every round: flat lineage, edge-rows-only
-    var labels = statsResetLocalCheckpoint(
-      edges.select(col("src").as("id")).distinct().withColumn("label", col("id")))
     // Convergence witness: every label move is a strict DECREASE (min
     // over a set containing the old label), so the label sum is
     // strictly monotone and "sum unchanged" <=> "no label changed".
-    // Decimal(38,0) so the sum cannot overflow at any corpus size
-    // (Long ids x Long rows exceeds Long range at extreme scale).
-    // sum() over ZERO rows is SQL NULL — a pair-less corpus (an empty
-    // shard, a dup-free backfill day) is a valid input to this kernel,
-    // so coalesce the null to zero: both sums are then 0, the loop
-    // converges on round 1, and the empty cluster frame falls out.
+    // Exact big-integer arithmetic so the sum cannot overflow at any
+    // corpus size (Long ids x Long rows exceeds Long range at extreme
+    // scale). A pair-less corpus (an empty shard, a dup-free backfill
+    // day) is a valid input to this kernel: both sums are then 0, the
+    // loop converges on round 1, and the empty cluster frame falls out.
     // Requires NUMERIC pair columns (Long ids at every call site): a
-    // non-numeric id would cast to null and break the witness, so fail
-    // fast with a clear error instead of converging to garbage.
+    // non-numeric id would break the witness, so fail fast with a
+    // clear error instead of converging to garbage.
+    //
+    // For integral ids (every call site) the witness is FUSED into the
+    // checkpoint materialization pass (statsResetLocalCheckpointWithLongSum):
+    // the sum rides the same iterator that feeds block storage, so each
+    // round runs ONE job instead of checkpoint-then-rescan-for-sum —
+    // at cluster scale that removes a full extra pass over the labels
+    // table per round, at bench scale half the scheduler round-trips.
+    // Fractional/decimal ids (accepted by the API, used by no caller)
+    // keep the unfused decimal(38,0)-sum path below.
     def labelSum(df: DataFrame): java.math.BigDecimal =
       Option(df.agg(sum(col("label").cast("decimal(38,0)")).as("s")).first().getDecimal(0))
         .getOrElse(java.math.BigDecimal.ZERO)
-    var prevSum = labelSum(labels)
+    val labelsPlan =
+      edges.select(col("src").as("id")).distinct().withColumn("label", col("id"))
+    val fused = labelsPlan.schema("label").dataType match {
+      case org.apache.spark.sql.types.LongType | org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.ShortType | org.apache.spark.sql.types.ByteType => true
+      case _ => false
+    }
+    def ckptWithSum(df: DataFrame): (DataFrame, java.math.BigDecimal) =
+      if (fused) statsResetLocalCheckpointWithLongSum(df, "label")
+      else { val c = statsResetLocalCheckpoint(df); (c, labelSum(c)) }
+    var (labels, prevSum) = ckptWithSum(labelsPlan)
     var rounds = 0
     var converged = false
     while (!converged) {
@@ -122,7 +138,7 @@ object Components {
       // scale the per-round traffic is the whole cost of the loop).
       // Self-loops also guarantee every node survives the aggregation,
       // so no left join is needed to re-attach isolated ids.
-      val half = statsResetLocalCheckpoint(edges
+      val (half, newSum) = ckptWithSum(edges
         .union(labels.select(col("id").as("src"), col("id").as("dst")))
         .join(labels.select(col("id").as("src"), col("label").as("src_label")), "src")
         .groupBy(col("dst").as("id"))
@@ -131,8 +147,7 @@ object Components {
       // within a component, some edge would cross the boundary and the
       // larger side would have taken the min. Doubling therefore never
       // un-converges anything, and convergence is decided from step 1
-      // alone — a single tiny aggregate over the checkpointed blocks.
-      val newSum = labelSum(half)
+      // alone — the witness sum the checkpoint pass just computed.
       if (newSum.compareTo(prevSum) == 0) {
         converged = true
       } else if (rounds >= 2) {
@@ -145,10 +160,11 @@ object Components {
         // at most one round. A hop also only decreases labels
         // (label(x) <= x is a loop invariant), so the NEXT round's
         // convergence baseline is re-read from the hopped table.
-        labels = statsResetLocalCheckpoint(half
+        val (hopped, hopSum) = ckptWithSum(half
           .join(half.select(col("label").as("hop"), col("id").as("label")), Seq("label"), "left")
           .select(col("id"), coalesce(col("hop"), col("label")).as("label")))
-        prevSum = labelSum(labels)
+        labels = hopped
+        prevSum = hopSum
       } else {
         labels = half
         prevSum = newSum
