@@ -131,8 +131,19 @@ object Bench {
     //    "value" stay REP-1 cost (construction + execution, the same
     //    semantics as every prior round) for round-over-round
     //    comparability; rep2 is adjudication evidence, not the score.
+    //  - io: per-query task-I/O deltas (input / shuffle-write /
+    //    shuffle-read / disk-spill bytes, GraftTaskIO) snapshot around
+    //    rep1 — seconds say how fast THIS box ran the plan, bytes say
+    //    how the plan scales: shuffle volume per input byte is a
+    //    property of the plan itself, and a spill column that is 0
+    //    across the board proves partitions fit in memory at this SF.
+    //    Full-record artifact only (BENCH_SUMMARY.json "queries_io");
+    //    the budgeted stdout line is unchanged.
     val repThreshold = 2.0
-    case class QMeas(sec: Double, buildSec: Double, rep2: Double, load: Double)
+    val ioCounters = org.apache.spark.GraftTaskIO.install(spark)
+    def ioSnap() = org.apache.spark.GraftTaskIO.snapshot(spark, ioCounters)
+    case class QMeas(sec: Double, buildSec: Double, rep2: Double, load: Double,
+      io: org.apache.spark.GraftTaskIO.Snapshot)
     val meas = SparkEntry.queries.map { case (name, fn) =>
       def onePass(): (Double, Double) = {
         val t0 = System.nanoTime()
@@ -141,7 +152,9 @@ object Bench {
         df.count()
         ((System.nanoTime() - t0) / 1e9, build)
       }
+      val io0 = ioSnap()
       val (sec, buildSec) = try onePass() catch { case _: Throwable => (-1.0, -1.0) }
+      val io = ioSnap() - io0
       val (rep2, load) =
         if (sec > repThreshold) {
           val r2 = try onePass()._1 catch { case _: Throwable => -1.0 }
@@ -151,7 +164,7 @@ object Bench {
       // line is cut, and shows live progress during the ~8 min run
       System.err.println(f"[bench] $name%s $sec%.3f s" +
         (if (rep2 >= 0) f" (rep2=$rep2%.3f load=$load%.2f)" else ""))
-      name -> QMeas(sec, buildSec, rep2, load)
+      name -> QMeas(sec, buildSec, rep2, load, io)
     }
     val results = meas.map { case (k, m) => k -> m.sec }
     // A failed query reports sec = -1.0 in the per-query map (the
@@ -194,6 +207,12 @@ object Bench {
     val repsJson = meas.collect {
       case (k, m) if m.rep2 >= 0 => s"\"$k\":[${f4(m.rep2)},${f4(m.load)}]"
     }.mkString("{", ",", "}")
+    // [input, shuffle_write, shuffle_read, disk_spill] bytes per query
+    // (rep-1 task deltas), same cheap-first order as "queries"
+    val ioJson = sortedQs.map { case (k, _) =>
+      val io = meas(k).io
+      s"\"$k\":[${io.input},${io.shuffleWrite},${io.shuffleRead},${io.spill}]"
+    }.mkString("{", ",", "}")
     // Stage-adjacent box markers (VERDICT r7 #5): the start-of-run
     // marker says nothing about contention arriving minutes later
     // during the streaming section (r7: DAG 867 ev/s recorded vs
@@ -220,6 +239,7 @@ object Bench {
     // expensive queries or the totals that follow).
     val fullRecord =
       s"""{"queries":$qs,"queries_rep2_load":$repsJson,"queries_failed":$failedJson,""" +
+        s""""queries_io":$ioJson,""" +
         s""""probe_build_sec":$probeBuildJson,"streaming":$streamingJson,"box":$boxJson,""" +
         s""""metric":"total","value":${f4(total)},"unit":"sec","n_queries":${results.size},"sf":"$sfDir"}"""
     println(fullRecord)
