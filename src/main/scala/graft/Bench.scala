@@ -198,10 +198,14 @@ object Bench {
     // #6). Derived from the naming convention rather than a literal
     // list: the r9 review caught the list silently missing the five
     // new merge/append probes, dropping their (dominant) build cost
-    // from the artifact.
+    // from the artifact. r12 widens the rule beyond the `_probe`
+    // suffix: ANY query with material construction cost (>= 0.25s)
+    // reports its split — the train-once BPE artifact (and the
+    // adaptive jaccard profile probe) run eager construction jobs the
+    // name rule alone would hide inside rep1.
     val probeNames = SparkEntry.queries.keySet.filter(_.endsWith("_probe"))
     val probeBuildJson = meas.collect {
-      case (k, m) if probeNames(k) => s"\"$k\":${f4(m.buildSec)}"
+      case (k, m) if probeNames(k) || m.buildSec >= 0.25 => s"\"$k\":${f4(m.buildSec)}"
     }.mkString("{", ",", "}")
     // [rep2_sec, load_avg] for every query re-run under the 2s rule
     val repsJson = meas.collect {
