@@ -61,6 +61,36 @@ class ComponentsSpec extends SparkSpec {
     assert(rounds == 1, s"empty input must converge on round 1, got $rounds")
   }
 
+  test("50k-leaf star: maximum key skew converges in constant rounds, exact") {
+    // The skew stress: one hub node carries EVERY edge, so the
+    // per-round min-aggregation has one key holding 50k+1 rows — the
+    // hot-key shape a production dedup graph takes when a boilerplate
+    // document near-dups against everything. groupBy's partial
+    // (map-side) aggregation collapses the hot key to one row per
+    // input partition before the exchange, so the reduce-side key sees
+    // at most numPartitions rows regardless of fan-in — the property
+    // that keeps the loop skew-safe at cluster scale. Star diameter is
+    // 2, so rounds stay constant; hub id chosen mid-range so min-label
+    // propagation actually has to move labels both ways.
+    val n = 50000L
+    val hub = 25000L
+    val pairs = spark.range(0, n + 1).toDF("leaf")
+      .filter(col("leaf") =!= hub)
+      .select(least(col("leaf"), lit(hub)).as("a"),
+        greatest(col("leaf"), lit(hub)).as("b"))
+    val (out, rounds) = Components.clusterPairsCounted(pairs, "a", "b", "node_id")
+    info(s"star graph n=${n + 1} converged in $rounds rounds")
+    assert(rounds <= 3, s"star (diameter 2) must converge in <= 3 rounds, got $rounds")
+    val agg = out.agg(
+      count(lit(1)), min(col("cluster_id")), max(col("cluster_id")),
+      max(col("cluster_size")), sum(when(col("is_survivor"), 1L).otherwise(0L))
+    ).head()
+    assert(agg.getLong(0) == n + 1, s"every node clustered: $agg")
+    assert(agg.getLong(1) == 0L && agg.getLong(2) == 0L, s"single min-label cluster: $agg")
+    assert(agg.getLong(3) == n + 1, s"cluster_size = n+1: $agg")
+    assert(agg.getLong(4) == 1L, s"exactly one survivor: $agg")
+  }
+
   test("non-numeric pair columns are rejected with a clear error") {
     // The decimal(38,0) convergence witness silently casts string ids
     // to null; the kernel fails fast instead of converging to garbage.
