@@ -3,34 +3,38 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Round-over-round total context: the per-round total grows with the
-  * registry, so compare SHARED queries, not totals. r9 clean min-of-3
-  * at sf0.1, FINAL (after the lean hi-recall switch; box marker
-  * warm2=0.142s — clean): total 91.15s over 118 queries vs r8's clean
-  * 90.6s/113q. The five new registered maintenance probes
-  * (dedup/simhash/vocab/drift merges + IVF append) account for ~11s,
-  * so the shared-113 total is ~80s — ~10s FASTER than r8 on identical
-  * queries. Hot spots: embed_dedup_clusters_hirecall 6.40s (pre-lean
-  * r9 9.77, r8 9.85, r7 13.9), embed_near_dup_hirecall 3.91s
-  * (pre-lean 7.00 — the measured 2.1x of the late-materialization
-  * shape at 16 bands), ngram_jaccard_pairs 4.65s (r8 4.49, within
-  * drift). New artifact fields this round: "queries_rep2_load" re-runs
-  * any query over 2s once with a load sample (per-query contention
-  * adjudication — r8 verdict #5) and "probe_build_sec" splits the
-  * *_probe queries' periodic index-build cost from per-batch probe
-  * cost (r8 verdict #6; builds are memoized per (kind, dir) per JVM,
-  * so rep2 of a probe query IS the probe-only number). r11: the FINAL
-  * stdout line and the file twin `target/bench_summary.json` are both
-  * self-sufficient for contention adjudication — the twin holds the
-  * FULL record (every timing + rep2/load + probe_build + failures),
-  * the final line folds in rep2/load for the 10 costliest queries
-  * (r9/r10 verdict: rep2 lived only on the penultimate line, which
-  * the driver's tail capture truncated two rounds running); a failed
-  * query (sec=-1) is excluded from the headline total and listed in
-  * "queries_failed" instead of silently deflating it. Streaming
-  * (clean, stage-adjacent markers 0.11-0.15s): bars 67.5k ev/s,
-  * indfull 31.4k, ivfprobe 2,287 vec/s, DAG 2,460 ev/s, RocksDB DAG
-  * 1,902 — all within the r8 clean band (72.4k/36.2k/2,725/2,382/
-  * 1,922), no regressions. */
+  * registry, so compare SHARED queries, not totals. r12 clean run at
+  * sf0.1 (ALL four stage markers clean: warm2 0.176s, pre/mid/post
+  * -stream 0.120/0.124/0.133s): total 96.8s over 120 queries vs the
+  * r12-start clean baseline 106.5s/120q on the same box — the fused
+  * checkpoint+witness pass (embed_dedup_clusters_hirecall 8.30 ->
+  * 6.66s, dedup_clusters 1.82 -> 1.66s) plus the train-once BPE
+  * artifact (packed_token_ids 3.43 -> 1.91s; bpe_encode/bpe_token_ids
+  * off the hot list; bpe_vocab rep1 2.31s now CARRIES the one-time
+  * training build, rep2 0.16s is the steady state). Hot spots:
+  * embed_dedup_clusters_hirecall 6.66s, ngram_jaccard_pairs 4.15s
+  * (the documented verification twin), embed_near_dup_hirecall 4.23s.
+  * Streaming clean bands: bars 65.0k ev/s, indfull 23.6k, ivfprobe
+  * 2,440 v/s, DAG 2,227, RocksDB 1,675, dag_tuned 9,459 (the pivot
+  * shape + batch-size + flush-cadence regime).
+  *
+  * Artifact fields: "queries_rep2_load" re-runs any query over 2s
+  * once with a load sample (per-query contention adjudication — r8
+  * verdict #5); "probe_build_sec" splits construction cost from
+  * execution for the _probe queries AND any query with eager
+  * construction work >= 0.25s (r12: the BPE training build, the
+  * adaptive jaccard profile probe, the cluster loops); "queries_io"
+  * (r12) carries [input, shuffle write, shuffle read, disk spill]
+  * bytes per query via GraftTaskIO — bytes are the scale-invariant
+  * profile of the plan (the r12 clean run spills ZERO bytes across
+  * all 120 queries). The FINAL stdout line and the git-tracked twin
+  * BENCH_SUMMARY.json are both self-sufficient for contention
+  * adjudication: the twin holds the FULL record, the final line folds
+  * in rep2/load for the costliest queries under an ENFORCED <= 1900
+  * char budget (r11 verdict #3: three rounds of parsed:null from a
+  * fixed-format line overflowing the driver's ~2KB tail window); a
+  * failed query (sec=-1) is excluded from the headline total and
+  * listed in "queries_failed" instead of silently deflating it. */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
