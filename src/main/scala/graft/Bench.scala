@@ -179,6 +179,13 @@ object Bench {
     // name in "queries_failed" in both artifact lines.
     val failedNames = meas.collect { case (k, m) if m.sec < 0 => k }.toSeq.sorted
     val failedJson = failedNames.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // the BUDGETED stdout line carries a CAPPED failure list plus the
+    // full count ("queries_failed_n"): a systemic breakage failing all
+    // ~120 queries would otherwise put a ~3KB name list on every
+    // shrink step AND the floor, overflowing the driver's tail window
+    // exactly when the failure evidence matters most. The full list
+    // always lives in the full record / BENCH_SUMMARY.json.
+    val failedCappedJson = failedNames.take(8).map("\"" + _ + "\"").mkString("[", ",", "]")
     // Round 4's capture lost the HEAD of this line (a bounded tail
     // window kept only the last ~3 KB: the leading "metric":"total"
     // and the first 17 per-query timings were cut). Three fixes:
@@ -292,9 +299,15 @@ object Bench {
       val keptRepsJson = meas.collect {
         case (k, m) if m.rep2 >= 0 && repNames(k) => s"\"$k\":[${f4(m.rep2)},${f4(m.load)}]"
       }.mkString("{", ",", "}")
+      // rest_sec over SUCCEEDED queries only: failed queries sort to
+      // the cheap end as -1.0 sentinels and always land in `rest`, so
+      // an unguarded sum would silently deflate the aggregate — the
+      // same r10 bug the headline total already guards against
       s"""{"metric":"total","value":${f4(total)},"unit":"sec","sf":"$sfDir","n_queries":${results.size},""" +
-        s""""queries":$keptJson,"queries_rest_n":${rest.size},"queries_rest_sec":${f4(rest.map(_._2).sum)},""" +
-        s""""queries_rep2_load":$keptRepsJson,"queries_failed":$failedJson,""" +
+        s""""queries":$keptJson,"queries_rest_n":${rest.size},""" +
+        s""""queries_rest_sec":${f4(rest.map(_._2).filter(_ >= 0).sum)},""" +
+        s""""queries_rep2_load":$keptRepsJson,""" +
+        s""""queries_failed_n":${failedNames.size},"queries_failed":$failedCappedJson,""" +
         s""""probe_build_sec":$probeBuildJson,"streaming":$streamingJson,"box":$boxJson}"""
     }
     val shrinkSteps = Seq((16, 10), (14, 8), (12, 6), (10, 5), (8, 4), (6, 3), (4, 2), (2, 1), (0, 0))
@@ -303,7 +316,8 @@ object Bench {
       .getOrElse {
         // floor without the probe-build map — totals/streaming/box only
         s"""{"metric":"total","value":${f4(total)},"unit":"sec","sf":"$sfDir",""" +
-          s""""n_queries":${results.size},"queries":{},"queries_failed":$failedJson,""" +
+          s""""n_queries":${results.size},"queries":{},""" +
+          s""""queries_failed_n":${failedNames.size},"queries_failed":$failedCappedJson,""" +
           s""""streaming":$streamingJson,"box":$boxJson}"""
       }
     System.err.println(s"[bench] final summary line: ${summary.length} chars (budget $maxLen)")
@@ -474,7 +488,10 @@ object Bench {
     // much of the default-regime cost is DAG shape + micro-batch
     // cadence rather than per-event join work. Conf is restored after:
     // the default-cadence numbers above stay comparable across rounds.
-    val dagTunedSecs = {
+    // isolated failure domain like the RocksDB run: a tuned-regime
+    // failure (the pivot is the newest streaming plan) must report
+    // -1.0, not discard the bars/dag/rocks numbers already measured
+    val dagTunedSecs = try {
       val prevConfs = StreamingPipeline.dagThroughputConf.keys
         .map(k => k -> spark.conf.getOption(k)).toMap
       StreamingPipeline.dagThroughputConf.foreach { case (k, v) => spark.conf.set(k, v) }
@@ -483,6 +500,9 @@ object Bench {
         case (k, Some(v)) => spark.conf.set(k, v)
         case (k, None) => spark.conf.unset(k)
       }
+    } catch {
+      case t: Throwable =>
+        System.err.println(s"[bench] WARNING: tuned DAG run failed: $t"); -1.0
     }
 
     // 3) the full in-stream indicator stack (r5): bars + the 100-min
@@ -541,12 +561,13 @@ object Bench {
 
     val totalDagInput = nDeep + 4 * auxIdx.size
     val rocksEps = if (dagRocksSecs > 0) totalDagInput / dagRocksSecs else -1.0
+    val tunedEps = if (dagTunedSecs > 0) totalDagInput / dagTunedSecs else -1.0
     s"""{"bars_events":$nBars,"bars_sec":$barsSecs,"bars_events_per_sec":${nBars / barsSecs},""" +
       s""""indfull_events":$nInd,"indfull_sec":$indSecs,"indfull_events_per_sec":${nInd / indSecs},""" +
       s""""ivfprobe_vectors":$probeN,"ivfprobe_sec":$probeSecs,"ivfprobe_vectors_per_sec":$probeEps,""" +
       s""""dag_events":$totalDagInput,"dag_sec":$dagSecs,"dag_events_per_sec":${totalDagInput / dagSecs},""" +
       s""""dag_rocksdb_sec":$dagRocksSecs,"dag_rocksdb_events_per_sec":$rocksEps,""" +
-      s""""dag_tuned_sec":$dagTunedSecs,"dag_tuned_events_per_sec":${totalDagInput / dagTunedSecs},""" +
+      s""""dag_tuned_sec":$dagTunedSecs,"dag_tuned_events_per_sec":$tunedEps,""" +
       s""""marker_mid_dag_sec":$midDagMarkerSec}"""
   }
 }

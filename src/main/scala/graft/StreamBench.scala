@@ -64,7 +64,7 @@ object StreamBench {
         sys.env.getOrElse("SPARK_GRAFT_NODATA", "true"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    if (args.headOption.contains("dagprofile")) {
+    if (isProfile) {
       // Locate the DAG's per-event floor: time structural variants of
       // the reference DAG on one 20k-event data batch each (fresh
       // streams per variant, untimed warm pass first), so the cost of

@@ -728,9 +728,9 @@ object TrainingData extends QueryModule {
     bpeTokenIdSeqsOver(bpeMergedWords(df, rounds), df)
 
   private def bpeTokenIdSeqsOver(merged: DataFrame, df: DataFrame): DataFrame = {
-    val vocabIds = merged
-      .select(explode(split(col("s"), " ")).as("sym"), col("freq"))
-      .groupBy("sym").agg(sum(col("freq")).as("n_occurrences"))
+    // id assignment ranks the SAME vocabulary aggregate bpe_vocab
+    // emits — shared through bpeVocabOver so the two can never diverge
+    val vocabIds = bpeVocabOver(merged)
       .select(col("sym"), (row_number().over(
         org.apache.spark.sql.expressions.Window
           .orderBy(col("n_occurrences").desc, col("sym"))) - 1)

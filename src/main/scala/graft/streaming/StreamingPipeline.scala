@@ -195,8 +195,13 @@ object StreamingPipeline {
     * MULTIPLE matches in one stream the chain emits their cartesian
     * product while the pivot keeps the max per aux — prefer the chain
     * only if that cartesian fan-out is load-bearing. Aux payloads must
-    * be single-column; heterogeneous payload types are cast to double
-    * for the union (the reference's aux feeds are all numeric).
+    * be single-column; payload types are cast to double INTERNALLY for
+    * the tagged union (the reference's aux feeds are all numeric) and
+    * cast back to their source types in the output, which reproduces
+    * the chain's wide schema exactly — same per-aux column order
+    * (<name>_ts, <payload>), same types. A matched aux row with a NULL
+    * payload value keeps the deep row (a per-aux match witness drives
+    * the inner-join filter, not the pivoted payload).
     * Latency tradeoff: the chain EMITS each wide row as its last join
     * match forms, while the pivot holds a row until the GLOBAL
     * watermark (min across all five streams) passes its 5-min window —
@@ -206,14 +211,21 @@ object StreamingPipeline {
     * sparse/stalled aux feeds matters more than throughput.
     * StreamingSpec pins pivot == chain on the unit fixture. */
   def referenceDagPivot(deep: DataFrame, auxes: Seq[(String, DataFrame)]): DataFrame = {
+    // zero aux streams: the chain degrades to watermark + dedup of the
+    // deep frame; the pivot must be a drop-in twin on that degenerate
+    // input too (its tagged union and pivot agg need >= 1 stream)
+    if (auxes.isEmpty) return referenceDag(deep, auxes)
     val payloads = auxes.map { case (name, aux) =>
       val ps = aux.columns.filterNot(_ == "ts")
       require(ps.length == 1,
         s"referenceDagPivot: aux '$name' must carry exactly one payload column, got ${ps.toSeq}")
-      name -> ps.head
+      // original payload type, restored after the pivot: the tagged
+      // union coerces payloads to double so heterogeneous aux streams
+      // share one column, but the OUTPUT contract is the chain's
+      (name, ps.head, aux.schema(ps.head).dataType)
     }
     val tagged = auxes.map { case (name, aux) =>
-      val payload = payloads.toMap.apply(name)
+      val payload = payloads.find(_._1 == name).get._2
       aux.select(lit(name).as("aux_name"), col("ts").as("aux_ts"),
         col(payload).cast("double").as("aux_v"))
     }.reduce(_.unionByName(_))
@@ -244,15 +256,28 @@ object StreamingPipeline {
       case c => col(c)
     }: _*)
     val groupKeys = ("w" +: deepCols :+ "bucket").map(col)
-    val pivotAggs = payloads.flatMap { case (name, payload) =>
+    // inner-join semantics need a MATCH witness per aux, not a non-null
+    // payload: an aux row carrying a NULL payload value still matches
+    // the chain's join (its predicate never touches the payload), so
+    // filtering on the pivoted payload would silently drop the deep
+    // row. The indicator is non-null iff at least one row of that aux
+    // stream landed in the group.
+    val pivotAggs = payloads.flatMap { case (name, payload, _) =>
       Seq(max(when(col("aux_name") === name, col("aux_v"))).as(payload),
-        max(when(col("aux_name") === name, col("aux_ts"))).as(s"${name}_ts"))
+        max(when(col("aux_name") === name, col("aux_ts"))).as(s"${name}_ts"),
+        max(when(col("aux_name") === name, lit(1))).as(s"_matched_$name"))
     }
     wCleared.groupBy(groupKeys: _*)
       .agg(pivotAggs.head, pivotAggs.tail: _*)
-      .filter(payloads.map { case (_, p) => col(p).isNotNull }.reduce(_ && _))
+      .filter(payloads.map { case (n, _, _) => col(s"_matched_$n").isNotNull }
+        .reduce(_ && _))
+      // the chain's exact wide schema: per-aux columns land as
+      // (<name>_ts, <payload>) — the renamed aux frame's own order —
+      // and each payload is cast back from the union's double to its
+      // source type
       .select((deepCols :+ "bucket").map(col) ++
-        payloads.flatMap { case (n, p) => Seq(col(p), col(s"${n}_ts")) }: _*)
+        payloads.flatMap { case (n, p, dt) =>
+          Seq(col(s"${n}_ts"), col(p).cast(dt).as(p)) }: _*)
   }
 
   /** Throughput-regime configuration for [[referenceDag]] (and any

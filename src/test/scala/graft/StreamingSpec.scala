@@ -199,9 +199,19 @@ class StreamingSpec extends SparkSpec {
         "vol" -> vol.toDF().toDF("ts", "vol_value"),
         "cot" -> cot.toDF().toDF("ts", "cot_value"),
         "ind" -> ind.toDF().toDF("ts", "ind_value")))
+    // the CHAIN's exact wide schema: per-aux columns as (<name>_ts,
+    // <payload>) — the renamed aux frame's own column order
     assert(wide.columns.toSeq == Seq("deep_id", "ts", "micro_price", "bucket",
-      "vix_value", "vix_ts", "vol_value", "vol_ts", "cot_value", "cot_ts",
-      "ind_value", "ind_ts"))
+      "vix_ts", "vix_value", "vol_ts", "vol_value", "cot_ts", "cot_value",
+      "ind_ts", "ind_value"))
+    assert(wide.columns.toSeq == StreamingPipeline.referenceDag(
+      deep.toDF().toDF("deep_id", "ts", "micro_price"),
+      Seq(
+        "vix" -> vix.toDF().toDF("ts", "vix_value"),
+        "vol" -> vol.toDF().toDF("ts", "vol_value"),
+        "cot" -> cot.toDF().toDF("ts", "cot_value"),
+        "ind" -> ind.toDF().toDF("ts", "ind_value"))).columns.toSeq,
+      "pivot twin must reproduce the chain's schema verbatim")
     val q = wide.writeStream.format("memory").queryName("dag_pivot_out")
       .outputMode("append").start()
     try {
@@ -229,6 +239,49 @@ class StreamingSpec extends SparkSpec {
         row.getDouble(4) == 300000.0 && row.getDouble(5) == 3.6 &&
         row.getTimestamp(6) == t("2024-01-01 10:01:00"))
     } finally q.stop()
+  }
+
+  test("pivot DAG twin: null aux payload keeps the row; long payloads keep their type; zero aux degrades like the chain") {
+    implicit val sqlCtx = spark.sqlContext
+    // (a) a matched aux row with a NULL payload must NOT drop the deep
+    // row (the chain's join predicate never touches the payload), and
+    // (b) a long payload must come back as long, not the union's double
+    val deep = MemoryStream[(Long, Timestamp, Double)]
+    val cnt = MemoryStream[(Timestamp, java.lang.Long)]
+    val wide = StreamingPipeline.referenceDagPivot(
+      deep.toDF().toDF("deep_id", "ts", "micro_price"),
+      Seq("cnt" -> cnt.toDF().toDF("ts", "cnt_value")))
+    assert(wide.schema("cnt_value").dataType ==
+      org.apache.spark.sql.types.LongType, "payload type must survive the pivot")
+    val q = wide.writeStream.format("memory").queryName("dag_pivot_null")
+      .outputMode("append").start()
+    try {
+      deep.addData((1L, t("2024-01-01 10:00:10"), 100.5)) // partner: null payload
+      deep.addData((2L, t("2024-01-01 10:20:10"), 101.0)) // partner: long payload
+      cnt.addData((t("2024-01-01 10:01:00"), null.asInstanceOf[java.lang.Long]))
+      cnt.addData((t("2024-01-01 10:21:00"), java.lang.Long.valueOf(42L)))
+      q.processAllAvailable()
+      deep.addData((9L, t("2024-01-01 12:00:00"), 99.0))
+      cnt.addData((t("2024-01-01 13:30:00"), java.lang.Long.valueOf(0L)))
+      q.processAllAvailable()
+      val out = spark.table("dag_pivot_null")
+        .select($"deep_id", $"cnt_value").orderBy("deep_id")
+        .collect().map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getLong(1))))
+      assert(out.toSeq == Seq((1L, None), (2L, Some(42L))),
+        s"null-payload match must survive with a null cell: ${out.toSeq}")
+    } finally q.stop()
+    // (c) zero aux streams: drop-in for the chain's watermark + dedup
+    val deep2 = MemoryStream[(Long, Timestamp, Double)]
+    val bare = StreamingPipeline.referenceDagPivot(
+      deep2.toDF().toDF("deep_id", "ts", "micro_price"), Nil)
+    val q2 = bare.writeStream.format("memory").queryName("dag_pivot_bare")
+      .outputMode("append").start()
+    try {
+      deep2.addData((1L, t("2024-01-01 10:00:10"), 1.0))
+      deep2.addData((1L, t("2024-01-01 10:00:10"), 1.0)) // replay duplicate
+      q2.processAllAvailable()
+      assert(spark.table("dag_pivot_bare").count() == 1L)
+    } finally q2.stop()
   }
 
   test("chained stateful ops: 10-min rollup over streaming 5-min bars (2.4.4 blocker)") {
