@@ -74,11 +74,24 @@ object Components {
     * worst case for propagation — and measured 14 there). */
   def clusterPairsCounted(pairs: DataFrame, aCol: String, bCol: String,
       idName: String): (DataFrame, Int) = {
-    require(pairs.schema(aCol).dataType.isInstanceOf[org.apache.spark.sql.types.NumericType] &&
-      pairs.schema(bCol).dataType.isInstanceOf[org.apache.spark.sql.types.NumericType],
-      s"clusterPairs requires numeric pair columns (got ${pairs.schema(aCol).dataType}, " +
-        s"${pairs.schema(bCol).dataType}): the sum-based convergence witness casts ids to " +
-        "decimal(38,0), and non-numeric ids would cast to null")
+    // Integral (or scale-0 decimal) ids ONLY — not any NumericType
+    // (r13, ADVICE r12): fractional ids (Double/Float/scaled Decimal)
+    // would take the unfused witness, whose decimal(38,0) cast ROUNDS —
+    // two distinct fractional labels could round to equal values, so
+    // the sum could be unchanged while labels moved: false convergence
+    // and silently wrong clusters, not a crash. No caller uses
+    // fractional ids, so rejecting them only removes a wrong path.
+    def integralId(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+      case org.apache.spark.sql.types.LongType | org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.ShortType | org.apache.spark.sql.types.ByteType => true
+      case d: org.apache.spark.sql.types.DecimalType => d.scale == 0
+      case _ => false
+    }
+    require(integralId(pairs.schema(aCol).dataType) && integralId(pairs.schema(bCol).dataType),
+      s"clusterPairs requires integral (or scale-0 decimal) pair columns (got " +
+        s"${pairs.schema(aCol).dataType}, ${pairs.schema(bCol).dataType}): the sum-based " +
+        "convergence witness is exact only over integral ids — fractional ids would round " +
+        "in the decimal(38,0) cast (possible false convergence), non-numeric ids cast to null")
     // Checkpoint the DIRECTED pairs before symmetrizing: the union's
     // two branches are the same candidate-generator subtree, and Spark
     // evaluates a union branch-by-branch (ReuseExchange does not cover

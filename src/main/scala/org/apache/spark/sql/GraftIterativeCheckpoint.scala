@@ -119,12 +119,15 @@ object GraftIterativeCheckpoint {
         private var partial = 0L
         private var spill = java.math.BigInteger.ZERO
         private var flushed = false
+        private def flush(): Unit = if (!flushed) {
+          flushed = true
+          acc.add(spill.add(java.math.BigInteger.valueOf(partial)))
+        }
         override def hasNext: Boolean = {
           val h = iter.hasNext
-          if (!h && !flushed) {
-            flushed = true
-            acc.add(spill.add(java.math.BigInteger.valueOf(partial)))
-          }
+          // fallback flush for the empty-partition case (a consumer
+          // that never calls next still polls hasNext once)
+          if (!h) flush()
           h
         }
         override def next(): org.apache.spark.sql.catalyst.InternalRow = {
@@ -149,7 +152,19 @@ object GraftIterativeCheckpoint {
               partial += v
             }
           }
-          r.copy() // codegen reuses the row buffer; storage needs its own
+          // COPY BEFORE probing iter.hasNext: codegen iterators reuse
+          // the row buffer, and hasNext may compute the next row into
+          // it — probing first would corrupt the row being returned
+          val out = r.copy() // storage needs its own buffer anyway
+          // Eager flush the moment the underlying iterator exhausts
+          // (r13, ADVICE r12): the previous shape flushed only from a
+          // trailing hasNext call, so a consumer draining exactly n
+          // next() calls would silently drop this partition's partial —
+          // a wrong convergence witness with no error. The count()
+          // materialization path used today does poll hasNext past
+          // exhaustion, but the helper must not depend on that.
+          if (!iter.hasNext) flush()
+          out
         }
       }
     }

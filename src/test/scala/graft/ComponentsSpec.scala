@@ -98,6 +98,26 @@ class ComponentsSpec extends SparkSpec {
     val e = intercept[IllegalArgumentException] {
       Components.clusterPairsCounted(strPairs, "a", "b", "node_id")
     }
-    assert(e.getMessage.contains("numeric pair columns"))
+    assert(e.getMessage.contains("integral"))
+  }
+
+  test("fractional pair columns are rejected (false-convergence guard)") {
+    // r13 (ADVICE r12): fractional ids would take the unfused witness,
+    // whose decimal(38,0) cast ROUNDS — distinct labels could round to
+    // equal values, so the sum could be unchanged while labels moved:
+    // silently wrong clusters. The require now matches the fused
+    // path's integral contract; scale-0 decimals stay accepted.
+    val dblPairs = spark.createDataFrame(Seq((1.5, 2.5))).toDF("a", "b")
+    val e = intercept[IllegalArgumentException] {
+      Components.clusterPairsCounted(dblPairs, "a", "b", "node_id")
+    }
+    assert(e.getMessage.contains("integral"))
+    // scale-0 decimal ids remain a valid (unfused-path) input
+    val decPairs = spark.createDataFrame(Seq((1L, 2L), (2L, 3L))).toDF("a", "b")
+      .select(col("a").cast("decimal(20,0)").as("a"),
+        col("b").cast("decimal(20,0)").as("b"))
+    val out = Components.clusterPairs(decPairs, "a", "b", "node_id")
+    assert(out.count() == 3L)
+    assert(out.agg(countDistinct(col("cluster_id"))).head().getLong(0) == 1L)
   }
 }
