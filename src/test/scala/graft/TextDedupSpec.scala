@@ -450,6 +450,28 @@ class TextDedupSpec extends SparkSpec {
     }
   }
 
+  test("dedup clusters sidecar: memoized artifact equals the direct loop output") {
+    // r13 train-once sidecar: dedupClusters serves a ProbeTemp parquet
+    // artifact (three registered consumers share one loop evaluation);
+    // the artifact must round-trip the direct loop's rows AND types
+    // exactly — a schema drift here would silently poison dedup_apply
+    // and doc_attributes, which join it
+    val art = TextDedup.dedupClusters(spark, sf0001)
+    val direct = TextDedup.dedupClustersDirect(spark, sf0001)
+    // names + types, not nullability: the parquet round-trip relaxes
+    // count()'s non-null flag to nullable (values unaffected, and the
+    // driver's compare reads Verify's WRITTEN parquet, which has the
+    // same relaxation on both paths)
+    def shape(df: org.apache.spark.sql.DataFrame) =
+      df.schema.map(f => (f.name, f.dataType))
+    assert(shape(art) == shape(direct),
+      s"artifact schema drifted: ${art.schema} vs ${direct.schema}")
+    val a = art.as[(Long, Long, Long, Boolean)].collect().sorted.toSeq
+    val d = direct.as[(Long, Long, Long, Boolean)].collect().sorted.toSeq
+    assert(a == d, "artifact rows must equal the direct loop output")
+    assert(a.nonEmpty, "fixture corpus must produce clusters")
+  }
+
   test("fuzzy split contamination equals brute force, planted cross-split copies surface") {
     // plant lightly-edited copies of corpus docs: each mutant flips the
     // LAST token, so its simhash sits a few bits from the original's;
