@@ -206,9 +206,104 @@ object Joins extends QueryModule {
        |FROM deep d ASOF LEFT JOIN views v
        |  ON d.user_id = v.user_id AND d.ts >= v.ts""".stripMargin
 
+  /** ORACLE-GATED batch twin of the streaming pivot DAG
+    * ([[graft.streaming.StreamingPipeline.referenceDagPivot]], r13 —
+    * VERDICT r12 #3): the union-tag -> single interval join ->
+    * max-struct pivot shape, run through the SAME production function
+    * on batch frames (watermarks are no-ops on batch via
+    * EliminateEventTimeWatermark), so the pivot's three subtle
+    * contracts — the null-payload MATCH WITNESS (a matched aux row
+    * whose payload is NULL must keep the deep row), the TYPE RESTORE
+    * (long/int payloads coerced to double for the tagged union must
+    * come back as long/int), and the one-source-row PAIRING (the
+    * emitted (ts, value) pair per aux comes from the single max-aux_ts
+    * row, never a cross-column mix) — are hash-gated against DuckDB,
+    * not just unit-pinned.
+    *
+    * Fixture mapping: `purchase` events are the deep stream; the four
+    * aux feeds derive from the other event types, each deduped to one
+    * row per timestamp (max_by event_id — ties impossible after the
+    * group, so the max-struct pick is deterministic on both engines):
+    * `vix` (double), `vol` (floor -> long), `cot` (floor -> int), and
+    * `ind` (double with values < 100 nulled — the null-payload class).
+    * The testdata's events span ~30 days (one event per type per ~22
+    * minutes — an inner join demanding all four aux types inside one
+    * 3-minute window would emit ZERO rows, a vacuous gate), so every
+    * timestamp is folded onto one day first (epoch_us % 86400e6 —
+    * exact integer arithmetic, identical on both engines): the folded
+    * feed carries one event per type per ~43 s, every deep window
+    * holds MULTIPLE candidates per aux, and the max-struct selection
+    * is genuinely exercised on ~1.9k output rows. */
+  def intervalJoinPivot(spark: SparkSession, dir: String): DataFrame = {
+    val dayUs = 86400000000L
+    val ev = Core.events(spark, dir)
+      .withColumn("ts", timestamp_micros(unix_micros(col("ts")) % dayUs))
+    val deep = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("ts"), col("value"))
+    def auxAgg(t: String): DataFrame =
+      ev.filter(col("event_type") === t)
+        .groupBy(col("ts"))
+        .agg(max_by(col("value"), col("event_id")).as("v0"))
+    val auxes = Seq(
+      "vix" -> auxAgg("view").select(col("ts"), col("v0").as("vix")),
+      "vol" -> auxAgg("click").select(col("ts"),
+        floor(col("v0")).cast("long").as("vol")),
+      "cot" -> auxAgg("signup").select(col("ts"),
+        floor(col("v0")).cast("int").as("cot")),
+      "ind" -> auxAgg("error").select(col("ts"),
+        when(col("v0") < 100, lit(null).cast("double"))
+          .otherwise(col("v0")).as("ind")))
+    graft.streaming.StreamingPipeline.referenceDagPivot(deep, auxes)
+  }
+
+  val intervalJoinPivotSql: String = {
+    def bucket(c: String) = s"make_timestamp((epoch_us($c) // 300000000) * 300000000)"
+    def pick(n: String) =
+      s"max(CASE WHEN aux_name = '$n' THEN {'ts': aux_ts, 'v': aux_v} END) AS p_$n"
+    s"""WITH e AS (
+       |  SELECT * REPLACE (make_timestamp(epoch_us(ts) % 86400000000) AS ts)
+       |  FROM ${Core.sqlEvents}),
+       |deep AS (
+       |  SELECT event_id, ts, value, ${bucket("ts")} AS bucket
+       |  FROM e WHERE event_type = 'purchase'),
+       |aux AS (
+       |  SELECT 'vix' AS aux_name, ts, arg_max(value, event_id) AS aux_v
+       |    FROM e WHERE event_type = 'view' GROUP BY ts
+       |  UNION ALL
+       |  SELECT 'vol', ts, FLOOR(arg_max(value, event_id))
+       |    FROM e WHERE event_type = 'click' GROUP BY ts
+       |  UNION ALL
+       |  SELECT 'cot', ts, FLOOR(arg_max(value, event_id))
+       |    FROM e WHERE event_type = 'signup' GROUP BY ts
+       |  UNION ALL
+       |  SELECT 'ind', ts,
+       |      CASE WHEN arg_max(value, event_id) < 100 THEN NULL
+       |           ELSE arg_max(value, event_id) END
+       |    FROM e WHERE event_type = 'error' GROUP BY ts),
+       |j AS (
+       |  SELECT d.event_id, d.ts, d.value, d.bucket,
+       |         a.aux_name, a.ts AS aux_ts, a.aux_v
+       |  FROM deep d JOIN aux a
+       |    ON d.bucket = ${bucket("a.ts")}
+       |   AND a.ts >= d.ts AND a.ts <= d.ts + INTERVAL 3 MINUTES),
+       |p AS (
+       |  SELECT event_id, ts, value, bucket,
+       |    ${pick("vix")}, ${pick("vol")}, ${pick("cot")}, ${pick("ind")}
+       |  FROM j GROUP BY 1, 2, 3, 4)
+       |SELECT event_id, ts, value, bucket,
+       |  p_vix.ts AS vix_ts, p_vix.v AS vix,
+       |  p_vol.ts AS vol_ts, CAST(p_vol.v AS BIGINT) AS vol,
+       |  p_cot.ts AS cot_ts, CAST(p_cot.v AS INTEGER) AS cot,
+       |  p_ind.ts AS ind_ts, p_ind.v AS ind
+       |FROM p
+       |WHERE p_vix IS NOT NULL AND p_vol IS NOT NULL
+       |  AND p_cot IS NOT NULL AND p_ind IS NOT NULL""".stripMargin
+  }
+
   override def queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "interval_join" -> (intervalJoin _),
     "interval_join_dedup" -> (intervalJoinDedup _),
+    "interval_join_pivot" -> (intervalJoinPivot _),
     "asof_join" -> (asofJoin _),
     "asof_join_by_user" -> (asofJoinByUser _),
     "asof_join_tolerance" -> (asofJoinTolerance _))
@@ -216,6 +311,7 @@ object Joins extends QueryModule {
   override def oracle: Seq[(String, String)] = Seq(
     "interval_join" -> intervalJoinSql,
     "interval_join_dedup" -> intervalJoinDedupSql,
+    "interval_join_pivot" -> intervalJoinPivotSql,
     "asof_join" -> asofJoinSql,
     "asof_join_by_user" -> asofJoinByUserSql,
     "asof_join_tolerance" -> asofJoinToleranceSql)

@@ -193,15 +193,22 @@ object StreamingPipeline {
     * exactly when each deep event matches <= 1 row per aux stream (the
     * reference cadence: one polled aux value per 5-min bucket); with
     * MULTIPLE matches in one stream the chain emits their cartesian
-    * product while the pivot keeps the max per aux — prefer the chain
-    * only if that cartesian fan-out is load-bearing. Aux payloads must
-    * be single-column; payload types are cast to double INTERNALLY for
-    * the tagged union (the reference's aux feeds are all numeric) and
-    * cast back to their source types in the output, which reproduces
-    * the chain's wide schema exactly — same per-aux column order
-    * (<name>_ts, <payload>), same types. A matched aux row with a NULL
-    * payload value keeps the deep row (a per-aux match witness drives
-    * the inner-join filter, not the pivoted payload).
+    * product while the pivot keeps ONE SOURCE ROW per aux — the row
+    * with the max aux_ts, ties broken by max payload, selected as a
+    * single max over struct(aux_ts, aux_v) so the emitted (ts, value)
+    * pair always comes from one input row (r13, ADVICE r12: maxing the
+    * two columns independently could emit a timestamp from one row
+    * paired with a payload from another — a row no input produced).
+    * Prefer the chain only if the cartesian fan-out is load-bearing.
+    * Aux payloads must be single-column; payload types are cast to
+    * double INTERNALLY for the tagged union (the reference's aux feeds
+    * are all numeric) and cast back to their source types in the
+    * output, which reproduces the chain's wide schema exactly — same
+    * per-aux column order (<name>_ts, <payload>), same types. A
+    * matched aux row with a NULL payload value keeps the deep row: the
+    * match witness is the picked STRUCT's non-nullness (a matched row
+    * always yields a non-null struct even when every field in it is
+    * null), never the pivoted payload value.
     * Latency tradeoff: the chain EMITS each wide row as its last join
     * match forms, while the pivot holds a row until the GLOBAL
     * watermark (min across all five streams) passes its 5-min window —
@@ -256,20 +263,21 @@ object StreamingPipeline {
       case c => col(c)
     }: _*)
     val groupKeys = ("w" +: deepCols :+ "bucket").map(col)
-    // inner-join semantics need a MATCH witness per aux, not a non-null
-    // payload: an aux row carrying a NULL payload value still matches
-    // the chain's join (its predicate never touches the payload), so
-    // filtering on the pivoted payload would silently drop the deep
-    // row. The indicator is non-null iff at least one row of that aux
-    // stream landed in the group.
-    val pivotAggs = payloads.flatMap { case (name, payload, _) =>
-      Seq(max(when(col("aux_name") === name, col("aux_v"))).as(payload),
-        max(when(col("aux_name") === name, col("aux_ts"))).as(s"${name}_ts"),
-        max(when(col("aux_name") === name, lit(1))).as(s"_matched_$name"))
+    // ONE max over struct(aux_ts, aux_v) per aux — struct comparison is
+    // lexicographic, so the pick is the row with the max aux_ts (ties:
+    // max payload) and the emitted (ts, value) pair provably comes from
+    // one source row. The struct doubles as the inner-join MATCH
+    // witness: when() yields a null struct only for non-matching rows,
+    // while a matched row yields a non-null struct even when its
+    // payload value is null (the chain's join predicate never touches
+    // the payload, so a null-payload match must keep the deep row).
+    val pivotAggs = payloads.map { case (name, _, _) =>
+      max(when(col("aux_name") === name,
+        struct(col("aux_ts").as("ts"), col("aux_v").as("v")))).as(s"_pick_$name")
     }
     wCleared.groupBy(groupKeys: _*)
       .agg(pivotAggs.head, pivotAggs.tail: _*)
-      .filter(payloads.map { case (n, _, _) => col(s"_matched_$n").isNotNull }
+      .filter(payloads.map { case (n, _, _) => col(s"_pick_$n").isNotNull }
         .reduce(_ && _))
       // the chain's exact wide schema: per-aux columns land as
       // (<name>_ts, <payload>) — the renamed aux frame's own order —
@@ -277,7 +285,8 @@ object StreamingPipeline {
       // source type
       .select((deepCols :+ "bucket").map(col) ++
         payloads.flatMap { case (n, p, dt) =>
-          Seq(col(s"${n}_ts"), col(p).cast(dt).as(p)) }: _*)
+          Seq(col(s"_pick_$n").getField("ts").as(s"${n}_ts"),
+            col(s"_pick_$n").getField("v").cast(dt).as(p)) }: _*)
   }
 
   /** Throughput-regime configuration for [[referenceDag]] (and any

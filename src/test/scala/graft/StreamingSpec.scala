@@ -284,6 +284,29 @@ class StreamingSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("pivot DAG twin: multi-match pick pairs (ts, value) from ONE source row") {
+    // r13 (ADVICE r12): with two matches of one aux in a deep row's
+    // window, maxing aux_ts and aux_v INDEPENDENTLY could emit the
+    // later row's timestamp with the earlier row's larger payload — a
+    // row no input produced. The max-struct pick must take the whole
+    // max-aux_ts row: here the later match carries the SMALLER value,
+    // so the cross-column mix (10:02, 5.0) is distinguishable from the
+    // correct pair (10:02, 1.0). Batch frames drive the same production
+    // function (watermarks are no-ops on batch).
+    val deep = Seq((7L, t("2024-01-01 10:00:10"), 100.5))
+      .toDF("deep_id", "ts", "micro_price")
+    val aux = Seq(
+      (t("2024-01-01 10:01:00"), 5.0), // earlier ts, larger value
+      (t("2024-01-01 10:02:00"), 1.0)) // later ts, smaller value
+      .toDF("ts", "a_value")
+    val out = StreamingPipeline.referenceDagPivot(deep, Seq("a" -> aux))
+      .select($"deep_id", $"a_ts", $"a_value").collect()
+    assert(out.length == 1)
+    assert(out(0).getTimestamp(1) == t("2024-01-01 10:02:00") &&
+      out(0).getDouble(2) == 1.0,
+      s"picked pair must come from the max-aux_ts row: ${out.toSeq}")
+  }
+
   test("chained stateful ops: 10-min rollup over streaming 5-min bars (2.4.4 blocker)") {
     implicit val sqlCtx = spark.sqlContext
     val src = MemoryStream[Ev]
