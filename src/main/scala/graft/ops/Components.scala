@@ -73,7 +73,40 @@ object Components {
     * rounds <= 2*ceil(log2 n) + 1 on a 10,000-node path graph — the
     * worst case for propagation — and measured 14 there). */
   def clusterPairsCounted(pairs: DataFrame, aCol: String, bCol: String,
-      idName: String): (DataFrame, Int) = {
+      idName: String): (DataFrame, Int) =
+    clusterPairsCounted(pairs, aCol, bCol, idName, None)
+
+  /** FAULT-TOLERANCE contract (r13, VERDICT r12 #6). The default loop
+    * checkpoints through `localCheckpoint`: blocks live on executors
+    * and lineage is TRUNCATED, so on a real cluster an executor loss
+    * mid-loop fails the whole query — acceptable for short loops
+    * (re-run), wrong for a multi-hour 100 TB clustering pass. With
+    * `reliableDir` set, EVERY loop table (the directed pairs, the
+    * symmetrized edges, each round's labels) is checkpointed as
+    * parquet under that path and re-read, so all loop state is rooted
+    * at stable storage and an executor loss merely recomputes lost
+    * tasks from parquet — the query COMPLETES through failures instead
+    * of dying. Every round, not every N: a hybrid (reliable every N,
+    * local in between) does not actually survive a loss between
+    * reliable rounds — the in-flight round's parent blocks are gone,
+    * lineage is cut, and Spark cannot resume a failed action mid-loop,
+    * so the hybrid only bounds the loss for an external retry that
+    * this kernel does not have.
+    *
+    * Storage: `reliableDir` must be on fault-tolerant storage at
+    * cluster scale (HDFS/S3; any filesystem path in tests), must be
+    * exclusively owned by one invocation, and is bounded at
+    * O(|V| + |E|): edges/directed written once, labels rotate through
+    * three buffers (a round reads at most its own and its parent's
+    * label table, so the third-oldest buffer is provably unreferenced
+    * when overwritten). The caller owns cleanup after consuming the
+    * result. Cost: one parquet write + read per checkpoint instead of
+    * in-memory blocks, and the witness sum is a (columnar, cheap)
+    * re-scan instead of riding the fused materialization pass — opt in
+    * when the loop's runtime dwarfs a restart, keep the default for
+    * short interactive loops. */
+  def clusterPairsCounted(pairs: DataFrame, aCol: String, bCol: String,
+      idName: String, reliableDir: Option[String]): (DataFrame, Int) = {
     // Integral (or scale-0 decimal) ids ONLY — not any NumericType
     // (r13, ADVICE r12): fractional ids (Double/Float/scaled Decimal)
     // would take the unfused witness, whose decimal(38,0) cast ROUNDS —
@@ -92,6 +125,18 @@ object Components {
         s"${pairs.schema(aCol).dataType}, ${pairs.schema(bCol).dataType}): the sum-based " +
         "convergence witness is exact only over integral ids — fractional ids would round " +
         "in the decimal(38,0) cast (possible false convergence), non-numeric ids cast to null")
+    // Reliable-mode checkpoint: parquet round-trip through stable
+    // storage (fresh leaf stats fall out of the read for free). Labels
+    // rotate through 3 buffers — see the fault-tolerance scaladoc.
+    def reliableCkpt(df: DataFrame, path: String): DataFrame = {
+      df.write.mode("overwrite").parquet(path)
+      df.sparkSession.read.parquet(path)
+    }
+    var labelSeq = 0
+    def ckpt(df: DataFrame, name: String): DataFrame = reliableDir match {
+      case Some(root) => reliableCkpt(df, s"$root/$name")
+      case None => statsResetLocalCheckpoint(df)
+    }
     // Checkpoint the DIRECTED pairs before symmetrizing: the union's
     // two branches are the same candidate-generator subtree, and Spark
     // evaluates a union branch-by-branch (ReuseExchange does not cover
@@ -99,11 +144,11 @@ object Components {
     // ran the generator TWICE. Measured (QBench min-of-3, sf0.1,
     // quiet box): embed_dedup_clusters_hirecall 8.81 -> 5.33s — the
     // saved ~3.3s is exactly one evaluation of the 16-band generator.
-    val directed = statsResetLocalCheckpoint(
-      pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+    val directed = ckpt(
+      pairs.select(col(aCol).as("src"), col(bCol).as("dst")), "directed"
     ) // one generator evaluation total
-    val edges = statsResetLocalCheckpoint(directed
-      .union(directed.select(col("dst").as("src"), col("src").as("dst")))
+    val edges = ckpt(directed
+      .union(directed.select(col("dst").as("src"), col("src").as("dst"))), "edges"
     ) // reused every round: flat lineage, edge-rows-only
     // Convergence witness: every label move is a strict DECREASE (min
     // over a set containing the old label), so the label sum is
@@ -136,8 +181,18 @@ object Components {
       case _ => false
     }
     def ckptWithSum(df: DataFrame): (DataFrame, java.math.BigDecimal) =
-      if (fused) statsResetLocalCheckpointWithLongSum(df, "label")
-      else { val c = statsResetLocalCheckpoint(df); (c, labelSum(c)) }
+      reliableDir match {
+        case Some(root) =>
+          // stable-storage route: witness sum is a columnar re-scan of
+          // the just-written parquet (the fused in-materialization sum
+          // rides localCheckpoint's iterator, which this mode bypasses)
+          labelSeq += 1
+          val c = reliableCkpt(df, s"$root/labels_${labelSeq % 3}")
+          (c, labelSum(c))
+        case None =>
+          if (fused) statsResetLocalCheckpointWithLongSum(df, "label")
+          else { val c = statsResetLocalCheckpoint(df); (c, labelSum(c)) }
+      }
     var (labels, prevSum) = ckptWithSum(labelsPlan)
     var rounds = 0
     var converged = false
