@@ -27,7 +27,15 @@ import org.apache.spark.sql.SparkSession
   * (r12) carries [input, shuffle write, shuffle read, disk spill]
   * bytes per query via GraftTaskIO — bytes are the scale-invariant
   * profile of the plan (the r12 clean run spills ZERO bytes across
-  * all 120 queries). The FINAL stdout line and the git-tracked twin
+  * all 120 queries). The "box" block (r13) is SELF-ADJUDICATING:
+  * `contaminated` is true iff any stage-adjacent marker (warm2 /
+  * pre-stream / mid-dag / post-stream trivial scan) exceeds the 0.25s
+  * clean band this box's history established, with the failing marker
+  * names in `contaminated_markers` — a graded run either carries
+  * clean markers or declares itself untrustworthy, no git archaeology
+  * needed; a dirty START marker is retried (bounded, pre-measurement,
+  * recorded as warm2_first/warm2_retries) since nothing has been
+  * measured yet. The FINAL stdout line and the git-tracked twin
   * BENCH_SUMMARY.json are both self-sufficient for contention
   * adjudication: the twin holds the FULL record, the final line folds
   * in rep2/load for the costliest queries under an ENFORCED <= 1900
@@ -74,12 +82,36 @@ object Bench {
         None
       }
     }
-    val (warm1Sec, warm2Sec) = try {
+    // Self-adjudication band (r13, VERDICT r12 #1): the clean trivial-
+    // scan cost on this box is ~0.12-0.23s after JVM warmup; a marker
+    // above 0.25s means host-side contention (CPU steal on the shared
+    // host) was active at that point of the run. Four rounds of
+    // contamination adjudication needed git archaeology because the
+    // artifact measured its markers but never ACTED on them — now the
+    // run (a) retries the START marker a bounded number of times, so a
+    // transient blip before any measurement doesn't condemn a run that
+    // hasn't begun, and (b) stamps `contaminated` + the failing marker
+    // names into BOTH artifact lines, so the driver's BENCH_rN.json is
+    // self-declaring either way.
+    val cleanScanMax = 0.25
+    val (warm1Sec, warm2First) = try {
       val w1 = timeTrivialScan()
       val w2 = timeTrivialScan()
       (w1, w2)
     } catch { case t: Throwable =>
       System.err.println(s"[bench] WARNING: trivial-scan marker failed: $t"); (-1.0, -1.0)
+    }
+    // bounded start-marker retry: nothing has been measured yet, so
+    // waiting out a dirty start improves the run without biasing it;
+    // warm2 keeps the FINAL value, warm2_first/warm2_retries record
+    // what was observed (honesty: a retried start is visible)
+    var warm2Sec = warm2First
+    var warm2Retries = 0
+    while (warm2Sec > cleanScanMax && warm2Sec >= 0 && warm2Retries < 5) {
+      Thread.sleep(2000)
+      warm2Retries += 1
+      warm2Sec = try timeTrivialScan() catch { case _: Throwable => -1.0 }
+      System.err.println(f"[bench] dirty start marker, retry $warm2Retries: warm2=$warm2Sec%.3f s")
     }
     val startLoad = loadAvg()
     System.err.println(f"[bench] box marker: warm1=$warm1Sec%.3f s warm2=$warm2Sec%.3f s load_avg=$startLoad%.2f")
@@ -238,16 +270,37 @@ object Bench {
     val preStreamSec = trivialScanSec(spark)
     val preStreamLoad = loadAvg()
     System.err.println(f"[bench] pre-stream marker: scan=$preStreamSec%.3f s load=$preStreamLoad%.2f")
-    val streamingJson =
+    val (streamingJson, midDagSec) =
       try streamingBench(spark)
       catch { case t: Throwable =>
-        System.err.println(s"[bench] WARNING: streaming bench failed: $t"); "{}"
+        System.err.println(s"[bench] WARNING: streaming bench failed: $t"); ("{}", -1.0)
       }
     val postStreamSec = trivialScanSec(spark)
     val postStreamLoad = loadAvg()
     System.err.println(f"[bench] post-stream marker: scan=$postStreamSec%.3f s load=$postStreamLoad%.2f")
-    val boxJson = s"""{"warm1_sec":${f4(warm1Sec)},"warm2_sec":${f4(warm2Sec)},"load_avg":${f4(startLoad)},""" +
+    // The self-adjudication verdict: a run is clean iff EVERY stage-
+    // adjacent marker sits inside the clean band. Stamped into the box
+    // block, which rides both artifact lines (and the shrink floor),
+    // so no future round needs marker archaeology to grade a run. A
+    // failed marker (-1, e.g. streaming bench down) is not counted —
+    // its failure is visible in its own field — only a marker that
+    // POSITIVELY shows contention flips the flag.
+    val markerVals = Seq(
+      "warm2" -> warm2Sec, "pre_stream" -> preStreamSec,
+      "mid_dag" -> midDagSec, "post_stream" -> postStreamSec)
+    val dirtyMarkers = markerVals.collect { case (n, v) if v > cleanScanMax => n }
+    val contaminated = dirtyMarkers.nonEmpty
+    if (contaminated)
+      System.err.println(s"[bench] CONTAMINATED run: markers ${dirtyMarkers.mkString(", ")} " +
+        s"outside the clean band (<= $cleanScanMax s) — totals are not comparable round-over-round")
+    val retryJson =
+      if (warm2Retries > 0) s""""warm2_first":${f4(warm2First)},"warm2_retries":$warm2Retries,"""
+      else ""
+    val boxJson = s"""{"contaminated":$contaminated,""" +
+      s""""contaminated_markers":${dirtyMarkers.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
+      s""""warm1_sec":${f4(warm1Sec)},"warm2_sec":${f4(warm2Sec)},$retryJson"load_avg":${f4(startLoad)},""" +
       s""""pre_stream_sec":${f4(preStreamSec)},"pre_stream_load":${f4(preStreamLoad)},""" +
+      s""""mid_dag_sec":${f4(midDagSec)},""" +
       s""""post_stream_sec":${f4(postStreamSec)},"post_stream_load":${f4(postStreamLoad)}}"""
     // Full artifact line: every per-query timing (cheapest first, so a
     // bounded tail window truncates the cheap head, never the
@@ -267,10 +320,18 @@ object Bench {
     // GIT-TRACKED path (r11 verdict #3: target/ is untracked, so three
     // rounds of full records never made it into the round artifacts —
     // BENCH_SUMMARY.json at the repo root rides the end-of-round
-    // snapshot commit instead).
-    try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("BENCH_SUMMARY.json"), fullRecord + "\n")
-    catch { case t: Throwable =>
+    // snapshot commit instead). Resolved against an explicit repo-root
+    // anchor (r13, ADVICE r12: a cwd-relative path silently lands the
+    // twin elsewhere when Bench is launched outside the repo root —
+    // recreating the very record-loss failure the move fixed), with
+    // the absolute path logged either way.
+    try {
+      val repoDir = sys.env.getOrElse("SPARK_GRAFT_REPO_DIR", ".")
+      val summaryPath = java.nio.file.Paths
+        .get(repoDir, "BENCH_SUMMARY.json").toAbsolutePath.normalize
+      java.nio.file.Files.writeString(summaryPath, fullRecord + "\n")
+      System.err.println(s"[bench] full record written to $summaryPath")
+    } catch { case t: Throwable =>
       System.err.println(s"[bench] WARNING: summary file write failed: $t")
     }
     // FINAL line: a self-contained summary sized to survive the
@@ -364,7 +425,10 @@ object Bench {
   private def loadAvg(): Double = java.lang.management.ManagementFactory
     .getOperatingSystemMXBean.getSystemLoadAverage
 
-  private def streamingBench(spark: SparkSession): String = {
+  /** Returns (streaming metrics JSON, mid-DAG marker seconds) — the
+    * marker is surfaced separately so the run-level contamination
+    * verdict can fold it in alongside the other stage markers. */
+  private def streamingBench(spark: SparkSession): (String, Double) = {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import graft.streaming.StreamingPipeline
@@ -385,7 +449,7 @@ object Bench {
     finally spark.conf.set("spark.sql.shuffle.partitions", batchParts)
   }
 
-  private[graft] def streamingBenchBody(spark: SparkSession): String = {
+  private[graft] def streamingBenchBody(spark: SparkSession): (String, Double) = {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import graft.streaming.StreamingPipeline
@@ -562,12 +626,14 @@ object Bench {
     val totalDagInput = nDeep + 4 * auxIdx.size
     val rocksEps = if (dagRocksSecs > 0) totalDagInput / dagRocksSecs else -1.0
     val tunedEps = if (dagTunedSecs > 0) totalDagInput / dagTunedSecs else -1.0
-    s"""{"bars_events":$nBars,"bars_sec":$barsSecs,"bars_events_per_sec":${nBars / barsSecs},""" +
-      s""""indfull_events":$nInd,"indfull_sec":$indSecs,"indfull_events_per_sec":${nInd / indSecs},""" +
-      s""""ivfprobe_vectors":$probeN,"ivfprobe_sec":$probeSecs,"ivfprobe_vectors_per_sec":$probeEps,""" +
-      s""""dag_events":$totalDagInput,"dag_sec":$dagSecs,"dag_events_per_sec":${totalDagInput / dagSecs},""" +
-      s""""dag_rocksdb_sec":$dagRocksSecs,"dag_rocksdb_events_per_sec":$rocksEps,""" +
-      s""""dag_tuned_sec":$dagTunedSecs,"dag_tuned_events_per_sec":$tunedEps,""" +
-      s""""marker_mid_dag_sec":$midDagMarkerSec}"""
+    val json =
+      s"""{"bars_events":$nBars,"bars_sec":$barsSecs,"bars_events_per_sec":${nBars / barsSecs},""" +
+        s""""indfull_events":$nInd,"indfull_sec":$indSecs,"indfull_events_per_sec":${nInd / indSecs},""" +
+        s""""ivfprobe_vectors":$probeN,"ivfprobe_sec":$probeSecs,"ivfprobe_vectors_per_sec":$probeEps,""" +
+        s""""dag_events":$totalDagInput,"dag_sec":$dagSecs,"dag_events_per_sec":${totalDagInput / dagSecs},""" +
+        s""""dag_rocksdb_sec":$dagRocksSecs,"dag_rocksdb_events_per_sec":$rocksEps,""" +
+        s""""dag_tuned_sec":$dagTunedSecs,"dag_tuned_events_per_sec":$tunedEps,""" +
+        s""""marker_mid_dag_sec":$midDagMarkerSec}"""
+    (json, midDagMarkerSec)
   }
 }
