@@ -86,6 +86,23 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("near-dup pair sidecar: memoized artifact equals the direct generator") {
+    // r13 train-once pair sidecar: each registered tier's pair table is
+    // a ProbeTemp parquet artifact shared by the pairs query and its
+    // cluster twin; the round-trip must preserve rows, cosines
+    // (bit-exact doubles), and name/type schema, else the cluster twin
+    // silently clusters a drifted pair set
+    val art = Similarity.cosineNearDupPairs(spark, sf0001)
+    val direct = Similarity.cosineNearDupPairsDirect(spark, sf0001)
+    assert(art.schema.map(f => (f.name, f.dataType)) ==
+      direct.schema.map(f => (f.name, f.dataType)),
+      s"pair artifact schema drifted: ${art.schema} vs ${direct.schema}")
+    val a = art.as[(Long, Long, Double)].collect().sorted.toSeq
+    val d = direct.as[(Long, Long, Double)].collect().sorted.toSeq
+    assert(a == d, "pair artifact must equal the direct generator output")
+    assert(a.nonEmpty, "fixture corpus must produce near-dup pairs")
+  }
+
   test("strict threshold (0.9): every twin pair exists, recall >= 0.95 at BOTH tier extremes") {
     // The selective-recall regime the hi-recall frontier notes defend
     // from theory: at production thresholds (p_agree/plane ~ 0.968 for
