@@ -233,7 +233,18 @@ object Joins extends QueryModule {
     * exact integer arithmetic, identical on both engines): the folded
     * feed carries one event per type per ~43 s, every deep window
     * holds MULTIPLE candidates per aux, and the max-struct selection
-    * is genuinely exercised on ~1.9k output rows. */
+    * is genuinely exercised on ~1.9k output rows.
+    *
+    * SCALE NOTE: the one-day fold is a FIXTURE calibration for the
+    * oracle scales (sf0.01/sf0.1) — folded density grows linearly
+    * with corpus size, so per-bucket join volume grows quadratically
+    * with SF. That is a property of this gate fixture, not of the
+    * operator: the production path is [[graft.streaming.StreamingPipeline
+    * .referenceDagPivot]] on real feeds at their native cadence, where
+    * the 5-min bucket equi-key bounds per-bucket volume by the feed
+    * rate (the same posture as `interval_join`). The registered query
+    * exists to hash-gate the pivot's contracts, like
+    * `ngram_jaccard_pairs` exists to verify the banded path. */
   def intervalJoinPivot(spark: SparkSession, dir: String): DataFrame = {
     val dayUs = 86400000000L
     val ev = Core.events(spark, dir)
