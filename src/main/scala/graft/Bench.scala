@@ -40,7 +40,9 @@ import org.apache.spark.sql.SparkSession
   * clean markers or declares itself untrustworthy, no git archaeology
   * needed; a dirty START marker is retried (bounded, pre-measurement,
   * recorded as warm2_first/warm2_retries) since nothing has been
-  * measured yet. The FINAL stdout line and the git-tracked twin
+  * measured yet, and each STAGE marker is the min of 3 scans so it
+  * reads box health rather than the adjacent section's own settling
+  * (see stageMarkerSec). The FINAL stdout line and the git-tracked twin
   * BENCH_SUMMARY.json are both self-sufficient for contention
   * adjudication: the twin holds the FULL record, the final line folds
   * in rep2/load for the costliest queries under an ENFORCED <= 1900
@@ -272,7 +274,7 @@ object Bench {
     // immediately before and after the streaming section here, and
     // between the DAG backends inside streamingBenchBody, so a
     // late-run contention event is identifiable from the artifact.
-    val preStreamSec = trivialScanSec(spark)
+    val preStreamSec = stageMarkerSec(spark, "pre-stream")
     val preStreamLoad = loadAvg()
     System.err.println(f"[bench] pre-stream marker: scan=$preStreamSec%.3f s load=$preStreamLoad%.2f")
     val (streamingJson, midDagSec) =
@@ -280,7 +282,7 @@ object Bench {
       catch { case t: Throwable =>
         System.err.println(s"[bench] WARNING: streaming bench failed: $t"); ("{}", -1.0)
       }
-    val postStreamSec = trivialScanSec(spark)
+    val postStreamSec = stageMarkerSec(spark, "post-stream")
     val postStreamLoad = loadAvg()
     System.err.println(f"[bench] post-stream marker: scan=$postStreamSec%.3f s load=$postStreamLoad%.2f")
     // The self-adjudication verdict: a run is clean iff EVERY stage-
@@ -427,6 +429,25 @@ object Bench {
     (System.nanoTime() - t0) / 1e9
   }
 
+  /** Stage-adjacent marker = MIN of 3 back-to-back trivial scans (r13).
+    * A SINGLE scan taken immediately after a heavy section measures
+    * that section's own settling — straggler task teardown, listener-
+    * bus drain, lingering state-store maintenance — not box health:
+    * five consecutive r13 runs flagged pre/mid/post-stream at
+    * 0.26-0.50s while vmstat recorded ZERO host steal throughout and
+    * the start-of-run warm2 stayed clean (0.17-0.23s), and a 3x heap
+    * A/B ruled out GC pressure. The min of three samples reads the
+    * settled state (a transient clears by sample 2-3) while sustained
+    * HOST contention — the thing the marker exists to catch — inflates
+    * all three samples and still trips the 0.25s band. All samples go
+    * to stderr so the settling profile stays visible per run. */
+  private def stageMarkerSec(spark: SparkSession, name: String): Double = {
+    val samples = Seq.fill(3)(trivialScanSec(spark))
+    System.err.println(
+      f"[bench] $name marker samples: ${samples.map(s => f"$s%.3f").mkString(", ")} s")
+    samples.min
+  }
+
   private def loadAvg(): Double = java.lang.management.ManagementFactory
     .getOperatingSystemMXBean.getSystemLoadAverage
 
@@ -527,7 +548,7 @@ object Bench {
     // stage-adjacent marker between the two DAG backends (VERDICT r7
     // #5): if contention lands mid-section, this timing separates "the
     // HDFS run was clean, rocks was contended" from a dirty whole run
-    val midDagMarkerSec = trivialScanSec(spark)
+    val midDagMarkerSec = stageMarkerSec(spark, "mid-dag")
     System.err.println(f"[bench] mid-dag marker: scan=$midDagMarkerSec%.3f s load=${loadAvg()}%.2f")
     val providerKey = "spark.sql.streaming.stateStore.providerClass"
     // isolated failure domain: a RocksDB-only problem (e.g. no
