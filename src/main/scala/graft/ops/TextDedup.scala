@@ -1031,6 +1031,120 @@ object TextDedup extends QueryModule {
        |  l.doc_id = l.cluster_id AS is_survivor
        |FROM labels l JOIN sizes s USING (cluster_id)""".stripMargin
 
+  /** The per-doc MinHash band-key table (doc_id, band, bkey) — 4
+    * rows/doc, the thing the incremental cluster path persists and
+    * probes. Same sketch expression as [[minhashLshCandidates]], so
+    * the two paths can never band differently. The cache on the
+    * signature projection is the same PUSHDOWN BARRIER documented
+    * there (InferFiltersFromGenerate would otherwise inline the sketch
+    * + per-element re-split into both join sides' scan filters). */
+  private def minhashBands(docs: DataFrame): DataFrame =
+    withNgramArr(docs)
+      .filter(size(toks) > 2)
+      .select(col("doc_id"),
+        graft.functions.min_hash_sig(col("ngarr"), perms, combine = 2).as("bkeys"))
+      .cache()
+      .select(col("doc_id"), posexplode(col("bkeys")))
+      .toDF("doc_id", "band", "bkey")
+
+  /** Candidate pairs from a band-key table: the band bucket self-join
+    * of [[minhashLshCandidates]], factored over an arbitrary band
+    * frame so the incremental path can run it over a PARQUET-backed
+    * index or a batch's band table. */
+  private def candidatePairsOver(bands: DataFrame): DataFrame =
+    bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b")).distinct()
+
+  /** INCREMENTAL cluster maintenance — the index-lifecycle pattern
+    * (build -> probe -> merge/append, already covering the digest,
+    * simhash, vocab, drift and IVF artifacts) applied to the near-dup
+    * CLUSTER family, which until r13 was rebuild-only: a production
+    * corpus ingests a batch per day, and re-banding the accumulated
+    * 100 TB corpus against itself to absorb one batch is the exact
+    * cost this sidecar exists to avoid.
+    *
+    * Fixture split (the established *_probe convention): even doc_ids
+    * are the accumulated corpus, odd doc_ids are today's batch. The
+    * BUILD (ProbeTemp, once per corpus) persists two artifacts of the
+    * standing corpus: its band-key INDEX ((doc_id, band, bkey) — 4
+    * rows/doc, range-laid on (band, bkey)) and its cluster SIDECAR
+    * (the components loop over the standing corpus's own candidates —
+    * generated by self-joining the just-written index, so the build
+    * eats the same artifact the probe does). The PROBE then touches
+    * only batch-sized and index-sized data: band keys of the new
+    * batch (linear in batch), batch x index candidate edges (the
+    * probed bkey literals pushed into the index scan, the
+    * [[probeSimhashIndex]] pattern — driver-side key list bounded by
+    * 4 x batch size), batch-internal candidate edges, and the standing
+    * sidecar replayed as STAR EDGES (member -> cluster hub; sizes and
+    * survivor flags are NOT reused — they are recomputed by the
+    * components run, because a batch edge can MERGE two standing
+    * clusters and re-elect the survivor).
+    *
+    * WHY the output equals the full-corpus rebuild (and can therefore
+    * share [[dedupClustersSql]] as its DuckDB oracle verbatim): band
+    * keys are per-document, so the full corpus's candidate edge set
+    * partitions into even x even, odd x even, and odd x odd; the probe
+    * supplies the last two directly, and replacing the even x even
+    * subgraph by the star of its connected components preserves global
+    * connectivity (each standing cluster is connected through its hub,
+    * and no even-even connection existed outside those components).
+    * Spec-asserted frame-equal to dedupClustersDirect on the full
+    * corpus; hash-gated against the full recursive-CTE oracle.
+    *
+    * At 100 TB: per-batch cost is O(batch) sketching + an index join
+    * that shuffles index rows only + a components run over
+    * batch-and-cluster-sized edges — the accumulated corpus's TEXT is
+    * never re-read and never re-banded. Full rebuild remains the
+    * periodic compaction step, exactly like the IVF append's retrain.
+    * QBench cold-JVM sf0.1: [4.51, 1.94, 1.88]s — rep0 carries the
+    * one-time standing build; the ~1.9s steady-state probe is
+    * LOOP-dominated at this SF (the components run over clustered docs
+    * is common to both paths and this corpus's banding is cheap), so
+    * the wall-clock gap vs the ~1.4s rebuild is small HERE — the term
+    * the append removes is the accumulated-corpus sketch/band pass,
+    * which grows with corpus size while batch, index-hit and cluster
+    * volumes stay bounded; at fixture scale that term is minor by
+    * construction. */
+  def dedupClustersAppendProbe(spark: SparkSession, dir: String): DataFrame = {
+    val root = ProbeTemp.dir("dedup_clusters_append", dir) { d =>
+      val standing = Core.documents(spark, dir).filter(col("doc_id") % 2 === 0)
+      minhashBands(standing)
+        .repartitionByRange(col("band"), col("bkey"))
+        .sortWithinPartitions(col("band"), col("bkey"))
+        .write.mode("overwrite").parquet(s"$d/bandidx")
+      Components.clusterPairs(
+        candidatePairsOver(spark.read.parquet(s"$d/bandidx")),
+        "doc_a", "doc_b", "doc_id")
+        .write.mode("overwrite").parquet(s"$d/clusters")
+    }
+    val batchBands =
+      minhashBands(Core.documents(spark, dir).filter(col("doc_id") % 2 === 1))
+    // probed-key literals into the index scan (bounded: 4/batch doc);
+    // a cross-band bkey collision over-reads a few index rows and is
+    // then dropped by the (band, bkey) equi-join
+    val probedKeys = batchBands.select("bkey").distinct().collect().map(_.getLong(0))
+    val idx = spark.read.parquet(s"$root/bandidx")
+      .filter(col("bkey").isin(probedKeys.toSeq: _*))
+    val cross = idx.select(col("doc_id").as("idx_id"), col("band"), col("bkey"))
+      .join(batchBands.select(col("doc_id").as("new_id"), col("band"), col("bkey")),
+        Seq("band", "bkey"))
+      .select(least(col("idx_id"), col("new_id")).as("doc_a"),
+        greatest(col("idx_id"), col("new_id")).as("doc_b"))
+    val within = candidatePairsOver(batchBands)
+    val star = spark.read.parquet(s"$root/clusters")
+      .filter(col("doc_id") =!= col("cluster_id"))
+      .select(col("cluster_id").as("doc_a"), col("doc_id").as("doc_b"))
+    Components.clusterPairs(
+      cross.union(within).union(star).distinct(), "doc_a", "doc_b", "doc_id")
+  }
+
+  /** The oracle IS the full-corpus cluster oracle: the star-replacement
+    * argument above makes the incremental result equal the rebuild. */
+  val dedupClustersAppendProbeSql: String = dedupClustersSql
+
   /** The dedup DECISION layer applied to the corpus: one verdict per
     * document, layering exact dedup over near-dup clustering the way a
     * production pipeline drops rows —
@@ -1814,6 +1928,7 @@ object TextDedup extends QueryModule {
     "ngram_jaccard_pairs" -> (ngramJaccardPairs _),
     "minhash_lsh_candidates" -> (minhashLshCandidates _),
     "dedup_clusters" -> (dedupClusters _),
+    "dedup_clusters_append_probe" -> (dedupClustersAppendProbe _),
     "dedup_apply" -> (dedupApply _),
     "simhash" -> (simhash _),
     "simhash64" -> (simhash64 _),
@@ -1848,6 +1963,7 @@ object TextDedup extends QueryModule {
     "ngram_jaccard_pairs" -> ngramJaccardPairsSql,
     "minhash_lsh_candidates" -> minhashLshCandidatesSql,
     "dedup_clusters" -> dedupClustersSql,
+    "dedup_clusters_append_probe" -> dedupClustersAppendProbeSql,
     "dedup_apply" -> dedupApplySql,
     "simhash" -> simhashSql,
     "simhash64" -> simhash64Sql,

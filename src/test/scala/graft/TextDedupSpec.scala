@@ -450,6 +450,30 @@ class TextDedupSpec extends SparkSpec {
     }
   }
 
+  test("incremental cluster append equals the full-corpus rebuild") {
+    // r13 index-lifecycle extension: the standing (even-id) corpus's
+    // band index + cluster sidecar absorb the odd-id batch through
+    // batch-sized work only; the star-replacement argument says the
+    // result must EQUAL re-clustering the full corpus from scratch —
+    // including merges (a batch doc bridging two standing clusters)
+    // and survivor re-election. Frame equality pins it end to end.
+    val inc = TextDedup.dedupClustersAppendProbe(spark, sf0001)
+      .as[(Long, Long, Long, Boolean)].collect().sorted.toSeq
+    val full = TextDedup.dedupClustersDirect(spark, sf0001)
+      .as[(Long, Long, Long, Boolean)].collect().sorted.toSeq
+    assert(inc == full, s"incremental append diverged from the rebuild " +
+      s"(${inc.size} vs ${full.size} rows)")
+    assert(inc.nonEmpty, "fixture corpus must produce clusters")
+    // the batch genuinely participates: some cluster must contain an
+    // odd (batch) doc, else the probe edges were never exercised
+    assert(inc.exists(_._1 % 2 == 1), "no batch doc clustered — probe untested")
+    // and some standing-corpus structure survives: an even-even pair
+    // sharing a cluster proves the star edges were load-bearing
+    val byCluster = inc.groupBy(_._2)
+    assert(byCluster.values.exists(m => m.count(_._1 % 2 == 0) >= 2),
+      "no even-even cluster — star edges untested")
+  }
+
   test("dedup clusters sidecar: memoized artifact equals the direct loop output") {
     // r13 train-once sidecar: dedupClusters serves a ProbeTemp parquet
     // artifact (three registered consumers share one loop evaluation);
