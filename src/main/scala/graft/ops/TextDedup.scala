@@ -1110,18 +1110,37 @@ object TextDedup extends QueryModule {
     * construction. */
   def dedupClustersAppendProbe(spark: SparkSession, dir: String): DataFrame = {
     val root = ProbeTemp.dir("dedup_clusters_append", dir) { d =>
-      val standing = Core.documents(spark, dir).filter(col("doc_id") % 2 === 0)
-      minhashBands(standing)
-        .repartitionByRange(col("band"), col("bkey"))
-        .sortWithinPartitions(col("band"), col("bkey"))
-        .write.mode("overwrite").parquet(s"$d/bandidx")
-      Components.clusterPairs(
-        candidatePairsOver(spark.read.parquet(s"$d/bandidx")),
-        "doc_a", "doc_b", "doc_id")
-        .write.mode("overwrite").parquet(s"$d/clusters")
+      writeClusterAppendArtifacts(spark,
+        Core.documents(spark, dir).filter(col("doc_id") % 2 === 0), d)
     }
-    val batchBands =
-      minhashBands(Core.documents(spark, dir).filter(col("doc_id") % 2 === 1))
+    appendClusters(spark,
+      Core.documents(spark, dir).filter(col("doc_id") % 2 === 1), root)
+  }
+
+  /** The standing corpus's two append artifacts: its band-key INDEX
+    * (range-laid on (band, bkey) so a probe's pushed bkey literals
+    * skip whole files) and its cluster SIDECAR (built by self-joining
+    * the just-written index — the build eats the same artifact the
+    * probe does). One call per corpus snapshot / compaction cycle. */
+  def writeClusterAppendArtifacts(spark: SparkSession, standing: DataFrame,
+      root: String): Unit = {
+    minhashBands(standing)
+      .repartitionByRange(col("band"), col("bkey"))
+      .sortWithinPartitions(col("band"), col("bkey"))
+      .write.mode("overwrite").parquet(s"$root/bandidx")
+    Components.clusterPairs(
+      candidatePairsOver(spark.read.parquet(s"$root/bandidx")),
+      "doc_a", "doc_b", "doc_id")
+      .write.mode("overwrite").parquet(s"$root/clusters")
+  }
+
+  /** The probe core, shared by the registered query and the streaming
+    * form: cluster `batch` against the standing artifacts under `root`
+    * through batch-sized work only (see [[dedupClustersAppendProbe]]
+    * for the plan shape and the equality argument). */
+  private[graft] def appendClusters(spark: SparkSession, batch: DataFrame,
+      root: String): DataFrame = {
+    val batchBands = minhashBands(batch)
     // probed-key literals into the index scan (bounded: 4/batch doc);
     // a cross-band bkey collision over-reads a few index rows and is
     // then dropped by the (band, bkey) equi-join
@@ -1140,6 +1159,36 @@ object TextDedup extends QueryModule {
     Components.clusterPairs(
       cross.union(within).union(star).distinct(), "doc_a", "doc_b", "doc_id")
   }
+
+  /** STREAMING cluster append — the per-batch form of
+    * [[dedupClustersAppendProbe]], completing the cluster family's
+    * lifecycle the way [[streamingSimhashProbe]] and the IVF probe
+    * complete theirs: each micro-batch of documents is clustered
+    * against the standing band index + cluster sidecar inside
+    * foreachBatch, and the batch's cluster table lands idempotently
+    * under its batch_id partition (a replayed micro-batch rewrites its
+    * own directory — the at-least-once fix every sink here uses).
+    * Contract: the standing artifacts are STATIC for the stream's
+    * lifetime (the simhash probe's contract) — each batch clusters
+    * against the standing corpus and itself, not against earlier
+    * batches; the periodic compaction that folds accumulated batches
+    * into new artifacts is [[writeClusterAppendArtifacts]]. Input
+    * schema: (doc_id long, text string, ...) — whatever
+    * [[minhashBands]]' tokenizer needs. */
+  def streamingClusterAppend(spark: SparkSession, docs: DataFrame,
+      artifactsRoot: String, outDir: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val clusters = appendClusters(spark, batch, artifactsRoot)
+          graft.streaming.StreamingPipeline.writeBatchIdempotent(
+            clusters, batchId, outDir)
+        }
+      }
+      .start()
 
   /** The oracle IS the full-corpus cluster oracle: the star-replacement
     * argument above makes the incremental result equal the rebuild. */

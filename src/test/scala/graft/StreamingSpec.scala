@@ -939,6 +939,50 @@ class StreamingSpec extends SparkSpec {
     assert(got.filter($"probe_id" === 200001L).isEmpty)
   }
 
+  test("streaming cluster append equals the batch append against static artifacts") {
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft_sclu").toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft_sclu_o").toString + "/out"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_sclu_c").toString
+    val docs = graft.ops.Core.documents(spark, sf0001)
+    graft.ops.TextDedup.writeClusterAppendArtifacts(spark,
+      docs.filter($"doc_id" % 2 === 0), root)
+    val odd = docs.filter($"doc_id" % 2 === 1)
+      .select($"doc_id", $"text").as[(Long, String)].collect().toSeq
+    // two micro-batches: each clusters against the standing corpus and
+    // itself (static-artifact contract, like the simhash probe)
+    val (b1, b2) = odd.splitAt(odd.size / 2)
+    val src = MemoryStream[(Long, String)]
+    val q = graft.ops.TextDedup.streamingClusterAppend(spark,
+      src.toDF().toDF("doc_id", "text"), root, outDir, ckpt)
+    try {
+      src.addData(b1: _*)
+      q.processAllAvailable()
+      src.addData(b2: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.read.parquet(outDir).drop("batch_id")
+    def appendOf(rows: Seq[(Long, String)]) =
+      graft.ops.TextDedup.appendClusters(spark, rows.toDF("doc_id", "text"), root)
+    val expect = appendOf(b1).unionByName(appendOf(b2))
+    assert(got.count() == expect.count() && got.count() > 0)
+    assert(got.exceptAll(expect).isEmpty && expect.exceptAll(got).isEmpty,
+      "streaming cluster tables must equal the per-batch append outputs")
+    // the whole batch in ONE micro-batch reproduces the registered
+    // oracle-gated query exactly (same artifacts, same probe core)
+    val out2 = java.nio.file.Files.createTempDirectory("graft_sclu_o2").toString + "/out"
+    val ckpt2 = java.nio.file.Files.createTempDirectory("graft_sclu_c2").toString
+    val src2 = MemoryStream[(Long, String)]
+    val q2 = graft.ops.TextDedup.streamingClusterAppend(spark,
+      src2.toDF().toDF("doc_id", "text"), root, out2, ckpt2)
+    try { src2.addData(odd: _*); q2.processAllAvailable() } finally q2.stop()
+    val single = spark.read.parquet(out2).drop("batch_id")
+    val registered = graft.ops.TextDedup.dedupClustersAppendProbe(spark, sf0001)
+    assert(single.exceptAll(registered).isEmpty &&
+      registered.exceptAll(single).isEmpty,
+      "one-micro-batch stream must equal the registered append query")
+  }
+
   test("streaming drift probe equals the per-batch probe against the persisted baseline") {
     implicit val sqlCtx = spark.sqlContext
     val baseDir = java.nio.file.Files.createTempDirectory("graft_sdrift").toString + "/base"
