@@ -474,6 +474,110 @@ class TextDedupSpec extends SparkSpec {
       "no even-even cluster — star edges untested")
   }
 
+  test("size-gated key pushdown: semi-join fallback equals the literal path") {
+    // r14 (VERDICT r13 #1): above the key-count gate the probes must
+    // switch from driver-collected isin literals to a broadcast
+    // left-semi join. maxKeyLiterals = 0 forces every key over the
+    // gate, so this asserts the fallback path end to end on both
+    // probe surfaces; the default-gate run alongside is the literal
+    // path, and the two must be frame-equal.
+    val docs = graft.ops.Core.documents(spark, sf0001)
+    val even = docs.filter($"doc_id" % 2 === 0)
+    val odd = docs.filter($"doc_id" % 2 === 1)
+    // cluster append probe
+    val root = java.nio.file.Files.createTempDirectory("graft_gate").toString
+    TextDedup.writeClusterAppendArtifacts(spark, even, root)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long, Long, Boolean)].collect().sorted.toSeq
+    val literal = rows(TextDedup.appendClusters(spark, odd, root))
+    val semi = rows(TextDedup.appendClusters(spark, odd, root, maxKeyLiterals = 0))
+    assert(semi == literal,
+      s"semi-join fallback diverged from the literal path (${semi.size} vs ${literal.size} rows)")
+    assert(literal.nonEmpty, "gate fixture produced no clusters — vacuous")
+    // simhash index probe
+    val idxDir = java.nio.file.Files.createTempDirectory("graft_gate_sh").toString
+    TextDedup.writeSimhashIndexFrom(even, idxDir)
+    def prows(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long, Int)].collect().sorted.toSeq
+    val pLit = prows(TextDedup.probeSimhashIndex(spark, odd, idxDir))
+    val pSemi = prows(TextDedup.probeSimhashIndex(spark, odd, idxDir, maxKeyLiterals = 0))
+    assert(pSemi == pLit,
+      s"simhash probe fallback diverged (${pSemi.size} vs ${pLit.size} rows)")
+    assert(pLit.nonEmpty, "simhash gate fixture produced no matches — vacuous")
+  }
+
+  test("band-signature barrier caches are scoped to their build thunks") {
+    // r14 (VERDICT r13 #6 / ADVICE r13): the sketch caches are pushdown
+    // barriers that must live while their consumer evaluates, but a
+    // thunk that MATERIALIZES (the eager components loop, the artifact
+    // write) must release them — streamingClusterAppend otherwise
+    // registered one fresh cached sketch table per micro-batch for the
+    // stream's lifetime. storageLevel on an identical uncached plan
+    // reads CacheManager's canonical-form lookup.
+    import org.apache.spark.storage.StorageLevel
+    val docs = graft.ops.Core.documents(spark, sf0001)
+    val even = docs.filter($"doc_id" % 2 === 0)
+    val odd = docs.filter($"doc_id" % 2 === 1)
+    val root = java.nio.file.Files.createTempDirectory("graft_release").toString
+    TextDedup.writeClusterAppendArtifacts(spark, even, root)
+    assert(TextDedup.minhashSigPlan(even).storageLevel == StorageLevel.NONE,
+      "standing-corpus sketch cache leaked past the artifact write")
+    val out = TextDedup.appendClusters(spark, odd, root)
+    assert(TextDedup.minhashSigPlan(odd).storageLevel == StorageLevel.NONE,
+      "batch sketch cache leaked past the append probe")
+    assert(out.count() > 0, "result frame must stay usable after release (checkpoint-rooted)")
+    // the candidates builder's handle releases the shared barrier too
+    val (cand, release) = TextDedup.minhashLshCandidatesReleasable(spark, sf0001)
+    cand.count()
+    assert(TextDedup.minhashSigPlan(docs).storageLevel != StorageLevel.NONE,
+      "barrier cache must be live while the candidate join evaluates")
+    release()
+    assert(TextDedup.minhashSigPlan(docs).storageLevel == StorageLevel.NONE,
+      "candidates barrier cache leaked past its release handle")
+  }
+
+  test("cluster tombstones: excluded everywhere, hub re-elected, non-bridge delete equals rebuild") {
+    // r14 (VERDICT r13 missing #5): the delete path. Synthetic corpus —
+    // standing docs {2,4,6} are byte-identical (a clique cluster, so NO
+    // member is a cut vertex and append-with-tombstones must EQUAL the
+    // full rebuild over the live corpus), {8,10} unrelated singletons;
+    // batch doc 7 repeats the clique text, 9 is unrelated. Tombstoning
+    // the HUB (doc 2) exercises hub re-election on the sidecar replay.
+    val t1 = "the quick brown fox jumps over the lazy dog again and again"
+    val docs = Seq(
+      (2L, t1), (4L, t1), (6L, t1),
+      (8L, "completely different words about databases and storage engines"),
+      (10L, "yet another unrelated document mentioning streams and state"),
+      (7L, t1),
+      (9L, "nothing in common with anything else in this tiny corpus"))
+    val standing = docs.filter(_._1 % 2 == 0).toDF("doc_id", "text")
+    val batch = docs.filter(_._1 % 2 == 1).toDF("doc_id", "text")
+    val root = java.nio.file.Files.createTempDirectory("graft_tomb").toString
+    TextDedup.writeClusterAppendArtifacts(spark, standing, root)
+    TextDedup.writeClusterTombstones(spark, Seq(2L).toDF("doc_id"), root)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long, Long, Boolean)].collect().sorted.toSeq
+    val appended = rows(TextDedup.appendClusters(spark, batch, root))
+    // exclusion: the tombstoned doc appears in no output row, even
+    // though batch doc 7 is byte-identical to its text (its index rows
+    // must not match)
+    assert(!appended.exists(_._1 == 2L), "tombstoned doc leaked into the cluster output")
+    // hub re-election + rebuild equality: clique minus one member stays
+    // connected, so the append must equal clustering the live corpus
+    // ({4,6} ∪ batch) from scratch
+    val rebuildRoot = java.nio.file.Files.createTempDirectory("graft_tomb_rb").toString
+    TextDedup.writeClusterAppendArtifacts(spark,
+      standing.filter($"doc_id" =!= 2L).union(batch), rebuildRoot)
+    val rebuilt = rows(spark.read.parquet(s"$rebuildRoot/clusters"))
+    assert(appended == rebuilt,
+      s"non-bridge tombstone diverged from the rebuild ($appended vs $rebuilt)")
+    // the re-elected cluster: {4,6,7} labeled by new hub 4
+    assert(appended.exists(r => r._1 == 7L && r._2 == 4L),
+      "batch doc must join the re-hubbed standing cluster")
+    assert(appended.filter(_._2 == 4L).map(_._1).toSet == Set(4L, 6L, 7L),
+      "re-elected cluster must hold exactly the live members")
+  }
+
   test("dedup clusters sidecar: memoized artifact equals the direct loop output") {
     // r13 train-once sidecar: dedupClusters serves a ProbeTemp parquet
     // artifact (three registered consumers share one loop evaluation);
