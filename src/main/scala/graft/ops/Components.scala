@@ -104,7 +104,17 @@ object Components {
     * in-memory blocks, and the witness sum is a (columnar, cheap)
     * re-scan instead of riding the fused materialization pass — opt in
     * when the loop's runtime dwarfs a restart, keep the default for
-    * short interactive loops. */
+    * short interactive loops. MEASURED (r14, ReliableMeasure: the
+    * sf0.1 hi-recall cosine-LSH graph, 908 edges, 12 rounds, modes
+    * alternated in one JVM after an untimed warm pass, min of 3):
+    * local 3.66 s vs reliable 8.25 s — **2.26x**, ~0.38 s/round of
+    * parquet round-trip on local disk. Identical clusters and round
+    * counts both modes (spec-pinned). Rule of thumb from the ratio:
+    * a loop expected to run >~2x the cost of a from-scratch restart
+    * (or on a cluster where executor loss over the loop's lifetime is
+    * likely) should opt in; the harness's seconds-scale loops should
+    * not. The dir must be empty — exclusive ownership is enforced
+    * with a fail-fast require, not documentation. */
   def clusterPairsCounted(pairs: DataFrame, aCol: String, bCol: String,
       idName: String, reliableDir: Option[String]): (DataFrame, Int) = {
     // Integral (or scale-0 decimal) ids ONLY — not any NumericType
@@ -125,6 +135,21 @@ object Components {
         s"${pairs.schema(aCol).dataType}, ${pairs.schema(bCol).dataType}): the sum-based " +
         "convergence witness is exact only over integral ids — fractional ids would round " +
         "in the decimal(38,0) cast (possible false convergence), non-numeric ids cast to null")
+    // Exclusive ownership ENFORCED, not documented (r14, ADVICE r13):
+    // a reused or concurrently shared reliableDir would silently
+    // overwrite live loop state (directed/edges/label buffers) mid-run
+    // — fail fast on a non-empty dir instead. Hadoop FS API so the
+    // check works on HDFS/S3 paths, the storage this mode exists for.
+    reliableDir.foreach { root =>
+      val hPath = new org.apache.hadoop.fs.Path(root)
+      val fs = hPath.getFileSystem(
+        pairs.sparkSession.sparkContext.hadoopConfiguration)
+      require(!fs.exists(hPath) || fs.listStatus(hPath).isEmpty,
+        s"reliableDir $root is non-empty: the reliable-checkpoint loop must " +
+          "exclusively own its directory for the invocation's lifetime (a shared " +
+          "or reused dir silently overwrites live loop state mid-run) — pass a " +
+          "fresh path, or clean up the previous invocation's state first")
+    }
     // Reliable-mode checkpoint: parquet round-trip through stable
     // storage (fresh leaf stats fall out of the read for free). Labels
     // rotate through 3 buffers — see the fault-tolerance scaladoc.

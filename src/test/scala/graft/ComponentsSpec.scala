@@ -112,6 +112,13 @@ class ComponentsSpec extends SparkSpec {
     val persisted = new java.io.File(dir).listFiles().map(_.getName).toSet
     assert(persisted.contains("edges") && persisted.exists(_.startsWith("labels_")),
       s"expected edges + label buffers under $dir, found $persisted")
+    // exclusive ownership is ENFORCED (r14, ADVICE r13): re-invoking on
+    // the now-populated dir must fail fast, not silently overwrite the
+    // previous invocation's state
+    val e = intercept[IllegalArgumentException] {
+      Components.clusterPairsCounted(pairs, "a", "b", "node_id", Some(dir))
+    }
+    assert(e.getMessage.contains("non-empty"), s"wrong lock error: ${e.getMessage}")
   }
 
   test("non-numeric pair columns are rejected with a clear error") {
