@@ -98,17 +98,33 @@ object Core {
   * mutations that preserve count and max id — and it costs one
   * directory walk per construction instead of a Spark job per query.
   * A same-content rewrite rebuilds spuriously (mtimes moved); that
-  * wastes one build, never serves wrong data. Concurrent first builds
-  * of the SAME key are serialized by a per-key lock below:
-  * TrieMap.getOrElseUpdate alone can evaluate the build thunk in two
-  * racing threads (one result is discarded but both SIDE EFFECTS run
-  * — two temp dirs, one leaked until exit, and a double build bill in
-  * any parallel test sweep). */
+  * wastes one build, never serves wrong data. KNOWN BLIND SPOT (r14,
+  * ADVICE r13): an in-place rewrite that preserves every file's
+  * relative path AND size within the filesystem's mtime resolution is
+  * invisible to the stat witness — parquet rewrites are safe (part
+  * files are written under fresh task-attempt names, so names/sizes
+  * always move), but a raw-file overwrite with same-length content
+  * inside one mtime tick would be served stale; hash file HEADS too if
+  * such a source ever exists. Concurrent first builds of the SAME key
+  * are serialized by a per-key lock below: TrieMap.getOrElseUpdate
+  * alone can evaluate the build thunk in two racing threads (one
+  * result is discarded but both SIDE EFFECTS run — two temp dirs, one
+  * leaked until exit, and a double build bill in any parallel test
+  * sweep). EVICTION (r14, ADVICE r13): when a (kind, srcDir)'s
+  * fingerprint moves, the superseded artifact dir is deleted right
+  * after the replacement builds — previously every rewrite leaked the
+  * old artifact on disk until JVM exit. A plan still holding the old
+  * dir's path is reading data that no longer reflects its source — the
+  * eviction turns a silent staleness into a loud missing-file error. */
 private[ops] object ProbeTemp {
   private val dirs =
     scala.collection.concurrent.TrieMap.empty[(String, String), String]
   private val locks =
     scala.collection.concurrent.TrieMap.empty[(String, String), Object]
+  // (kind, srcDir) -> (fingerprinted key suffix, artifact dir) of the
+  // LATEST build, so a fingerprint move can evict its predecessor
+  private val latest =
+    scala.collection.concurrent.TrieMap.empty[(String, String), (String, String)]
 
   /** MD5 over the sorted (relative path, size, mtime) listing of every
     * regular file under `srcDir` — the cheap content witness folded
@@ -136,17 +152,20 @@ private[ops] object ProbeTemp {
   // construction retries, so the failure stays observable)
   private val created = new java.util.concurrent.ConcurrentLinkedQueue[String]
 
+  private def deleteTree(d: String): Unit = {
+    import scala.jdk.CollectionConverters._
+    val root = java.nio.file.Paths.get(d)
+    if (java.nio.file.Files.exists(root))
+      java.nio.file.Files.walk(root).iterator().asScala.toSeq
+        .reverse.foreach(java.nio.file.Files.deleteIfExists(_))
+  }
+
   Runtime.getRuntime.addShutdownHook(new Thread(() =>
-    created.forEach { d =>
-      import scala.jdk.CollectionConverters._
-      val root = java.nio.file.Paths.get(d)
-      if (java.nio.file.Files.exists(root))
-        java.nio.file.Files.walk(root).iterator().asScala.toSeq
-          .reverse.foreach(java.nio.file.Files.deleteIfExists(_))
-    }))
+    created.forEach(deleteTree(_))))
 
   def dir(kind: String, srcDir: String)(build: String => Unit): String = {
-    val key = (kind, s"$srcDir#${fingerprint(srcDir)}")
+    val fp = fingerprint(srcDir)
+    val key = (kind, s"$srcDir#$fp")
     dirs.get(key) match {
       case Some(d) => d
       case None =>
@@ -158,6 +177,17 @@ private[ops] object ProbeTemp {
             val d = java.nio.file.Files.createTempDirectory(s"graft_$kind").toString
             created.add(d)
             build(d)
+            // evict the artifact this build supersedes (same kind +
+            // source dir, older fingerprint) — delete only AFTER the
+            // replacement built, so a failed build leaves the old
+            // (possibly still-correct) artifact untouched
+            latest.put((kind, srcDir), (fp, d)).foreach { case (oldFp, oldDir) =>
+              if (oldFp != fp) {
+                dirs.remove((kind, s"$srcDir#$oldFp"))
+                created.remove(oldDir)
+                deleteTree(oldDir)
+              }
+            }
             d
           })
         }

@@ -28,6 +28,12 @@ class ProbeTempSpec extends graft.SparkSpec {
       s"an in-place rewrite must rebuild into a fresh dir (builds=$builds)")
     // the rewritten content is itself memoized
     assert(build() == d2 && builds == 2)
+    // r14 (ADVICE r13): the superseded artifact dir is evicted from
+    // disk once its replacement has built — rewrites no longer leak
+    // old artifacts until JVM exit
+    assert(!Files.exists(java.nio.file.Paths.get(d1)),
+      s"superseded artifact $d1 must be deleted after the rebuild")
+    assert(Files.exists(java.nio.file.Paths.get(d2)), "live artifact must survive eviction")
   }
 
   test("a rewritten corpus is never served a stale cluster sidecar (end-to-end)") {
