@@ -85,7 +85,8 @@ object StreamBench {
       val sec = dagForcedBatches(spark, nDeep, batches)
       println(f"""{"dag_batches":$batches,"width":$width,"deep_events":$nDeep,"sec":$sec%.3f,"events_per_sec":${nDeep / sec}%.1f}""")
     } else {
-      println(s"""{"width":$width,"streaming":${Bench.streamingBenchBody(spark)}}""")
+      val (json, _, _) = Bench.streamingBenchBody(spark)
+      println(s"""{"width":$width,"streaming":$json}""")
     }
     spark.stop()
   }
