@@ -646,22 +646,29 @@ object TextDedup extends QueryModule {
     (cand, () => { sig.unpersist(); () })
   }
 
-  val minhashLshCandidatesSql: String = {
+  /** The MinHash band-key table as a reusable CTE chain (`sh` -> `sig`
+    * -> `bands(doc_id, band, bkey)`) — shared by the candidates oracle
+    * and the tombstone-probe oracle, so the two can never band
+    * differently. */
+  private val minhashBandsCte: String = {
     val minExprs = perms.zipWithIndex.map { case ((a, b), j) =>
       s"min((h * $a + $b) % $P) AS m$j"
     }.mkString(", ")
     val bandSelects = (0 until 4).map { bnd =>
       s"SELECT doc_id, $bnd AS band, m${2 * bnd} * $P + m${2 * bnd + 1} AS bkey FROM sig"
     }.mkString(" UNION ALL ")
-    s"""WITH sh AS (
+    s"""sh AS (
        |  SELECT doc_id, ${charHashSql("ng")} AS h FROM (
        |    SELECT DISTINCT doc_id, unnest($ngramsSql) AS ng FROM documents)),
        |sig AS (SELECT doc_id, $minExprs FROM sh GROUP BY doc_id),
-       |bands AS ($bandSelects)
+       |bands AS ($bandSelects)""".stripMargin
+  }
+
+  val minhashLshCandidatesSql: String =
+    s"""WITH $minhashBandsCte
        |SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
        |FROM bands x JOIN bands y
        |  ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id""".stripMargin
-  }
 
   /** SimHash (32-bit) from 3-gram shingle hashes with multiplicity:
     * per-bit +1/-1 majority vote -> packed long. (Shingles, not
@@ -1318,6 +1325,84 @@ object TextDedup extends QueryModule {
   /** The oracle IS the full-corpus cluster oracle: the star-replacement
     * argument above makes the incremental result equal the rebuild. */
   val dedupClustersAppendProbeSql: String = dedupClustersSql
+
+  /** REGISTERED exercise of the tombstone DELETE path (r14) under the
+    * driver's oracle gate: the standing (even-id) corpus's artifacts
+    * are built, every doc with doc_id % 10 = 4 is tombstoned (a
+    * deterministic slice of the standing corpus — some of them sit
+    * inside standing clusters, including as hubs, so the star filter
+    * and hub re-election genuinely run; spec-asserted non-vacuous),
+    * and the odd-id batch is appended. The DuckDB oracle replicates
+    * the DOCUMENTED append-with-tombstones semantics — not a rebuild:
+    * even-side components (recursive CTE #1) -> live members minus
+    * tombstones -> re-elected hubs -> star edges, unioned with the
+    * banded cross (batch x live index) and within-batch candidate
+    * edges, then full components (recursive CTE #2). A hash match
+    * therefore pins the eventual-consistency contract itself —
+    * exclusion, no-new-matches, hub re-election, AND the documented
+    * bridge-preservation behavior — through the parquet round-trip,
+    * the same way `dedup_clusters_append_probe` pins the
+    * star-replacement equivalence. Both oracles derive their band
+    * keys from [[minhashBandsCte]], so the engines can never band
+    * differently. QBench cold-JVM sf0.1: [4.66, 1.99, 1.96]s — rep0
+    * carries the one-time standing build (same artifacts cost as the
+    * append probe), steady-state ~2s is loop-dominated like its twin. */
+  def dedupClustersTombstoneProbe(spark: SparkSession, dir: String): DataFrame = {
+    val root = ProbeTemp.dir("dedup_clusters_tombstone", dir) { d =>
+      val docs = Core.documents(spark, dir)
+      writeClusterAppendArtifacts(spark, docs.filter(col("doc_id") % 2 === 0), d)
+      writeClusterTombstones(spark,
+        docs.filter(col("doc_id") % 10 === 4).select("doc_id"), d)
+    }
+    appendClusters(spark,
+      Core.documents(spark, dir).filter(col("doc_id") % 2 === 1), root)
+  }
+
+  val dedupClustersTombstoneProbeSql: String =
+    s"""WITH RECURSIVE $minhashBandsCte,
+       |ecand AS MATERIALIZED (
+       |  SELECT x.doc_id AS a, y.doc_id AS b FROM bands x JOIN bands y
+       |    ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id
+       |  WHERE x.doc_id % 2 = 0 AND y.doc_id % 2 = 0),
+       |eedges AS MATERIALIZED (
+       |  SELECT a AS src, b AS dst FROM ecand UNION ALL SELECT b, a FROM ecand),
+       |ereach(src, dst) AS (
+       |  SELECT src, dst FROM eedges
+       |  UNION
+       |  SELECT r.src, e.dst FROM ereach r JOIN eedges e ON r.dst = e.src),
+       |elabels AS (
+       |  SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+       |  FROM ereach GROUP BY src),
+       |live AS (SELECT * FROM elabels WHERE doc_id % 10 <> 4),
+       |hubs AS (SELECT cluster_id, min(doc_id) AS hub FROM live GROUP BY 1),
+       |star AS (
+       |  SELECT h.hub AS a, l.doc_id AS b FROM live l
+       |  JOIN hubs h USING (cluster_id) WHERE l.doc_id <> h.hub),
+       |bo AS (SELECT * FROM bands WHERE doc_id % 2 = 1),
+       |be AS (SELECT * FROM bands WHERE doc_id % 2 = 0 AND doc_id % 10 <> 4),
+       |crossb AS (
+       |  SELECT DISTINCT least(o.doc_id, e.doc_id) AS a,
+       |    greatest(o.doc_id, e.doc_id) AS b
+       |  FROM bo o JOIN be e ON o.band = e.band AND o.bkey = e.bkey),
+       |withinb AS (
+       |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b FROM bo x JOIN bo y
+       |    ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
+       |cand AS MATERIALIZED (
+       |  SELECT a, b FROM crossb UNION SELECT a, b FROM withinb
+       |  UNION SELECT a, b FROM star),
+       |edges AS MATERIALIZED (
+       |  SELECT a AS src, b AS dst FROM cand UNION ALL SELECT b, a FROM cand),
+       |reach(src, dst) AS (
+       |  SELECT src, dst FROM edges
+       |  UNION
+       |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+       |labels AS (
+       |  SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+       |  FROM reach GROUP BY src),
+       |sizes AS (SELECT cluster_id, count(*) AS cluster_size FROM labels GROUP BY 1)
+       |SELECT l.doc_id, l.cluster_id, s.cluster_size,
+       |  l.doc_id = l.cluster_id AS is_survivor
+       |FROM labels l JOIN sizes s USING (cluster_id)""".stripMargin
 
   /** The dedup DECISION layer applied to the corpus: one verdict per
     * document, layering exact dedup over near-dup clustering the way a
@@ -2103,6 +2188,7 @@ object TextDedup extends QueryModule {
     "minhash_lsh_candidates" -> (minhashLshCandidates _),
     "dedup_clusters" -> (dedupClusters _),
     "dedup_clusters_append_probe" -> (dedupClustersAppendProbe _),
+    "dedup_clusters_tombstone_probe" -> (dedupClustersTombstoneProbe _),
     "dedup_apply" -> (dedupApply _),
     "simhash" -> (simhash _),
     "simhash64" -> (simhash64 _),
@@ -2138,6 +2224,7 @@ object TextDedup extends QueryModule {
     "minhash_lsh_candidates" -> minhashLshCandidatesSql,
     "dedup_clusters" -> dedupClustersSql,
     "dedup_clusters_append_probe" -> dedupClustersAppendProbeSql,
+    "dedup_clusters_tombstone_probe" -> dedupClustersTombstoneProbeSql,
     "dedup_apply" -> dedupApplySql,
     "simhash" -> simhashSql,
     "simhash64" -> simhash64Sql,

@@ -578,6 +578,30 @@ class TextDedupSpec extends SparkSpec {
       "re-elected cluster must hold exactly the live members")
   }
 
+  test("registered tombstone probe: fixture non-vacuous, tombstones excluded") {
+    // the oracle-gated dedup_clusters_tombstone_probe claims to
+    // exercise member exclusion AND hub re-election — prove the
+    // fixture's %10=4 slice actually hits standing clusters at the
+    // driver's parity SF (measured r14: 1 member who IS a hub at
+    // sf0.01, 43 members / 18 hubs at sf0.1); a predicate drift in
+    // the testdata would otherwise leave the gate silently vacuous
+    val dir = "/root/testdata/sf0.01"
+    val docs = graft.ops.Core.documents(spark, dir)
+    val root = java.nio.file.Files.createTempDirectory("graft_tomb_nv").toString
+    TextDedup.writeClusterAppendArtifacts(spark, docs.filter($"doc_id" % 2 === 0), root)
+    val standing = spark.read.parquet(s"$root/clusters")
+    val tomb = standing.filter($"doc_id" % 10 === 4).cache()
+    assert(tomb.count() > 0,
+      "no tombstoned doc sits in a standing cluster — exclusion gate vacuous")
+    assert(tomb.filter($"doc_id" === $"cluster_id").count() > 0,
+      "no tombstoned hub — re-election path unexercised by the gate")
+    val out = TextDedup.dedupClustersTombstoneProbe(spark, dir)
+    assert(out.filter($"doc_id" % 10 === 4).isEmpty,
+      "tombstoned docs leaked into the registered probe's output")
+    assert(out.count() > 0, "probe output empty")
+    tomb.unpersist()
+  }
+
   test("dedup clusters sidecar: memoized artifact equals the direct loop output") {
     // r13 train-once sidecar: dedupClusters serves a ProbeTemp parquet
     // artifact (three registered consumers share one loop evaluation);
