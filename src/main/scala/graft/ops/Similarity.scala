@@ -1765,6 +1765,142 @@ object Similarity extends QueryModule {
   val embedDedupClustersStrictSql: String =
     embedClustersSqlFrom(cosineNearDupPairsStrictSql)
 
+  // --- incremental SEMANTIC cluster maintenance (r14) ---------------------
+
+  /** The per-vector flat band-key table — band * 2^rows + bkey packed
+    * into ONE sortable key (the simhash-index precedent), so the
+    * standing index range-lays on a single column and a probe's pushed
+    * key predicate prunes on footer min/max alone. At the registered
+    * 8x4 geometry the keyspace is only 128 values (every key present
+    * in any real batch — pruning is a no-op and the equi-join carries
+    * the probe), but the ADAPTIVE tiers grow rows with log2(n)
+    * ([[ndHiRows]]), so at 100 TB the keyspace is ~n^2/2^24 and the
+    * same layout prunes like the text band index. */
+  private def embedFlatKeys(corpus: DataFrame): DataFrame =
+    corpus
+      .select(col("vec_id"),
+        explode(array(ndBandStructs(col("embedding"), ndBands, ndRows): _*)).as("b"))
+      .select(col("vec_id"),
+        (col("b.band") * (1L << ndRows) + col("b.bkey")).as("bandkey"))
+
+  /** Standing artifacts for the SEMANTIC cluster append — the text
+    * cluster family's lifecycle ([[TextDedup.writeClusterAppendArtifacts]])
+    * applied to the embedding near-dup family, which until r14 was
+    * rebuild-only: (1) the flat band-key INDEX (8 rows/vec,
+    * range-laid on bandkey); (2) the VECTOR sidecar (vec_id,
+    * embedding, norm — what the probe's cosine verify joins against,
+    * so the probe never re-reads the standing corpus's source table);
+    * (3) the cluster SIDECAR (components over the standing corpus's
+    * verified pairs, replayed as star edges by the probe). One call
+    * per corpus snapshot / compaction cycle; geometry is the
+    * registered 8x4 tier (an adaptive-tier corpus re-picks geometry
+    * at compaction, exactly when this is called). */
+  def writeEmbedClusterAppendArtifacts(spark: SparkSession, standing: DataFrame,
+      root: String): Unit = {
+    standing
+      .select(col("vec_id"), col("embedding"),
+        sqrt(dot(col("embedding"), col("embedding"))).as("norm"))
+      .write.mode("overwrite").parquet(s"$root/vecs")
+    embedFlatKeys(standing)
+      .repartitionByRange(col("bandkey"))
+      .sortWithinPartitions(col("bandkey"))
+      .write.mode("overwrite").parquet(s"$root/bandidx")
+    Components.clusterPairs(
+      cosineNearDupPairsLeanOver(standing, ndThreshold, ndBands, ndRows),
+      "vec_a", "vec_b", "vec_id")
+      .write.mode("overwrite").parquet(s"$root/clusters")
+  }
+
+  /** Cluster a batch of vectors against the standing artifacts through
+    * batch-sized + index-sized work only. Same star-replacement
+    * equality argument as the text append ([[TextDedup.appendClusters]]):
+    * the full corpus's VERIFIED pair set partitions into even x even
+    * (replaced by the cluster sidecar's star — connectivity-preserving),
+    * batch x standing (the index probe + cosine verify below), and
+    * batch x batch (the lean generator over the batch); the cosine is
+    * computed by the same commutative expression on every path, so the
+    * union's components EQUAL the full rebuild's and the probe shares
+    * [[embedDedupClustersSql]] verbatim. Probed keys go through the
+    * size-gated [[TextDedup.pruneIndexByProbedKeys]]; the batch side
+    * of the verify joins are batch-sized, the standing side reads only
+    * index-matched vector rows from the sidecar. */
+  private[graft] def appendEmbedClusters(spark: SparkSession, batch: DataFrame,
+      root: String,
+      maxKeyLiterals: Int = TextDedup.probeKeyLiteralMax): DataFrame = {
+    val batchEmb = batch.select(col("vec_id"), col("embedding"),
+      sqrt(dot(col("embedding"), col("embedding"))).as("norm"))
+    val batchKeys = embedFlatKeys(batch)
+    val idx = TextDedup.pruneIndexByProbedKeys(
+      spark.read.parquet(s"$root/bandidx"), batchKeys, "bandkey", maxKeyLiterals)
+    val crossCand = idx.select(col("vec_id").as("idx_id"), col("bandkey"))
+      .join(batchKeys.select(col("vec_id").as("new_id"), col("bandkey")), Seq("bandkey"))
+      .select(col("idx_id"), col("new_id")).distinct()
+    val cross = crossCand
+      .join(spark.read.parquet(s"$root/vecs").select(col("vec_id").as("idx_id"),
+        col("embedding").as("ea"), col("norm").as("na")), "idx_id")
+      .join(batchEmb.select(col("vec_id").as("new_id"),
+        col("embedding").as("eb"), col("norm").as("nb")), "new_id")
+      // cosine is bit-commutative in its operands (elementwise products
+      // and the norm product), so verifying (idx, new) equals verifying
+      // the rebuild's (min, max) ordering exactly
+      .select(least(col("idx_id"), col("new_id")).as("vec_a"),
+        greatest(col("idx_id"), col("new_id")).as("vec_b"),
+        (dot(col("ea"), col("eb")) / (col("na") * col("nb"))).as("cosine"))
+      .filter(col("cosine") >= ndThreshold)
+      .select(col("vec_a"), col("vec_b"))
+    val within = cosineNearDupPairsLeanOver(batch, ndThreshold, ndBands, ndRows)
+      .select(col("vec_a"), col("vec_b"))
+    val star = spark.read.parquet(s"$root/clusters")
+      .filter(col("vec_id") =!= col("cluster_id"))
+      .select(col("cluster_id").as("vec_a"), col("vec_id").as("vec_b"))
+    Components.clusterPairs(
+      cross.union(within).union(star).distinct(), "vec_a", "vec_b", "vec_id")
+  }
+
+  /** REGISTERED end-to-end exercise of the semantic cluster append
+    * under the driver's oracle gate — [[TextDedup.dedupClustersAppendProbe]]'s
+    * embedding twin: even vec_ids are the accumulated corpus, odd
+    * vec_ids are today's batch; the oracle IS the full-corpus cluster
+    * oracle (star replacement makes the incremental result equal the
+    * rebuild). Spec-asserted frame-equal to the direct 8x4 rebuild;
+    * hash-green at sf0.01 (66 rows) and sf0.1 (884 rows). QBench
+    * cold-JVM sf0.1: [7.41, 3.44, 2.66]s — rep0 carries the one-time
+    * standing build (index + vector sidecar + cluster loop); the
+    * steady-state probe removes the accumulated corpus's band/verify
+    * pass, the term that grows with corpus size. */
+  def embedDedupClustersAppendProbe(spark: SparkSession, dir: String): DataFrame = {
+    val root = ProbeTemp.dir("embed_clusters_append", dir) { d =>
+      writeEmbedClusterAppendArtifacts(spark,
+        Core.embeddings(spark, dir).filter(col("vec_id") % 2 === 0), d)
+    }
+    appendEmbedClusters(spark,
+      Core.embeddings(spark, dir).filter(col("vec_id") % 2 === 1), root)
+  }
+
+  val embedDedupClustersAppendProbeSql: String = embedDedupClustersSql
+
+  /** STREAMING semantic cluster append — each micro-batch of vectors
+    * clustered against the standing artifacts inside foreachBatch,
+    * landing idempotently under its batch_id partition; artifacts are
+    * STATIC for the stream's lifetime, compaction is
+    * [[writeEmbedClusterAppendArtifacts]] (the contract of every
+    * streaming probe here). Input schema: (vec_id long,
+    * embedding array<float>). */
+  def streamingEmbedClusterAppend(spark: SparkSession, vecs: DataFrame,
+      artifactsRoot: String, outDir: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    vecs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val clusters = appendEmbedClusters(spark, batch, artifactsRoot)
+          graft.streaming.StreamingPipeline.writeBatchIdempotent(
+            clusters, batchId, outDir)
+        }
+      }
+      .start()
+
   override def queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "embed_cosine_topk" -> (cosineTopK _),
     "embed_knn_label" -> (knnLabelPropagation _),
@@ -1782,6 +1918,7 @@ object Similarity extends QueryModule {
     "embed_quantize" -> (embedQuantize _),
     "embed_ann_sq8_topk" -> (annSq8TopK _),
     "embed_dedup_clusters" -> (embedDedupClusters _),
+    "embed_dedup_clusters_append_probe" -> (embedDedupClustersAppendProbe _),
     "embed_dedup_clusters_hirecall" -> (embedDedupClustersHiRecall _),
     "embed_dedup_clusters_strict" -> (embedDedupClustersStrict _),
     "diversity_sample" -> (diversitySample _))
@@ -1803,6 +1940,7 @@ object Similarity extends QueryModule {
     "embed_quantize" -> embedQuantizeSql,
     "embed_ann_sq8_topk" -> annSq8TopKSql,
     "embed_dedup_clusters" -> embedDedupClustersSql,
+    "embed_dedup_clusters_append_probe" -> embedDedupClustersAppendProbeSql,
     "embed_dedup_clusters_hirecall" -> embedDedupClustersHiRecallSql,
     "embed_dedup_clusters_strict" -> embedDedupClustersStrictSql,
     "diversity_sample" -> diversitySampleSql)

@@ -456,6 +456,28 @@ class SimilaritySpec extends SparkSpec {
     ann.unpersist(); exact.unpersist()
   }
 
+  test("embed cluster append equals the full-corpus rebuild") {
+    // r14: the text cluster family's incremental lifecycle applied to
+    // the semantic (embedding) clusters — the standing (even-vec_id)
+    // corpus's band index + vector sidecar + cluster sidecar absorb
+    // the odd-vec_id batch through batch-sized work, and the
+    // star-replacement argument says the result must EQUAL
+    // re-clustering the full corpus from scratch (merges and survivor
+    // re-election included). Frame equality pins it end to end.
+    val inc = Similarity.embedDedupClustersAppendProbe(spark, sf0001)
+      .as[(Long, Long, Long, Boolean)].collect().sorted.toSeq
+    val full = graft.ops.Components.clusterPairs(
+      Similarity.cosineNearDupPairsDirect(spark, sf0001),
+      "vec_a", "vec_b", "vec_id")
+      .as[(Long, Long, Long, Boolean)].collect().sorted.toSeq
+    assert(inc == full, s"embed append diverged from the rebuild " +
+      s"(${inc.size} vs ${full.size} rows)")
+    assert(inc.nonEmpty, "fixture corpus must produce clusters")
+    assert(inc.exists(_._1 % 2 == 1), "no batch vector clustered — probe untested")
+    assert(inc.groupBy(_._2).values.exists(m => m.count(_._1 % 2 == 0) >= 2),
+      "no even-even cluster — star edges untested")
+  }
+
   test("hi-recall clusters: refine-merge of the 8x4 clusters, no dropped duplicate decision") {
     val hi = Similarity.embedDedupClustersHiRecall(spark, sf0001).cache()
     val reg = Similarity.embedDedupClusters(spark, sf0001).cache()

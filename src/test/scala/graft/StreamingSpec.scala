@@ -983,6 +983,50 @@ class StreamingSpec extends SparkSpec {
       "one-micro-batch stream must equal the registered append query")
   }
 
+  test("streaming embed cluster append equals the batch append against static artifacts") {
+    // r14: the embedding twin of the streaming cluster append — same
+    // static-artifacts contract, same idempotent batch_id landing.
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft_seclu").toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft_seclu_o").toString + "/out"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_seclu_c").toString
+    val vecs = graft.ops.Core.embeddings(spark, sf0001)
+    graft.ops.Similarity.writeEmbedClusterAppendArtifacts(spark,
+      vecs.filter($"vec_id" % 2 === 0), root)
+    val odd = vecs.filter($"vec_id" % 2 === 1)
+      .select($"vec_id", $"embedding").as[(Long, Seq[Float])].collect().toSeq
+    val (b1, b2) = odd.splitAt(odd.size / 2)
+    val src = MemoryStream[(Long, Seq[Float])]
+    val q = graft.ops.Similarity.streamingEmbedClusterAppend(spark,
+      src.toDF().toDF("vec_id", "embedding"), root, outDir, ckpt)
+    try {
+      src.addData(b1: _*)
+      q.processAllAvailable()
+      src.addData(b2: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.read.parquet(outDir).drop("batch_id")
+    def appendOf(rows: Seq[(Long, Seq[Float])]) =
+      graft.ops.Similarity.appendEmbedClusters(spark,
+        rows.toDF("vec_id", "embedding"), root)
+    val expect = appendOf(b1).unionByName(appendOf(b2))
+    assert(got.count() == expect.count() && got.count() > 0)
+    assert(got.exceptAll(expect).isEmpty && expect.exceptAll(got).isEmpty,
+      "streaming embed cluster tables must equal the per-batch append outputs")
+    // one micro-batch reproduces the registered oracle-gated query
+    val out2 = java.nio.file.Files.createTempDirectory("graft_seclu_o2").toString + "/out"
+    val ckpt2 = java.nio.file.Files.createTempDirectory("graft_seclu_c2").toString
+    val src2 = MemoryStream[(Long, Seq[Float])]
+    val q2 = graft.ops.Similarity.streamingEmbedClusterAppend(spark,
+      src2.toDF().toDF("vec_id", "embedding"), root, out2, ckpt2)
+    try { src2.addData(odd: _*); q2.processAllAvailable() } finally q2.stop()
+    val single = spark.read.parquet(out2).drop("batch_id")
+    val registered = graft.ops.Similarity.embedDedupClustersAppendProbe(spark, sf0001)
+    assert(single.exceptAll(registered).isEmpty &&
+      registered.exceptAll(single).isEmpty,
+      "one-micro-batch stream must equal the registered embed append query")
+  }
+
   test("streaming drift probe equals the per-batch probe against the persisted baseline") {
     implicit val sqlCtx = spark.sqlContext
     val baseDir = java.nio.file.Files.createTempDirectory("graft_sdrift").toString + "/base"
