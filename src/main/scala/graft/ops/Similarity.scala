@@ -1794,7 +1794,12 @@ object Similarity extends QueryModule {
     * verified pairs, replayed as star edges by the probe). One call
     * per corpus snapshot / compaction cycle; geometry is the
     * registered 8x4 tier (an adaptive-tier corpus re-picks geometry
-    * at compaction, exactly when this is called). */
+    * at compaction, exactly when this is called). DELETES: this family
+    * has no tombstone path — the forget route is compaction (re-call
+    * this over the corpus minus removals); the oracle-gated tombstone
+    * contract, including its eventual-consistency caveats, lives on
+    * the text family ([[TextDedup.writeClusterTombstones]]) and would
+    * transfer here mechanically if vector takedowns become a need. */
   def writeEmbedClusterAppendArtifacts(spark: SparkSession, standing: DataFrame,
       root: String): Unit = {
     standing
