@@ -51,6 +51,15 @@ object Verify {
       .filter { case (k, _) => only.isEmpty || only(k) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // end-of-run cache hygiene (r14, VERDICT r13 #6's done-criterion):
+    // the sidecar build thunks release their barrier caches themselves
+    // (spec-asserted via storageLevel), but lazily-evaluated registered
+    // queries legitimately leave their bounded one-per-corpus sketch
+    // caches live after their dump — a batch driver that has written
+    // every result owns its session teardown, so drop them all and say
+    // so, leaving the JVM cache-clean for whatever runs next
+    spark.catalog.clearCache()
+    System.err.println("[verify] caches cleared at end of run")
     spark.stop()
   }
 }
