@@ -1805,6 +1805,11 @@ object Similarity extends QueryModule {
     standing
       .select(col("vec_id"), col("embedding"),
         sqrt(dot(col("embedding"), col("embedding"))).as("norm"))
+      // range-laid on vec_id so the probe's matched-id pushdown skips
+      // whole files on footer min/max — the verify then reads only
+      // candidate vectors, never the corpus-sized sidecar
+      .repartitionByRange(col("vec_id"))
+      .sortWithinPartitions(col("vec_id"))
       .write.mode("overwrite").parquet(s"$root/vecs")
     embedFlatKeys(standing)
       .repartitionByRange(col("bandkey"))
@@ -1837,11 +1842,22 @@ object Similarity extends QueryModule {
     val batchKeys = embedFlatKeys(batch)
     val idx = TextDedup.pruneIndexByProbedKeys(
       spark.read.parquet(s"$root/bandidx"), batchKeys, "bandkey", maxKeyLiterals)
+    // candidate id pairs are consumed twice (the matched-id pushdown
+    // below + the verify join), so cache and release after the eager
+    // components loop has materialized everything
     val crossCand = idx.select(col("vec_id").as("idx_id"), col("bandkey"))
       .join(batchKeys.select(col("vec_id").as("new_id"), col("bandkey")), Seq("bandkey"))
       .select(col("idx_id"), col("new_id")).distinct()
+      .cache()
+    // the vector sidecar is CORPUS-sized; scan only the matched rows —
+    // the same size-gated pushdown as the band index, against the
+    // sidecar's vec_id range layout (isin literals skip files for
+    // micro-batches, broadcast semi-join survives bulk batches)
+    val idxVecs = TextDedup.pruneIndexByProbedKeys(
+      spark.read.parquet(s"$root/vecs"),
+      crossCand.select(col("idx_id").as("vec_id")), "vec_id", maxKeyLiterals)
     val cross = crossCand
-      .join(spark.read.parquet(s"$root/vecs").select(col("vec_id").as("idx_id"),
+      .join(idxVecs.select(col("vec_id").as("idx_id"),
         col("embedding").as("ea"), col("norm").as("na")), "idx_id")
       .join(batchEmb.select(col("vec_id").as("new_id"),
         col("embedding").as("eb"), col("norm").as("nb")), "new_id")
@@ -1858,8 +1874,9 @@ object Similarity extends QueryModule {
     val star = spark.read.parquet(s"$root/clusters")
       .filter(col("vec_id") =!= col("cluster_id"))
       .select(col("cluster_id").as("vec_a"), col("vec_id").as("vec_b"))
-    Components.clusterPairs(
+    try Components.clusterPairs(
       cross.union(within).union(star).distinct(), "vec_a", "vec_b", "vec_id")
+    finally { crossCand.unpersist(); () } // loop is eager: result checkpoint-rooted
   }
 
   /** REGISTERED end-to-end exercise of the semantic cluster append
