@@ -983,6 +983,52 @@ class StreamingSpec extends SparkSpec {
       "one-micro-batch stream must equal the registered append query")
   }
 
+  test("cumulative streaming cluster append converges to the full-corpus rebuild") {
+    // r14: the stateful form — each micro-batch clusters against the
+    // standing corpus AND all earlier batches (band-table state + the
+    // latest cluster table as star source), so the final emitted table
+    // must FRAME-EQUAL the from-scratch rebuild over everything. A
+    // known same-cluster odd pair is deliberately split across
+    // micro-batches so the cross-batch merge path is exercised
+    // non-vacuously (the static-artifacts form provably cannot join
+    // them).
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft_cclu").toString
+    val state = java.nio.file.Files.createTempDirectory("graft_cclu_s").toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft_cclu_o").toString + "/out"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_cclu_c").toString
+    val docs = graft.ops.Core.documents(spark, sf0001)
+    graft.ops.TextDedup.writeClusterAppendArtifacts(spark,
+      docs.filter($"doc_id" % 2 === 0), root)
+    val full = graft.ops.TextDedup.dedupClustersDirect(spark, sf0001)
+      .as[(Long, Long, Long, Boolean)].collect().sorted.toSeq
+    val oddPair = full.groupBy(_._2).values
+      .find(_.count(_._1 % 2 == 1) >= 2)
+    assert(oddPair.nonEmpty,
+      "fixture has no cluster with two odd docs — cross-batch merge unexercisable")
+    val b = oddPair.get.filter(_._1 % 2 == 1).map(_._1).max
+    val a = oddPair.get.filter(m => m._1 % 2 == 1 && m._1 != b).map(_._1).head
+    val odd = docs.filter($"doc_id" % 2 === 1)
+      .select($"doc_id", $"text").as[(Long, String)].collect().toSeq
+    val rest = odd.filterNot(_._1 == b)
+    val (c1, c2) = rest.splitAt(rest.size / 2)
+    val chunks = Seq(c1, c2, odd.filter(_._1 == b)) // b arrives LAST, alone
+    val src = MemoryStream[(Long, String)]
+    val q = graft.ops.TextDedup.streamingClusterAppendCumulative(spark,
+      src.toDF().toDF("doc_id", "text"), root, state, outDir, ckpt)
+    try chunks.foreach { ch => src.addData(ch: _*); q.processAllAvailable() }
+    finally q.stop()
+    val lastId = spark.read.parquet(outDir).agg(max($"batch_id")).first().getLong(0)
+    val got = spark.read.parquet(outDir).filter($"batch_id" === lastId)
+      .drop("batch_id").as[(Long, Long, Long, Boolean)].collect().sorted.toSeq
+    assert(got == full, s"cumulative stream diverged from the rebuild " +
+      s"(${got.size} vs ${full.size} rows)")
+    // the split pair merged across micro-batches
+    val label = got.map(r => r._1 -> r._2).toMap
+    assert(label(a) == label(b),
+      s"docs $a (early batch) and $b (final batch) must share a cluster")
+  }
+
   test("streaming embed cluster append equals the batch append against static artifacts") {
     // r14: the embedding twin of the streaming cluster append — same
     // static-artifacts contract, same idempotent batch_id landing.
