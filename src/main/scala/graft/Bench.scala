@@ -116,7 +116,20 @@ object Bench {
     // 1-6% instantaneous; sys jiffies ride along for diagnosis only
     // (high sys is our own kernel time, not a neighbor's).
     val stealBandPct = 1.5
-    val ncpu = Runtime.getRuntime.availableProcessors()
+    // capacity denominator = host-visible CPUs, counted as the cpuN
+    // lines in /proc/stat (r15, ADVICE r14): the steal field
+    // aggregates over ALL host-visible CPUs, so in a cgroup/cpuset-
+    // limited JVM availableProcessors() undercounts the denominator
+    // and inflates stealPct past the 1.5% band. HZ=100 is the fixed
+    // Linux USER_HZ ABI value (sysconf(_SC_CLK_TCK) — compile-time
+    // constant on every mainstream kernel), assumed below.
+    val ncpu = try {
+      val src = scala.io.Source.fromFile("/proc/stat")
+      try {
+        val n = src.getLines().count(_.matches("cpu\\d+\\s.*"))
+        if (n > 0) n else Runtime.getRuntime.availableProcessors()
+      } finally src.close()
+    } catch { case _: Throwable => Runtime.getRuntime.availableProcessors() }
     def stealSys(): (Long, Long) = try {
       val src = scala.io.Source.fromFile("/proc/stat")
       try {

@@ -71,6 +71,19 @@ object Core {
     * in the testdata carry <=2 decimals; the cast is deterministic and
     * identical in Spark and DuckDB). */
   def dec2(c: Column): Column = c.cast("decimal(18,2)")
+
+  /** Existence of a storage path through the Hadoop FileSystem API —
+    * the ONLY correct idiom for optional-artifact checks (tombstone
+    * tables, stream state dirs): `java.io.File.exists` answers false
+    * for every non-local scheme (hdfs://, s3a://), which here would
+    * mean silently IGNORED tombstones and DROPPED prior-batch state —
+    * wrong answers with no error (r15, ADVICE r14 + VERDICT r14 #3;
+    * same lesson as Similarity's `_graft_ids` sidecar, r10, and
+    * Components' reliableDir ownership check, r14). */
+  def pathExists(spark: SparkSession, path: String): Boolean = {
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    hPath.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(hPath)
+  }
 }
 
 /** One MEMOIZED temp-dir index build per (kind, source-dir CONTENT)
@@ -125,6 +138,13 @@ private[ops] object ProbeTemp {
   // LATEST build, so a fingerprint move can evict its predecessor
   private val latest =
     scala.collection.concurrent.TrieMap.empty[(String, String), (String, String)]
+  // second lock level (r15, ADVICE r14): eviction serialized per
+  // (kind, srcDir) — racing builds of DIFFERENT fingerprints hold
+  // different per-key build locks, so without this a slower
+  // stale-fingerprint build could land its latest.put after the newer
+  // build's and delete the fresh artifact out from under its caller
+  private val evictLocks =
+    scala.collection.concurrent.TrieMap.empty[(String, String), Object]
 
   /** MD5 over the sorted (relative path, size, mtime) listing of every
     * regular file under `srcDir` — the cheap content witness folded
@@ -180,13 +200,24 @@ private[ops] object ProbeTemp {
             // evict the artifact this build supersedes (same kind +
             // source dir, older fingerprint) — delete only AFTER the
             // replacement built, so a failed build leaves the old
-            // (possibly still-correct) artifact untouched
-            latest.put((kind, srcDir), (fp, d)).foreach { case (oldFp, oldDir) =>
-              if (oldFp != fp) {
-                dirs.remove((kind, s"$srcDir#$oldFp"))
-                created.remove(oldDir)
-                deleteTree(oldDir)
-              }
+            // (possibly still-correct) artifact untouched. The update
+            // is CONDITIONAL on a re-stat (r15, ADVICE r14): only a
+            // build whose fingerprint still matches the source dir NOW
+            // may take the latest slot and evict — a stale-fingerprint
+            // build that finishes late neither deletes the fresh
+            // artifact nor points `latest` backwards (its own dir just
+            // stays until the shutdown sweep: wasted disk, never wrong
+            // data). Serialized under the evict lock so the re-stat +
+            // put + delete is atomic across fingerprints.
+            evictLocks.getOrElseUpdate((kind, srcDir), new Object).synchronized {
+              if (fingerprint(srcDir) == fp)
+                latest.put((kind, srcDir), (fp, d)).foreach { case (oldFp, oldDir) =>
+                  if (oldFp != fp) {
+                    dirs.remove((kind, s"$srcDir#$oldFp"))
+                    created.remove(oldDir)
+                    deleteTree(oldDir)
+                  }
+                }
             }
             d
           })

@@ -1018,8 +1018,11 @@ class StreamingSpec extends SparkSpec {
       src.toDF().toDF("doc_id", "text"), root, state, outDir, ckpt)
     try chunks.foreach { ch => src.addData(ch: _*); q.processAllAvailable() }
     finally q.stop()
-    val lastId = spark.read.parquet(outDir).agg(max($"batch_id")).first().getLong(0)
-    val got = spark.read.parquet(outDir).filter($"batch_id" === lastId)
+    // batch_id is a partition column — inference reads it back as
+    // IntegerType, so cast before getLong (r15, VERDICT r14 #1)
+    val lastId = spark.read.parquet(outDir)
+      .agg(max($"batch_id".cast("long"))).first().getLong(0)
+    val got = spark.read.parquet(outDir).filter($"batch_id".cast("long") === lastId)
       .drop("batch_id").as[(Long, Long, Long, Boolean)].collect().sorted.toSeq
     assert(got == full, s"cumulative stream diverged from the rebuild " +
       s"(${got.size} vs ${full.size} rows)")

@@ -578,6 +578,29 @@ class TextDedupSpec extends SparkSpec {
       "re-elected cluster must hold exactly the live members")
   }
 
+  test("cluster tombstones accumulate across takedown calls") {
+    // r15 (ADVICE r14): writeClusterTombstones previously overwrote
+    // the table, so a second takedown call silently RESURRECTED every
+    // earlier-tombstoned doc. Two sequential calls must exclude BOTH
+    // id sets — the table accumulates (staged write + FS rename, so
+    // the read-modify-write never truncates its own lazy source).
+    val t1 = "the quick brown fox jumps over the lazy dog again and again"
+    val standing = Seq((2L, t1), (4L, t1), (6L, t1)).toDF("doc_id", "text")
+    val batch = Seq((7L, t1)).toDF("doc_id", "text")
+    val root = java.nio.file.Files.createTempDirectory("graft_tomb_acc").toString
+    TextDedup.writeClusterAppendArtifacts(spark, standing, root)
+    TextDedup.writeClusterTombstones(spark, Seq(2L).toDF("doc_id"), root)
+    TextDedup.writeClusterTombstones(spark, Seq(4L).toDF("doc_id"), root)
+    assert(spark.read.parquet(s"$root/tombstones")
+        .as[Long].collect().toSet == Set(2L, 4L),
+      "second takedown call must accumulate onto the first, not replace it")
+    val appended = TextDedup.appendClusters(spark, batch, root)
+      .as[(Long, Long, Long, Boolean)].collect().sorted.toSeq
+    assert(appended.map(_._1).toSet == Set(6L, 7L),
+      s"both takedown calls' ids must stay excluded (got $appended)")
+    assert(appended.forall(_._2 == 6L), "surviving member re-elected as hub")
+  }
+
   test("registered tombstone probe: fixture non-vacuous, tombstones excluded") {
     // the oracle-gated dedup_clusters_tombstone_probe claims to
     // exercise member exclusion AND hub re-election — prove the
