@@ -183,6 +183,16 @@ private[ops] object ProbeTemp {
   Runtime.getRuntime.addShutdownHook(new Thread(() =>
     created.forEach(deleteTree(_))))
 
+  /** A fresh throwaway dir registered for the JVM-exit sweep — for
+    * callers needing PER-INVOCATION mutable state (e.g. the cumulative
+    * probe's stateDir) rather than a memoized read-only artifact; never
+    * memoized, so concurrent callers can never share state by accident. */
+  def scratch(kind: String): String = {
+    val d = java.nio.file.Files.createTempDirectory(s"graft_$kind").toString
+    created.add(d)
+    d
+  }
+
   def dir(kind: String, srcDir: String)(build: String => Unit): String = {
     val fp = fingerprint(srcDir)
     val key = (kind, s"$srcDir#$fp")

@@ -625,6 +625,29 @@ class TextDedupSpec extends SparkSpec {
     tomb.unpersist()
   }
 
+  test("registered cumulative probe: fixture non-vacuous, equals the direct rebuild") {
+    // r15 (VERDICT r14 #2): the oracle-gated
+    // dedup_clusters_cumulative_probe claims every state path runs —
+    // prove the % 6 sub-batch split actually separates same-cluster
+    // odd docs at the driver's parity SF (so batch N genuinely merges
+    // against batch <N state, not just standing + itself), then assert
+    // the probe's output IS the full rebuild — the same equality the
+    // DuckDB oracle pins through the parquet round-trip.
+    val dir = "/root/testdata/sf0.01"
+    val full = graft.ops.TextDedup.dedupClustersDirect(spark, dir)
+      .as[(Long, Long, Long, Boolean)].collect().sorted.toSeq
+    val crossBatch = full.groupBy(_._2).values.exists { members =>
+      members.filter(_._1 % 2 == 1).map(_._1 % 6).distinct.size >= 2
+    }
+    assert(crossBatch,
+      "no cluster holds odd docs from two different % 6 sub-batches — " +
+        "the cumulative gate would be vacuous (merge path never runs)")
+    val got = graft.ops.TextDedup.dedupClustersCumulativeProbe(spark, dir)
+      .as[(Long, Long, Long, Boolean)].collect().sorted.toSeq
+    assert(got == full,
+      s"cumulative probe diverged from the rebuild (${got.size} vs ${full.size} rows)")
+  }
+
   test("dedup clusters sidecar: memoized artifact equals the direct loop output") {
     // r13 train-once sidecar: dedupClusters serves a ProbeTemp parquet
     // artifact (three registered consumers share one loop evaluation);
