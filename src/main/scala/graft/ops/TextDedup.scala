@@ -1245,16 +1245,23 @@ object TextDedup extends QueryModule {
     * too. Spec-asserted: two sequential takedown calls exclude BOTH
     * id sets. */
   def writeClusterTombstones(spark: SparkSession, docIds: DataFrame,
-      root: String): Unit = {
-    val dest = s"$root/tombstones"
-    val incoming = docIds
-      .select(col(docIds.columns.head).cast("long").as("doc_id")).distinct()
+      root: String): Unit =
+    accumulateTombstones(spark, docIds, s"$root/tombstones", "doc_id")
+
+  /** The accumulate-and-swap core shared by BOTH tombstone families
+    * (text: doc_id; embed: vec_id — [[Similarity.writeEmbedClusterTombstones]]):
+    * union the incoming ids with the existing table, write to a
+    * staging dir, swap via FS rename. */
+  private[ops] def accumulateTombstones(spark: SparkSession, ids: DataFrame,
+      dest: String, idCol: String): Unit = {
+    val incoming = ids
+      .select(col(ids.columns.head).cast("long").as(idCol)).distinct()
     val hDest = new org.apache.hadoop.fs.Path(dest)
     val fs = hDest.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(hDest)) incoming.write.mode("overwrite").parquet(dest)
     else {
-      val staging = new org.apache.hadoop.fs.Path(s"$root/tombstones.staging")
-      incoming.union(spark.read.parquet(dest).select(col("doc_id").cast("long")))
+      val staging = new org.apache.hadoop.fs.Path(s"$dest.staging")
+      incoming.union(spark.read.parquet(dest).select(col(idCol).cast("long")))
         .distinct()
         .write.mode("overwrite").parquet(staging.toString)
       fs.delete(hDest, true)

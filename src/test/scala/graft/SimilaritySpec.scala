@@ -478,6 +478,74 @@ class SimilaritySpec extends SparkSpec {
       "no even-even cluster — star edges untested")
   }
 
+  test("embed tombstones: excluded everywhere, hub re-elected, accumulate across calls") {
+    // r15 (VERDICT r14 #4): the text family's delete contract ported
+    // to vectors. Synthetic corpus — standing {2,4,6} are IDENTICAL
+    // vectors (a clique cluster: no member is a cut vertex, so
+    // append-with-tombstones must EQUAL the rebuild over the live
+    // corpus), {8,10} mutually orthogonal singletons; batch doc 7
+    // repeats the clique vector, 9 is orthogonal to everything.
+    // Tombstoning the HUB (vec 2) exercises re-election on the
+    // sidecar replay.
+    val clique = Array.tabulate(64)(_ => 1.0f).toSeq
+    def alt(period: Int) =
+      Array.tabulate(64)(i => if ((i / period) % 2 == 0) 1.0f else -1.0f).toSeq
+    val vecs = Seq(
+      (2L, clique), (4L, clique), (6L, clique),
+      (8L, alt(1)), (10L, alt(2)),
+      (7L, clique), (9L, alt(4)))
+    val standing = vecs.filter(_._1 % 2 == 0).toDF("vec_id", "embedding")
+    val batch = vecs.filter(_._1 % 2 == 1).toDF("vec_id", "embedding")
+    val root = java.nio.file.Files.createTempDirectory("graft_etomb").toString
+    Similarity.writeEmbedClusterAppendArtifacts(spark, standing, root)
+    Similarity.writeEmbedClusterTombstones(spark, Seq(2L).toDF("vec_id"), root)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long, Long, Boolean)].collect().sorted.toSeq
+    val appended = rows(Similarity.appendEmbedClusters(spark, batch, root))
+    assert(!appended.exists(_._1 == 2L), "tombstoned vector leaked into the output")
+    // clique minus one member stays connected: append must equal the
+    // rebuild over the live corpus ({4,6} ∪ batch) from scratch
+    val rebuildRoot = java.nio.file.Files.createTempDirectory("graft_etomb_rb").toString
+    Similarity.writeEmbedClusterAppendArtifacts(spark,
+      standing.filter($"vec_id" =!= 2L).union(batch), rebuildRoot)
+    val rebuilt = rows(spark.read.parquet(s"$rebuildRoot/clusters"))
+    assert(appended == rebuilt,
+      s"non-bridge tombstone diverged from the rebuild ($appended vs $rebuilt)")
+    assert(appended.filter(_._2 == 4L).map(_._1).toSet == Set(4L, 6L, 7L),
+      "re-elected cluster must hold exactly the live members under new hub 4")
+    // accumulate: a second takedown call must KEEP the first's ids
+    Similarity.writeEmbedClusterTombstones(spark, Seq(4L).toDF("vec_id"), root)
+    assert(spark.read.parquet(s"$root/tombstones")
+        .as[Long].collect().toSet == Set(2L, 4L),
+      "second takedown call must accumulate onto the first, not replace it")
+    val after = rows(Similarity.appendEmbedClusters(spark, batch, root))
+    assert(after.map(_._1).toSet == Set(6L, 7L) && after.forall(_._2 == 6L),
+      s"both takedown calls' ids must stay excluded (got $after)")
+  }
+
+  test("registered embed tombstone probe: fixture non-vacuous, tombstones excluded") {
+    // mirror of the text probe's vacuity guard: prove the % 10 = 4
+    // slice hits standing clusters (including a hub) at the driver's
+    // parity SF, so exclusion AND re-election genuinely run under the
+    // oracle gate
+    val dir = "/root/testdata/sf0.01"
+    val vecs = graft.ops.Core.embeddings(spark, dir)
+    val root = java.nio.file.Files.createTempDirectory("graft_etomb_nv").toString
+    Similarity.writeEmbedClusterAppendArtifacts(spark,
+      vecs.filter($"vec_id" % 2 === 0), root)
+    val standing = spark.read.parquet(s"$root/clusters")
+    val tomb = standing.filter($"vec_id" % 10 === 4).cache()
+    assert(tomb.count() > 0,
+      "no tombstoned vector sits in a standing cluster — exclusion gate vacuous")
+    assert(tomb.filter($"vec_id" === $"cluster_id").count() > 0,
+      "no tombstoned hub — re-election path unexercised by the gate")
+    val out = Similarity.embedDedupClustersTombstoneProbe(spark, dir)
+    assert(out.filter($"vec_id" % 10 === 4).isEmpty,
+      "tombstoned vectors leaked into the registered probe's output")
+    assert(out.count() > 0, "probe output empty")
+    tomb.unpersist()
+  }
+
   test("hi-recall clusters: refine-merge of the 8x4 clusters, no dropped duplicate decision") {
     val hi = Similarity.embedDedupClustersHiRecall(spark, sf0001).cache()
     val reg = Similarity.embedDedupClusters(spark, sf0001).cache()
