@@ -1391,8 +1391,12 @@ object TextDedup extends QueryModule {
     * cost grows only with the accumulated BATCH bands (4 rows/doc of
     * longs — orders below the text), probed through the same size-gated
     * key pushdown as the standing index; state is compacted away by
-    * folding batches into new standing artifacts
-    * ([[writeClusterAppendArtifacts]]) and truncating `stateDir`. */
+    * [[compactClusterState]] (band-table fold + latest-output promotion,
+    * no text re-read), or by a full [[writeClusterAppendArtifacts]]
+    * rebuild when geometry or tombstones demand one. NOTE: this form
+    * replays prior batches' own output as its star source and does NOT
+    * evaluate tombstones — takedowns compose with the plain
+    * [[streamingClusterAppend]] form or at rebuild time. */
   private[graft] def appendClustersCumulative(spark: SparkSession,
       batch: DataFrame, batchId: Long, artifactsRoot: String,
       stateDir: String, maxKeyLiterals: Int = probeKeyLiteralMax): DataFrame = {
@@ -1469,6 +1473,73 @@ object TextDedup extends QueryModule {
         }
       }
       .start()
+
+  /** COMPACTION for the cumulative stream's state (r15, VERDICT r14
+    * #5 — previously documented on [[appendClustersCumulative]],
+    * implemented nowhere): fold the accumulated per-batch state +
+    * the standing artifacts into NEW standing artifacts under
+    * `newRoot`, then truncate `stateDir` — after which a fresh
+    * cumulative (or plain [[streamingClusterAppend]]) stream against
+    * `newRoot` continues exactly where the old one left off.
+    *
+    * The fold is CHEAP BY CONSTRUCTION — it never re-reads or
+    * re-bands any text: the new band index is the union of the
+    * standing index with the accumulated batch band tables (already
+    * persisted, 4 long-rows/doc), re-range-laid on (band, bkey) so
+    * probe pushdown keeps skipping files; the new cluster sidecar IS
+    * the latest cumulative output verbatim, which by the convergence
+    * invariant equals the full rebuild's cluster table. At 100 TB
+    * that is one shuffle over band-key rows (orders below the text)
+    * vs [[writeClusterAppendArtifacts]]' full re-sketch — the full
+    * rebuild remains the path that re-picks banding geometry or
+    * hard-forgets tombstones.
+    *
+    * CONTRACTS enforced fail-fast: `newRoot` must differ from
+    * `artifactsRoot` (the fold reads the old index lazily while
+    * writing the new one — an in-place overwrite would truncate its
+    * own source); the state must be non-empty (an empty fold is a
+    * no-op the caller should skip); and `artifactsRoot` must carry NO
+    * tombstone table — [[appendClustersCumulative]] replays prior
+    * batches' own output as its star source and does not evaluate
+    * tombstones, so folding tombstoned state would LAUNDER deleted
+    * docs into a fresh sidecar; a corpus with takedowns compacts
+    * through the full rebuild over corpus-minus-tombstones instead.
+    * Quiesce any live stream first (static-artifacts contract).
+    * Spec-asserted: a stream split by a mid-stream compaction lands
+    * frame-equal to the uncompacted full-corpus rebuild. */
+  def compactClusterState(spark: SparkSession, artifactsRoot: String,
+      stateDir: String, newRoot: String): Unit = {
+    require(newRoot != artifactsRoot,
+      "compaction must write to a fresh root: the fold reads the old band " +
+        "index lazily while writing the new one — an in-place overwrite " +
+        "would truncate its own source mid-scan")
+    require(!Core.pathExists(spark, s"$artifactsRoot/tombstones"),
+      s"$artifactsRoot carries a tombstone table: the cumulative state was " +
+        "built without tombstone evaluation, so folding it would launder " +
+        "deleted docs into the new sidecar — compact a takedown corpus via " +
+        "writeClusterAppendArtifacts over the corpus minus tombstones")
+    require(Core.pathExists(spark, s"$stateDir/bands") &&
+        Core.pathExists(spark, s"$stateDir/clusters"),
+      s"$stateDir holds no cumulative state (bands + clusters): nothing to fold")
+    spark.read.parquet(s"$artifactsRoot/bandidx")
+      .select("doc_id", "band", "bkey")
+      .union(spark.read.parquet(s"$stateDir/bands")
+        .select("doc_id", "band", "bkey"))
+      .repartitionByRange(col("band"), col("bkey"))
+      .sortWithinPartitions(col("band"), col("bkey"))
+      .write.mode("overwrite").parquet(s"$newRoot/bandidx")
+    val state = spark.read.parquet(s"$stateDir/clusters")
+      .withColumn("batch_id", col("batch_id").cast("long"))
+    val last = state.agg(max(col("batch_id"))).first().getLong(0)
+    state.filter(col("batch_id") === last).drop("batch_id")
+      .write.mode("overwrite").parquet(s"$newRoot/clusters")
+    // truncate ONLY after both artifacts landed: a failed fold leaves
+    // the old root + state fully usable
+    val hState = new org.apache.hadoop.fs.Path(stateDir)
+    val fs = hState.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$stateDir/bands"), true)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$stateDir/clusters"), true)
+  }
 
   /** The oracle IS the full-corpus cluster oracle: the star-replacement
     * argument above makes the incremental result equal the rebuild. */

@@ -1032,6 +1032,72 @@ class StreamingSpec extends SparkSpec {
       s"docs $a (early batch) and $b (final batch) must share a cluster")
   }
 
+  test("cumulative state compaction: mid-stream fold, continuation equals the rebuild") {
+    // r15 (VERDICT r14 #5): two micro-batches stream cumulatively,
+    // the stream stops, compactClusterState folds state + standing
+    // into a NEW root and truncates stateDir, and a FRESH stream
+    // (new checkpoint, batch ids restarting at 0) against the new
+    // root absorbs the final batch. A known same-cluster odd pair is
+    // split ACROSS the compaction boundary, so the folded artifacts
+    // must carry cross-boundary connectivity; the final table must
+    // frame-equal the from-scratch rebuild over everything.
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft_cpct").toString
+    val root2 = java.nio.file.Files.createTempDirectory("graft_cpct2").toString + "/r2"
+    val state = java.nio.file.Files.createTempDirectory("graft_cpct_s").toString
+    val out1 = java.nio.file.Files.createTempDirectory("graft_cpct_o1").toString + "/out"
+    val out2 = java.nio.file.Files.createTempDirectory("graft_cpct_o2").toString + "/out"
+    val ckpt1 = java.nio.file.Files.createTempDirectory("graft_cpct_c1").toString
+    val ckpt2 = java.nio.file.Files.createTempDirectory("graft_cpct_c2").toString
+    val docs = graft.ops.Core.documents(spark, sf0001)
+    graft.ops.TextDedup.writeClusterAppendArtifacts(spark,
+      docs.filter($"doc_id" % 2 === 0), root)
+    val full = graft.ops.TextDedup.dedupClustersDirect(spark, sf0001)
+      .as[(Long, Long, Long, Boolean)].collect().sorted.toSeq
+    val oddPair = full.groupBy(_._2).values
+      .find(_.count(_._1 % 2 == 1) >= 2)
+    assert(oddPair.nonEmpty, "fixture has no cluster with two odd docs")
+    val b = oddPair.get.filter(_._1 % 2 == 1).map(_._1).max
+    val a = oddPair.get.filter(m => m._1 % 2 == 1 && m._1 != b).map(_._1).head
+    val odd = docs.filter($"doc_id" % 2 === 1)
+      .select($"doc_id", $"text").as[(Long, String)].collect().toSeq
+    val rest = odd.filterNot(_._1 == b)
+    val (c1, c2) = rest.splitAt(rest.size / 2)
+    // pre-compaction stream: batches 1 and 2
+    val src1 = MemoryStream[(Long, String)]
+    val q1 = graft.ops.TextDedup.streamingClusterAppendCumulative(spark,
+      src1.toDF().toDF("doc_id", "text"), root, state, out1, ckpt1)
+    try Seq(c1, c2).foreach { ch => src1.addData(ch: _*); q1.processAllAvailable() }
+    finally q1.stop()
+    val preLast = spark.read.parquet(out1)
+      .agg(max($"batch_id".cast("long"))).first().getLong(0)
+    val preClusters = spark.read.parquet(out1)
+      .filter($"batch_id".cast("long") === preLast).drop("batch_id")
+      .as[(Long, Long, Long, Boolean)].collect().sorted.toSeq
+    graft.ops.TextDedup.compactClusterState(spark, root, state, root2)
+    assert(!graft.ops.Core.pathExists(spark, s"$state/bands") &&
+      !graft.ops.Core.pathExists(spark, s"$state/clusters"),
+      "compaction must truncate the state dir")
+    assert(spark.read.parquet(s"$root2/clusters")
+        .as[(Long, Long, Long, Boolean)].collect().sorted.toSeq == preClusters,
+      "new sidecar must BE the latest pre-compaction cumulative output")
+    // post-compaction stream: fresh checkpoint, batch ids restart at 0,
+    // truncated state — doc b (whose near-dup partner streamed before
+    // the fold) arrives only now
+    val src2 = MemoryStream[(Long, String)]
+    val q2 = graft.ops.TextDedup.streamingClusterAppendCumulative(spark,
+      src2.toDF().toDF("doc_id", "text"), root2, state, out2, ckpt2)
+    try { src2.addData(odd.filter(_._1 == b): _*); q2.processAllAvailable() }
+    finally q2.stop()
+    val got = spark.read.parquet(out2).drop("batch_id")
+      .as[(Long, Long, Long, Boolean)].collect().sorted.toSeq
+    assert(got == full, s"post-compaction stream diverged from the rebuild " +
+      s"(${got.size} vs ${full.size} rows)")
+    val label = got.map(r => r._1 -> r._2).toMap
+    assert(label(a) == label(b),
+      s"docs $a (pre-fold) and $b (post-fold) must share a cluster")
+  }
+
   test("streaming embed cluster append equals the batch append against static artifacts") {
     // r14: the embedding twin of the streaming cluster append — same
     // static-artifacts contract, same idempotent batch_id landing.
