@@ -546,6 +546,29 @@ class SimilaritySpec extends SparkSpec {
     tomb.unpersist()
   }
 
+  test("registered embed cumulative probe: fixture non-vacuous, equals the rebuild") {
+    // r15: the embed cumulative gate's vacuity guard + the equality
+    // its DuckDB oracle pins — some cluster must hold odd vectors
+    // from two different % 4 sub-batches (so a cross-batch VERIFIED
+    // merge genuinely runs), and the probe's last-batch output must
+    // equal the full-corpus rebuild.
+    val dir = "/root/testdata/sf0.01"
+    val full = graft.ops.Components.clusterPairs(
+      Similarity.cosineNearDupPairsDirect(spark, dir),
+      "vec_a", "vec_b", "vec_id")
+      .as[(Long, Long, Long, Boolean)].collect().sorted.toSeq
+    val crossBatch = full.groupBy(_._2).values.exists { members =>
+      members.filter(_._1 % 2 == 1).map(_._1 % 4).distinct.size >= 2
+    }
+    assert(crossBatch,
+      "no cluster holds odd vectors from two different % 4 sub-batches — " +
+        "the cumulative gate would be vacuous")
+    val got = Similarity.embedDedupClustersCumulativeProbe(spark, dir)
+      .as[(Long, Long, Long, Boolean)].collect().sorted.toSeq
+    assert(got == full,
+      s"embed cumulative probe diverged from the rebuild (${got.size} vs ${full.size})")
+  }
+
   test("hi-recall clusters: refine-merge of the 8x4 clusters, no dropped duplicate decision") {
     val hi = Similarity.embedDedupClustersHiRecall(spark, sf0001).cache()
     val reg = Similarity.embedDedupClusters(spark, sf0001).cache()

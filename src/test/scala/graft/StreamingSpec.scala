@@ -1098,6 +1098,63 @@ class StreamingSpec extends SparkSpec {
       s"docs $a (pre-fold) and $b (post-fold) must share a cluster")
   }
 
+  test("cumulative embed stream converges to the rebuild, compaction mid-stream holds") {
+    // r15 (VERDICT r14 missing #4): the embedding twin of the
+    // cumulative text stream — a known same-cluster odd VECTOR pair is
+    // split across micro-batches (provably unjoinable by the
+    // static-artifacts form), streamed cumulatively, then the state is
+    // COMPACTED mid-stream and a fresh stream absorbs the final batch
+    // against the folded artifacts; the final table must frame-equal
+    // the from-scratch rebuild over everything.
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft_ecpct").toString
+    val root2 = java.nio.file.Files.createTempDirectory("graft_ecpct2").toString + "/r2"
+    val state = java.nio.file.Files.createTempDirectory("graft_ecpct_s").toString
+    val out1 = java.nio.file.Files.createTempDirectory("graft_ecpct_o1").toString + "/out"
+    val out2 = java.nio.file.Files.createTempDirectory("graft_ecpct_o2").toString + "/out"
+    val ckpt1 = java.nio.file.Files.createTempDirectory("graft_ecpct_c1").toString
+    val ckpt2 = java.nio.file.Files.createTempDirectory("graft_ecpct_c2").toString
+    val vecs = graft.ops.Core.embeddings(spark, sf0001)
+    graft.ops.Similarity.writeEmbedClusterAppendArtifacts(spark,
+      vecs.filter($"vec_id" % 2 === 0), root)
+    val full = graft.ops.Components.clusterPairs(
+      graft.ops.Similarity.cosineNearDupPairsDirect(spark, sf0001),
+      "vec_a", "vec_b", "vec_id")
+      .as[(Long, Long, Long, Boolean)].collect().sorted.toSeq
+    val oddPair = full.groupBy(_._2).values
+      .find(_.count(_._1 % 2 == 1) >= 2)
+    assert(oddPair.nonEmpty,
+      "fixture has no cluster with two odd vectors — cross-batch merge unexercisable")
+    val b = oddPair.get.filter(_._1 % 2 == 1).map(_._1).max
+    val a = oddPair.get.filter(m => m._1 % 2 == 1 && m._1 != b).map(_._1).head
+    val odd = vecs.filter($"vec_id" % 2 === 1)
+      .select($"vec_id", $"embedding").as[(Long, Seq[Float])].collect().toSeq
+    val rest = odd.filterNot(_._1 == b)
+    val (c1, c2) = rest.splitAt(rest.size / 2)
+    // pre-compaction: two cumulative batches (b's partner is in here)
+    val src1 = MemoryStream[(Long, Seq[Float])]
+    val q1 = graft.ops.Similarity.streamingEmbedClusterAppendCumulative(spark,
+      src1.toDF().toDF("vec_id", "embedding"), root, state, out1, ckpt1)
+    try Seq(c1, c2).foreach { ch => src1.addData(ch: _*); q1.processAllAvailable() }
+    finally q1.stop()
+    graft.ops.Similarity.compactEmbedClusterState(spark, root, state, root2)
+    assert(!graft.ops.Core.pathExists(spark, s"$state/vecs"),
+      "compaction must truncate the vector state")
+    // post-compaction: b arrives alone against the folded artifacts
+    val src2 = MemoryStream[(Long, Seq[Float])]
+    val q2 = graft.ops.Similarity.streamingEmbedClusterAppendCumulative(spark,
+      src2.toDF().toDF("vec_id", "embedding"), root2, state, out2, ckpt2)
+    try { src2.addData(odd.filter(_._1 == b): _*); q2.processAllAvailable() }
+    finally q2.stop()
+    val got = spark.read.parquet(out2).drop("batch_id")
+      .as[(Long, Long, Long, Boolean)].collect().sorted.toSeq
+    assert(got == full, s"cumulative embed stream diverged from the rebuild " +
+      s"(${got.size} vs ${full.size} rows)")
+    val label = got.map(r => r._1 -> r._2).toMap
+    assert(label(a) == label(b),
+      s"vectors $a (pre-fold) and $b (post-fold) must share a cluster")
+  }
+
   test("streaming embed cluster append equals the batch append against static artifacts") {
     // r14: the embedding twin of the streaming cluster append — same
     // static-artifacts contract, same idempotent batch_id landing.
