@@ -2097,8 +2097,9 @@ object Similarity extends QueryModule {
     * registered probe below against [[embedDedupClustersSql]]
     * verbatim). Replay-safe: state writes target only their own
     * batch_id partition, batch N reads strictly batch_id < N.
-    * TOMBSTONES: not evaluated (the star source is prior output);
-    * takedowns compose with the plain streaming form or at rebuild.
+    * TOMBSTONES: not evaluated (the star source is prior output) — a
+    * present tombstone table is rejected fail-fast; takedowns compose
+    * with the plain streaming form or at rebuild.
     * At 100 TB: per-batch cost grows only with accumulated batch BAND
     * and VECTOR state (both orders below a re-band of the corpus),
     * probed through the size-gated key pushdown; state compacts via
@@ -2107,6 +2108,14 @@ object Similarity extends QueryModule {
       batch: DataFrame, batchId: Long, artifactsRoot: String, stateDir: String,
       maxKeyLiterals: Int = TextDedup.probeKeyLiteralMax): DataFrame = {
     import graft.streaming.StreamingPipeline.writeBatchIdempotent
+    // fail fast, not silently-ignore (r15, the text form's guard):
+    // with a tombstone table present, deleted vectors would silently
+    // persist in every emitted cluster table
+    require(!Core.pathExists(spark, s"$artifactsRoot/tombstones"),
+      s"$artifactsRoot carries a tombstone table: appendEmbedClustersCumulative " +
+        "does not evaluate tombstones (its star source is prior output) — " +
+        "use the static-artifacts append form for takedown corpora, or " +
+        "rebuild the standing artifacts over the corpus minus tombstones")
     // every batch-derived frame is CONSUMED REPEATEDLY (two cross
     // probes + verify joins + the state writes; each candidate table
     // feeds the id-pruning collect AND the verify join), so cache the
@@ -2180,6 +2189,12 @@ object Similarity extends QueryModule {
     val edges = crossPrior.foldLeft(crossStanding.union(within).union(star))(_ union _)
     try {
       val out = Components.clusterPairs(edges.distinct(), "vec_a", "vec_b", "vec_id")
+      // state deliberately NOT range-laid (r15 — the text form's
+      // rationale: per-batch range files almost always intersect a
+      // batch-sized probe key set, so there is no skip to buy, while
+      // the range write costs a sampler job + shuffle per table per
+      // micro-batch on the stream's hot path).
+      // [[compactEmbedClusterState]] range-lays the fold instead.
       writeBatchIdempotent(batchKeys, batchId, s"$stateDir/bands")
       writeBatchIdempotent(batchEmb, batchId, s"$stateDir/vecs")
       writeBatchIdempotent(out, batchId, s"$stateDir/clusters")

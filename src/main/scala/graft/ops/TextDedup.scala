@@ -1395,12 +1395,26 @@ object TextDedup extends QueryModule {
     * no text re-read), or by a full [[writeClusterAppendArtifacts]]
     * rebuild when geometry or tombstones demand one. NOTE: this form
     * replays prior batches' own output as its star source and does NOT
-    * evaluate tombstones — takedowns compose with the plain
+    * evaluate tombstones — a present tombstone table is rejected
+    * FAIL-FAST (silent ignore would persist deleted docs in every
+    * output); takedowns compose with the plain
     * [[streamingClusterAppend]] form or at rebuild time. */
   private[graft] def appendClustersCumulative(spark: SparkSession,
       batch: DataFrame, batchId: Long, artifactsRoot: String,
       stateDir: String, maxKeyLiterals: Int = probeKeyLiteralMax): DataFrame = {
     import graft.streaming.StreamingPipeline.writeBatchIdempotent
+    // fail fast, not silently-ignore (r15): this form replays prior
+    // batches' own output as its star source and does NOT evaluate
+    // tombstones — with a tombstone table present, deleted docs would
+    // silently persist in every emitted cluster table (wrong answers,
+    // no error, on the DELETE path). Takedowns compose with the plain
+    // appendClusters/streamingClusterAppend form, or with a full
+    // rebuild over corpus minus tombstones.
+    require(!Core.pathExists(spark, s"$artifactsRoot/tombstones"),
+      s"$artifactsRoot carries a tombstone table: appendClustersCumulative " +
+        "does not evaluate tombstones (its star source is prior output) — " +
+        "use the static-artifacts append form for takedown corpora, or " +
+        "rebuild the standing artifacts over the corpus minus tombstones")
     val (batchBands, release) = minhashBands(batch)
     def crossWith(keyed: DataFrame): DataFrame =
       keyed.select(col("doc_id").as("idx_id"), col("band"), col("bkey"))
@@ -1447,7 +1461,18 @@ object TextDedup extends QueryModule {
       val out = Components.clusterPairs(edges.distinct(), "doc_a", "doc_b", "doc_id")
       // persist this batch's state idempotently (own partitions only):
       // its band table for future batches' cross edges, and its cluster
-      // table as the next batch's star source
+      // table as the next batch's star source. DELIBERATELY not
+      // range-laid: unlike the standing index (one build, many
+      // probes), each batch partition is probed with key sets that are
+      // themselves batch-sized and spread across the keyspace, so
+      // per-batch range files almost always intersect some probed key
+      // (no skip to buy) — while a range write costs a sampler job +
+      // shuffle per micro-batch, pure overhead on the stream's hot
+      // path (r15 A/B attempts at sf0.1 were swamped by host noise,
+      // 6.6-9.4s across identical code; the call rests on the above
+      // asymmetry, which holds at every SF). The accumulated-state
+      // scan term is bounded by [[compactClusterState]] (which DOES
+      // range-lay the fold), not by per-batch layout.
       writeBatchIdempotent(batchBands, batchId, s"$stateDir/bands")
       writeBatchIdempotent(out, batchId, s"$stateDir/clusters")
       out

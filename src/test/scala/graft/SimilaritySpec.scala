@@ -546,6 +546,23 @@ class SimilaritySpec extends SparkSpec {
     tomb.unpersist()
   }
 
+  test("embed cumulative append rejects a tombstoned artifacts root fail-fast") {
+    // r15: mirror of the text guard — silent ignore would persist
+    // deleted vectors in every emitted cluster table
+    val clique = Array.tabulate(64)(_ => 1.0f).toSeq
+    val standing = Seq((2L, clique), (4L, clique)).toDF("vec_id", "embedding")
+    val root = java.nio.file.Files.createTempDirectory("graft_ecff").toString
+    val state = java.nio.file.Files.createTempDirectory("graft_ecff_s").toString
+    Similarity.writeEmbedClusterAppendArtifacts(spark, standing, root)
+    Similarity.writeEmbedClusterTombstones(spark, Seq(2L).toDF("vec_id"), root)
+    val ex = intercept[IllegalArgumentException] {
+      Similarity.appendEmbedClustersCumulative(spark,
+        Seq((7L, clique)).toDF("vec_id", "embedding"), 0L, root, state)
+    }
+    assert(ex.getMessage.contains("tombstone"),
+      s"refusal must name the tombstone table (got: ${ex.getMessage})")
+  }
+
   test("registered embed cumulative probe: fixture non-vacuous, equals the rebuild") {
     // r15: the embed cumulative gate's vacuity guard + the equality
     // its DuckDB oracle pins — some cluster must hold odd vectors

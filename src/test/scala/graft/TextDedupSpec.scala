@@ -601,6 +601,26 @@ class TextDedupSpec extends SparkSpec {
     assert(appended.forall(_._2 == 6L), "surviving member re-elected as hub")
   }
 
+  test("cumulative append rejects a tombstoned artifacts root fail-fast") {
+    // r15: the cumulative form replays prior output as its star source
+    // and cannot evaluate tombstones — silently ignoring a present
+    // tombstone table would persist deleted docs in every emitted
+    // cluster table (a wrong answer on the DELETE path), so it must
+    // refuse loudly instead.
+    val t1 = "the quick brown fox jumps over the lazy dog again and again"
+    val standing = Seq((2L, t1), (4L, t1)).toDF("doc_id", "text")
+    val root = java.nio.file.Files.createTempDirectory("graft_cff").toString
+    val state = java.nio.file.Files.createTempDirectory("graft_cff_s").toString
+    TextDedup.writeClusterAppendArtifacts(spark, standing, root)
+    TextDedup.writeClusterTombstones(spark, Seq(2L).toDF("doc_id"), root)
+    val ex = intercept[IllegalArgumentException] {
+      TextDedup.appendClustersCumulative(spark,
+        Seq((7L, t1)).toDF("doc_id", "text"), 0L, root, state)
+    }
+    assert(ex.getMessage.contains("tombstone"),
+      s"refusal must name the tombstone table (got: ${ex.getMessage})")
+  }
+
   test("registered tombstone probe: fixture non-vacuous, tombstones excluded") {
     // the oracle-gated dedup_clusters_tombstone_probe claims to
     // exercise member exclusion AND hub re-election — prove the
