@@ -2097,25 +2097,37 @@ object Similarity extends QueryModule {
     * registered probe below against [[embedDedupClustersSql]]
     * verbatim). Replay-safe: state writes target only their own
     * batch_id partition, batch N reads strictly batch_id < N.
-    * TOMBSTONES: not evaluated (the star source is prior output) — a
-    * present tombstone table is rejected fail-fast; takedowns compose
-    * with the plain streaming form or at rebuild.
+    * TOMBSTONES: supported with the static form's delete semantics
+    * (standing index filter + first-batch sidecar re-election;
+    * spec-gated frame-equal to the registered single-shot tombstone
+    * probe — the text twin carries the DuckDB gate for this
+    * composition).
     * At 100 TB: per-batch cost grows only with accumulated batch BAND
     * and VECTOR state (both orders below a re-band of the corpus),
     * probed through the size-gated key pushdown; state compacts via
     * [[compactEmbedClusterState]]. */
   private[graft] def appendEmbedClustersCumulative(spark: SparkSession,
       batch: DataFrame, batchId: Long, artifactsRoot: String, stateDir: String,
-      maxKeyLiterals: Int = TextDedup.probeKeyLiteralMax): DataFrame = {
+      maxKeyLiterals: Int = TextDedup.probeKeyLiteralMax,
+      tombstoneTable: Option[DataFrame] = None): DataFrame = {
     import graft.streaming.StreamingPipeline.writeBatchIdempotent
-    // fail fast, not silently-ignore (r15, the text form's guard):
-    // with a tombstone table present, deleted vectors would silently
-    // persist in every emitted cluster table
-    require(!Core.pathExists(spark, s"$artifactsRoot/tombstones"),
-      s"$artifactsRoot carries a tombstone table: appendEmbedClustersCumulative " +
-        "does not evaluate tombstones (its star source is prior output) — " +
-        "use the static-artifacts append form for takedown corpora, or " +
-        "rebuild the standing artifacts over the corpus minus tombstones")
+    // TOMBSTONES (r15): the text cumulative form's semantics verbatim —
+    // filter the STANDING index scan and (first batch only) the
+    // standing sidecar replay with hub re-election; prior-batch state
+    // is already clean (tombstoned standing vectors never entered any
+    // cumulative output) and batch-resident vectors are not filtered,
+    // matching the static form. Spec-gated frame-equal to the
+    // registered single-shot tombstone probe (the text twin carries
+    // the DuckDB gate for this composition; same SQL shape).
+    val tombstones: Option[DataFrame] = tombstoneTable.orElse {
+      if (Core.pathExists(spark, s"$artifactsRoot/tombstones"))
+        Some(spark.read.parquet(s"$artifactsRoot/tombstones"))
+      else None
+    }
+    def dropTombstoned(df: DataFrame): DataFrame = tombstones match {
+      case Some(t) => df.join(broadcast(t), Seq("vec_id"), "left_anti")
+      case None => df
+    }
     // every batch-derived frame is CONSUMED REPEATEDLY (two cross
     // probes + verify joins + the state writes; each candidate table
     // feeds the id-pruning collect AND the verify join), so cache the
@@ -2156,9 +2168,9 @@ object Similarity extends QueryModule {
         .select(col("vec_a"), col("vec_b"))
     }
     val crossStanding = verifiedCross(
-      TextDedup.pruneIndexByProbedKeys(
+      dropTombstoned(TextDedup.pruneIndexByProbedKeys(
         spark.read.parquet(s"$artifactsRoot/bandidx"), batchKeys, "bandkey",
-        maxKeyLiterals),
+        maxKeyLiterals)),
       spark.read.parquet(s"$artifactsRoot/vecs"))
     val crossPrior =
       if (Core.pathExists(spark, s"$stateDir/bands")) {
@@ -2173,17 +2185,33 @@ object Similarity extends QueryModule {
             maxKeyLiterals),
           priorVecs))
       } else None
-    val starSrc =
+    val priorOut: Option[DataFrame] =
       if (Core.pathExists(spark, s"$stateDir/clusters")) {
         val prior = spark.read.parquet(s"$stateDir/clusters")
           .withColumn("batch_id", col("batch_id").cast("long"))
           .filter(col("batch_id") < batchId)
         val last = prior.agg(max(col("batch_id"))).first()
-        if (last.isNullAt(0)) spark.read.parquet(s"$artifactsRoot/clusters")
-        else prior.filter(col("batch_id") === last.getLong(0)).drop("batch_id")
-      } else spark.read.parquet(s"$artifactsRoot/clusters")
-    val star = starSrc.filter(col("vec_id") =!= col("cluster_id"))
-      .select(col("cluster_id").as("vec_a"), col("vec_id").as("vec_b"))
+        if (last.isNullAt(0)) None
+        else Some(prior.filter(col("batch_id") === last.getLong(0)).drop("batch_id"))
+      } else None
+    val star = priorOut match {
+      // prior cumulative output: already tombstone-clean, plain replay
+      case Some(p) => p.filter(col("vec_id") =!= col("cluster_id"))
+        .select(col("cluster_id").as("vec_a"), col("vec_id").as("vec_b"))
+      // first batch: standing sidecar with exclusion + hub re-election
+      case None =>
+        val live = dropTombstoned(spark.read.parquet(s"$artifactsRoot/clusters"))
+        tombstones match {
+          case None => live.filter(col("vec_id") =!= col("cluster_id"))
+            .select(col("cluster_id").as("vec_a"), col("vec_id").as("vec_b"))
+          case Some(_) =>
+            live.join(
+                live.groupBy("cluster_id").agg(min(col("vec_id")).as("hub")),
+                "cluster_id")
+              .filter(col("vec_id") =!= col("hub"))
+              .select(col("hub").as("vec_a"), col("vec_id").as("vec_b"))
+        }
+    }
     val within = cosineNearDupPairsLeanOver(batch, ndThreshold, ndBands, ndRows)
       .select(col("vec_a"), col("vec_b"))
     val edges = crossPrior.foldLeft(crossStanding.union(within).union(star))(_ union _)
@@ -2229,8 +2257,9 @@ object Similarity extends QueryModule {
     * skipping files), the new cluster sidecar is the latest cumulative
     * output verbatim. No embedding is ever re-read from the source or
     * re-hashed. Same fail-fast contracts: fresh newRoot, non-empty
-    * state, no tombstone table (the cumulative form does not evaluate
-    * tombstones — a takedown corpus compacts via
+    * state, no tombstone table (the fold would carry the tombstoned
+    * index rows AND stored vectors into a fresh root with no exclusion
+    * left — a takedown corpus compacts via
     * [[writeEmbedClusterAppendArtifacts]] over corpus minus
     * tombstones, which also physically drops the stored embeddings). */
   def compactEmbedClusterState(spark: SparkSession, artifactsRoot: String,
@@ -2239,9 +2268,12 @@ object Similarity extends QueryModule {
       "compaction must write to a fresh root: the fold reads the old " +
         "artifacts lazily while writing the new ones")
     require(!Core.pathExists(spark, s"$artifactsRoot/tombstones"),
-      s"$artifactsRoot carries a tombstone table: the cumulative state was " +
-        "built without tombstone evaluation — compact a takedown corpus via " +
-        "writeEmbedClusterAppendArtifacts over the corpus minus tombstones")
+      s"$artifactsRoot carries a tombstone table: the cheap fold unions the " +
+        "standing band index AND vector sidecar verbatim (tombstoned rows " +
+        "included — the very embeddings a takedown wants gone) and the fresh " +
+        "root would drop the exclusion; compact a takedown corpus via " +
+        "writeEmbedClusterAppendArtifacts over the corpus minus tombstones " +
+        "(the hard-forget path that also drops the stored vectors)")
     require(Core.pathExists(spark, s"$stateDir/bands") &&
         Core.pathExists(spark, s"$stateDir/vecs") &&
         Core.pathExists(spark, s"$stateDir/clusters"),

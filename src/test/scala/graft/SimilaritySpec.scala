@@ -546,21 +546,36 @@ class SimilaritySpec extends SparkSpec {
     tomb.unpersist()
   }
 
-  test("embed cumulative append rejects a tombstoned artifacts root fail-fast") {
-    // r15: mirror of the text guard — silent ignore would persist
-    // deleted vectors in every emitted cluster table
-    val clique = Array.tabulate(64)(_ => 1.0f).toSeq
-    val standing = Seq((2L, clique), (4L, clique)).toDF("vec_id", "embedding")
-    val root = java.nio.file.Files.createTempDirectory("graft_ecff").toString
-    val state = java.nio.file.Files.createTempDirectory("graft_ecff_s").toString
-    Similarity.writeEmbedClusterAppendArtifacts(spark, standing, root)
-    Similarity.writeEmbedClusterTombstones(spark, Seq(2L).toDF("vec_id"), root)
-    val ex = intercept[IllegalArgumentException] {
-      Similarity.appendEmbedClustersCumulative(spark,
-        Seq((7L, clique)).toDF("vec_id", "embedding"), 0L, root, state)
-    }
-    assert(ex.getMessage.contains("tombstone"),
-      s"refusal must name the tombstone table (got: ${ex.getMessage})")
+  test("embed cumulative append with tombstones equals the single-shot delete semantics") {
+    // r15: the embed twin of the text lifecycle matrix's last cell —
+    // spec-gated at the driver's parity SF (the text twin carries the
+    // DuckDB gate for this composition; the SQL shape is shared).
+    // Standing = even vec_ids, takedown = vec_id % 10 = 4 (the
+    // registered tombstone fixture, proven non-vacuous by its own
+    // spec), odd half split % 4 into two cumulative batches: the
+    // final table must frame-equal the single-shot
+    // append-with-tombstones over all odds.
+    val dir = "/root/testdata/sf0.01"
+    val vecs = graft.ops.Core.embeddings(spark, dir)
+    val root = java.nio.file.Files.createTempDirectory("graft_ectomb").toString
+    val state = java.nio.file.Files.createTempDirectory("graft_ectomb_s").toString
+    Similarity.writeEmbedClusterAppendArtifacts(spark,
+      vecs.filter($"vec_id" % 2 === 0), root)
+    val tomb = Some(vecs.filter($"vec_id" % 10 === 4).select("vec_id"))
+    val odd = vecs.filter($"vec_id" % 2 === 1)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long, Long, Boolean)].collect().sorted.toSeq
+    Similarity.appendEmbedClustersCumulative(spark,
+      odd.filter($"vec_id" % 4 === 1), 0L, root, state, tombstoneTable = tomb)
+    val cumulative = rows(Similarity.appendEmbedClustersCumulative(spark,
+      odd.filter($"vec_id" % 4 === 3), 1L, root, state, tombstoneTable = tomb))
+    val singleShot = rows(
+      Similarity.appendEmbedClusters(spark, odd, root, tombstoneTable = tomb))
+    assert(cumulative == singleShot,
+      s"embed cumulative+tombstones diverged from the single-shot form " +
+        s"(${cumulative.size} vs ${singleShot.size} rows)")
+    assert(cumulative.nonEmpty && !cumulative.exists(_._1 % 10 == 4),
+      "tombstoned vectors must stay excluded")
   }
 
   test("registered embed cumulative probe: fixture non-vacuous, equals the rebuild") {

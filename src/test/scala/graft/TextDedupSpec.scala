@@ -601,24 +601,53 @@ class TextDedupSpec extends SparkSpec {
     assert(appended.forall(_._2 == 6L), "surviving member re-elected as hub")
   }
 
-  test("cumulative append rejects a tombstoned artifacts root fail-fast") {
-    // r15: the cumulative form replays prior output as its star source
-    // and cannot evaluate tombstones — silently ignoring a present
-    // tombstone table would persist deleted docs in every emitted
-    // cluster table (a wrong answer on the DELETE path), so it must
-    // refuse loudly instead.
+  test("cumulative append with tombstones equals the single-shot delete semantics") {
+    // r15: the lifecycle matrix's last cell. Tombstones only change
+    // the STANDING terms (index filter + first-batch sidecar
+    // re-election) — identically in the cumulative and single-shot
+    // forms — so streaming the batches through the stateful form must
+    // land frame-equal to appendClusters over their union, with the
+    // deleted doc excluded everywhere. The tombstone table is read
+    // from the ROOT here (the default path), pinning the Hadoop-FS
+    // read; batch 2 exercises the state-star replay and the filtered
+    // standing cross together.
     val t1 = "the quick brown fox jumps over the lazy dog again and again"
-    val standing = Seq((2L, t1), (4L, t1)).toDF("doc_id", "text")
-    val root = java.nio.file.Files.createTempDirectory("graft_cff").toString
-    val state = java.nio.file.Files.createTempDirectory("graft_cff_s").toString
+    val standing = Seq((2L, t1), (4L, t1), (6L, t1),
+      (8L, "completely different words about databases and storage engines"))
+      .toDF("doc_id", "text")
+    val b1 = Seq((9L, "nothing in common with anything else in this tiny corpus"))
+      .toDF("doc_id", "text")
+    val b2 = Seq((7L, t1)).toDF("doc_id", "text")
+    val root = java.nio.file.Files.createTempDirectory("graft_ctomb").toString
+    val state = java.nio.file.Files.createTempDirectory("graft_ctomb_s").toString
     TextDedup.writeClusterAppendArtifacts(spark, standing, root)
     TextDedup.writeClusterTombstones(spark, Seq(2L).toDF("doc_id"), root)
-    val ex = intercept[IllegalArgumentException] {
-      TextDedup.appendClustersCumulative(spark,
-        Seq((7L, t1)).toDF("doc_id", "text"), 0L, root, state)
-    }
-    assert(ex.getMessage.contains("tombstone"),
-      s"refusal must name the tombstone table (got: ${ex.getMessage})")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long, Long, Boolean)].collect().sorted.toSeq
+    TextDedup.appendClustersCumulative(spark, b1, 0L, root, state)
+    val cumulative = rows(
+      TextDedup.appendClustersCumulative(spark, b2, 1L, root, state))
+    val singleShot = rows(TextDedup.appendClusters(spark, b1.union(b2), root))
+    assert(cumulative == singleShot,
+      s"cumulative+tombstones diverged from the single-shot form " +
+        s"($cumulative vs $singleShot)")
+    assert(!cumulative.exists(_._1 == 2L), "tombstoned doc leaked")
+    assert(cumulative.filter(_._2 == 4L).map(_._1).toSet == Set(4L, 6L, 7L),
+      "late batch doc must join the re-hubbed standing cluster across batches")
+  }
+
+  test("registered cumulative tombstone probe equals the single-shot tombstone probe") {
+    // the oracle claim restated in-process: the two registered probes
+    // ingest the same corpus with the same takedown set, so their
+    // outputs must be frame-equal (their shared DuckDB oracle is
+    // literally the same SQL text)
+    val dir = "/root/testdata/sf0.01"
+    val a = TextDedup.dedupClustersCumulativeTombstoneProbe(spark, dir)
+      .as[(Long, Long, Long, Boolean)].collect().sorted.toSeq
+    val b = TextDedup.dedupClustersTombstoneProbe(spark, dir)
+      .as[(Long, Long, Long, Boolean)].collect().sorted.toSeq
+    assert(a == b, s"probes diverged (${a.size} vs ${b.size} rows)")
+    assert(a.nonEmpty && !a.exists(_._1 % 10 == 4), "tombstones must stay excluded")
   }
 
   test("registered tombstone probe: fixture non-vacuous, tombstones excluded") {
