@@ -2256,8 +2256,8 @@ object Similarity extends QueryModule {
     * (re-range-laid on vec_id so the matched-id pushdown keeps
     * skipping files), the new cluster sidecar is the latest cumulative
     * output verbatim. No embedding is ever re-read from the source or
-    * re-hashed. Same fail-fast contracts: fresh newRoot, non-empty
-    * state, no tombstone table (the fold would carry the tombstoned
+    * re-hashed. Same fail-fast contracts: pairwise-distinct
+    * directories, non-empty state, no tombstone table (the fold would carry the tombstoned
     * index rows AND stored vectors into a fresh root with no exclusion
     * left — a takedown corpus compacts via
     * [[writeEmbedClusterAppendArtifacts]] over corpus minus
@@ -2267,6 +2267,14 @@ object Similarity extends QueryModule {
     require(newRoot != artifactsRoot,
       "compaction must write to a fresh root: the fold reads the old " +
         "artifacts lazily while writing the new ones")
+    // aliasing guards (r15 review, the text fold's rationale): either
+    // aliasing below ends with the truncation deleting live data
+    require(newRoot != stateDir,
+      "newRoot must differ from stateDir: the post-fold state truncation " +
+        "would delete the just-written artifacts")
+    require(stateDir != artifactsRoot,
+      "stateDir must differ from artifactsRoot: the post-fold truncation " +
+        "would delete the standing artifacts themselves")
     require(!Core.pathExists(spark, s"$artifactsRoot/tombstones"),
       s"$artifactsRoot carries a tombstone table: the cheap fold unions the " +
         "standing band index AND vector sidecar verbatim (tombstoned rows " +

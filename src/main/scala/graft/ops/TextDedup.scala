@@ -1553,10 +1553,11 @@ object TextDedup extends QueryModule {
     * rebuild remains the path that re-picks banding geometry or
     * hard-forgets tombstones.
     *
-    * CONTRACTS enforced fail-fast: `newRoot` must differ from
-    * `artifactsRoot` (the fold reads the old index lazily while
-    * writing the new one — an in-place overwrite would truncate its
-    * own source); the state must be non-empty (an empty fold is a
+    * CONTRACTS enforced fail-fast: the three directories must be
+    * pairwise DISTINCT (the fold reads the old index lazily while
+    * writing the new one, and the closing state truncation would
+    * otherwise delete the just-written artifacts or the standing
+    * sidecar itself); the state must be non-empty (an empty fold is a
     * no-op the caller should skip); and `artifactsRoot` must carry NO
     * tombstone table — the cheap fold unions the standing band index
     * VERBATIM, which still holds the tombstoned docs' index rows, and
@@ -1574,6 +1575,16 @@ object TextDedup extends QueryModule {
       "compaction must write to a fresh root: the fold reads the old band " +
         "index lazily while writing the new one — an in-place overwrite " +
         "would truncate its own source mid-scan")
+    // the other two aliasing cases are just as destructive (r15 review):
+    // newRoot == stateDir would write newRoot/clusters and then TRUNCATE
+    // it in the state cleanup below; stateDir == artifactsRoot would
+    // read the STANDING sidecar as "state" and then delete it
+    require(newRoot != stateDir,
+      "newRoot must differ from stateDir: the post-fold state truncation " +
+        "would delete the just-written artifacts")
+    require(stateDir != artifactsRoot,
+      "stateDir must differ from artifactsRoot: the post-fold truncation " +
+        "would delete the standing artifacts themselves")
     require(!Core.pathExists(spark, s"$artifactsRoot/tombstones"),
       s"$artifactsRoot carries a tombstone table: the cheap fold unions the " +
         "standing band index verbatim (tombstoned index rows included) and " +

@@ -578,6 +578,15 @@ class SimilaritySpec extends SparkSpec {
       "tombstoned vectors must stay excluded")
   }
 
+  test("embed compaction refuses aliased directories fail-fast") {
+    // r15 review: the text fold's aliasing guards, mirrored
+    val r = "/tmp/graft_ealias/root"; val s = "/tmp/graft_ealias/state"
+    def refuse(f: => Unit) = intercept[IllegalArgumentException](f)
+    refuse(Similarity.compactEmbedClusterState(spark, r, s, r))
+    refuse(Similarity.compactEmbedClusterState(spark, r, s, s))
+    refuse(Similarity.compactEmbedClusterState(spark, r, r, "/tmp/graft_ealias/n"))
+  }
+
   test("registered embed cumulative probe: fixture non-vacuous, equals the rebuild") {
     // r15: the embed cumulative gate's vacuity guard + the equality
     // its DuckDB oracle pins — some cluster must hold odd vectors

@@ -650,6 +650,19 @@ class TextDedupSpec extends SparkSpec {
     assert(a.nonEmpty && !a.exists(_._1 % 10 == 4), "tombstones must stay excluded")
   }
 
+  test("compaction refuses aliased directories fail-fast") {
+    // r15 review: compaction's closing truncation deletes
+    // stateDir/{bands,clusters} — with newRoot == stateDir that is the
+    // just-written output, with stateDir == artifactsRoot it is the
+    // standing sidecar itself. All three aliasings must refuse before
+    // any IO.
+    val r = "/tmp/graft_alias/root"; val s = "/tmp/graft_alias/state"
+    def refuse(f: => Unit) = intercept[IllegalArgumentException](f)
+    refuse(TextDedup.compactClusterState(spark, r, s, r))
+    refuse(TextDedup.compactClusterState(spark, r, s, s))
+    refuse(TextDedup.compactClusterState(spark, r, r, "/tmp/graft_alias/n"))
+  }
+
   test("registered tombstone probe: fixture non-vacuous, tombstones excluded") {
     // the oracle-gated dedup_clusters_tombstone_probe claims to
     // exercise member exclusion AND hub re-election — prove the
