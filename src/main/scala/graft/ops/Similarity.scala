@@ -1722,8 +1722,10 @@ object Similarity extends QueryModule {
     * cost (QBench cold-JVM reps at sf0.1): 12.80/11.30/10.81s with
     * the r6-r8 direct pair shape; 10.04/8.76/7.59s after the r9 lean
     * switch — the pair materialization (paid ONCE into clusterPairs'
-    * localCheckpoint) dropped with the 2.1x pair win while the ~4s
-    * min-label propagation is unchanged.
+    * localCheckpoint) dropped with the 2.1x pair win; the ~4s
+    * min-label propagation that remained is gone since the r15 size
+    * gate (steady state 0.85s: the pair generator's train-once
+    * sidecar read plus a driver-local union-find).
     * Since r8 the pair generator is tier-adaptive ([[ndHiRows]]):
     * the containment-vs-8x4 guarantee is a property of the 16x2 tier
     * (band refinement needs the same plane set), which is exactly the
@@ -1856,9 +1858,14 @@ object Similarity extends QueryModule {
       root: String,
       maxKeyLiterals: Int = TextDedup.probeKeyLiteralMax,
       tombstoneTable: Option[DataFrame] = None): DataFrame = {
+    // both batch projections are consumed repeatedly (index prune +
+    // cross join + within-batch candidates for the keys; cross verify
+    // + two within verify joins for the vectors) — cache and release
+    // after the eager components loop, like crossCand below (r15:
+    // uncached, the per-vector plane projection re-ran per consumer)
     val batchEmb = batch.select(col("vec_id"), col("embedding"),
-      sqrt(dot(col("embedding"), col("embedding"))).as("norm"))
-    val batchKeys = embedFlatKeys(batch)
+      sqrt(dot(col("embedding"), col("embedding"))).as("norm")).cache()
+    val batchKeys = embedFlatKeys(batch).cache()
     // tombstones: the text family's delete semantics ported verbatim
     // (r15, VERDICT r14 #4) — standing root's table by default, an
     // explicit table for takedown-against-immutable-snapshot; dropped
@@ -1904,8 +1911,7 @@ object Similarity extends QueryModule {
         (dot(col("ea"), col("eb")) / (col("na") * col("nb"))).as("cosine"))
       .filter(col("cosine") >= ndThreshold)
       .select(col("vec_a"), col("vec_b"))
-    val within = cosineNearDupPairsLeanOver(batch, ndThreshold, ndBands, ndRows)
-      .select(col("vec_a"), col("vec_b"))
+    val within = withinBatchVerifiedPairs(batchKeys, batchEmb)
     // sidecar replay: without tombstones the hub IS cluster_id (the
     // min member); with tombstones the hub re-elects among live
     // members so a deleted hub doesn't anchor its old cluster (the
@@ -1924,7 +1930,37 @@ object Similarity extends QueryModule {
     }
     try Components.clusterPairs(
       cross.union(within).union(star).distinct(), "vec_a", "vec_b", "vec_id")
-    finally { crossCand.unpersist(); () } // loop is eager: result checkpoint-rooted
+    finally { // loop is eager: result checkpoint-rooted
+      crossCand.unpersist(); batchKeys.unpersist(); batchEmb.unpersist(); ()
+    }
+  }
+
+  /** Within-batch verified near-dup pairs derived from the batch's
+    * ALREADY-computed flat-key and norm frames (r15) — replaces a
+    * [[cosineNearDupPairsLeanOver]] call inside the append paths,
+    * which re-ran the per-vector plane projection and norm pass the
+    * caller had just cached. Provably the same pair set: the flat key
+    * band * 2^rows + bkey is injective in (band, bkey), so grouping
+    * by it groups exactly like the lean generator's (band, bkey)
+    * equi-join, and the cosine verify is the same expression over the
+    * same (a < b)-ordered ids. The lean form's terminal duplicate-id
+    * dedup is subsumed by the candidate distinct here plus the
+    * edges.distinct() both appends apply before the components loop. */
+  private def withinBatchVerifiedPairs(batchKeys: DataFrame,
+      batchEmb: DataFrame): DataFrame = {
+    val cand = batchKeys.select(col("vec_id").as("vec_a"), col("bandkey"))
+      .join(batchKeys.select(col("vec_id").as("vec_b"), col("bandkey")), Seq("bandkey"))
+      .filter(col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b")).distinct()
+    cand
+      .join(batchEmb.select(col("vec_id").as("vec_a"),
+        col("embedding").as("ea"), col("norm").as("na")), "vec_a")
+      .join(batchEmb.select(col("vec_id").as("vec_b"),
+        col("embedding").as("eb"), col("norm").as("nb")), "vec_b")
+      .select(col("vec_a"), col("vec_b"),
+        (dot(col("ea"), col("eb")) / (col("na") * col("nb"))).as("cosine"))
+      .filter(col("cosine") >= ndThreshold)
+      .select(col("vec_a"), col("vec_b"))
   }
 
   /** REGISTERED end-to-end exercise of the semantic cluster append
@@ -1934,10 +1970,11 @@ object Similarity extends QueryModule {
     * oracle (star replacement makes the incremental result equal the
     * rebuild). Spec-asserted frame-equal to the direct 8x4 rebuild;
     * hash-green at sf0.01 (66 rows) and sf0.1 (884 rows). QBench
-    * cold-JVM sf0.1: [7.41, 3.44, 2.66]s — rep0 carries the one-time
-    * standing build (index + vector sidecar + cluster loop); the
-    * steady-state probe removes the accumulated corpus's band/verify
-    * pass, the term that grows with corpus size. */
+    * cold-JVM sf0.1: [4.69, 2.35, 2.71]s (r15; pre-gate
+    * [7.41, 3.44, 2.66]) — rep0 carries the one-time standing build
+    * (index + vector sidecar + cluster pass); the steady-state probe
+    * removes the accumulated corpus's band/verify pass, the term that
+    * grows with corpus size. */
   def embedDedupClustersAppendProbe(spark: SparkSession, dir: String): DataFrame = {
     val root = ProbeTemp.dir("embed_clusters_append", dir) { d =>
       writeEmbedClusterAppendArtifacts(spark,
@@ -1984,9 +2021,10 @@ object Similarity extends QueryModule {
     * artifacts stay untouched; the parquet tombstone round-trip is
     * spec-covered via [[writeEmbedClusterTombstones]]. Hash-green at
     * sf0.01 (51 rows) and sf0.1 (713 rows). QBench cold-JVM sf0.1:
-    * [7.93, 3.75, 3.58]s — rep0 carries the shared standing build;
-    * steady state is the append probe's cost plus the broadcast
-    * anti-joins and the sidecar-sized hub re-election min-agg. */
+    * [6.69, 3.33, 3.06]s (r15; pre-gate [7.93, 3.75, 3.58]) — rep0
+    * carries the shared standing build; steady state is the append
+    * probe's cost plus the broadcast anti-joins and the sidecar-sized
+    * hub re-election min-agg. */
   def embedDedupClustersTombstoneProbe(spark: SparkSession, dir: String): DataFrame = {
     val root = ProbeTemp.dir("embed_clusters_append", dir) { d =>
       writeEmbedClusterAppendArtifacts(spark,
@@ -2132,11 +2170,12 @@ object Similarity extends QueryModule {
     // probes + verify joins + the state writes; each candidate table
     // feeds the id-pruning collect AND the verify join), so cache the
     // batch projections and each candidate set, releasing after the
-    // eager components loop — uncached, the per-vector banding and the
+    // eager components pass — uncached, the per-vector banding and the
     // banded joins re-ran per consumer (QBench A/B on the registered
-    // probe at sf0.1: steady 10.15 -> 7.75s; the remaining floor is
-    // the two components loops themselves plus the per-batch state
-    // round-trips, which caching cannot remove)
+    // probe at sf0.1: steady 10.15 -> 7.75s; with the r15 size-gated
+    // local clustering and the within-batch pair reuse the steady
+    // state is ~5.7s, now dominated by the per-batch generator and
+    // the three state round-trips per batch)
     val caches = scala.collection.mutable.ListBuffer.empty[DataFrame]
     def cached(df: DataFrame): DataFrame = { df.cache(); caches += df; df }
     val batchEmb = cached(batch.select(col("vec_id"), col("embedding"),
@@ -2212,8 +2251,7 @@ object Similarity extends QueryModule {
               .select(col("hub").as("vec_a"), col("vec_id").as("vec_b"))
         }
     }
-    val within = cosineNearDupPairsLeanOver(batch, ndThreshold, ndBands, ndRows)
-      .select(col("vec_a"), col("vec_b"))
+    val within = withinBatchVerifiedPairs(batchKeys, batchEmb)
     val edges = crossPrior.foldLeft(crossStanding.union(within).union(star))(_ union _)
     try {
       val out = Components.clusterPairs(edges.distinct(), "vec_a", "vec_b", "vec_id")
@@ -2320,15 +2358,18 @@ object Similarity extends QueryModule {
     * end-to-end. Two sub-batches (not the text probe's three) because
     * every state path is already exercised by batch 2 — prior-bands
     * cross, prior-VECS cosine verify, state-star replay — while each
-    * extra batch costs a full components loop (the embed loop is ~2x
-    * the text one's; three batches QBenched at [18.9, 16.7, 12.8]s vs
-    * two at the number below); the >2-batch inductive step is
+    * extra batch costs a full per-batch pass (generator + probes +
+    * state writes; three batches QBenched at [18.9, 16.7, 12.8]s
+    * pre-gate vs two at the number below); the >2-batch inductive step is
     * spec-gated by the streaming compaction test instead. Hash-green
     * at sf0.01 (66 rows) and sf0.1 (884 rows). QBench cold-JVM sf0.1:
-    * [12.61, 8.74, 8.41, 7.75]s — rep0 carries the shared standing
-    * build; the ~8s steady state is two full components loops (one
-    * per replayed batch) plus the per-batch state round-trips, the
-    * honest cost of replaying a 2-batch stream at this SF. */
+    * [8.99, 7.26, 5.75]s (r15; pre-gate [12.61, 8.74, 8.41, 7.75]) —
+    * rep0 carries the shared standing build; steady state is two
+    * per-batch passes (banding + verified probes + the size-gated
+    * local clustering, with [[withinBatchVerifiedPairs]] reusing the
+    * cached batch projections) plus three state round-trips per
+    * batch, the honest cost of replaying a 2-batch stream at this
+    * SF. */
   def embedDedupClustersCumulativeProbe(spark: SparkSession, dir: String): DataFrame = {
     val root = ProbeTemp.dir("embed_clusters_append", dir) { d =>
       writeEmbedClusterAppendArtifacts(spark,

@@ -1175,15 +1175,14 @@ object TextDedup extends QueryModule {
     * batch-and-cluster-sized edges — the accumulated corpus's TEXT is
     * never re-read and never re-banded. Full rebuild remains the
     * periodic compaction step, exactly like the IVF append's retrain.
-    * QBench cold-JVM sf0.1: [4.51, 1.94, 1.88]s — rep0 carries the
-    * one-time standing build; the ~1.9s steady-state probe is
-    * LOOP-dominated at this SF (the components run over clustered docs
-    * is common to both paths and this corpus's banding is cheap), so
-    * the wall-clock gap vs the ~1.4s rebuild is small HERE — the term
-    * the append removes is the accumulated-corpus sketch/band pass,
-    * which grows with corpus size while batch, index-hit and cluster
-    * volumes stay bounded; at fixture scale that term is minor by
-    * construction. */
+    * QBench cold-JVM sf0.1: [3.46, 1.55, 1.50]s (r15; pre-gate
+    * [4.51, 1.94, 1.88]) — rep0 carries the one-time standing build.
+    * The steady state was LOOP-dominated at this SF until the r15
+    * size gate moved batch-scale graphs onto the driver-local
+    * union-find; what remains is the batch band/probe pass plus the
+    * gated collect. The term the append removes vs the rebuild is the
+    * accumulated-corpus sketch/band pass, which grows with corpus
+    * size while batch, index-hit and cluster volumes stay bounded. */
   def dedupClustersAppendProbe(spark: SparkSession, dir: String): DataFrame = {
     val root = ProbeTemp.dir("dedup_clusters_append", dir) { d =>
       writeClusterAppendArtifacts(spark,
@@ -1636,11 +1635,12 @@ object TextDedup extends QueryModule {
     * is non-vacuous). stateDir is a per-invocation scratch dir (swept
     * at JVM exit), NEVER memoized: a shared stateDir across two live
     * invocations would interleave their partitions. QBench cold-JVM
-    * sf0.1: [8.73, 7.43, 6.61]s — rep0 carries the shared standing
-    * build; steady state is THREE sequential components loops (one per
-    * sub-batch, the honest cost of replaying a 3-batch stream), each
-    * ~the append probe's ~1.9s loop floor at this SF, plus the
-    * per-batch state round-trips. */
+    * sf0.1: [6.90, 5.87, 4.72]s (r15; pre-gate [8.73, 7.43, 6.61]) —
+    * rep0 carries the shared standing build; steady state is three
+    * sequential per-batch passes (band generation, standing + prior
+    * probes, the size-gated local clustering) plus two state
+    * round-trips per batch — the honest cost of replaying a 3-batch
+    * stream. */
   def dedupClustersCumulativeProbe(spark: SparkSession, dir: String): DataFrame = {
     val root = ProbeTemp.dir("dedup_clusters_append", dir) { d =>
       writeClusterAppendArtifacts(spark,
@@ -1675,9 +1675,10 @@ object TextDedup extends QueryModule {
     * and the oracle is [[dedupClustersTombstoneProbeSql]] VERBATIM:
     * one DuckDB hash match pins exclusion, re-election, AND the
     * cross-batch merge. Hash-green at sf0.01 (48 rows) and sf0.1
-    * (703 rows). QBench cold-JVM sf0.1: [9.19, 5.84, 5.61]s — rep0
-    * carries the shared standing build; steady state is two
-    * components loops plus state round-trips. */
+    * (703 rows). QBench cold-JVM sf0.1: [6.16, 3.87, 3.70]s (r15;
+    * pre-gate [9.19, 5.84, 5.61]) — rep0 carries the shared standing
+    * build; steady state is two per-batch passes (size-gated local
+    * clustering) plus state round-trips. */
   def dedupClustersCumulativeTombstoneProbe(spark: SparkSession, dir: String): DataFrame = {
     val root = ProbeTemp.dir("dedup_clusters_append", dir) { d =>
       writeClusterAppendArtifacts(spark,

@@ -20,7 +20,9 @@ class ComponentsSpec extends SparkSpec {
     val n = 10000
     val pairs = spark.range(0, n - 1).toDF("a")
       .select(col("a"), (col("a") + 1).as("b"))
-    val (out, rounds) = Components.clusterPairsCounted(pairs, "a", "b", "node_id")
+    // localEdgeGate = 0: this test pins the DISTRIBUTED loop's round
+    // bound, so the size gate must not short-circuit it
+    val (out, rounds) = Components.clusterPairsCounted(pairs, "a", "b", "node_id", None, 0L)
     val bound = 2 * math.ceil(math.log(n) / math.log(2)).toInt + 1
     info(s"path graph n=$n converged in $rounds rounds (bound $bound, propagation alone: ${n - 1})")
     assert(rounds <= bound, s"expected <= $bound rounds, got $rounds")
@@ -38,7 +40,7 @@ class ComponentsSpec extends SparkSpec {
     val pairs = members.flatMap(m =>
       for (a <- m; b <- m if a < b) yield (a, b))
     val df = spark.createDataFrame(pairs).toDF("a", "b")
-    val (out, rounds) = Components.clusterPairsCounted(df, "a", "b", "node_id")
+    val (out, rounds) = Components.clusterPairsCounted(df, "a", "b", "node_id", None, 0L)
     info(s"clique graph converged in $rounds rounds")
     assert(rounds <= 3, s"cliques must converge in <= 3 rounds, got $rounds")
     val got = out.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
@@ -46,6 +48,41 @@ class ComponentsSpec extends SparkSpec {
     val want = members.flatMap(m =>
       m.map(id => (id, m.min, m.size.toLong, id == m.min))).sortBy(_._1)
     assert(got.toSeq == want)
+  }
+
+  test("size-gated local union-find: frame-equal to the distributed loop, gate boundary exact") {
+    // r15: below DefaultLocalEdgeGate directed edges the kernel runs a
+    // driver-local union-find (rounds = 0) instead of the distributed
+    // loop — the per-micro-batch regime, where the loop's cost is pure
+    // scheduler round-trips. This pins (a) exact frame equality on a
+    // MIXED graph (a path, two cliques, a star share one edge list —
+    // chain, dense, and skew shapes at once), (b) the gate boundary:
+    // gate = |E| takes the local path, gate = |E| - 1 the loop, and
+    // (c) the Int-id cast round-trip (the local path collects as Long
+    // and must hand back the union-coerced input type).
+    val path = (1000L until 1050L).map(i => (i, i + 1))
+    val cliques = Seq(0L until 6L, 200L until 210L).flatMap(m =>
+      for (a <- m; b <- m if a < b) yield (a, b))
+    val star = (300L until 340L).map(i => (299L, i))
+    val pairs = spark.createDataFrame(
+      scala.util.Random.shuffle(path ++ cliques ++ star)).toDF("a", "b")
+    val nEdges = pairs.count()
+    val (local, lRounds) = Components.clusterPairsCounted(pairs, "a", "b", "node_id", None, nEdges)
+    assert(lRounds == 0, s"gate = |E| must take the local path, got $lRounds rounds")
+    val (dist, dRounds) = Components.clusterPairsCounted(pairs, "a", "b", "node_id", None, nEdges - 1)
+    assert(dRounds > 0, s"gate = |E| - 1 must take the distributed loop")
+    def snap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3))).sorted.toSeq
+    assert(snap(local) == snap(dist), "local union-find must equal the distributed loop")
+    // Int-typed ids: output comes back Int (the coerced input type)
+    val intPairs = pairs.select(col("a").cast("int").as("a"), col("b").cast("int").as("b"))
+    val (ilocal, iRounds) = Components.clusterPairsCounted(intPairs, "a", "b", "node_id")
+    assert(iRounds == 0)
+    assert(ilocal.schema("node_id").dataType == org.apache.spark.sql.types.IntegerType)
+    assert(ilocal.schema("cluster_id").dataType == org.apache.spark.sql.types.IntegerType)
+    val igot = ilocal.collect()
+      .map(r => (r.getInt(0).toLong, r.getInt(1).toLong, r.getLong(2), r.getBoolean(3))).sorted.toSeq
+    assert(igot == snap(dist), "Int-id local path must cluster identically")
   }
 
   test("empty pair set: one round, empty cluster frame (r11 NPE regression)") {
@@ -56,9 +93,14 @@ class ComponentsSpec extends SparkSpec {
     // null coalesced to zero, both sums are 0 and the loop converges
     // immediately to the (correct) empty result.
     val empty = spark.range(0).select(col("id").as("a"), col("id").as("b"))
-    val (out, rounds) = Components.clusterPairsCounted(empty, "a", "b", "node_id")
+    val (out, rounds) = Components.clusterPairsCounted(empty, "a", "b", "node_id", None, 0L)
     assert(out.count() == 0L)
     assert(rounds == 1, s"empty input must converge on round 1, got $rounds")
+    // the size-gated local path handles the empty graph too: zero
+    // nodes, an empty frame with the contract schema, rounds = 0
+    val (lout, lrounds) = Components.clusterPairsCounted(empty, "a", "b", "node_id")
+    assert(lout.count() == 0L && lrounds == 0)
+    assert(lout.columns.toSeq == Seq("node_id", "cluster_id", "cluster_size", "is_survivor"))
   }
 
   test("50k-leaf star: maximum key skew converges in constant rounds, exact") {
@@ -78,7 +120,7 @@ class ComponentsSpec extends SparkSpec {
       .filter(col("leaf") =!= hub)
       .select(least(col("leaf"), lit(hub)).as("a"),
         greatest(col("leaf"), lit(hub)).as("b"))
-    val (out, rounds) = Components.clusterPairsCounted(pairs, "a", "b", "node_id")
+    val (out, rounds) = Components.clusterPairsCounted(pairs, "a", "b", "node_id", None, 0L)
     info(s"star graph n=${n + 1} converged in $rounds rounds")
     assert(rounds <= 3, s"star (diameter 2) must converge in <= 3 rounds, got $rounds")
     val agg = out.agg(
@@ -102,7 +144,9 @@ class ComponentsSpec extends SparkSpec {
       .select(col("a"), (col("a") + 1).as("b"))
     val dir = java.nio.file.Files.createTempDirectory("graft_reliable").toString
     val (out, rounds) = Components.clusterPairsCounted(pairs, "a", "b", "node_id", Some(dir))
-    val (ref, refRounds) = Components.clusterPairsCounted(pairs, "a", "b", "node_id")
+    // ref must take the distributed loop (gate 0) for the round-count
+    // comparison to mean anything; reliable mode never takes the gate
+    val (ref, refRounds) = Components.clusterPairsCounted(pairs, "a", "b", "node_id", None, 0L)
     assert(rounds == refRounds,
       s"reliable mode must not change convergence: $rounds vs $refRounds")
     val got = out.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3))).sorted
