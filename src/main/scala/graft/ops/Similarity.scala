@@ -2385,6 +2385,44 @@ object Similarity extends QueryModule {
 
   val embedDedupClustersCumulativeProbeSql: String = embedDedupClustersSql
 
+  /** REGISTERED composition of the embed cumulative stream with the
+    * DELETE path (r15) — [[TextDedup.dedupClustersCumulativeTombstoneProbe]]'s
+    * embedding twin, completing the lifecycle matrix's last asymmetric
+    * cell (the composition was spec-gated frame-equal at sf0.001 but
+    * carried no DuckDB row): standing even-vec_id artifacts (shared
+    * build), every vec_id % 10 = 4 tombstoned (the tombstone probe's
+    * exact fixture, spec-proven non-vacuous), the odd half fed as TWO
+    * sequential sub-batches (vec_id % 4 ∈ {1,3} — a complete partition
+    * of the odd ids, so the ingested corpus is identical to the
+    * single-shot tombstone probe's). Tombstones only change the
+    * STANDING terms — identically in the cumulative and single-shot
+    * forms — so the final output equals [[embedDedupClustersTombstoneProbe]]
+    * and the oracle is [[embedDedupClustersTombstoneProbeSql]]
+    * VERBATIM: one DuckDB hash match pins exclusion, re-election, AND
+    * the cross-batch verified merge. The takedown table is passed
+    * explicitly per batch (immutable shared artifacts, the production
+    * shape); stateDir is per-invocation scratch, never memoized. */
+  def embedDedupClustersCumulativeTombstoneProbe(spark: SparkSession,
+      dir: String): DataFrame = {
+    val root = ProbeTemp.dir("embed_clusters_append", dir) { d =>
+      writeEmbedClusterAppendArtifacts(spark,
+        Core.embeddings(spark, dir).filter(col("vec_id") % 2 === 0), d)
+    }
+    val stateDir = ProbeTemp.scratch("eclu_tomb_state")
+    val vecs = Core.embeddings(spark, dir)
+    val tomb = Some(vecs.filter(col("vec_id") % 10 === 4).select("vec_id"))
+    val odd = vecs.filter(col("vec_id") % 2 === 1)
+    Seq(1, 3).zipWithIndex.map { case (m, i) =>
+      appendEmbedClustersCumulative(spark, odd.filter(col("vec_id") % 4 === m),
+        i.toLong, root, stateDir, tombstoneTable = tomb)
+    }.last
+  }
+
+  // def, not val: the aliased SQL is declared earlier in this object
+  // but keep the text twin's idiom (and its ordering robustness)
+  def embedDedupClustersCumulativeTombstoneProbeSql: String =
+    embedDedupClustersTombstoneProbeSql
+
   override def queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "embed_cosine_topk" -> (cosineTopK _),
     "embed_knn_label" -> (knnLabelPropagation _),
@@ -2405,6 +2443,7 @@ object Similarity extends QueryModule {
     "embed_dedup_clusters_append_probe" -> (embedDedupClustersAppendProbe _),
     "embed_dedup_clusters_tombstone_probe" -> (embedDedupClustersTombstoneProbe _),
     "embed_dedup_clusters_cumulative_probe" -> (embedDedupClustersCumulativeProbe _),
+    "embed_dedup_clusters_cumulative_tombstone_probe" -> (embedDedupClustersCumulativeTombstoneProbe _),
     "embed_dedup_clusters_hirecall" -> (embedDedupClustersHiRecall _),
     "embed_dedup_clusters_strict" -> (embedDedupClustersStrict _),
     "diversity_sample" -> (diversitySample _))
@@ -2429,6 +2468,7 @@ object Similarity extends QueryModule {
     "embed_dedup_clusters_append_probe" -> embedDedupClustersAppendProbeSql,
     "embed_dedup_clusters_tombstone_probe" -> embedDedupClustersTombstoneProbeSql,
     "embed_dedup_clusters_cumulative_probe" -> embedDedupClustersCumulativeProbeSql,
+    "embed_dedup_clusters_cumulative_tombstone_probe" -> embedDedupClustersCumulativeTombstoneProbeSql,
     "embed_dedup_clusters_hirecall" -> embedDedupClustersHiRecallSql,
     "embed_dedup_clusters_strict" -> embedDedupClustersStrictSql,
     "diversity_sample" -> diversitySampleSql)
