@@ -141,6 +141,60 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("components: local union-find equals the distributed loop on generated graphs") {
+    // r15: the size-gated driver-local path must be INDISTINGUISHABLE
+    // from the distributed min-label loop on any edge list, not just
+    // the four hand-shaped graphs ComponentsSpec pins. Generated
+    // graphs: random edges over a sparse id space (forcing multi-node
+    // components, singles-with-self-loops, and id gaps), including
+    // duplicate and reversed edges. Reference: a pure-Scala BFS over
+    // the adjacency map — independent of BOTH engine paths.
+    val edgeGen = for {
+      n <- Gen.choose(2, 60)           // id space
+      m <- Gen.choose(1, 120)          // edge count
+      es <- Gen.listOfN(m, for {
+        a <- Gen.choose(0L, n.toLong)
+        b <- Gen.choose(0L, n.toLong)
+      } yield (a, b))
+    } yield es
+    samples(edgeGen, 12).zipWithIndex.foreach { case (es, i) =>
+      val df = es.toDF("a", "b")
+      val (local, lRounds) =
+        graft.ops.Components.clusterPairsCounted(df, "a", "b", "node_id")
+      assert(lRounds == 0, s"graph $i must take the local path")
+      val (dist, dRounds) =
+        graft.ops.Components.clusterPairsCounted(df, "a", "b", "node_id", None, 0L)
+      assert(dRounds > 0, s"graph $i must loop with the gate off")
+      def snap(x: org.apache.spark.sql.DataFrame) = x.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+        .sorted.toSeq
+      val (l, d) = (snap(local), snap(dist))
+      assert(l == d, s"graph $i: local vs distributed diverged\n$es")
+      // independent reference: BFS components, min-member election
+      val adj = scala.collection.mutable.Map.empty[Long, scala.collection.mutable.Set[Long]]
+      es.foreach { case (a, b) =>
+        adj.getOrElseUpdate(a, scala.collection.mutable.Set(a)).add(b)
+        adj.getOrElseUpdate(b, scala.collection.mutable.Set(b)).add(a)
+      }
+      val seen = scala.collection.mutable.Set.empty[Long]
+      val ref = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Boolean)]
+      adj.keys.toSeq.sorted.foreach { start =>
+        if (!seen.contains(start)) {
+          val comp = scala.collection.mutable.Set(start)
+          val queue = scala.collection.mutable.Queue(start)
+          while (queue.nonEmpty) {
+            adj(queue.dequeue()).foreach(nb =>
+              if (comp.add(nb)) queue.enqueue(nb))
+          }
+          seen ++= comp
+          val hub = comp.min
+          comp.foreach(id => ref += ((id, hub, comp.size.toLong, id == hub)))
+        }
+      }
+      assert(l == ref.sorted.toSeq, s"graph $i: engine vs BFS reference diverged\n$es")
+    }
+  }
+
   test("min-max normalization maps into [0,1] under the reference epsilon bump") {
     samples(Gen.nonEmptyListOf(Gen.choose(-1000.0, 1000.0)), 50).foreach { xs =>
       val mn = xs.min
