@@ -1032,6 +1032,55 @@ class StreamingSpec extends SparkSpec {
       s"docs $a (early batch) and $b (final batch) must share a cluster")
   }
 
+  test("cumulative append replay: same batch re-run rewrites only itself, stream still converges") {
+    // r15: pins appendClustersCumulative's documented replay contract —
+    // foreachBatch re-delivers a failed micro-batch with the SAME
+    // batchId, so the function must (a) read exactly the state it read
+    // the first time (the batch_id < N filter), (b) emit the identical
+    // cluster table, (c) rewrite only its own state partitions, and
+    // (d) leave the stream able to continue to the correct fixpoint.
+    // Exercised at the function level (the streaming wrapper adds only
+    // the sink, whose idempotency has its own spec).
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft_rply").toString
+    val state = java.nio.file.Files.createTempDirectory("graft_rply_s").toString
+    val docs = graft.ops.Core.documents(spark, sf0001)
+    graft.ops.TextDedup.writeClusterAppendArtifacts(spark,
+      docs.filter($"doc_id" % 2 === 0), root)
+    val odd = docs.filter($"doc_id" % 2 === 1)
+    def snap(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long, Long, Boolean)].collect().sorted.toSeq
+    def stateBatches(sub: String): Seq[Long] =
+      spark.read.parquet(s"$state/$sub")
+        .select($"batch_id".cast("long")).distinct()
+        .as[Long].collect().sorted.toSeq
+    graft.ops.TextDedup.appendClustersCumulative(
+      spark, odd.filter($"doc_id" % 6 === 1), 0L, root, state)
+    val out1 = snap(graft.ops.TextDedup.appendClustersCumulative(
+      spark, odd.filter($"doc_id" % 6 === 3), 1L, root, state))
+    val bands1 = spark.read.parquet(s"$state/bands")
+      .filter($"batch_id".cast("long") === 0L)
+      .select($"doc_id", $"band", $"bkey")
+      .as[(Long, Int, Long)].collect().sorted.toSeq
+    // the failure replay: same batchId, same data
+    val out1r = snap(graft.ops.TextDedup.appendClustersCumulative(
+      spark, odd.filter($"doc_id" % 6 === 3), 1L, root, state))
+    assert(out1r == out1, "replayed batch must emit the identical cluster table")
+    assert(stateBatches("bands") == Seq(0L, 1L) && stateBatches("clusters") == Seq(0L, 1L),
+      "replay must not add state partitions")
+    assert(spark.read.parquet(s"$state/bands")
+        .filter($"batch_id".cast("long") === 0L)
+        .select($"doc_id", $"band", $"bkey")
+        .as[(Long, Int, Long)].collect().sorted.toSeq == bands1,
+      "replay must leave other batches' state untouched")
+    // the stream continues past the replay to the full-corpus fixpoint
+    val got = snap(graft.ops.TextDedup.appendClustersCumulative(
+      spark, odd.filter($"doc_id" % 6 === 5), 2L, root, state))
+    val full = snap(graft.ops.TextDedup.dedupClustersDirect(spark, sf0001))
+    assert(got == full,
+      s"stream after a mid-stream replay diverged from the rebuild (${got.size} vs ${full.size})")
+  }
+
   test("cumulative state compaction: mid-stream fold, continuation equals the rebuild") {
     // r15 (VERDICT r14 #5): two micro-batches stream cumulatively,
     // the stream stops, compactClusterState folds state + standing
