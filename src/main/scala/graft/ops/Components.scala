@@ -338,6 +338,31 @@ object Components {
     (out, rounds)
   }
 
+  /** Star edges replaying a (idCol, cluster_id, ...) cluster table,
+    * with the DELETE semantics applied uniformly (r15 review): when a
+    * takedown set is present, tombstoned members are excluded and each
+    * cluster's hub re-elects to its minimum LIVE member, so a deleted
+    * hub doesn't anchor its old cluster. Shared by the four append
+    * paths (text/embed x single-shot/cumulative) — previously four
+    * hand-copies that had already drifted: the cumulative forms
+    * replayed their prior output UNFILTERED, so a takedown written
+    * under quiesce after the stream had produced output silently
+    * never took effect (tombstoned docs persisted in every future
+    * output, no error). Without tombstones the hub IS cluster_id (the
+    * min member) and the replay is a plain filter. */
+  private[ops] def starEdges(table: DataFrame, idCol: String, outA: String,
+      outB: String, tombstones: Option[DataFrame]): DataFrame = tombstones match {
+    case None =>
+      table.filter(col(idCol) =!= col("cluster_id"))
+        .select(col("cluster_id").as(outA), col(idCol).as(outB))
+    case Some(t) =>
+      val live = table.join(broadcast(t), Seq(idCol), "left_anti")
+      live.join(
+          live.groupBy("cluster_id").agg(min(col(idCol)).as("hub")), "cluster_id")
+        .filter(col(idCol) =!= col("hub"))
+        .select(col("hub").as(outA), col(idCol).as(outB))
+  }
+
   /** Driver-local union-find over a (src, dst) edge frame that fits
     * the size gate. Union-by-min (the smaller root adopts the larger)
     * keeps every root at its component's minimum member id — the same

@@ -1889,6 +1889,11 @@ object Similarity extends QueryModule {
     // components loop has materialized everything
     val crossCand = idx.select(col("vec_id").as("idx_id"), col("bandkey"))
       .join(batchKeys.select(col("vec_id").as("new_id"), col("bandkey")), Seq("bandkey"))
+      // no self-pairs (r15 review): a batch vec re-ingesting an id
+      // already in the index would cosine-verify against itself at
+      // 1.0 and surface as a singleton cluster the rebuild never
+      // emits; the cumulative twin's verifiedCross always filtered
+      .filter(col("idx_id") =!= col("new_id"))
       .select(col("idx_id"), col("new_id")).distinct()
       .cache()
     // the vector sidecar is CORPUS-sized; scan only the matched rows —
@@ -1912,22 +1917,10 @@ object Similarity extends QueryModule {
       .filter(col("cosine") >= ndThreshold)
       .select(col("vec_a"), col("vec_b"))
     val within = withinBatchVerifiedPairs(batchKeys, batchEmb)
-    // sidecar replay: without tombstones the hub IS cluster_id (the
-    // min member); with tombstones the hub re-elects among live
-    // members so a deleted hub doesn't anchor its old cluster (the
-    // extra min-agg runs over the tiny sidecar only)
-    val live = dropTombstoned(spark.read.parquet(s"$root/clusters"))
-    val star = tombstones match {
-      case None =>
-        live.filter(col("vec_id") =!= col("cluster_id"))
-          .select(col("cluster_id").as("vec_a"), col("vec_id").as("vec_b"))
-      case Some(_) =>
-        live.join(
-            live.groupBy("cluster_id").agg(min(col("vec_id")).as("hub")),
-            "cluster_id")
-          .filter(col("vec_id") =!= col("hub"))
-          .select(col("hub").as("vec_a"), col("vec_id").as("vec_b"))
-    }
+    // sidecar replay as star edges, DELETE semantics applied uniformly
+    // (exclusion + live-hub re-election) by the shared helper
+    val star = Components.starEdges(
+      spark.read.parquet(s"$root/clusters"), "vec_id", "vec_a", "vec_b", tombstones)
     try Components.clusterPairs(
       cross.union(within).union(star).distinct(), "vec_a", "vec_b", "vec_id")
     finally { // loop is eager: result checkpoint-rooted
@@ -1989,7 +1982,8 @@ object Similarity extends QueryModule {
   /** Tombstone a takedown list of vec_ids under the embed artifacts
     * root — [[TextDedup.writeClusterTombstones]]' contract ported to
     * the embedding family (r15, VERDICT r14 #4): calls ACCUMULATE
-    * (staged write + FS rename, never resurrecting earlier takedowns),
+    * (append-mode files, never resurrecting earlier takedowns and
+    * never leaving an absent-table crash window),
     * [[appendEmbedClusters]] then guarantees EXCLUSION (no tombstoned
     * vector in any output, no new candidate matched against one, hub
     * re-election on the cluster sidecar), and connectivity a deleted
@@ -2149,14 +2143,16 @@ object Similarity extends QueryModule {
       maxKeyLiterals: Int = TextDedup.probeKeyLiteralMax,
       tombstoneTable: Option[DataFrame] = None): DataFrame = {
     import graft.streaming.StreamingPipeline.writeBatchIdempotent
-    // TOMBSTONES (r15): the text cumulative form's semantics verbatim —
-    // filter the STANDING index scan and (first batch only) the
-    // standing sidecar replay with hub re-election; prior-batch state
-    // is already clean (tombstoned standing vectors never entered any
-    // cumulative output) and batch-resident vectors are not filtered,
-    // matching the static form. Spec-gated frame-equal to the
-    // registered single-shot tombstone probe (the text twin carries
-    // the DuckDB gate for this composition; same SQL shape).
+    // TOMBSTONES (r15; made UNIFORM after the r15 review — the text
+    // cumulative form's semantics verbatim): the takedown set filters
+    // every standing-like term — the standing index scan, the
+    // accumulated prior-batch band state, and the replayed star
+    // source (standing sidecar or prior output, live-hub re-election
+    // via Components.starEdges) — so a quiesce-written takedown takes
+    // effect at ANY point in the stream's life; only the current
+    // batch's vectors are never filtered (the static form's
+    // contract). Oracle-gated: the registered cumulative-tombstone
+    // probe shares the single-shot tombstone SQL verbatim.
     val tombstones: Option[DataFrame] = tombstoneTable.orElse {
       if (Core.pathExists(spark, s"$artifactsRoot/tombstones"))
         Some(spark.read.parquet(s"$artifactsRoot/tombstones"))
@@ -2211,11 +2207,20 @@ object Similarity extends QueryModule {
         spark.read.parquet(s"$artifactsRoot/bandidx"), batchKeys, "bandkey",
         maxKeyLiterals)),
       spark.read.parquet(s"$artifactsRoot/vecs"))
+    // BOTH state tables must exist before either is read (r15 review):
+    // a crash between the bands and vecs writes of an earlier batch
+    // left bands present and vecs absent, and the coupled read threw
+    // at plan time on EVERY replay of that batch — an unrecoverable
+    // crash loop (the partial bands partition itself is harmless: the
+    // batch_id < batchId filter drops it). Prior-batch keys are also
+    // tombstone-filtered — the cumulative form's standing-like term,
+    // same rationale as the text twin.
     val crossPrior =
-      if (Core.pathExists(spark, s"$stateDir/bands")) {
-        val priorKeys = spark.read.parquet(s"$stateDir/bands")
+      if (Core.pathExists(spark, s"$stateDir/bands") &&
+          Core.pathExists(spark, s"$stateDir/vecs")) {
+        val priorKeys = dropTombstoned(spark.read.parquet(s"$stateDir/bands")
           .filter(col("batch_id").cast("long") < batchId)
-          .select("vec_id", "bandkey")
+          .select("vec_id", "bandkey"))
         val priorVecs = spark.read.parquet(s"$stateDir/vecs")
           .filter(col("batch_id").cast("long") < batchId)
           .select("vec_id", "embedding", "norm")
@@ -2233,24 +2238,14 @@ object Similarity extends QueryModule {
         if (last.isNullAt(0)) None
         else Some(prior.filter(col("batch_id") === last.getLong(0)).drop("batch_id"))
       } else None
-    val star = priorOut match {
-      // prior cumulative output: already tombstone-clean, plain replay
-      case Some(p) => p.filter(col("vec_id") =!= col("cluster_id"))
-        .select(col("cluster_id").as("vec_a"), col("vec_id").as("vec_b"))
-      // first batch: standing sidecar with exclusion + hub re-election
-      case None =>
-        val live = dropTombstoned(spark.read.parquet(s"$artifactsRoot/clusters"))
-        tombstones match {
-          case None => live.filter(col("vec_id") =!= col("cluster_id"))
-            .select(col("cluster_id").as("vec_a"), col("vec_id").as("vec_b"))
-          case Some(_) =>
-            live.join(
-                live.groupBy("cluster_id").agg(min(col("vec_id")).as("hub")),
-                "cluster_id")
-              .filter(col("vec_id") =!= col("hub"))
-              .select(col("hub").as("vec_a"), col("vec_id").as("vec_b"))
-        }
-    }
+    // star source: standing sidecar on the first batch, prior
+    // cumulative output afterwards — both through the uniform delete
+    // semantics, so a quiesce-written mid-stream takedown takes
+    // effect on the replayed structure too (r15 review; text twin's
+    // rationale verbatim)
+    val star = Components.starEdges(
+      priorOut.getOrElse(spark.read.parquet(s"$artifactsRoot/clusters")),
+      "vec_id", "vec_a", "vec_b", tombstones)
     val within = withinBatchVerifiedPairs(batchKeys, batchEmb)
     val edges = crossPrior.foldLeft(crossStanding.union(within).union(star))(_ union _)
     try {
@@ -2302,15 +2297,24 @@ object Similarity extends QueryModule {
     * tombstones, which also physically drops the stored embeddings). */
   def compactEmbedClusterState(spark: SparkSession, artifactsRoot: String,
       stateDir: String, newRoot: String): Unit = {
-    require(newRoot != artifactsRoot,
+    // fully-qualified compares, like the text fold (r15 review): raw
+    // string compares let aliased spellings (trailing slash, //, ./,
+    // file: scheme) slip past and truncate live data
+    def qual(p: String): String = {
+      val hp = new org.apache.hadoop.fs.Path(p)
+      hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .makeQualified(hp).toString
+    }
+    val (qNew, qState, qRoot) = (qual(newRoot), qual(stateDir), qual(artifactsRoot))
+    require(qNew != qRoot,
       "compaction must write to a fresh root: the fold reads the old " +
         "artifacts lazily while writing the new ones")
     // aliasing guards (r15 review, the text fold's rationale): either
     // aliasing below ends with the truncation deleting live data
-    require(newRoot != stateDir,
+    require(qNew != qState,
       "newRoot must differ from stateDir: the post-fold state truncation " +
         "would delete the just-written artifacts")
-    require(stateDir != artifactsRoot,
+    require(qState != qRoot,
       "stateDir must differ from artifactsRoot: the post-fold truncation " +
         "would delete the standing artifacts themselves")
     require(!Core.pathExists(spark, s"$artifactsRoot/tombstones"),

@@ -1233,41 +1233,38 @@ object TextDedup extends QueryModule {
     * the rebuild exactly (spec-asserted on a clique fixture). Calling
     * this while a [[streamingClusterAppend]] stream is live violates
     * that stream's static-artifacts contract — quiesce first.
-    * ACCUMULATION (r15, ADVICE r14): calls ACCUMULATE — the new ids
-    * are unioned with any existing tombstone table, so a second
+    * ACCUMULATION (r15, ADVICE r14): calls ACCUMULATE — each call
+    * APPENDS its ids as new files in the live table, so a second
     * takedown never resurrects earlier-tombstoned docs (the prior
-    * overwrite semantics silently did). The union is written to a
-    * staging dir and swapped in via Hadoop FS rename, because a
-    * lazy-read overwrite of the table being read truncates the source
-    * before the scan runs (Spark's classic self-overwrite data-loss
-    * shape) — and rename keeps the read-modify-write safe on HDFS/S3
-    * too. Spec-asserted: two sequential takedown calls exclude BOTH
-    * id sets. */
+    * overwrite semantics silently did), there is no self-overwrite of
+    * a lazily-read source, and — unlike the earlier
+    * stage-delete-rename swap — no crash window in which the table is
+    * absent and every tombstone is silently lost (see
+    * [[accumulateTombstones]]). Spec-asserted: two sequential
+    * takedown calls exclude BOTH id sets. */
   def writeClusterTombstones(spark: SparkSession, docIds: DataFrame,
       root: String): Unit =
     accumulateTombstones(spark, docIds, s"$root/tombstones", "doc_id")
 
-  /** The accumulate-and-swap core shared by BOTH tombstone families
+  /** The accumulating tombstone write shared by BOTH families
     * (text: doc_id; embed: vec_id — [[Similarity.writeEmbedClusterTombstones]]):
-    * union the incoming ids with the existing table, write to a
-    * staging dir, swap via FS rename. */
+    * APPEND the incoming ids as new parquet files in the live table.
+    * Append, not union-stage-swap (r15 review): the previous shape
+    * deleted the live table before renaming the staged union in, so a
+    * crash inside that window lost EVERY tombstone — all later appends
+    * would silently run with zero exclusion (wrong answers, no error,
+    * on the one table whose absence is indistinguishable from "no
+    * takedowns"). An append has no absent-dest window at all: an
+    * interrupted write leaves the old files plus at worst an ignored
+    * _temporary dir. The table is an id SET consumed only by
+    * broadcast anti-joins and min-aggs, so duplicate ids across calls
+    * are semantically inert, and takedown lists are tiny — compaction
+    * (the hard-forget rebuild) rewrites the artifacts root anyway.
+    * Single-writer contract unchanged (quiesce first). */
   private[ops] def accumulateTombstones(spark: SparkSession, ids: DataFrame,
-      dest: String, idCol: String): Unit = {
-    val incoming = ids
-      .select(col(ids.columns.head).cast("long").as(idCol)).distinct()
-    val hDest = new org.apache.hadoop.fs.Path(dest)
-    val fs = hDest.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(hDest)) incoming.write.mode("overwrite").parquet(dest)
-    else {
-      val staging = new org.apache.hadoop.fs.Path(s"$dest.staging")
-      incoming.union(spark.read.parquet(dest).select(col(idCol).cast("long")))
-        .distinct()
-        .write.mode("overwrite").parquet(staging.toString)
-      fs.delete(hDest, true)
-      require(fs.rename(staging, hDest),
-        s"tombstone swap failed: could not rename $staging to $hDest")
-    }
-  }
+      dest: String, idCol: String): Unit =
+    ids.select(col(ids.columns.head).cast("long").as(idCol)).distinct()
+      .write.mode("append").parquet(dest)
 
   /** The probe core, shared by the registered query and the streaming
     * form: cluster `batch` against the standing artifacts under `root`
@@ -1305,25 +1302,18 @@ object TextDedup extends QueryModule {
       .select(col("doc_id").as("idx_id"), col("band"), col("bkey"))
       .join(batchBands.select(col("doc_id").as("new_id"), col("band"), col("bkey")),
         Seq("band", "bkey"))
+      // a batch doc re-ingesting an id already in the index (replay
+      // across a rebuild, an upsert) must not self-pair (r15 review:
+      // a (A, A) edge made an unmatched A a singleton cluster the
+      // rebuild would not emit); the cumulative form always filtered
+      .filter(col("idx_id") =!= col("new_id"))
       .select(least(col("idx_id"), col("new_id")).as("doc_a"),
         greatest(col("idx_id"), col("new_id")).as("doc_b"))
     val within = candidatePairsOver(batchBands)
-    // sidecar replay as star edges. Without tombstones the hub IS
-    // cluster_id (the min member); with tombstones the hub re-elects
-    // among live members, so a deleted hub doesn't anchor its old
-    // cluster (the one extra min-agg runs over the tiny sidecar only)
-    val live = dropTombstoned(spark.read.parquet(s"$root/clusters"))
-    val star = tombstones match {
-      case None =>
-        live.filter(col("doc_id") =!= col("cluster_id"))
-          .select(col("cluster_id").as("doc_a"), col("doc_id").as("doc_b"))
-      case Some(_) =>
-        live.join(
-            live.groupBy("cluster_id").agg(min(col("doc_id")).as("hub")),
-            "cluster_id")
-          .filter(col("doc_id") =!= col("hub"))
-          .select(col("hub").as("doc_a"), col("doc_id").as("doc_b"))
-    }
+    // sidecar replay as star edges, DELETE semantics applied uniformly
+    // (exclusion + live-hub re-election) by the shared helper
+    val star = Components.starEdges(
+      spark.read.parquet(s"$root/clusters"), "doc_id", "doc_a", "doc_b", tombstones)
     try Components.clusterPairs(
       cross.union(within).union(star).distinct(), "doc_a", "doc_b", "doc_id")
     finally release() // components loop is eager: result is checkpoint-rooted
@@ -1392,35 +1382,44 @@ object TextDedup extends QueryModule {
     * key pushdown as the standing index; state is compacted away by
     * [[compactClusterState]] (band-table fold + latest-output promotion,
     * no text re-read), or by a full [[writeClusterAppendArtifacts]]
-    * rebuild when geometry or tombstones demand one. TOMBSTONES (r15):
-    * supported with the static form's exact delete semantics — the
-    * takedown set filters the STANDING index scan and (first batch
-    * only) the standing sidecar replay with hub re-election; later
-    * batches replay their own prior output, which never contained a
-    * tombstoned standing doc. With a static takedown list the final
-    * output EQUALS the single-shot [[appendClusters]]-with-tombstones
-    * over all batches (oracle-gated, shared SQL verbatim); writing
-    * tombstones while the stream is live violates the quiesce-first
-    * contract, same as every artifact mutation. */
+    * rebuild when geometry or tombstones demand one. TOMBSTONES (r15;
+    * made UNIFORM after the r15 review): the takedown set filters
+    * every standing-like term — the standing index scan, the
+    * accumulated prior-batch band state, and the replayed star source
+    * (standing sidecar or prior output, with live-hub re-election) —
+    * so a takedown written under quiesce at ANY point in the stream's
+    * life takes effect from the next batch; only the current batch's
+    * own docs are never filtered ([[appendClusters]]' contract). With
+    * a standing-only takedown list the final output EQUALS the
+    * single-shot [[appendClusters]]-with-tombstones over all batches
+    * (oracle-gated, shared SQL verbatim); writing tombstones while
+    * the stream is LIVE still violates the quiesce-first contract,
+    * same as every artifact mutation. */
   private[graft] def appendClustersCumulative(spark: SparkSession,
       batch: DataFrame, batchId: Long, artifactsRoot: String,
       stateDir: String, maxKeyLiterals: Int = probeKeyLiteralMax,
       tombstoneTable: Option[DataFrame] = None): DataFrame = {
     import graft.streaming.StreamingPipeline.writeBatchIdempotent
-    // TOMBSTONES (r15): evaluated against the STANDING structure only —
-    // the standing index scan (no new candidate can match a deleted
-    // doc) and, for the first batch, the standing sidecar replay with
-    // hub re-election, exactly [[appendClusters]]' delete semantics.
-    // Prior-batch STATE is deliberately NOT filtered: with a static
-    // takedown set (the quiesce-write-resume contract), tombstoned
-    // standing docs never enter any cumulative output, so the replayed
-    // star is already clean, and batch-resident docs are not filtered
-    // by the static form either — which is what makes the final output
-    // EQUAL the single-shot append-with-tombstones over all batches
-    // (the tombstone-free induction carries verbatim: only the
-    // standing terms changed, and they changed identically in both
-    // forms). Oracle-gated: the registered cumulative-tombstone probe
-    // shares [[dedupClustersTombstoneProbeSql]] VERBATIM.
+    // TOMBSTONES (r15; exclusion made UNIFORM after the r15 review):
+    // the takedown set filters every STANDING-LIKE term — the standing
+    // index scan, the accumulated prior-batch band state, and the
+    // replayed star source (standing sidecar on the first batch, the
+    // prior cumulative output afterwards, both with live-hub
+    // re-election via Components.starEdges). Only the CURRENT batch's
+    // docs are never filtered, matching [[appendClusters]]' contract.
+    // Uniformity is what makes a takedown written under quiesce AFTER
+    // the stream has produced output take effect on resume — the
+    // pre-review shape replayed the prior output unfiltered, so a
+    // mid-stream takedown silently never happened (the failure class
+    // this round's Hadoop-FS work targets: wrong answers, no error).
+    // With a takedown set disjoint from the streamed batches (any
+    // standing-only takedown — the registered fixture's shape) the
+    // final output still EQUALS the single-shot
+    // append-with-tombstones over all batches: the filters touch the
+    // same standing terms identically in both forms, and prior-batch
+    // terms pass through untouched. Oracle-gated: the registered
+    // cumulative-tombstone probe shares
+    // [[dedupClustersTombstoneProbeSql]] VERBATIM.
     val tombstones: Option[DataFrame] = tombstoneTable.orElse {
       if (Core.pathExists(spark, s"$artifactsRoot/tombstones"))
         Some(spark.read.parquet(s"$artifactsRoot/tombstones"))
@@ -1455,9 +1454,12 @@ object TextDedup extends QueryModule {
       // the batch_id filters.
       val crossPrior =
         if (Core.pathExists(spark, s"$stateDir/bands")) {
-          val prior = spark.read.parquet(s"$stateDir/bands")
+          // prior-batch bands are the cumulative form's standing-like
+          // term: filter them like the standing index, so no new
+          // candidate can match a doc tombstoned after it streamed
+          val prior = dropTombstoned(spark.read.parquet(s"$stateDir/bands")
             .filter(col("batch_id").cast("long") < batchId)
-            .select("doc_id", "band", "bkey")
+            .select("doc_id", "band", "bkey"))
           Some(crossWith(pruneIndexByProbedKeys(prior, batchBands, "bkey", maxKeyLiterals)))
         } else None
       val priorOut: Option[DataFrame] =
@@ -1469,26 +1471,14 @@ object TextDedup extends QueryModule {
           if (last.isNullAt(0)) None
           else Some(prior.filter(col("batch_id") === last.getLong(0)).drop("batch_id"))
         } else None
-      val star = priorOut match {
-        // prior cumulative output: tombstoned standing docs never
-        // entered it (filtered since batch 1), so the replay is plain
-        case Some(p) => p.filter(col("doc_id") =!= col("cluster_id"))
-          .select(col("cluster_id").as("doc_a"), col("doc_id").as("doc_b"))
-        // first batch: the standing sidecar, with the static form's
-        // exclusion + hub re-election when a takedown list is present
-        case None =>
-          val live = dropTombstoned(spark.read.parquet(s"$artifactsRoot/clusters"))
-          tombstones match {
-            case None => live.filter(col("doc_id") =!= col("cluster_id"))
-              .select(col("cluster_id").as("doc_a"), col("doc_id").as("doc_b"))
-            case Some(_) =>
-              live.join(
-                  live.groupBy("cluster_id").agg(min(col("doc_id")).as("hub")),
-                  "cluster_id")
-                .filter(col("doc_id") =!= col("hub"))
-                .select(col("hub").as("doc_a"), col("doc_id").as("doc_b"))
-          }
-      }
+      // star source: the standing sidecar on the first batch, the
+      // prior cumulative output afterwards — BOTH through the uniform
+      // delete semantics (exclusion + live-hub re-election), so a
+      // takedown written under quiesce mid-stream takes effect on the
+      // replayed structure too
+      val star = Components.starEdges(
+        priorOut.getOrElse(spark.read.parquet(s"$artifactsRoot/clusters")),
+        "doc_id", "doc_a", "doc_b", tombstones)
       val within = candidatePairsOver(batchBands)
       val edges = crossPrior.foldLeft(crossStanding.union(within).union(star))(_ union _)
       val out = Components.clusterPairs(edges.distinct(), "doc_a", "doc_b", "doc_id")
@@ -1570,7 +1560,17 @@ object TextDedup extends QueryModule {
     * frame-equal to the uncompacted full-corpus rebuild. */
   def compactClusterState(spark: SparkSession, artifactsRoot: String,
       stateDir: String, newRoot: String): Unit = {
-    require(newRoot != artifactsRoot,
+    // compare FULLY-QUALIFIED paths (r15 review): raw string compares
+    // let trivially aliased spellings (trailing slash, //, ./, an
+    // explicit file: scheme) slip past the guards and hit exactly the
+    // self-overwrite / live-truncation hazards they exist to stop
+    def qual(p: String): String = {
+      val hp = new org.apache.hadoop.fs.Path(p)
+      hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .makeQualified(hp).toString
+    }
+    val (qNew, qState, qRoot) = (qual(newRoot), qual(stateDir), qual(artifactsRoot))
+    require(qNew != qRoot,
       "compaction must write to a fresh root: the fold reads the old band " +
         "index lazily while writing the new one — an in-place overwrite " +
         "would truncate its own source mid-scan")
@@ -1578,10 +1578,10 @@ object TextDedup extends QueryModule {
     // newRoot == stateDir would write newRoot/clusters and then TRUNCATE
     // it in the state cleanup below; stateDir == artifactsRoot would
     // read the STANDING sidecar as "state" and then delete it
-    require(newRoot != stateDir,
+    require(qNew != qState,
       "newRoot must differ from stateDir: the post-fold state truncation " +
         "would delete the just-written artifacts")
-    require(stateDir != artifactsRoot,
+    require(qState != qRoot,
       "stateDir must differ from artifactsRoot: the post-fold truncation " +
         "would delete the standing artifacts themselves")
     require(!Core.pathExists(spark, s"$artifactsRoot/tombstones"),

@@ -518,6 +518,12 @@ class SimilaritySpec extends SparkSpec {
     assert(spark.read.parquet(s"$root/tombstones")
         .as[Long].collect().toSet == Set(2L, 4L),
       "second takedown call must accumulate onto the first, not replace it")
+    // a REPEATED id is inert (append-mode files may hold duplicates;
+    // the table is a set under anti-join semantics, r15 review)
+    Similarity.writeEmbedClusterTombstones(spark, Seq(2L).toDF("vec_id"), root)
+    assert(spark.read.parquet(s"$root/tombstones")
+        .as[Long].collect().toSet == Set(2L, 4L),
+      "re-tombstoning an id must not change the takedown set")
     val after = rows(Similarity.appendEmbedClusters(spark, batch, root))
     assert(after.map(_._1).toSet == Set(6L, 7L) && after.forall(_._2 == 6L),
       s"both takedown calls' ids must stay excluded (got $after)")
@@ -585,6 +591,67 @@ class SimilaritySpec extends SparkSpec {
     refuse(Similarity.compactEmbedClusterState(spark, r, s, r))
     refuse(Similarity.compactEmbedClusterState(spark, r, s, s))
     refuse(Similarity.compactEmbedClusterState(spark, r, r, "/tmp/graft_ealias/n"))
+    // aliased SPELLINGS of the same dir (trailing slash, scheme, //)
+    // must refuse too — fully-qualified path compares (r15 review)
+    refuse(Similarity.compactEmbedClusterState(spark, r, s, s + "/"))
+    refuse(Similarity.compactEmbedClusterState(spark, r, s, s"file:$s"))
+    refuse(Similarity.compactEmbedClusterState(spark, r, r + "//", "/tmp/graft_ealias/n"))
+  }
+
+  test("embed append must not self-pair a re-ingested vec_id (r15 review)") {
+    // a batch vector whose id is already in the standing index used
+    // to band-match ITSELF, cosine-verify at 1.0, and surface as a
+    // singleton cluster the rebuild never emits. Standing: two
+    // orthogonal singletons (empty cluster sidecar); the batch
+    // re-ingests one verbatim — the append must emit NOTHING.
+    def alt(period: Int) =
+      Array.tabulate(64)(i => if ((i / period) % 2 == 0) 1.0f else -1.0f).toSeq
+    val standing = Seq((2L, alt(1)), (4L, alt(2))).toDF("vec_id", "embedding")
+    val root = java.nio.file.Files.createTempDirectory("graft_eselfpair").toString
+    Similarity.writeEmbedClusterAppendArtifacts(spark, standing, root)
+    val out = Similarity.appendEmbedClusters(
+        spark, standing.filter($"vec_id" === 2L), root)
+      .as[(Long, Long, Long, Boolean)].collect().toSeq
+    assert(out.isEmpty,
+      s"re-ingesting an unmatched standing vector must not fabricate a cluster: $out")
+  }
+
+  test("embed cumulative replay survives partial state (bands written, vecs lost)") {
+    // r15 review: the prior-state read coupled the vecs read to the
+    // BANDS existence check, so a crash between the two state writes
+    // made every replay of the batch throw at plan time — an
+    // unrecoverable crash loop. Simulate the torn write: run batch 0,
+    // delete stateDir/vecs, replay batch 0 — the replay must succeed
+    // and emit the same table (its own partial bands partition is
+    // filtered by batch_id < batchId, so no prior term exists yet).
+    val clique = Array.tabulate(64)(_ => 1.0f).toSeq
+    def alt(period: Int) =
+      Array.tabulate(64)(i => if ((i / period) % 2 == 0) 1.0f else -1.0f).toSeq
+    val standing = Seq((2L, clique), (4L, clique), (8L, alt(1)))
+      .toDF("vec_id", "embedding")
+    val batch = Seq((7L, clique), (9L, alt(2))).toDF("vec_id", "embedding")
+    val root = java.nio.file.Files.createTempDirectory("graft_etorn").toString
+    val state = java.nio.file.Files.createTempDirectory("graft_etorn_s").toString
+    Similarity.writeEmbedClusterAppendArtifacts(spark, standing, root)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long, Long, Boolean)].collect().sorted.toSeq
+    val first = rows(Similarity.appendEmbedClustersCumulative(
+      spark, batch, 0L, root, state))
+    // tear: bands survived, vecs did not
+    def sweep(p: java.nio.file.Path): Unit = {
+      if (java.nio.file.Files.isDirectory(p))
+        java.nio.file.Files.list(p).forEach(sweep(_))
+      java.nio.file.Files.deleteIfExists(p)
+    }
+    sweep(java.nio.file.Paths.get(s"$state/vecs"))
+    assert(!graft.ops.Core.pathExists(spark, s"$state/vecs"))
+    val replayed = rows(Similarity.appendEmbedClustersCumulative(
+      spark, batch, 0L, root, state))
+    assert(replayed == first,
+      s"torn-state replay must reproduce the original batch output")
+    // and the replay healed the state: both tables exist again
+    assert(graft.ops.Core.pathExists(spark, s"$state/vecs") &&
+      graft.ops.Core.pathExists(spark, s"$state/bands"))
   }
 
   test("registered embed cumulative probe: fixture non-vacuous, equals the rebuild") {

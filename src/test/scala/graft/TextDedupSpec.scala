@@ -582,8 +582,8 @@ class TextDedupSpec extends SparkSpec {
     // r15 (ADVICE r14): writeClusterTombstones previously overwrote
     // the table, so a second takedown call silently RESURRECTED every
     // earlier-tombstoned doc. Two sequential calls must exclude BOTH
-    // id sets — the table accumulates (staged write + FS rename, so
-    // the read-modify-write never truncates its own lazy source).
+    // id sets — the table accumulates (append-mode files: no lazy
+    // self-overwrite and no absent-table crash window, r15 review).
     val t1 = "the quick brown fox jumps over the lazy dog again and again"
     val standing = Seq((2L, t1), (4L, t1), (6L, t1)).toDF("doc_id", "text")
     val batch = Seq((7L, t1)).toDF("doc_id", "text")
@@ -661,6 +661,65 @@ class TextDedupSpec extends SparkSpec {
     refuse(TextDedup.compactClusterState(spark, r, s, r))
     refuse(TextDedup.compactClusterState(spark, r, s, s))
     refuse(TextDedup.compactClusterState(spark, r, r, "/tmp/graft_alias/n"))
+    // aliased SPELLINGS of the same dir must refuse too (r15 review:
+    // raw string compares passed a trailing slash or scheme prefix
+    // straight through to the truncation) — the guards compare
+    // fully-qualified Hadoop paths now
+    refuse(TextDedup.compactClusterState(spark, r, s, s + "/"))
+    refuse(TextDedup.compactClusterState(spark, r, s, s"file:$s"))
+    refuse(TextDedup.compactClusterState(spark, r, r + "//", "/tmp/graft_alias/n"))
+  }
+
+  test("append must not self-pair a re-ingested id (r15 review)") {
+    // a batch doc whose id is already in the standing index (replay
+    // across a root rebuild, an upsert) used to band-match ITSELF:
+    // the (A, A) edge made an unmatched A a singleton cluster the
+    // full rebuild would never emit. Standing corpus: two docs with
+    // nothing in common (empty cluster sidecar); the batch re-ingests
+    // one of them verbatim — the append must emit NOTHING.
+    val standing = Seq(
+      (2L, "the quick brown fox jumps over the lazy dog again and again"),
+      (4L, "completely different words about databases and storage engines"))
+      .toDF("doc_id", "text")
+    val root = java.nio.file.Files.createTempDirectory("graft_selfpair").toString
+    TextDedup.writeClusterAppendArtifacts(spark, standing, root)
+    val out = TextDedup.appendClusters(spark, standing.filter($"doc_id" === 2L), root)
+      .as[(Long, Long, Long, Boolean)].collect().toSeq
+    assert(out.isEmpty,
+      s"re-ingesting an unmatched standing doc must not fabricate a cluster: $out")
+  }
+
+  test("mid-stream takedown: quiesce-written tombstones take effect on the next batch") {
+    // r15 review: the cumulative form replayed its prior output
+    // UNFILTERED, so a takedown written under quiesce AFTER the
+    // stream had produced output silently never happened. Now the
+    // replayed star is excluded + live-hub-re-elected like every
+    // other standing-like term: the tombstoned doc must vanish from
+    // the next batch's output even though it sits in the replayed
+    // prior output, and its cluster must re-hub to the minimum live
+    // member.
+    val t1 = "the quick brown fox jumps over the lazy dog again and again"
+    val standing = Seq((2L, t1), (4L, t1), (6L, t1),
+      (8L, "completely different words about databases and storage engines"))
+      .toDF("doc_id", "text")
+    val root = java.nio.file.Files.createTempDirectory("graft_midtomb").toString
+    val state = java.nio.file.Files.createTempDirectory("graft_midtomb_s").toString
+    TextDedup.writeClusterAppendArtifacts(spark, standing, root)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long, Long, Boolean)].collect().sorted.toSeq
+    // batch 0 streams BEFORE any takedown: doc 3 joins {2,4,6}, and
+    // doc 2 enters the cumulative output (as the hub)
+    val out0 = rows(TextDedup.appendClustersCumulative(
+      spark, Seq((3L, t1)).toDF("doc_id", "text"), 0L, root, state))
+    assert(out0.exists(r => r._1 == 2L && r._4), "precondition: 2 hubs batch 0's output")
+    // quiesce, take down doc 2, resume
+    TextDedup.writeClusterTombstones(spark, Seq(2L).toDF("doc_id"), root)
+    val out1 = rows(TextDedup.appendClustersCumulative(
+      spark, Seq((5L, t1)).toDF("doc_id", "text"), 1L, root, state))
+    assert(!out1.exists(_._1 == 2L),
+      s"tombstoned doc persisted through the prior-output replay: $out1")
+    assert(out1.filter(_._2 == 3L).map(_._1).toSet == Set(3L, 4L, 5L, 6L),
+      s"cluster must re-hub to the minimum live member (3): $out1")
   }
 
   test("registered tombstone probe: fixture non-vacuous, tombstones excluded") {
