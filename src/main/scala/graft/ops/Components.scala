@@ -378,8 +378,29 @@ object Components {
       outType: org.apache.spark.sql.types.DataType): DataFrame = {
     import org.apache.spark.sql.types._
     val spark = directed.sparkSession
-    val edges = directed
-      .select(col("src").cast("long"), col("dst").cast("long")).collect()
+    // pack each partition into a flat Array[Long] of (src,dst) pairs
+    // ON THE EXECUTORS and collect only those (r15 review): a plain
+    // .collect() at the 1M-edge gate materializes ~1M boxed
+    // GenericRowWithSchema objects (~100-200 MB transient) on a
+    // driver whose budget the gate scaladoc sells as "~16 MB of raw
+    // id payload" — the packed longs ARE that payload, and the
+    // per-row boxing stays streamwise inside each task. The null
+    // fail-fast (scaladoc contract) moves into the pack step, where
+    // the row is still in hand.
+    val packed: Array[Array[Long]] = directed
+      .select(col("src").cast("long"), col("dst").cast("long"))
+      .rdd.mapPartitions { it =>
+        val buf = new scala.collection.mutable.ArrayBuilder.ofLong
+        it.foreach { r =>
+          if (r.isNullAt(0) || r.isNullAt(1))
+            throw new IllegalArgumentException(
+              "clusterPairs: null pair ids are not clusterable — every id " +
+                "must be a non-null document/vector key")
+          buf += r.getLong(0)
+          buf += r.getLong(1)
+        }
+        Iterator.single(buf.result())
+      }.collect()
     val parent = scala.collection.mutable.LongMap.empty[Long]
     def find(x0: Long): Long = {
       var x = x0
@@ -392,22 +413,23 @@ object Components {
       }
       x
     }
-    var i = 0
-    while (i < edges.length) {
-      val r = edges(i)
-      require(!r.isNullAt(0) && !r.isNullAt(1),
-        "clusterPairs: null pair ids are not clusterable — every id must be a " +
-          "non-null document/vector key")
-      val a = r.getLong(0)
-      val b = r.getLong(1)
-      if (!parent.contains(a)) parent.update(a, a)
-      if (!parent.contains(b)) parent.update(b, b)
-      val ra = find(a)
-      val rb = find(b)
-      if (ra != rb) {
-        if (ra < rb) parent.update(rb, ra) else parent.update(ra, rb)
+    var pi = 0
+    while (pi < packed.length) {
+      val arr = packed(pi)
+      var i = 0
+      while (i < arr.length) {
+        val a = arr(i)
+        val b = arr(i + 1)
+        if (!parent.contains(a)) parent.update(a, a)
+        if (!parent.contains(b)) parent.update(b, b)
+        val ra = find(a)
+        val rb = find(b)
+        if (ra != rb) {
+          if (ra < rb) parent.update(rb, ra) else parent.update(ra, rb)
+        }
+        i += 2
       }
-      i += 1
+      pi += 1
     }
     // snapshot the node ids before the sizing pass: find() compresses
     // paths (updates values), and iterating a map while mutating it —

@@ -84,6 +84,113 @@ object Core {
     val hPath = new org.apache.hadoop.fs.Path(path)
     hPath.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(hPath)
   }
+
+  /** The optional-PARQUET-TABLE gate: true iff `path` exists AND holds
+    * at least one COMMITTED data file — a non-hidden file reachable
+    * without crossing a `_`/`.`-prefixed entry. [[pathExists]] alone
+    * is the wrong guard before an optional `spark.read.parquet`
+    * (r15 review): a writer that dies MID-write (first tombstone
+    * append, first state-dir write of a replayed micro-batch) leaves
+    * the directory containing only `_temporary/` — the dir EXISTS,
+    * but Spark's file index sees no data files and the read throws
+    * `Unable to infer schema` at plan time, so every replay of the
+    * torn batch crashes and the stream never self-recovers. Treating
+    * exists-but-no-committed-data as ABSENT restores the documented
+    * crash story: a torn optional write is indistinguishable from the
+    * write never having started, and the retry/replay proceeds from
+    * that state. Hidden-prefixed names are exactly the set Spark's
+    * own `InMemoryFileIndex` filters, so this gate answers true iff
+    * the read it guards can plan. Cost: one recursive listing of a
+    * state/tombstone dir (small by contract); hidden subtrees are
+    * pruned without descent. */
+  def tableExists(spark: SparkSession, path: String): Boolean = {
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def hidden(n: String) = n.startsWith("_") || n.startsWith(".")
+    def hasData(p: org.apache.hadoop.fs.Path): Boolean =
+      fs.listStatus(p).exists { st =>
+        !hidden(st.getPath.getName) &&
+          (st.isFile || hasData(st.getPath))
+      }
+    fs.exists(hPath) && hasData(hPath)
+  }
+
+  /** One fold table of a cumulative-state compaction: the standing
+    * table under the artifacts root, its per-batch twin under the
+    * state dir, the shared projection, and the range-layout keys the
+    * probe pushdown depends on. */
+  private[ops] final case class StateFold(standing: String, state: String,
+      cols: Seq[String], rangeCols: Seq[String])
+
+  /** The compaction skeleton SHARED by the text and embed cumulative
+    * folds (r15 review — previously two ~40-line hand-copies of the
+    * qual/aliasing/tombstone/promotion/truncation logic, exactly the
+    * drift shape that turned Components.starEdges' four copies into a
+    * real takedown bug): qualify and alias-guard the three
+    * directories, refuse a tombstoned root (per-family message — the
+    * families resurrect different data), require committed state,
+    * union each standing table with its accumulated state twin
+    * re-range-laid on its pushdown keys, promote the LATEST batch's
+    * cluster table verbatim (the convergence invariant makes it the
+    * rebuild's), and truncate state only after every artifact landed
+    * — a failed fold leaves the old root + state fully usable. */
+  /** A path's fully-qualified form under its own FileSystem — the
+    * ONLY sound basis for directory-aliasing guards (r15 review): raw
+    * string compares let trivially aliased spellings (trailing slash,
+    * //, ./, an explicit file: scheme) slip past and hit exactly the
+    * self-overwrite / live-truncation hazards the guards exist to
+    * stop. */
+  private[ops] def qualifiedPath(spark: SparkSession, p: String): String = {
+    val hp = new org.apache.hadoop.fs.Path(p)
+    hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .makeQualified(hp).toString
+  }
+
+  private[ops] def compactStateFold(spark: SparkSession, artifactsRoot: String,
+      stateDir: String, newRoot: String, folds: Seq[StateFold],
+      tombstoneMsg: String): Unit = {
+    def qual(p: String): String = qualifiedPath(spark, p)
+    val (qNew, qState, qRoot) = (qual(newRoot), qual(stateDir), qual(artifactsRoot))
+    require(qNew != qRoot,
+      "compaction must write to a fresh root: the fold reads the old " +
+        "artifacts lazily while writing the new ones — an in-place " +
+        "overwrite would truncate its own source mid-scan")
+    // the other two aliasing cases are just as destructive: newRoot ==
+    // stateDir would write newRoot/clusters and then TRUNCATE it in
+    // the state cleanup below; stateDir == artifactsRoot would read
+    // the STANDING sidecar as "state" and then delete it
+    require(qNew != qState,
+      "newRoot must differ from stateDir: the post-fold state truncation " +
+        "would delete the just-written artifacts")
+    require(qState != qRoot,
+      "stateDir must differ from artifactsRoot: the post-fold truncation " +
+        "would delete the standing artifacts themselves")
+    require(!tableExists(spark, s"$artifactsRoot/tombstones"), tombstoneMsg)
+    val stateNames = folds.map(_.state) :+ "clusters"
+    require(stateNames.forall(t => tableExists(spark, s"$stateDir/$t")),
+      s"$stateDir holds no cumulative state (${stateNames.mkString(" + ")}): " +
+        "nothing to fold")
+    folds.foreach { f =>
+      val rc = f.rangeCols.map(col)
+      spark.read.parquet(s"$artifactsRoot/${f.standing}")
+        .select(f.cols.map(col): _*)
+        .union(spark.read.parquet(s"$stateDir/${f.state}")
+          .select(f.cols.map(col): _*))
+        .repartitionByRange(rc: _*)
+        .sortWithinPartitions(rc: _*)
+        .write.mode("overwrite").parquet(s"$newRoot/${f.standing}")
+    }
+    val state = spark.read.parquet(s"$stateDir/clusters")
+      .withColumn("batch_id", col("batch_id").cast("long"))
+    val last = state.agg(max(col("batch_id"))).first().getLong(0)
+    state.filter(col("batch_id") === last).drop("batch_id")
+      .write.mode("overwrite").parquet(s"$newRoot/clusters")
+    // truncate ONLY after every artifact landed
+    val fs = new org.apache.hadoop.fs.Path(stateDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    stateNames.foreach(t =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$stateDir/$t"), true))
+  }
 }
 
 /** One MEMOIZED temp-dir index build per (kind, source-dir CONTENT)

@@ -1871,10 +1871,12 @@ object Similarity extends QueryModule {
     // explicit table for takedown-against-immutable-snapshot; dropped
     // ids vanish from the index scan (no new candidate can match) and
     // from the star replay (never emitted), with hub re-election.
-    // Existence via Hadoop FS: a local-only check would silently no-op
-    // takedowns on HDFS/S3.
+    // Committed-data existence via Core.tableExists: a local-only
+    // check would silently no-op takedowns on HDFS/S3, and a torn
+    // takedown write (a _temporary-only dir) must read as absent
+    // rather than crash every subsequent append at plan time.
     val tombstones: Option[DataFrame] = tombstoneTable.orElse {
-      if (Core.pathExists(spark, s"$root/tombstones"))
+      if (Core.tableExists(spark, s"$root/tombstones"))
         Some(spark.read.parquet(s"$root/tombstones"))
       else None
     }
@@ -1995,7 +1997,7 @@ object Similarity extends QueryModule {
     * embeddings from the vector sidecar. */
   def writeEmbedClusterTombstones(spark: SparkSession, vecIds: DataFrame,
       root: String): Unit =
-    TextDedup.accumulateTombstones(spark, vecIds, s"$root/tombstones", "vec_id")
+    TextDedup.accumulateTombstones(vecIds, s"$root/tombstones", "vec_id")
 
   /** REGISTERED exercise of the embed tombstone DELETE path (r15) —
     * [[TextDedup.dedupClustersTombstoneProbe]]'s embedding twin:
@@ -2154,7 +2156,7 @@ object Similarity extends QueryModule {
     // contract). Oracle-gated: the registered cumulative-tombstone
     // probe shares the single-shot tombstone SQL verbatim.
     val tombstones: Option[DataFrame] = tombstoneTable.orElse {
-      if (Core.pathExists(spark, s"$artifactsRoot/tombstones"))
+      if (Core.tableExists(spark, s"$artifactsRoot/tombstones"))
         Some(spark.read.parquet(s"$artifactsRoot/tombstones"))
       else None
     }
@@ -2216,8 +2218,8 @@ object Similarity extends QueryModule {
     // tombstone-filtered — the cumulative form's standing-like term,
     // same rationale as the text twin.
     val crossPrior =
-      if (Core.pathExists(spark, s"$stateDir/bands") &&
-          Core.pathExists(spark, s"$stateDir/vecs")) {
+      if (Core.tableExists(spark, s"$stateDir/bands") &&
+          Core.tableExists(spark, s"$stateDir/vecs")) {
         val priorKeys = dropTombstoned(spark.read.parquet(s"$stateDir/bands")
           .filter(col("batch_id").cast("long") < batchId)
           .select("vec_id", "bandkey"))
@@ -2230,7 +2232,7 @@ object Similarity extends QueryModule {
           priorVecs))
       } else None
     val priorOut: Option[DataFrame] =
-      if (Core.pathExists(spark, s"$stateDir/clusters")) {
+      if (Core.tableExists(spark, s"$stateDir/clusters")) {
         val prior = spark.read.parquet(s"$stateDir/clusters")
           .withColumn("batch_id", col("batch_id").cast("long"))
           .filter(col("batch_id") < batchId)
@@ -2296,62 +2298,25 @@ object Similarity extends QueryModule {
     * [[writeEmbedClusterAppendArtifacts]] over corpus minus
     * tombstones, which also physically drops the stored embeddings). */
   def compactEmbedClusterState(spark: SparkSession, artifactsRoot: String,
-      stateDir: String, newRoot: String): Unit = {
-    // fully-qualified compares, like the text fold (r15 review): raw
-    // string compares let aliased spellings (trailing slash, //, ./,
-    // file: scheme) slip past and truncate live data
-    def qual(p: String): String = {
-      val hp = new org.apache.hadoop.fs.Path(p)
-      hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        .makeQualified(hp).toString
-    }
-    val (qNew, qState, qRoot) = (qual(newRoot), qual(stateDir), qual(artifactsRoot))
-    require(qNew != qRoot,
-      "compaction must write to a fresh root: the fold reads the old " +
-        "artifacts lazily while writing the new ones")
-    // aliasing guards (r15 review, the text fold's rationale): either
-    // aliasing below ends with the truncation deleting live data
-    require(qNew != qState,
-      "newRoot must differ from stateDir: the post-fold state truncation " +
-        "would delete the just-written artifacts")
-    require(qState != qRoot,
-      "stateDir must differ from artifactsRoot: the post-fold truncation " +
-        "would delete the standing artifacts themselves")
-    require(!Core.pathExists(spark, s"$artifactsRoot/tombstones"),
-      s"$artifactsRoot carries a tombstone table: the cheap fold unions the " +
-        "standing band index AND vector sidecar verbatim (tombstoned rows " +
-        "included — the very embeddings a takedown wants gone) and the fresh " +
-        "root would drop the exclusion; compact a takedown corpus via " +
-        "writeEmbedClusterAppendArtifacts over the corpus minus tombstones " +
-        "(the hard-forget path that also drops the stored vectors)")
-    require(Core.pathExists(spark, s"$stateDir/bands") &&
-        Core.pathExists(spark, s"$stateDir/vecs") &&
-        Core.pathExists(spark, s"$stateDir/clusters"),
-      s"$stateDir holds no cumulative state (bands + vecs + clusters)")
-    spark.read.parquet(s"$artifactsRoot/bandidx")
-      .select("vec_id", "bandkey")
-      .union(spark.read.parquet(s"$stateDir/bands").select("vec_id", "bandkey"))
-      .repartitionByRange(col("bandkey"))
-      .sortWithinPartitions(col("bandkey"))
-      .write.mode("overwrite").parquet(s"$newRoot/bandidx")
-    spark.read.parquet(s"$artifactsRoot/vecs")
-      .select("vec_id", "embedding", "norm")
-      .union(spark.read.parquet(s"$stateDir/vecs")
-        .select("vec_id", "embedding", "norm"))
-      .repartitionByRange(col("vec_id"))
-      .sortWithinPartitions(col("vec_id"))
-      .write.mode("overwrite").parquet(s"$newRoot/vecs")
-    val state = spark.read.parquet(s"$stateDir/clusters")
-      .withColumn("batch_id", col("batch_id").cast("long"))
-    val last = state.agg(max(col("batch_id"))).first().getLong(0)
-    state.filter(col("batch_id") === last).drop("batch_id")
-      .write.mode("overwrite").parquet(s"$newRoot/clusters")
-    val fs = new org.apache.hadoop.fs.Path(stateDir)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    Seq("bands", "vecs", "clusters").foreach { d =>
-      fs.delete(new org.apache.hadoop.fs.Path(s"$stateDir/$d"), true)
-    }
-  }
+      stateDir: String, newRoot: String): Unit =
+    // skeleton shared with the text fold via Core.compactStateFold
+    // (r15 review) — the embed family contributes its TWO fold tables
+    // (band keys + the vector sidecar, each on its own pushdown
+    // layout) and a takedown message naming the stored embeddings
+    Core.compactStateFold(spark, artifactsRoot, stateDir, newRoot,
+      Seq(
+        Core.StateFold("bandidx", "bands",
+          Seq("vec_id", "bandkey"), Seq("bandkey")),
+        Core.StateFold("vecs", "vecs",
+          Seq("vec_id", "embedding", "norm"), Seq("vec_id"))),
+      tombstoneMsg =
+        s"$artifactsRoot carries a tombstone table: the cheap fold unions " +
+          "the standing band index AND vector sidecar verbatim (tombstoned " +
+          "rows included — the very embeddings a takedown wants gone) and " +
+          "the fresh root would drop the exclusion; compact a takedown " +
+          "corpus via writeEmbedClusterAppendArtifacts over the corpus " +
+          "minus tombstones (the hard-forget path that also drops the " +
+          "stored vectors)")
 
   /** REGISTERED exercise of the embed cumulative form (r15) —
     * [[TextDedup.dedupClustersCumulativeProbe]]'s embedding twin:

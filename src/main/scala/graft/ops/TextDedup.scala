@@ -1244,7 +1244,7 @@ object TextDedup extends QueryModule {
     * takedown calls exclude BOTH id sets. */
   def writeClusterTombstones(spark: SparkSession, docIds: DataFrame,
       root: String): Unit =
-    accumulateTombstones(spark, docIds, s"$root/tombstones", "doc_id")
+    accumulateTombstones(docIds, s"$root/tombstones", "doc_id")
 
   /** The accumulating tombstone write shared by BOTH families
     * (text: doc_id; embed: vec_id — [[Similarity.writeEmbedClusterTombstones]]):
@@ -1261,7 +1261,7 @@ object TextDedup extends QueryModule {
     * are semantically inert, and takedown lists are tiny — compaction
     * (the hard-forget rebuild) rewrites the artifacts root anyway.
     * Single-writer contract unchanged (quiesce first). */
-  private[ops] def accumulateTombstones(spark: SparkSession, ids: DataFrame,
+  private[ops] def accumulateTombstones(ids: DataFrame,
       dest: String, idCol: String): Unit =
     ids.select(col(ids.columns.head).cast("long").as(idCol)).distinct()
       .write.mode("append").parquet(dest)
@@ -1288,9 +1288,12 @@ object TextDedup extends QueryModule {
     // artifact snapshot without rewriting it (the registered tombstone
     // probe shares the append probe's standing build this way)
     val tombstones: Option[DataFrame] = tombstoneTable.orElse {
-      // Hadoop FS, not java.io.File (r15, ADVICE r14): a local-only
-      // check silently no-ops takedowns on HDFS/S3 roots
-      if (Core.pathExists(spark, s"$root/tombstones"))
+      // committed-data gate, not bare existence (r15 review): besides
+      // the java.io.File local-only hazard (ADVICE r14), a takedown
+      // write that dies mid-flight leaves a _temporary-only dir that
+      // EXISTS but cannot be read — Core.tableExists treats it as
+      // absent, so the retry story stays "torn write == never started"
+      if (Core.tableExists(spark, s"$root/tombstones"))
         Some(spark.read.parquet(s"$root/tombstones"))
       else None
     }
@@ -1421,7 +1424,7 @@ object TextDedup extends QueryModule {
     // cumulative-tombstone probe shares
     // [[dedupClustersTombstoneProbeSql]] VERBATIM.
     val tombstones: Option[DataFrame] = tombstoneTable.orElse {
-      if (Core.pathExists(spark, s"$artifactsRoot/tombstones"))
+      if (Core.tableExists(spark, s"$artifactsRoot/tombstones"))
         Some(spark.read.parquet(s"$artifactsRoot/tombstones"))
       else None
     }
@@ -1440,10 +1443,13 @@ object TextDedup extends QueryModule {
     try {
       val crossStanding = crossWith(dropTombstoned(pruneIndexByProbedKeys(
         spark.read.parquet(s"$artifactsRoot/bandidx"), batchBands, "bkey", maxKeyLiterals)))
-      // State reads: existence via the Hadoop FS API (r15, VERDICT r14
-      // #3 — java.io.File is local-only; a false `exists` on HDFS/S3
-      // would silently drop prior-batch state, breaking the
-      // convergence invariant with no error), and `batch_id` cast to
+      // State reads: committed-data existence via the Hadoop FS API
+      // (r15, VERDICT r14 #3 — java.io.File is local-only; a false
+      // `exists` on HDFS/S3 would silently drop prior-batch state,
+      // breaking the convergence invariant with no error; and a batch
+      // that died MID-state-write leaves a _temporary-only dir whose
+      // bare existence would crash every replay at plan time —
+      // Core.tableExists reads both as absent), and `batch_id` cast to
       // long IMMEDIATELY on read (r15, VERDICT r14 #1): it is a
       // parquet PARTITION column, and partition-type inference reads
       // the values 0,1,2… back as IntegerType, so an un-cast
@@ -1453,7 +1459,7 @@ object TextDedup extends QueryModule {
       // the in-memory partition spec — no data files are touched for
       // the batch_id filters.
       val crossPrior =
-        if (Core.pathExists(spark, s"$stateDir/bands")) {
+        if (Core.tableExists(spark, s"$stateDir/bands")) {
           // prior-batch bands are the cumulative form's standing-like
           // term: filter them like the standing index, so no new
           // candidate can match a doc tombstoned after it streamed
@@ -1463,7 +1469,7 @@ object TextDedup extends QueryModule {
           Some(crossWith(pruneIndexByProbedKeys(prior, batchBands, "bkey", maxKeyLiterals)))
         } else None
       val priorOut: Option[DataFrame] =
-        if (Core.pathExists(spark, s"$stateDir/clusters")) {
+        if (Core.tableExists(spark, s"$stateDir/clusters")) {
           val prior = spark.read.parquet(s"$stateDir/clusters")
             .withColumn("batch_id", col("batch_id").cast("long"))
             .filter(col("batch_id") < batchId)
@@ -1559,59 +1565,21 @@ object TextDedup extends QueryModule {
     * Spec-asserted: a stream split by a mid-stream compaction lands
     * frame-equal to the uncompacted full-corpus rebuild. */
   def compactClusterState(spark: SparkSession, artifactsRoot: String,
-      stateDir: String, newRoot: String): Unit = {
-    // compare FULLY-QUALIFIED paths (r15 review): raw string compares
-    // let trivially aliased spellings (trailing slash, //, ./, an
-    // explicit file: scheme) slip past the guards and hit exactly the
-    // self-overwrite / live-truncation hazards they exist to stop
-    def qual(p: String): String = {
-      val hp = new org.apache.hadoop.fs.Path(p)
-      hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        .makeQualified(hp).toString
-    }
-    val (qNew, qState, qRoot) = (qual(newRoot), qual(stateDir), qual(artifactsRoot))
-    require(qNew != qRoot,
-      "compaction must write to a fresh root: the fold reads the old band " +
-        "index lazily while writing the new one — an in-place overwrite " +
-        "would truncate its own source mid-scan")
-    // the other two aliasing cases are just as destructive (r15 review):
-    // newRoot == stateDir would write newRoot/clusters and then TRUNCATE
-    // it in the state cleanup below; stateDir == artifactsRoot would
-    // read the STANDING sidecar as "state" and then delete it
-    require(qNew != qState,
-      "newRoot must differ from stateDir: the post-fold state truncation " +
-        "would delete the just-written artifacts")
-    require(qState != qRoot,
-      "stateDir must differ from artifactsRoot: the post-fold truncation " +
-        "would delete the standing artifacts themselves")
-    require(!Core.pathExists(spark, s"$artifactsRoot/tombstones"),
-      s"$artifactsRoot carries a tombstone table: the cheap fold unions the " +
-        "standing band index verbatim (tombstoned index rows included) and " +
-        "the fresh root would drop the exclusion — takedowns would silently " +
-        "resurrect; compact a takedown corpus via writeClusterAppendArtifacts " +
-        "over the corpus minus tombstones (the hard-forget path)")
-    require(Core.pathExists(spark, s"$stateDir/bands") &&
-        Core.pathExists(spark, s"$stateDir/clusters"),
-      s"$stateDir holds no cumulative state (bands + clusters): nothing to fold")
-    spark.read.parquet(s"$artifactsRoot/bandidx")
-      .select("doc_id", "band", "bkey")
-      .union(spark.read.parquet(s"$stateDir/bands")
-        .select("doc_id", "band", "bkey"))
-      .repartitionByRange(col("band"), col("bkey"))
-      .sortWithinPartitions(col("band"), col("bkey"))
-      .write.mode("overwrite").parquet(s"$newRoot/bandidx")
-    val state = spark.read.parquet(s"$stateDir/clusters")
-      .withColumn("batch_id", col("batch_id").cast("long"))
-    val last = state.agg(max(col("batch_id"))).first().getLong(0)
-    state.filter(col("batch_id") === last).drop("batch_id")
-      .write.mode("overwrite").parquet(s"$newRoot/clusters")
-    // truncate ONLY after both artifacts landed: a failed fold leaves
-    // the old root + state fully usable
-    val hState = new org.apache.hadoop.fs.Path(stateDir)
-    val fs = hState.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.delete(new org.apache.hadoop.fs.Path(s"$stateDir/bands"), true)
-    fs.delete(new org.apache.hadoop.fs.Path(s"$stateDir/clusters"), true)
-  }
+      stateDir: String, newRoot: String): Unit =
+    // the qual/aliasing/tombstone/promotion/truncation skeleton lives
+    // in Core.compactStateFold, shared with the embed twin (r15
+    // review) — this call contributes only the family's fold table
+    // and its takedown-resurrection message
+    Core.compactStateFold(spark, artifactsRoot, stateDir, newRoot,
+      Seq(Core.StateFold("bandidx", "bands",
+        Seq("doc_id", "band", "bkey"), Seq("band", "bkey"))),
+      tombstoneMsg =
+        s"$artifactsRoot carries a tombstone table: the cheap fold unions " +
+          "the standing band index verbatim (tombstoned index rows included) " +
+          "and the fresh root would drop the exclusion — takedowns would " +
+          "silently resurrect; compact a takedown corpus via " +
+          "writeClusterAppendArtifacts over the corpus minus tombstones " +
+          "(the hard-forget path)")
 
   /** The oracle IS the full-corpus cluster oracle: the star-replacement
     * argument above makes the incremental result equal the rebuild. */

@@ -74,4 +74,47 @@ class PathSchemeSpec extends SparkSpec {
       assert(back.agg(sum(col("doc_id"))).head().getLong(0) == 10L)
     }
   }
+
+  test("tableExists reads a torn write (_temporary-only dir) as absent") {
+    withMockFs { root =>
+      val tomb = s"$root/tombstones"
+      // the torn-write shape: FileOutputCommitter created _temporary
+      // (plus an in-flight task file under it) but committed nothing —
+      // the dir EXISTS, yet spark.read.parquet would throw "Unable to
+      // infer schema" at plan time, so a bare-existence gate turns one
+      // interrupted optional write into a permanent crash loop
+      val local = new java.net.URI(tomb).getPath
+      // the real in-flight layout: task attempts stage under a NESTED
+      // _temporary (committed task dirs sit directly under the job
+      // attempt dir, so planting there would read as committed output)
+      new java.io.File(s"$local/_temporary/0/_temporary/attempt_0").mkdirs()
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(
+          s"$local/_temporary/0/_temporary/attempt_0/part-00000"),
+        Array[Byte](1, 2, 3))
+      assert(graft.ops.Core.pathExists(spark, tomb),
+        "precondition: the torn dir exists — bare existence is the " +
+          "insufficient signal under pin")
+      assert(!graft.ops.Core.tableExists(spark, tomb),
+        "a dir holding only uncommitted _temporary data must gate as absent")
+      // commit real data WITHOUT clearing the stale _temporary (the
+      // crash-then-retry sequence): the gate must flip to present
+      spark.range(0, 3).select(col("id").as("doc_id"))
+        .write.mode("append").parquet(tomb)
+      assert(graft.ops.Core.tableExists(spark, tomb),
+        "committed data must gate as present even beside stale _temporary")
+      assert(spark.read.parquet(tomb).count() == 3L)
+    }
+  }
+
+  test("tableExists descends non-hidden partition dirs") {
+    withMockFs { root =>
+      val state = s"$root/state/bands"
+      // the cumulative stateDir layout: batch_id=N partition dirs
+      spark.range(0, 4).select(col("id").as("doc_id"), lit(0L).as("batch_id"))
+        .write.partitionBy("batch_id").mode("append").parquet(state)
+      assert(graft.ops.Core.tableExists(spark, state),
+        "data files under partition dirs must count as committed data")
+    }
+  }
 }

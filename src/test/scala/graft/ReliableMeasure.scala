@@ -62,7 +62,12 @@ object ReliableMeasure {
         ops.Components.clusterPairsCounted(pairs, "vec_a", "vec_b", "vec_id", opt, 0L)
       val n = out.count()
       val sec = (System.nanoTime() - t0) / 1e9
-      val sj = steal() - s0
+      val s1 = steal()
+      // guard BOTH endpoints (r15 review, matching Bench.SectionCpu):
+      // on a kernel whose cpu line lacks the steal field both
+      // snapshots are the -1 sentinel, and (-1)-(-1)=0 would print
+      // fabricated "0.000%" cleanliness evidence for an unmeasured run
+      val sj = if (s0 >= 0 && s1 >= 0) s1 - s0 else -1L
       val stealPct = if (sj >= 0 && sec > 0) 100.0 * sj / (sec * 100.0 * ncpu) else -1.0
       println(f"[reliable] mode=${if (reliable) "reliable" else "local"}%s " +
         f"rows=$n rounds=$rounds sec=$sec%.3f steal=$sj jiffies ($stealPct%.3f%%)")

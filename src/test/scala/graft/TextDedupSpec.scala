@@ -601,6 +601,48 @@ class TextDedupSpec extends SparkSpec {
     assert(appended.forall(_._2 == 6L), "surviving member re-elected as hub")
   }
 
+  test("a torn optional write reads as absent: no crash loop, no silent state") {
+    // r15 review: a writer that dies MID-write leaves the optional
+    // table's dir holding only _temporary — the dir EXISTS but cannot
+    // be read, so a bare-existence gate turns one interrupted takedown
+    // or state write into a crash on EVERY subsequent append/replay.
+    // Core.tableExists must read the torn shape as absent: the retry
+    // story stays "torn write == never started".
+    val t1 = "the quick brown fox jumps over the lazy dog again and again"
+    val standing = Seq((2L, t1), (4L, t1)).toDF("doc_id", "text")
+    val batch = Seq((7L, t1)).toDF("doc_id", "text")
+    val root = java.nio.file.Files.createTempDirectory("graft_torn").toString
+    TextDedup.writeClusterAppendArtifacts(spark, standing, root)
+    // a takedown that died mid-write: _temporary only, nothing committed
+    new java.io.File(
+      s"$root/tombstones/_temporary/0/_temporary/attempt_0").mkdirs()
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(
+        s"$root/tombstones/_temporary/0/_temporary/attempt_0/part-00000"),
+      Array[Byte](0))
+    // must neither crash at plan time nor exclude anything
+    val out = TextDedup.appendClusters(spark, batch, root)
+      .as[(Long, Long, Long, Boolean)].collect().sorted.toSeq
+    assert(out.map(_._1).toSet == Set(2L, 4L, 7L),
+      s"a torn takedown write must read as no-takedowns (got $out)")
+    // the RETRIED takedown lands beside the stale _temporary (append
+    // mode never touches it) and takes effect
+    TextDedup.writeClusterTombstones(spark, Seq(2L).toDF("doc_id"), root)
+    val after = TextDedup.appendClusters(spark, batch, root)
+      .as[(Long, Long, Long, Boolean)].collect().sorted.toSeq
+    assert(after.map(_._1).toSet == Set(4L, 7L),
+      "the committed retry must exclude beside the stale _temporary")
+    // cumulative replay over a torn FIRST state write: batch 0 died
+    // after creating stateDir/bands/_temporary; the replay must treat
+    // state as absent and land equal to the single-shot form
+    val state = java.nio.file.Files.createTempDirectory("graft_torn_state").toString
+    new java.io.File(s"$state/bands/_temporary/0/_temporary").mkdirs()
+    val cumul = TextDedup.appendClustersCumulative(spark, batch, 0L, root, state)
+      .as[(Long, Long, Long, Boolean)].collect().sorted.toSeq
+    assert(cumul == after,
+      "a torn first state write must replay like a clean first batch")
+  }
+
   test("cumulative append with tombstones equals the single-shot delete semantics") {
     // r15: the lifecycle matrix's last cell. Tombstones only change
     // the STANDING terms (index filter + first-batch sidecar
