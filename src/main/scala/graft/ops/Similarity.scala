@@ -1079,13 +1079,21 @@ object Similarity extends QueryModule {
   }
 
   /** The IVF probe oracle, parameterized over its CORPUS — shared by
-    * the inline/persisted forms (corpus = the embeddings table) and
-    * the APPEND form (corpus = embeddings plus the id-shifted batch),
-    * so every IVF path replays one checked shape. The codebook rule
-    * `vec_id < cells` resolves to the ORIGINAL seeds in both cases
-    * (appended ids sit far above the cell range by construction). */
-  private def ivfTopKSqlOver(corpusSql: String): String = {
+    * the inline/persisted forms (corpus = the embeddings table), the
+    * APPEND form (corpus = embeddings plus the id-shifted batch), and
+    * the DELETE form (liveWhere = the takedown's complement), so every
+    * IVF path replays one checked shape. The codebook rule
+    * `vec_id < cells` resolves to the ORIGINAL seeds in all cases
+    * (appended ids sit far above the cell range by construction, and
+    * the live filter applies AFTER assignment — tombstoning a seed's
+    * data row must not move anyone's cell, the frozen-codebook
+    * contract under pin). */
+  private def ivfTopKSqlOver(corpusSql: String,
+      liveWhere: Option[String] = None): String = {
     val cells = ivfCells
+    val liveCte =
+      liveWhere.fold("")(w => s"live AS (SELECT * FROM assigned WHERE $w),\n")
+    val src = liveWhere.fold("assigned")(_ => "live")
     s"""WITH corpus AS ($corpusSql),
        |seeds AS (
        |  SELECT vec_id AS sid, embedding AS semb,
@@ -1099,12 +1107,12 @@ object Similarity extends QueryModule {
        |  SELECT vec_id, embedding, sid AS cell FROM (
        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY score, sid) AS rn
        |    FROM scored) WHERE rn = 1),
-       |q AS (SELECT vec_id AS qid, embedding AS qvec, cell FROM assigned WHERE vec_id % 50 = 0),
+       |${liveCte}q AS (SELECT vec_id AS qid, embedding AS qvec, cell FROM $src WHERE vec_id % 50 = 0),
        |pairs AS (
        |  SELECT q.qid, e.vec_id,
        |    ${dotSql("q.qvec", "e.embedding")} /
        |      (sqrt(${dotSql("q.qvec", "q.qvec")}) * sqrt(${dotSql("e.embedding", "e.embedding")})) AS cosine
-       |  FROM assigned e JOIN q ON e.cell = q.cell WHERE e.vec_id <> q.qid),
+       |  FROM $src e JOIN q ON e.cell = q.cell WHERE e.vec_id <> q.qid),
        |ranked AS (
        |  SELECT qid, vec_id, cosine,
        |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS "rank"
@@ -1269,9 +1277,36 @@ object Similarity extends QueryModule {
     * (vec_id % 50 = 0, nprobe = 1). The probed cell set is collected
     * from the tiny query side and pushed as a LITERAL isin filter so
     * Catalyst turns it into partition pruning — a join predicate alone
-    * would read every cell directory. */
-  def probeIvfIndex(spark: SparkSession, indexDir: String): DataFrame = {
-    val idx = spark.read.parquet(indexDir)
+    * would read every cell directory.
+    *
+    * DELETE path (r15 — the last index family without one):
+    * `tombstoneTable` (or the index's own accumulated
+    * `_graft_tombstones` sidecar when present — [[writeIvfTombstones]])
+    * excludes ids from the LIVE view, both as queries and as
+    * neighbors, BEFORE the top-k ranking — so a deleted vector's slot
+    * backfills with the next-nearest live vector, the semantics a
+    * takedown needs (hiding rank-3 must promote rank-6, not leave a
+    * 4-row hole). The codebook is deliberately untouched (production
+    * IVF semantics — FAISS `remove_ids` never moves a centroid): a
+    * centroid is trained geometry, not a data row, so a tombstoned
+    * SEED id stops appearing in results while every cell keeps its
+    * shape until the next retrain. Hard-forgetting the stored vector
+    * bytes is [[compactIvfIndex]]. */
+  def probeIvfIndex(spark: SparkSession, indexDir: String,
+      tombstoneTable: Option[DataFrame] = None): DataFrame = {
+    val tombstones = tombstoneTable.orElse {
+      if (Core.tableExists(spark, s"$indexDir/_graft_tombstones"))
+        Some(spark.read.parquet(s"$indexDir/_graft_tombstones"))
+      else None
+    }
+    val raw = spark.read.parquet(indexDir)
+    val idx = tombstones match {
+      case Some(t) => raw.join(
+        broadcast(t.select(col(t.columns.head).cast("long").as("vec_id"))
+          .distinct()),
+        Seq("vec_id"), "left_anti")
+      case None => raw
+    }
     val q = idx.filter(col("vec_id") % 50 === 0)
       .select(col("vec_id").as("qid"), col("embedding").as("qvec"),
         col("norm").as("qnorm"), col("cell"))
@@ -1288,6 +1323,105 @@ object Similarity extends QueryModule {
       .filter(col("rank") <= 5)
       .select(col("qid"), col("vec_id"), col("cosine"), col("rank"))
   }
+
+  /** Record a takedown list against a persisted IVF index: accumulated
+    * parquet appends under the HIDDEN `_graft_tombstones` sidecar —
+    * hidden because `spark.read.parquet(indexDir)` reads every
+    * non-hidden subdir as index DATA (unlike the cluster-artifact
+    * roots, whose tables all live in named subdirs), so a visible
+    * tombstone table would be scanned as vectors. Same
+    * append-accumulate semantics and crash story as
+    * [[TextDedup.writeClusterTombstones]] (shared helper): duplicate
+    * ids inert, no absent-dest window, single-writer under quiesce.
+    * Takes effect on the next [[probeIvfIndex]] with NO index rewrite;
+    * [[compactIvfIndex]] is the hard-forget. */
+  def writeIvfTombstones(spark: SparkSession, vecIds: DataFrame,
+      indexDir: String): Unit =
+    TextDedup.accumulateTombstones(vecIds,
+      s"$indexDir/_graft_tombstones", "vec_id")
+
+  /** HARD-FORGET compaction for a tombstoned IVF index: rewrite the
+    * cell-partitioned data minus the tombstoned rows into a fresh
+    * index dir — dropping the stored embedding bytes, the data a
+    * takedown most wants gone — while copying the codebook sidecars
+    * VERBATIM (cells meta + seed vectors): assignments never change,
+    * so the compacted index answers every probe exactly like the
+    * tombstone-filtered original ([[probeIvfIndex]] equality is
+    * spec-asserted), with no retrain and no re-shuffle of live rows'
+    * cells. The id sidecar is re-materialized from the live rows so
+    * the append-time uniqueness guard stops reserving forgotten ids.
+    * No tombstone table lands in the new dir — the ids are forgotten,
+    * not filtered.
+    *
+    * FAIL-FAST: a tombstoned id inside the codebook range `[0, cells)`
+    * cannot be hard-forgotten here — its raw vector also lives in the
+    * seed sidecar (it IS a centroid's training datum), which this fold
+    * preserves verbatim. That case requires the full rebuild
+    * ([[writeIvfIndex]] over the corpus minus tombstones, which
+    * re-derives the codebook); probe-time exclusion already hides the
+    * seed's data row from results meanwhile. */
+  def compactIvfIndex(spark: SparkSession, indexDir: String,
+      newDir: String): Unit = {
+    require(Core.qualifiedPath(spark, newDir) !=
+        Core.qualifiedPath(spark, indexDir),
+      "compaction must write to a fresh dir: the live filter reads the old " +
+        "index lazily while writing the new one — an in-place overwrite " +
+        "would truncate its own source mid-scan")
+    val tombPath = s"$indexDir/_graft_tombstones"
+    require(Core.tableExists(spark, tombPath),
+      s"$indexDir carries no committed tombstone table: nothing to forget")
+    val cells = readIvfCells(spark, indexDir)
+    val tomb = spark.read.parquet(tombPath)
+      .select(col("vec_id").cast("long").as("vec_id")).distinct()
+    require(tomb.filter(col("vec_id") < cells).isEmpty,
+      s"a codebook seed (vec_id < $cells) is tombstoned: its raw vector " +
+        "lives in the seed sidecar, which this fold preserves verbatim — " +
+        "hard-forget a seed via the full rebuild (writeIvfIndex over the " +
+        "corpus minus tombstones); probe-time exclusion already hides its " +
+        "data row from results")
+    val live = spark.read.parquet(indexDir)
+      .join(broadcast(tomb), Seq("vec_id"), "left_anti")
+    live.write.partitionBy("cell").mode("overwrite").parquet(newDir)
+    import spark.implicits._
+    Seq(cells).toDF("cells").coalesce(1).write
+      .mode("overwrite").parquet(s"$newDir/_graft_meta")
+    spark.read.parquet(s"$indexDir/_graft_seeds").coalesce(1)
+      .write.mode("overwrite").parquet(s"$newDir/_graft_seeds")
+    writeIdSidecar(spark.read.parquet(newDir).select(col("vec_id")),
+      s"$newDir/_graft_ids", overwrite = true)
+  }
+
+  /** REGISTERED exercise of the IVF DELETE path (r15) under the oracle
+    * gate — the ANN family's takedown, completing the per-index
+    * lifecycle the cluster families already have: SHARES the
+    * `ivf_index_probe` standing build (same ProbeTemp kind — a
+    * takedown list is data evaluated against the immutable index
+    * snapshot, passed explicitly so the shared artifacts stay
+    * untouched, the production shape) and probes with every
+    * `vec_id % 10 = 7` id tombstoned. That slice deliberately INCLUDES
+    * codebook seed 7, pinning the frozen-codebook contract end-to-end:
+    * the oracle's `seeds` CTE still draws from the FULL corpus (cell
+    * geometry unchanged) while its `live` view drops the seed's data
+    * row — a probe that re-derived the codebook from live rows would
+    * re-assign every cell and hash-mismatch. Queries (% 50 = 0) are
+    * never tombstoned by the slice, so what the gate pins is neighbor
+    * exclusion + next-nearest backfill through the ranked window
+    * (spec-asserted non-vacuous: the live top-5 differs from the
+    * baseline probe's). */
+  def ivfTombstoneProbe(spark: SparkSession, dir: String): DataFrame = {
+    val idxDir = ProbeTemp.dir("ivf_index_probe", dir)(d =>
+      writeIvfIndex(spark, dir, d))
+    probeIvfIndex(spark, idxDir, tombstoneTable = Some(
+      Core.embeddings(spark, dir).filter(col("vec_id") % 10 === 7)
+        .select("vec_id")))
+  }
+
+  /** [[ivfTopKSqlOver]] with the live filter = the takedown slice's
+    * complement — assignment from the full corpus, results from live
+    * rows only. */
+  val ivfTombstoneProbeSql: String = ivfTopKSqlOver(
+    "SELECT vec_id, embedding FROM embeddings",
+    liveWhere = Some("vec_id % 10 <> 7"))
 
   /** REGISTERED end-to-end exercise of the persisted IVF index under
     * the driver's oracle gate — completing the probe-registration
@@ -2403,6 +2537,7 @@ object Similarity extends QueryModule {
     "embed_ivf_multiprobe" -> (ivfTopKMultiProbe _),
     "ivf_index_probe" -> (ivfIndexProbe _),
     "ivf_append_probe" -> (ivfAppendProbe _),
+    "ivf_tombstone_probe" -> (ivfTombstoneProbe _),
     "embed_near_dup_pairs" -> (cosineNearDupPairs _),
     "embed_near_dup_hirecall" -> (cosineNearDupPairsHiRecall _),
     "embed_near_dup_strict" -> (cosineNearDupPairsStrict _),
@@ -2428,6 +2563,7 @@ object Similarity extends QueryModule {
     "embed_ivf_multiprobe" -> ivfMultiProbeSql,
     "ivf_index_probe" -> ivfTopKSql,
     "ivf_append_probe" -> ivfAppendProbeSql,
+    "ivf_tombstone_probe" -> ivfTombstoneProbeSql,
     "embed_near_dup_pairs" -> cosineNearDupPairsSql,
     "embed_near_dup_hirecall" -> cosineNearDupPairsHiRecallSql,
     "embed_near_dup_strict" -> cosineNearDupPairsStrictSql,

@@ -312,6 +312,78 @@ class SimilaritySpec extends SparkSpec {
       s"probe must prune on cell, got:\n${pf.mkString("\n")}")
   }
 
+  test("ivf delete path: exclusion backfills, compaction hard-forgets, codebook frozen") {
+    // r15 — the ANN family's takedown. Victims: every rank-1 neighbor
+    // outside the codebook range, so each query's list MUST change
+    // (its top slot is deleted, pinning backfill) and the cheap
+    // compaction stays legal (no seed tombstoned).
+    val idxDir = java.nio.file.Files.createTempDirectory("graft_ivftomb").toString + "/idx"
+    Similarity.writeIvfIndex(spark, sf0001, idxDir)
+    def top5(df: org.apache.spark.sql.DataFrame) =
+      df.select("qid", "vec_id", "cosine", "rank")
+        .as[(Long, Long, Double, Int)].collect().toSet
+    val baseline = top5(Similarity.probeIvfIndex(spark, idxDir))
+    val victims = baseline.filter(r => r._4 == 1 && r._2 >= 16L).map(_._2).toSeq.sorted
+    assert(victims.nonEmpty, "fixture: need a rank-1 neighbor outside the codebook")
+    // two takedown calls must ACCUMULATE (the shared append-mode table)
+    Similarity.writeIvfTombstones(spark, victims.take(1).toDF("vec_id"), idxDir)
+    Similarity.writeIvfTombstones(spark, victims.drop(1).toDF("vec_id"), idxDir)
+    val live = top5(Similarity.probeIvfIndex(spark, idxDir)) // sidecar read by default
+    assert(!live.exists(r => victims.contains(r._2)), "tombstoned ids leaked as neighbors")
+    assert(live != baseline, "deleting every rank-1 neighbor must change the top-5")
+    // backfill ground truth: the index REBUILT over corpus minus victims.
+    // Victims sit outside the codebook range, so the rebuild derives the
+    // IDENTICAL codebook and the filtered probe must match bit-for-bit —
+    // next-nearest vectors promoted into every freed slot.
+    val minusDir = java.nio.file.Files.createTempDirectory("graft_ivfminus").toString
+    graft.ops.Core.embeddings(spark, sf0001)
+      .filter(!$"vec_id".isin(victims: _*))
+      .write.parquet(s"$minusDir/embeddings.parquet")
+    val rebuiltIdx = java.nio.file.Files.createTempDirectory("graft_ivfrb").toString + "/idx"
+    Similarity.writeIvfIndex(spark, minusDir, rebuiltIdx)
+    assert(top5(Similarity.probeIvfIndex(spark, rebuiltIdx)) == live,
+      "tombstone-filtered probe must equal the rebuild over the live corpus")
+    // hard-forget: the compacted index answers identically with NO
+    // filter left, carries no tombstone table, and the bytes are gone
+    val newDir = java.nio.file.Files.createTempDirectory("graft_ivfcomp").toString + "/idx"
+    Similarity.compactIvfIndex(spark, idxDir, newDir)
+    assert(top5(Similarity.probeIvfIndex(spark, newDir)) == live,
+      "compacted index must answer exactly like the tombstone-filtered original")
+    assert(!graft.ops.Core.tableExists(spark, s"$newDir/_graft_tombstones"),
+      "compaction must not carry the tombstone table forward")
+    assert(spark.read.parquet(newDir).filter($"vec_id".isin(victims: _*)).isEmpty,
+      "forgotten vectors must be physically absent from the compacted index")
+    // aliased target refused (qualified-path compare, not raw strings)
+    intercept[IllegalArgumentException] {
+      Similarity.compactIvfIndex(spark, idxDir, idxDir + "/")
+    }
+    // a tombstoned codebook SEED: hidden from probe results immediately,
+    // but the cheap fold refuses — its raw vector also lives in the seed
+    // sidecar, so hard-forgetting it requires the full retrain
+    Similarity.writeIvfTombstones(spark, Seq(7L).toDF("vec_id"), idxDir)
+    assert(!top5(Similarity.probeIvfIndex(spark, idxDir)).exists(_._2 == 7L),
+      "a tombstoned seed's data row must vanish from results")
+    intercept[IllegalArgumentException] {
+      Similarity.compactIvfIndex(spark, idxDir,
+        java.nio.file.Files.createTempDirectory("graft_ivfcomp2").toString + "/idx")
+    }
+  }
+
+  test("registered ivf tombstone probe: fixture non-vacuous, seed slice excluded") {
+    def top5(df: org.apache.spark.sql.DataFrame) =
+      df.select("qid", "vec_id", "cosine", "rank")
+        .as[(Long, Long, Double, Int)].collect().toSet
+    val base = top5(Similarity.ivfIndexProbe(spark, sf0001))
+    val tomb = top5(Similarity.ivfTombstoneProbe(spark, sf0001))
+    assert(!tomb.exists(_._2 % 10 == 7), "takedown slice must be excluded")
+    assert(tomb != base,
+      "fixture vacuous: the % 10 = 7 takedown must displace some top-5 row")
+    // queries are untouched by the slice (% 50 = 0 never hits % 10 = 7),
+    // so the query set itself must be identical — only neighbors move
+    assert(tomb.map(_._1) == base.map(_._1),
+      "the takedown slice must not remove any query")
+  }
+
   test("ivf index append: original codebook preserved, copies land in their twins' cells") {
     val idxDir = java.nio.file.Files.createTempDirectory("graft_ivfapp").toString + "/idx"
     Similarity.writeIvfIndex(spark, sf0001, idxDir)
