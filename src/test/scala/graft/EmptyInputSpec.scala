@@ -17,6 +17,7 @@ class EmptyInputSpec extends SparkSpec {
     "embed_knn_label_ann" -> "same ivfScored codebook require",
     "ivf_index_probe" -> "builds an IVF index first — same codebook require",
     "ivf_append_probe" -> "builds then appends to an IVF index — same codebook require",
+    "ivf_tombstone_probe" -> "builds an IVF index then probes it tombstoned — same codebook require",
     "diversity_sample" -> "medoid representatives are per-IVF-cell — same codebook require")
 
   /** A testdata dir whose every table holds exactly `n` rows of the
