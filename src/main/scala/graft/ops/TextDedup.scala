@@ -897,14 +897,39 @@ object TextDedup extends QueryModule {
     * the index scans ONCE with the probed-bandkey predicate pushed in
     * via [[pruneIndexByProbedKeys]] (literal footer-skip for
     * micro-batches, broadcast semi-join above the size gate), and
-    * nothing corpus-sized shuffles. */
+    * nothing corpus-sized shuffles.
+    *
+    * DELETE path (r15 — [[writeSimhashIndexTombstones]]): tombstoned
+    * doc_ids are dropped from the index scan BEFORE the candidate
+    * join, so a taken-down document stops matching incoming batches
+    * with no index rewrite — probe-time exclusion, the same contract
+    * as [[graft.ops.Similarity.probeIvfIndex]]. Index rows are
+    * per-document and independent (no keeper election, no cluster
+    * membership), so exclusion here IS the full delete semantics: the
+    * probe answers exactly as if the index had been rebuilt without
+    * the tombstoned docs (spec-asserted frame-equal) — the only
+    * residue is the physical bytes, which [[compactSimhashIndex]]
+    * hard-forgets. */
   def probeSimhashIndex(spark: SparkSession, batch: DataFrame, indexDir: String,
-      maxKeyLiterals: Int = probeKeyLiteralMax): DataFrame = {
+      maxKeyLiterals: Int = probeKeyLiteralMax,
+      tombstoneTable: Option[DataFrame] = None): DataFrame = {
+    val tombstones = tombstoneTable.orElse {
+      if (Core.tableExists(spark, s"$indexDir/_graft_tombstones"))
+        Some(spark.read.parquet(s"$indexDir/_graft_tombstones"))
+      else None
+    }
     val b = simhashSigs(batch)
       .select(col("doc_id").as("probe_id"), col("simhash64").as("probe_sig"),
         explode(bandKeysCol).as("bandkey"))
-    pruneIndexByProbedKeys(spark.read.parquet(indexDir), b, "bandkey", maxKeyLiterals)
-      .join(broadcast(b), Seq("bandkey"))
+    val raw = pruneIndexByProbedKeys(
+      spark.read.parquet(indexDir), b, "bandkey", maxKeyLiterals)
+    val idx = tombstones match {
+      case Some(t) => raw.join(
+        broadcast(t.select(col(t.columns.head).cast("long").as("doc_id")).distinct()),
+        Seq("doc_id"), "left_anti")
+      case None => raw
+    }
+    idx.join(broadcast(b), Seq("bandkey"))
       .select(col("probe_id"), col("doc_id").as("match_id"),
         bit_count(col("probe_sig").bitwiseXOR(col("simhash64"))).as("hamming"))
       .filter(col("hamming") <= 4)
@@ -990,6 +1015,94 @@ object TextDedup extends QueryModule {
 
   val simhashIndexMergeProbeSql: String =
     simhashIndexProbeSqlFor("doc_id % 4 < 3", "doc_id % 4 = 3")
+
+  /** DELETE path for the persisted simhash index (r15 — with the
+    * digest twin [[writeDedupIndexTombstones]] this closes the
+    * takedown story across ALL FIVE persisted index families: digest,
+    * simhash, IVF, text clusters, embed clusters; before this round
+    * only the cluster families and IVF had one): accumulate a takedown
+    * list under the HIDDEN `_graft_tombstones` sidecar — hidden
+    * because `spark.read.parquet(indexDir)` reads every non-hidden
+    * file as index DATA, the same layout constraint as
+    * [[graft.ops.Similarity.writeIvfTombstones]]. Same
+    * append-accumulate semantics and crash story as
+    * [[writeClusterTombstones]] (shared [[accumulateTombstones]]
+    * helper): duplicate ids inert, no absent-dest window,
+    * single-writer under quiesce. Takes effect on the next
+    * [[probeSimhashIndex]] with NO index rewrite;
+    * [[compactSimhashIndex]] is the hard-forget. */
+  def writeSimhashIndexTombstones(spark: SparkSession, docIds: DataFrame,
+      indexDir: String): Unit =
+    accumulateTombstones(docIds, s"$indexDir/_graft_tombstones", "doc_id")
+
+  /** HARD-FORGET compaction for a tombstoned simhash index: rewrite
+    * the index minus the tombstoned docs' rows into a fresh dir,
+    * restoring the bandkey-range layout the probe's footer pruning
+    * relies on. Because index rows are per-document and independent
+    * (no keeper election — contrast [[compactDedupIndex]]'s scaladoc),
+    * the compacted index IS the index a full rebuild over the live
+    * corpus would produce for every doc that carried a signature
+    * (spec-asserted probe equality), and no tombstone table lands in
+    * the new dir — the ids are forgotten, not filtered. Rewrites
+    * index rows only (5 per doc), never documents. */
+  def compactSimhashIndex(spark: SparkSession, indexDir: String,
+      newDir: String): Unit = {
+    require(Core.qualifiedPath(spark, newDir) !=
+        Core.qualifiedPath(spark, indexDir),
+      "compaction must write to a fresh dir: the live filter reads the old " +
+        "index lazily while writing the new one — an in-place overwrite " +
+        "would truncate its own source mid-scan")
+    val tombPath = s"$indexDir/_graft_tombstones"
+    require(Core.tableExists(spark, tombPath),
+      s"$indexDir carries no committed tombstone table: nothing to forget")
+    val tomb = spark.read.parquet(tombPath)
+      .select(col("doc_id").cast("long").as("doc_id")).distinct()
+    spark.read.parquet(indexDir)
+      .select(col("doc_id"), col("simhash64"), col("bandkey"))
+      .join(broadcast(tomb), Seq("doc_id"), "left_anti")
+      .repartitionByRange(col("bandkey"))
+      .sortWithinPartitions(col("bandkey"))
+      .write.mode("overwrite").parquet(newDir)
+  }
+
+  /** REGISTERED exercise of the simhash DELETE path (r15) under the
+    * oracle gate. Fixture shape — chosen for SF-INVARIANT
+    * non-vacuity (the r13 lesson: a slice that happens to miss at one
+    * SF proves nothing): the standing index is the even-id half
+    * (SHARING the `simhash_index_probe` ProbeTemp build — a takedown
+    * list is data evaluated against the immutable snapshot, passed
+    * explicitly so the shared artifacts stay untouched), and the probe
+    * batch is the WHOLE corpus with ids shifted far above the id
+    * space, so every indexed document meets its shifted twin at
+    * hamming 0 — by construction half the batch always matches, and
+    * tombstoning the `doc_id % 10 = 4` slice (all even, all indexed)
+    * always drops ~a tenth of the standing matches, at EVERY SF. What
+    * the gate pins: exclusion before the candidate join, through the
+    * parquet round-trip — a probe that filtered after the hamming
+    * verify, or missed the sidecar, or dropped probe-side rows too,
+    * hash-mismatches. */
+  def simhashIndexTombstoneProbe(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Core.documents(spark, dir)
+    val idxDir = ProbeTemp.dir("simhash_index_probe", dir)(d =>
+      writeSimhashIndexFrom(docs.filter(col("doc_id") % 2 === 0), d))
+    probeSimhashIndex(spark,
+      docs.withColumn("doc_id", col("doc_id") + lit(10000000000L)), idxDir,
+      tombstoneTable = Some(
+        docs.filter(col("doc_id") % 10 === 4).select("doc_id")))
+  }
+
+  /** [[simhashIndexProbeSqlFor]]'s shape with the index side filtered
+    * to live rows and the batch side id-shifted — assignment of
+    * signatures is corpus-wide, exclusion applies to the INDEX side
+    * only. */
+  val simhashIndexTombstoneProbeSql: String =
+    s"""WITH s AS ($simhash64Sql),
+       |e AS (SELECT doc_id, simhash64 FROM s
+       |  WHERE doc_id % 2 = 0 AND doc_id % 10 <> 4),
+       |o AS (SELECT doc_id + 10000000000 AS doc_id, simhash64 FROM s)
+       |SELECT o.doc_id AS probe_id, e.doc_id AS match_id,
+       |  CAST(bit_count(xor(o.simhash64, e.simhash64)) AS INTEGER) AS hamming
+       |FROM o JOIN e ON bit_count(xor(o.simhash64, e.simhash64)) <= 4""".stripMargin
 
   /** The broadcast all-pairs scan — the equality baseline for the
     * banded form (the ~8-byte/doc signature table broadcasts even at
@@ -1265,6 +1378,23 @@ object TextDedup extends QueryModule {
       dest: String, idCol: String): Unit =
     ids.select(col(ids.columns.head).cast("long").as(idCol)).distinct()
       .write.mode("append").parquet(dest)
+
+  /** Merge guard shared by the index-merge folds (r15): a merge
+    * unions the inputs' index ROWS verbatim and cannot carry their
+    * `_graft_tombstones` sidecars into the output layout, so merging
+    * a tombstoned index would silently RESURRECT every taken-down row
+    * in the merged output — wrong answers on the one table whose
+    * whole point is exclusion. Fail fast and direct the caller to the
+    * hard-forget compaction first (the same fail-fast posture as the
+    * cumulative append meeting a tombstoned artifacts root). */
+  private def requireNoTombstones(spark: SparkSession,
+      indexDirs: Seq[String], op: String, compactOp: String): Unit =
+    indexDirs.foreach { d =>
+      require(!Core.tableExists(spark, s"$d/_graft_tombstones"),
+        s"$op: $d carries a committed tombstone table, and a merge would " +
+          s"silently resurrect its taken-down rows in the merged output — " +
+          s"hard-forget first ($compactOp into a fresh dir), then merge that")
+    }
 
   /** The probe core, shared by the registered query and the streaming
     * form: cluster `batch` against the standing artifacts under `root`
@@ -1848,6 +1978,8 @@ object TextDedup extends QueryModule {
   def mergeDedupIndexes(spark: SparkSession, indexDirs: Seq[String],
       outDir: String): Unit = {
     require(indexDirs.nonEmpty, "mergeDedupIndexes: need at least one index")
+    requireNoTombstones(spark, indexDirs, "mergeDedupIndexes",
+      "compactDedupIndex")
     // explicit schema for the same reason as probeDedupIndex: an index
     // built from an EMPTY slice (a day with zero admitted documents)
     // has no data files under its partitionBy layout, and inference
@@ -1872,6 +2004,8 @@ object TextDedup extends QueryModule {
   def mergeSimhashIndexes(spark: SparkSession, indexDirs: Seq[String],
       outDir: String): Unit = {
     require(indexDirs.nonEmpty, "mergeSimhashIndexes: need at least one index")
+    requireNoTombstones(spark, indexDirs, "mergeSimhashIndexes",
+      "compactSimhashIndex")
     indexDirs.map(d => spark.read.parquet(d)
         .select(col("doc_id"), col("simhash64"), col("bandkey")))
       .reduce(_ unionByName _)
@@ -1897,8 +2031,30 @@ object TextDedup extends QueryModule {
     * against the broadcast batch digest set to a match table that is
     * itself batch-sized, and the index never shuffles. At 100 TB that
     * is the difference between a bounded scan and re-sorting the
-    * corpus per ingest. */
-  def probeDedupIndex(spark: SparkSession, batch: DataFrame, indexDir: String): DataFrame = {
+    * corpus per ingest.
+    *
+    * DELETE path (r15 — [[writeDedupIndexTombstones]]): index rows
+    * whose KEEPER is tombstoned are dropped from the match scan, so a
+    * re-ingest of taken-down content is admitted as 'new' — the
+    * verdict a takedown wants (the content was removed; its digest
+    * must stop vouching for it). EVENTUAL-CONSISTENCY CONTRACT: the
+    * index stores only (digest, keeper), never the non-keeper members
+    * of a digest group, so exclusion cannot RE-ELECT a surviving
+    * member the way the cluster sidecar does ([[appendClusters]]) —
+    * a digest whose keeper is tombstoned vanishes from the index
+    * entirely, even if unremoved duplicates of it remain in the
+    * corpus, until the next rebuild over the live corpus re-derives
+    * the next-min keeper. That is the standard registry posture (the
+    * reference's URL registry has the same property: removing a
+    * landed row forgets the URL was ever seen). Tombstoned ids that
+    * were never keepers are inert. */
+  def probeDedupIndex(spark: SparkSession, batch: DataFrame, indexDir: String,
+      tombstoneTable: Option[DataFrame] = None): DataFrame = {
+    val tombstones = tombstoneTable.orElse {
+      if (Core.tableExists(spark, s"$indexDir/_graft_tombstones"))
+        Some(spark.read.parquet(s"$indexDir/_graft_tombstones"))
+      else None
+    }
     val b = batch.select(col("doc_id"), docDigest.as("digest"))
     val batchKeep = b.groupBy("digest").agg(min(col("doc_id")).as("batch_keep_id"))
     val probedPrefixes = batchKeep
@@ -1908,10 +2064,21 @@ object TextDedup extends QueryModule {
     // inference then throws UNABLE_TO_INFER_SCHEMA — an empty index
     // must instead mean "everything is new", the routine state of a
     // fresh deployment's first ingest. (Also skips inference I/O.)
-    val matches = spark.read
+    val raw = spark.read
       .schema("digest STRING, keep_id BIGINT, prefix STRING")
       .parquet(indexDir)
       .filter(col("prefix").isin(probedPrefixes.toSeq: _*))
+    // keeper-level exclusion BEFORE the digest join (see the DELETE
+    // scaladoc above): an index row whose keep_id is taken down must
+    // not vouch for any batch digest
+    val live = tombstones match {
+      case Some(t) => raw.join(
+        broadcast(t.select(col(t.columns.head).cast("long").as("keep_id"))
+          .distinct()),
+        Seq("keep_id"), "left_anti")
+      case None => raw
+    }
+    val matches = live
       .join(broadcast(batchKeep.select(col("digest"))), Seq("digest"))
       .select(col("digest"), col("keep_id"))
     b.join(broadcast(batchKeep), "digest")
@@ -2026,6 +2193,98 @@ object TextDedup extends QueryModule {
 
   val dedupIndexMergeProbeSql: String =
     dedupIndexProbeSqlFor("doc_id % 4 < 3", "doc_id % 4 = 3")
+
+  /** DELETE path for the persisted exact-dedup index (r15 — the
+    * digest twin of [[writeSimhashIndexTombstones]]; see
+    * [[probeDedupIndex]]'s DELETE scaladoc for the keeper-vanishes
+    * eventual-consistency contract): accumulate taken-down doc_ids
+    * under the hidden `_graft_tombstones` sidecar (hidden because the
+    * index root's non-hidden entries are partition dirs the reader
+    * scans as data). Shared [[accumulateTombstones]] semantics:
+    * appends accumulate, duplicates inert, no absent-dest crash
+    * window, single-writer under quiesce. Takes effect on the next
+    * [[probeDedupIndex]] with NO index rewrite; [[compactDedupIndex]]
+    * is the hard-forget. */
+  def writeDedupIndexTombstones(spark: SparkSession, docIds: DataFrame,
+      indexDir: String): Unit =
+    accumulateTombstones(docIds, s"$indexDir/_graft_tombstones", "doc_id")
+
+  /** HARD-FORGET compaction for a tombstoned digest index: rewrite
+    * the index minus rows whose KEEPER is tombstoned into a fresh
+    * dir, preserving the prefix-partitioned layout the probe's
+    * pruning relies on. The compacted index answers every probe
+    * exactly like the tombstone-filtered original (spec-asserted);
+    * re-electing a next-min keeper for a vanished digest requires the
+    * rebuild/merge over the live corpus ([[writeDedupIndexFrom]] /
+    * [[mergeDedupIndexes]]), which this fold deliberately is not —
+    * it never reads documents, only index rows. No tombstone table
+    * lands in the new dir. */
+  def compactDedupIndex(spark: SparkSession, indexDir: String,
+      newDir: String): Unit = {
+    require(Core.qualifiedPath(spark, newDir) !=
+        Core.qualifiedPath(spark, indexDir),
+      "compaction must write to a fresh dir: the live filter reads the old " +
+        "index lazily while writing the new one — an in-place overwrite " +
+        "would truncate its own source mid-scan")
+    val tombPath = s"$indexDir/_graft_tombstones"
+    require(Core.tableExists(spark, tombPath),
+      s"$indexDir carries no committed tombstone table: nothing to forget")
+    val tomb = spark.read.parquet(tombPath)
+      .select(col("doc_id").cast("long").as("keep_id")).distinct()
+    spark.read
+      .schema("digest STRING, keep_id BIGINT, prefix STRING")
+      .parquet(indexDir)
+      .select(col("digest"), col("keep_id"), col("prefix"))
+      .join(broadcast(tomb), Seq("keep_id"), "left_anti")
+      .select(col("digest"), col("keep_id"), col("prefix"))
+      .write.partitionBy("prefix")
+      .mode("overwrite").parquet(newDir)
+  }
+
+  /** REGISTERED exercise of the digest-index DELETE path (r15) under
+    * the oracle gate. Fixture shape — SF-INVARIANT non-vacuity by
+    * construction (the corpus holds NO cross-parity duplicate texts
+    * at the parity SFs, so an even/odd split would make the takedown
+    * unobservable): the standing index is the even-id half (SHARING
+    * the `dedup_index_probe` ProbeTemp build; the tombstone list is
+    * passed explicitly so the shared artifacts stay untouched), and
+    * the probe batch is the WHOLE corpus with ids shifted far above
+    * the id space — every even-derived batch doc re-ingests indexed
+    * content ('dup_of_corpus'), every odd-derived one is 'new', and
+    * tombstoning the `doc_id % 10 = 4` keepers flips ~a tenth of the
+    * matches to 'new' at EVERY SF. What the gate pins: keeper-level
+    * exclusion before the digest join, the keeper-vanishes contract,
+    * and the dup_of backfill (a flipped row must carry NULL dup_of,
+    * not the dead keeper), through the parquet round-trip. */
+  def dedupIndexTombstoneProbe(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Core.documents(spark, dir)
+    val idxDir = ProbeTemp.dir("dedup_index_probe", dir)(d =>
+      writeDedupIndexFrom(docs.filter(col("doc_id") % 2 === 0), d))
+    probeDedupIndex(spark,
+      docs.withColumn("doc_id", col("doc_id") + lit(10000000000L)), idxDir,
+      tombstoneTable = Some(
+        docs.filter(col("doc_id") % 10 === 4).select("doc_id")))
+  }
+
+  /** [[dedupIndexProbeSqlFor]]'s shape with the index filtered to
+    * live keepers and the batch id-shifted over the full corpus. */
+  val dedupIndexTombstoneProbeSql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, coalesce(md5(text), '(null-text)') AS digest FROM documents),
+       |idx AS (
+       |  SELECT digest, min(doc_id) AS keep_id FROM d WHERE doc_id % 2 = 0 GROUP BY 1),
+       |live AS (SELECT * FROM idx WHERE keep_id % 10 <> 4),
+       |b AS (SELECT doc_id + 10000000000 AS doc_id, digest FROM d),
+       |bk AS (SELECT digest, min(doc_id) AS batch_keep_id FROM b GROUP BY 1)
+       |SELECT b.doc_id, b.digest,
+       |  CASE WHEN i.keep_id IS NOT NULL THEN 'dup_of_corpus'
+       |       WHEN b.doc_id <> bk.batch_keep_id THEN 'dup_in_batch'
+       |       ELSE 'new' END AS verdict,
+       |  coalesce(i.keep_id,
+       |    CASE WHEN b.doc_id <> bk.batch_keep_id THEN bk.batch_keep_id END) AS dup_of
+       |FROM b
+       |JOIN bk USING (digest)
+       |LEFT JOIN live i USING (digest)""".stripMargin
 
   /** FUZZY cross-split contamination — the near-dup complement of
     * [[splitContamination]]'s exact-shingle leak detection: a test
@@ -2542,6 +2801,8 @@ object TextDedup extends QueryModule {
     "dedup_index_probe" -> (dedupIndexProbe _),
     "dedup_index_merge_probe" -> (dedupIndexMergeProbe _),
     "simhash_index_merge_probe" -> (simhashIndexMergeProbe _),
+    "dedup_index_tombstone_probe" -> (dedupIndexTombstoneProbe _),
+    "simhash_index_tombstone_probe" -> (simhashIndexTombstoneProbe _),
     "simhash_index_probe" -> (simhashIndexProbe _),
     "dataset_split" -> (datasetSplit _),
     "stratified_sample" -> (stratifiedSample _),
@@ -2580,6 +2841,8 @@ object TextDedup extends QueryModule {
     "dedup_index_probe" -> dedupIndexProbeSql,
     "dedup_index_merge_probe" -> dedupIndexMergeProbeSql,
     "simhash_index_merge_probe" -> simhashIndexMergeProbeSql,
+    "dedup_index_tombstone_probe" -> dedupIndexTombstoneProbeSql,
+    "simhash_index_tombstone_probe" -> simhashIndexTombstoneProbeSql,
     "simhash_index_probe" -> simhashIndexProbeSql,
     "dataset_split" -> datasetSplitSql,
     "stratified_sample" -> stratifiedSampleSql,

@@ -999,4 +999,103 @@ class TextDedupSpec extends SparkSpec {
     }
     p.unpersist()
   }
+
+  test("digest index takedown: keepers vanish, calls accumulate, dup_of backfills NULL") {
+    val root = java.nio.file.Files.createTempDirectory("graft_dixtomb").toString
+    val idxDir = root + "/idx"
+    val docs = graft.ops.Core.documents(spark, sf0001)
+    TextDedup.writeDedupIndexFrom(docs, idxDir)
+    val ids = docs.filter($"text".isNotNull)
+      .orderBy("doc_id").limit(2).select("doc_id").as[Long].collect()
+    // the takedown targets re-ingested under fresh ids: without
+    // tombstones each is a dup_of_corpus pointing at its original
+    val batch = docs.filter($"doc_id".isin(ids.map(Long.box): _*))
+      .select(($"doc_id" + 500000L).as("doc_id"), $"text")
+    val before = TextDedup.probeDedupIndex(spark, batch, idxDir)
+    assert(before.filter($"verdict" === "dup_of_corpus").count() == 2)
+    // two sequential takedown calls — the sidecar must accumulate
+    TextDedup.writeDedupIndexTombstones(spark, Seq(ids(0)).toDF("doc_id"), idxDir)
+    TextDedup.writeDedupIndexTombstones(spark, Seq(ids(1)).toDF("doc_id"), idxDir)
+    val after = TextDedup.probeDedupIndex(spark, batch, idxDir).cache()
+    assert(after.filter($"verdict" === "new").count() == 2,
+      "both takedown calls' keepers must vanish from the index (accumulate)")
+    assert(after.filter($"dup_of".isNotNull).isEmpty,
+      "a flipped verdict must carry NULL dup_of, not the dead keeper")
+    after.unpersist()
+  }
+
+  test("digest index compaction hard-forgets; merge refuses a tombstoned input") {
+    val root = java.nio.file.Files.createTempDirectory("graft_dixcomp").toString
+    val idxDir = root + "/idx"
+    val docs = graft.ops.Core.documents(spark, sf0001)
+    TextDedup.writeDedupIndexFrom(docs, idxDir)
+    val ids = docs.orderBy("doc_id").limit(2).select("doc_id").as[Long].collect()
+    val batch = docs.select(($"doc_id" + 500000L).as("doc_id"), $"text")
+    TextDedup.writeDedupIndexTombstones(spark, ids.toSeq.toDF("doc_id"), idxDir)
+    // a merge over the tombstoned index would resurrect the rows
+    val mErr = intercept[IllegalArgumentException] {
+      TextDedup.mergeDedupIndexes(spark, Seq(idxDir), root + "/merged") }
+    assert(mErr.getMessage.contains("resurrect"))
+    // compaction refuses in-place (aliased) targets and un-tombstoned dirs
+    val aErr = intercept[IllegalArgumentException] {
+      TextDedup.compactDedupIndex(spark, idxDir, idxDir) }
+    assert(aErr.getMessage.contains("fresh dir"))
+    val fresh = root + "/fresh"; TextDedup.writeDedupIndexFrom(docs.limit(1), fresh)
+    val nErr = intercept[IllegalArgumentException] {
+      TextDedup.compactDedupIndex(spark, fresh, root + "/fresh2") }
+    assert(nErr.getMessage.contains("nothing to forget"))
+    // the fold: tombstoned keepers physically absent, probe answers
+    // exactly like the tombstone-filtered original
+    val newDir = root + "/compacted"
+    TextDedup.compactDedupIndex(spark, idxDir, newDir)
+    assert(spark.read.parquet(newDir)
+        .filter($"keep_id".isin(ids.map(Long.box): _*)).isEmpty,
+      "tombstoned keepers must be physically absent after compaction")
+    assert(!graft.ops.Core.tableExists(spark, newDir + "/_graft_tombstones"),
+      "the compacted index must carry no tombstone table — forgotten, not filtered")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "digest", "verdict", "dup_of")
+        .as[(Long, String, String, Option[Long])].collect().sorted.toSeq
+    assert(rows(TextDedup.probeDedupIndex(spark, batch, newDir)) ==
+      rows(TextDedup.probeDedupIndex(spark, batch, idxDir)),
+      "compacted probe must equal the tombstone-filtered original")
+  }
+
+  test("simhash index takedown: exclusion equals rebuild-over-live; compaction hard-forgets") {
+    val root = java.nio.file.Files.createTempDirectory("graft_shtomb").toString
+    val idxDir = root + "/idx"
+    val docs = graft.ops.Core.documents(spark, sf0001)
+    TextDedup.writeSimhashIndexFrom(docs, idxDir)
+    // pick takedown targets that CARRY signatures (>2 tokens) so the
+    // hamming-0 self-match is guaranteed, not a fixture accident
+    val ids = TextDedup.simhashSigs(docs)
+      .orderBy("doc_id").limit(2).select("doc_id").as[Long].collect()
+    val batch = docs.select(($"doc_id" + 500000L).as("doc_id"), $"text")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long, Int)].collect().sorted.toSeq
+    val before = rows(TextDedup.probeSimhashIndex(spark, batch, idxDir))
+    assert(ids.forall(i => before.exists(_._2 == i)),
+      "fixture vacuous: every doc must self-match its shifted twin at hamming 0")
+    TextDedup.writeSimhashIndexTombstones(spark, ids.toSeq.toDF("doc_id"), idxDir)
+    val after = rows(TextDedup.probeSimhashIndex(spark, batch, idxDir))
+    assert(!after.exists(m => ids.contains(m._2)),
+      "tombstoned docs must stop matching")
+    // per-doc independent index rows: exclusion IS the rebuild
+    val rebuildDir = root + "/rebuild"
+    TextDedup.writeSimhashIndexFrom(
+      docs.filter(!$"doc_id".isin(ids.map(Long.box): _*)), rebuildDir)
+    assert(after == rows(TextDedup.probeSimhashIndex(spark, batch, rebuildDir)),
+      "tombstone exclusion must equal the rebuild over the live corpus")
+    // merge fail-fast + compaction equality
+    val mErr = intercept[IllegalArgumentException] {
+      TextDedup.mergeSimhashIndexes(spark, Seq(idxDir), root + "/merged") }
+    assert(mErr.getMessage.contains("resurrect"))
+    val newDir = root + "/compacted"
+    TextDedup.compactSimhashIndex(spark, idxDir, newDir)
+    assert(spark.read.parquet(newDir)
+        .filter($"doc_id".isin(ids.map(Long.box): _*)).isEmpty,
+      "tombstoned rows must be physically absent after compaction")
+    assert(rows(TextDedup.probeSimhashIndex(spark, batch, newDir)) == after,
+      "compacted probe must equal the tombstone-filtered original")
+  }
 }
