@@ -315,7 +315,13 @@ object Mixture extends QueryModule {
     * parquet with a `kind` discriminator — char-bucket counts
     * (kind='chars', key=bucket), language counts (kind='lang',
     * key=lang), and the corpus total (kind='total') — a few dozen
-    * rows regardless of corpus size, so every probe broadcasts it. */
+    * rows regardless of corpus size, so every probe broadcasts it.
+    * DELETE posture (r15, contrast the row-keyed indexes'
+    * tombstone sidecars): the baseline AGGREGATES counts over
+    * documents, so a per-doc takedown has no stored counts to
+    * subtract — forgetting a document means rebuilding (or
+    * re-merging per-slice baselines without the affected slice);
+    * there is deliberately no tombstone path here. */
   def writeDriftBaseline(spark: SparkSession, dir: String, outDir: String): Unit =
     writeDriftBaselineFrom(Core.documents(spark, dir), outDir)
 
@@ -593,7 +599,12 @@ object Mixture extends QueryModule {
     * vocabulary that curation settled on. One distinct-token shuffle
     * (map-side partial counts) at build time; vocabulary is sublinear
     * in corpus size (Heaps' law), so the index is orders of magnitude
-    * smaller than the corpus it summarizes. */
+    * smaller than the corpus it summarizes. DELETE posture (r15):
+    * document frequencies are aggregates — a per-doc takedown has no
+    * stored counts to subtract, so forgetting means rebuilding (or
+    * re-merging per-slice indexes without the affected slice); there
+    * is deliberately no tombstone path here, unlike the row-keyed
+    * digest/simhash/IVF/cluster families. */
   def writeVocabIndex(spark: SparkSession, dir: String, outDir: String): Unit =
     writeVocabIndexFrom(Core.documents(spark, dir), outDir)
 
