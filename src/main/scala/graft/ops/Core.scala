@@ -146,6 +146,52 @@ object Core {
       .makeQualified(hp).toString
   }
 
+  /** Tombstone resolution SHARED by every row-keyed index probe (r15
+    * review — previously six hand-copies of the orElse/read/cast
+    * logic): UNION an explicitly-passed takedown table with the
+    * artifact's committed tombstone sidecar, normalized to one long
+    * `tomb_id` column. Union, not override — the explicit-table
+    * parameter exists so an ad-hoc takedown list can be evaluated
+    * against an immutable artifact snapshot, and letting it silently
+    * DISABLE the committed sidecar would resurrect every
+    * previously-committed takedown for that probe: exactly the
+    * 'resurrect' class the merge guards fail fast on, from the
+    * parameter that looks most innocent. Committed-data existence
+    * gate, not bare existence (torn write == never started). */
+  private[ops] def resolveTombstones(spark: SparkSession, sidecarPath: String,
+      explicitTable: Option[DataFrame]): Option[DataFrame] = {
+    val sidecar =
+      if (tableExists(spark, sidecarPath)) Some(spark.read.parquet(sidecarPath))
+      else None
+    def ids(df: DataFrame) =
+      df.select(col(df.columns.head).cast("long").as("tomb_id"))
+    (explicitTable.map(ids), sidecar.map(ids)) match {
+      case (Some(e), Some(s)) => Some(e.unionByName(s).distinct())
+      case (e, s) => e.orElse(s).map(_.distinct())
+    }
+  }
+
+  /** Directory-disjointness guard for index compactions and merges
+    * (r15 review): refuses equality AND containment in either
+    * direction, on qualified paths. Equality truncates a lazily-read
+    * source mid-scan; a target nested INSIDE the live dir plants a
+    * non-hidden data subdir that breaks every later scan of it
+    * (conflicting directory structures under a flat or partitioned
+    * layout); a source nested under the target is clobbered by the
+    * target's overwrite. */
+  private[ops] def requireDisjointDirs(spark: SparkSession, src: String,
+      dest: String, what: String): Unit = {
+    val (qs, qd) = (qualifiedPath(spark, src), qualifiedPath(spark, dest))
+    require(qd != qs,
+      s"$what must write to a fresh dir: the live filter reads the old " +
+        "index lazily while writing the new one — an in-place overwrite " +
+        "would truncate its own source mid-scan")
+    require(!qd.startsWith(qs + "/") && !qs.startsWith(qd + "/"),
+      s"$what: target $dest nests with source $src — writing into a live " +
+        "index dir plants a data subdir that breaks every later scan of " +
+        "it, and a source under the target is clobbered by the overwrite")
+  }
+
   private[ops] def compactStateFold(spark: SparkSession, artifactsRoot: String,
       stateDir: String, newRoot: String, folds: Seq[StateFold],
       tombstoneMsg: String): Unit = {

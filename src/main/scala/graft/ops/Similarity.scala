@@ -1294,16 +1294,14 @@ object Similarity extends QueryModule {
     * bytes is [[compactIvfIndex]]. */
   def probeIvfIndex(spark: SparkSession, indexDir: String,
       tombstoneTable: Option[DataFrame] = None): DataFrame = {
-    val tombstones = tombstoneTable.orElse {
-      if (Core.tableExists(spark, s"$indexDir/_graft_tombstones"))
-        Some(spark.read.parquet(s"$indexDir/_graft_tombstones"))
-      else None
-    }
+    // explicit table UNIONS with the committed sidecar, never
+    // overrides it (r15 review — Core.resolveTombstones scaladoc)
+    val tombstones = Core.resolveTombstones(
+      spark, s"$indexDir/_graft_tombstones", tombstoneTable)
     val raw = spark.read.parquet(indexDir)
     val idx = tombstones match {
       case Some(t) => raw.join(
-        broadcast(t.select(col(t.columns.head).cast("long").as("vec_id"))
-          .distinct()),
+        broadcast(t.withColumnRenamed("tomb_id", "vec_id")),
         Seq("vec_id"), "left_anti")
       case None => raw
     }
@@ -1362,17 +1360,13 @@ object Similarity extends QueryModule {
     * seed's data row from results meanwhile. */
   def compactIvfIndex(spark: SparkSession, indexDir: String,
       newDir: String): Unit = {
-    require(Core.qualifiedPath(spark, newDir) !=
-        Core.qualifiedPath(spark, indexDir),
-      "compaction must write to a fresh dir: the live filter reads the old " +
-        "index lazily while writing the new one — an in-place overwrite " +
-        "would truncate its own source mid-scan")
+    Core.requireDisjointDirs(spark, indexDir, newDir, "compactIvfIndex")
     val tombPath = s"$indexDir/_graft_tombstones"
     require(Core.tableExists(spark, tombPath),
       s"$indexDir carries no committed tombstone table: nothing to forget")
     val cells = readIvfCells(spark, indexDir)
-    val tomb = spark.read.parquet(tombPath)
-      .select(col("vec_id").cast("long").as("vec_id")).distinct()
+    val tomb = Core.resolveTombstones(spark, tombPath, None).get
+      .withColumnRenamed("tomb_id", "vec_id")
     require(tomb.filter(col("vec_id") < cells).isEmpty,
       s"a codebook seed (vec_id < $cells) is tombstoned: its raw vector " +
         "lives in the seed sidecar, which this fold preserves verbatim — " +
@@ -2009,11 +2003,9 @@ object Similarity extends QueryModule {
     // check would silently no-op takedowns on HDFS/S3, and a torn
     // takedown write (a _temporary-only dir) must read as absent
     // rather than crash every subsequent append at plan time.
-    val tombstones: Option[DataFrame] = tombstoneTable.orElse {
-      if (Core.tableExists(spark, s"$root/tombstones"))
-        Some(spark.read.parquet(s"$root/tombstones"))
-      else None
-    }
+    val tombstones: Option[DataFrame] =
+      Core.resolveTombstones(spark, s"$root/tombstones", tombstoneTable)
+        .map(_.withColumnRenamed("tomb_id", "vec_id"))
     def dropTombstoned(df: DataFrame): DataFrame = tombstones match {
       case Some(t) => df.join(broadcast(t), Seq("vec_id"), "left_anti")
       case None => df
@@ -2289,11 +2281,9 @@ object Similarity extends QueryModule {
     // batch's vectors are never filtered (the static form's
     // contract). Oracle-gated: the registered cumulative-tombstone
     // probe shares the single-shot tombstone SQL verbatim.
-    val tombstones: Option[DataFrame] = tombstoneTable.orElse {
-      if (Core.tableExists(spark, s"$artifactsRoot/tombstones"))
-        Some(spark.read.parquet(s"$artifactsRoot/tombstones"))
-      else None
-    }
+    val tombstones: Option[DataFrame] =
+      Core.resolveTombstones(spark, s"$artifactsRoot/tombstones", tombstoneTable)
+        .map(_.withColumnRenamed("tomb_id", "vec_id"))
     def dropTombstoned(df: DataFrame): DataFrame = tombstones match {
       case Some(t) => df.join(broadcast(t), Seq("vec_id"), "left_anti")
       case None => df

@@ -913,11 +913,10 @@ object TextDedup extends QueryModule {
   def probeSimhashIndex(spark: SparkSession, batch: DataFrame, indexDir: String,
       maxKeyLiterals: Int = probeKeyLiteralMax,
       tombstoneTable: Option[DataFrame] = None): DataFrame = {
-    val tombstones = tombstoneTable.orElse {
-      if (Core.tableExists(spark, s"$indexDir/_graft_tombstones"))
-        Some(spark.read.parquet(s"$indexDir/_graft_tombstones"))
-      else None
-    }
+    // explicit table UNIONS with the committed sidecar, never
+    // overrides it (r15 review — Core.resolveTombstones scaladoc)
+    val tombstones = Core.resolveTombstones(
+      spark, s"$indexDir/_graft_tombstones", tombstoneTable)
     val b = simhashSigs(batch)
       .select(col("doc_id").as("probe_id"), col("simhash64").as("probe_sig"),
         explode(bandKeysCol).as("bandkey"))
@@ -925,7 +924,7 @@ object TextDedup extends QueryModule {
       spark.read.parquet(indexDir), b, "bandkey", maxKeyLiterals)
     val idx = tombstones match {
       case Some(t) => raw.join(
-        broadcast(t.select(col(t.columns.head).cast("long").as("doc_id")).distinct()),
+        broadcast(t.withColumnRenamed("tomb_id", "doc_id")),
         Seq("doc_id"), "left_anti")
       case None => raw
     }
@@ -1047,16 +1046,12 @@ object TextDedup extends QueryModule {
     * index rows only (5 per doc), never documents. */
   def compactSimhashIndex(spark: SparkSession, indexDir: String,
       newDir: String): Unit = {
-    require(Core.qualifiedPath(spark, newDir) !=
-        Core.qualifiedPath(spark, indexDir),
-      "compaction must write to a fresh dir: the live filter reads the old " +
-        "index lazily while writing the new one — an in-place overwrite " +
-        "would truncate its own source mid-scan")
+    Core.requireDisjointDirs(spark, indexDir, newDir, "compactSimhashIndex")
     val tombPath = s"$indexDir/_graft_tombstones"
     require(Core.tableExists(spark, tombPath),
       s"$indexDir carries no committed tombstone table: nothing to forget")
-    val tomb = spark.read.parquet(tombPath)
-      .select(col("doc_id").cast("long").as("doc_id")).distinct()
+    val tomb = Core.resolveTombstones(spark, tombPath, None).get
+      .withColumnRenamed("tomb_id", "doc_id")
     spark.read.parquet(indexDir)
       .select(col("doc_id"), col("simhash64"), col("bandkey"))
       .join(broadcast(tomb), Seq("doc_id"), "left_anti")
@@ -1417,16 +1412,15 @@ object TextDedup extends QueryModule {
     // table lets a takedown list be evaluated against an IMMUTABLE
     // artifact snapshot without rewriting it (the registered tombstone
     // probe shares the append probe's standing build this way)
-    val tombstones: Option[DataFrame] = tombstoneTable.orElse {
-      // committed-data gate, not bare existence (r15 review): besides
-      // the java.io.File local-only hazard (ADVICE r14), a takedown
-      // write that dies mid-flight leaves a _temporary-only dir that
-      // EXISTS but cannot be read — Core.tableExists treats it as
-      // absent, so the retry story stays "torn write == never started"
-      if (Core.tableExists(spark, s"$root/tombstones"))
-        Some(spark.read.parquet(s"$root/tombstones"))
-      else None
-    }
+    // committed-data gate, not bare existence (r15 review): a takedown
+    // write that dies mid-flight leaves a _temporary-only dir that
+    // EXISTS but cannot be read — treated as absent, so the retry
+    // story stays "torn write == never started". An explicit table
+    // UNIONS with the committed sidecar, never overrides it
+    // (Core.resolveTombstones scaladoc).
+    val tombstones: Option[DataFrame] =
+      Core.resolveTombstones(spark, s"$root/tombstones", tombstoneTable)
+        .map(_.withColumnRenamed("tomb_id", "doc_id"))
     def dropTombstoned(df: DataFrame): DataFrame = tombstones match {
       case Some(t) => df.join(broadcast(t), Seq("doc_id"), "left_anti")
       case None => df
@@ -1553,11 +1547,9 @@ object TextDedup extends QueryModule {
     // terms pass through untouched. Oracle-gated: the registered
     // cumulative-tombstone probe shares
     // [[dedupClustersTombstoneProbeSql]] VERBATIM.
-    val tombstones: Option[DataFrame] = tombstoneTable.orElse {
-      if (Core.tableExists(spark, s"$artifactsRoot/tombstones"))
-        Some(spark.read.parquet(s"$artifactsRoot/tombstones"))
-      else None
-    }
+    val tombstones: Option[DataFrame] =
+      Core.resolveTombstones(spark, s"$artifactsRoot/tombstones", tombstoneTable)
+        .map(_.withColumnRenamed("tomb_id", "doc_id"))
     def dropTombstoned(df: DataFrame): DataFrame = tombstones match {
       case Some(t) => df.join(broadcast(t), Seq("doc_id"), "left_anti")
       case None => df
@@ -1980,6 +1972,8 @@ object TextDedup extends QueryModule {
     require(indexDirs.nonEmpty, "mergeDedupIndexes: need at least one index")
     requireNoTombstones(spark, indexDirs, "mergeDedupIndexes",
       "compactDedupIndex")
+    indexDirs.foreach(d =>
+      Core.requireDisjointDirs(spark, d, outDir, "mergeDedupIndexes"))
     // explicit schema for the same reason as probeDedupIndex: an index
     // built from an EMPTY slice (a day with zero admitted documents)
     // has no data files under its partitionBy layout, and inference
@@ -2006,6 +2000,8 @@ object TextDedup extends QueryModule {
     require(indexDirs.nonEmpty, "mergeSimhashIndexes: need at least one index")
     requireNoTombstones(spark, indexDirs, "mergeSimhashIndexes",
       "compactSimhashIndex")
+    indexDirs.foreach(d =>
+      Core.requireDisjointDirs(spark, d, outDir, "mergeSimhashIndexes"))
     indexDirs.map(d => spark.read.parquet(d)
         .select(col("doc_id"), col("simhash64"), col("bandkey")))
       .reduce(_ unionByName _)
@@ -2050,11 +2046,10 @@ object TextDedup extends QueryModule {
     * were never keepers are inert. */
   def probeDedupIndex(spark: SparkSession, batch: DataFrame, indexDir: String,
       tombstoneTable: Option[DataFrame] = None): DataFrame = {
-    val tombstones = tombstoneTable.orElse {
-      if (Core.tableExists(spark, s"$indexDir/_graft_tombstones"))
-        Some(spark.read.parquet(s"$indexDir/_graft_tombstones"))
-      else None
-    }
+    // explicit table UNIONS with the committed sidecar, never
+    // overrides it (r15 review — Core.resolveTombstones scaladoc)
+    val tombstones = Core.resolveTombstones(
+      spark, s"$indexDir/_graft_tombstones", tombstoneTable)
     val b = batch.select(col("doc_id"), docDigest.as("digest"))
     val batchKeep = b.groupBy("digest").agg(min(col("doc_id")).as("batch_keep_id"))
     val probedPrefixes = batchKeep
@@ -2073,8 +2068,7 @@ object TextDedup extends QueryModule {
     // not vouch for any batch digest
     val live = tombstones match {
       case Some(t) => raw.join(
-        broadcast(t.select(col(t.columns.head).cast("long").as("keep_id"))
-          .distinct()),
+        broadcast(t.withColumnRenamed("tomb_id", "keep_id")),
         Seq("keep_id"), "left_anti")
       case None => raw
     }
@@ -2221,20 +2215,15 @@ object TextDedup extends QueryModule {
     * lands in the new dir. */
   def compactDedupIndex(spark: SparkSession, indexDir: String,
       newDir: String): Unit = {
-    require(Core.qualifiedPath(spark, newDir) !=
-        Core.qualifiedPath(spark, indexDir),
-      "compaction must write to a fresh dir: the live filter reads the old " +
-        "index lazily while writing the new one — an in-place overwrite " +
-        "would truncate its own source mid-scan")
+    Core.requireDisjointDirs(spark, indexDir, newDir, "compactDedupIndex")
     val tombPath = s"$indexDir/_graft_tombstones"
     require(Core.tableExists(spark, tombPath),
       s"$indexDir carries no committed tombstone table: nothing to forget")
-    val tomb = spark.read.parquet(tombPath)
-      .select(col("doc_id").cast("long").as("keep_id")).distinct()
+    val tomb = Core.resolveTombstones(spark, tombPath, None).get
+      .withColumnRenamed("tomb_id", "keep_id")
     spark.read
       .schema("digest STRING, keep_id BIGINT, prefix STRING")
       .parquet(indexDir)
-      .select(col("digest"), col("keep_id"), col("prefix"))
       .join(broadcast(tomb), Seq("keep_id"), "left_anti")
       .select(col("digest"), col("keep_id"), col("prefix"))
       .write.partitionBy("prefix")

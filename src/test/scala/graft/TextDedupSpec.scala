@@ -1098,4 +1098,44 @@ class TextDedupSpec extends SparkSpec {
     assert(rows(TextDedup.probeSimhashIndex(spark, batch, newDir)) == after,
       "compacted probe must equal the tombstone-filtered original")
   }
+
+  test("explicit tombstone table unions with the committed sidecar, never overrides it") {
+    // r15 review: the explicit-table parameter exists for ad-hoc
+    // takedown lists evaluated against an immutable snapshot — it must
+    // COMPOSE with committed takedowns, not silently resurrect them.
+    val root = java.nio.file.Files.createTempDirectory("graft_tombu").toString
+    val idxDir = root + "/idx"
+    val docs = graft.ops.Core.documents(spark, sf0001)
+    TextDedup.writeDedupIndexFrom(docs, idxDir)
+    val ids = docs.filter($"text".isNotNull)
+      .orderBy("doc_id").limit(2).select("doc_id").as[Long].collect()
+    val batch = docs.filter($"doc_id".isin(ids.map(Long.box): _*))
+      .select(($"doc_id" + 500000L).as("doc_id"), $"text")
+    TextDedup.writeDedupIndexTombstones(spark, Seq(ids(0)).toDF("doc_id"), idxDir)
+    val v = TextDedup.probeDedupIndex(spark, batch, idxDir,
+      tombstoneTable = Some(Seq(ids(1)).toDF("doc_id")))
+    assert(v.filter($"verdict" === "new").count() == 2,
+      "the committed takedown (sidecar) and the ad-hoc list must BOTH apply")
+  }
+
+  test("compaction and merge refuse nested directories, not just aliases") {
+    // r15 review: a compaction target INSIDE the live index dir plants
+    // a non-hidden data subdir that breaks every later flat scan of
+    // the index; a source nested under the target would be clobbered
+    // by the overwrite. Both directions must refuse before any IO.
+    val root = java.nio.file.Files.createTempDirectory("graft_nest").toString
+    val idxDir = root + "/idx"
+    val docs = graft.ops.Core.documents(spark, sf0001)
+    TextDedup.writeSimhashIndexFrom(docs, idxDir)
+    TextDedup.writeSimhashIndexTombstones(spark, Seq(1L).toDF("doc_id"), idxDir)
+    def refuse(f: => Unit) = intercept[IllegalArgumentException](f)
+    assert(refuse(TextDedup.compactSimhashIndex(spark, idxDir, idxDir + "/v2"))
+      .getMessage.contains("nests"))
+    assert(refuse(TextDedup.compactSimhashIndex(spark, idxDir, root))
+      .getMessage.contains("nests"))
+    val cleanDir = root + "/clean"
+    TextDedup.writeSimhashIndexFrom(docs.limit(3), cleanDir)
+    assert(refuse(TextDedup.mergeSimhashIndexes(spark, Seq(cleanDir),
+      cleanDir + "/merged")).getMessage.contains("nests"))
+  }
 }
