@@ -442,10 +442,19 @@ object Components {
       val r = find(id)
       size.update(r, size.getOrElse(r, 0L) + 1L)
     }
-    val rows = new scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.Row](ids.length)
+    // pack the output as flat (id, root, size) long TRIPLES and build
+    // Rows EXECUTOR-side (r15 review): an ArrayBuffer[Row] here would
+    // re-introduce ~150 B/node of boxed driver memory on the OUTPUT
+    // path — the exact regression the packed-long collect on the
+    // input path exists to avoid. The triples are the raw payload
+    // (24 B/node); chunk arrays ship compactly and rows box
+    // streamwise inside each task.
+    val triples = new Array[Long](ids.length * 3)
+    var j = 0
     ids.foreach { id =>
       val r = find(id) // fully compressed by the sizing pass; O(1)
-      rows += org.apache.spark.sql.Row(id, r, size(r), id == r)
+      triples(j) = id; triples(j + 1) = r; triples(j + 2) = size(r)
+      j += 3
     }
     val schema = StructType(Seq(
       StructField(idName, LongType, nullable = false),
@@ -455,9 +464,21 @@ object Components {
     // a few tens of thousands of rows per partition: tiny results land
     // in one task, gate-sized ones still parallelize downstream joins
     val slices = math.max(1, math.min(
-      spark.sparkContext.defaultParallelism, rows.length / 65536 + 1))
-    val out = spark.createDataFrame(
-      spark.sparkContext.parallelize(rows.toSeq, slices), schema)
+      spark.sparkContext.defaultParallelism, ids.length / 65536 + 1))
+    val perChunk = (ids.length + slices - 1) / slices
+    val chunks: Seq[Array[Long]] = (0 until slices).map { s =>
+      val from = math.min(triples.length, s * perChunk * 3)
+      val until = math.min(triples.length, (s + 1) * perChunk * 3)
+      java.util.Arrays.copyOfRange(triples, from, until)
+    }
+    val rowRdd = spark.sparkContext.parallelize(chunks, chunks.length)
+      .flatMap { arr =>
+        Iterator.range(0, arr.length / 3).map { t =>
+          val id = arr(t * 3); val r = arr(t * 3 + 1)
+          org.apache.spark.sql.Row(id, r, arr(t * 3 + 2), id == r)
+        }
+      }
+    val out = spark.createDataFrame(rowRdd, schema)
     if (outType == LongType) out
     else out.select(col(idName).cast(outType).as(idName),
       col("cluster_id").cast(outType).as("cluster_id"),

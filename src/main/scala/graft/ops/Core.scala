@@ -142,8 +142,13 @@ object Core {
     * stop. */
   private[ops] def qualifiedPath(spark: SparkSession, p: String): String = {
     val hp = new org.apache.hadoop.fs.Path(p)
+    // URI-normalize AFTER qualification (r15 review): Hadoop Path
+    // collapses '//', './' and trailing slashes but deliberately keeps
+    // '..' segments, so "/a/x/../idx" would compare unequal to
+    // "/a/idx" and slip past both the equality and the containment
+    // guards while resolving to the same physical directory
     hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      .makeQualified(hp).toString
+      .makeQualified(hp).toUri.normalize().toString
   }
 
   /** Tombstone resolution SHARED by every row-keyed index probe (r15
@@ -195,26 +200,22 @@ object Core {
   private[ops] def compactStateFold(spark: SparkSession, artifactsRoot: String,
       stateDir: String, newRoot: String, folds: Seq[StateFold],
       tombstoneMsg: String): Unit = {
-    def qual(p: String): String = qualifiedPath(spark, p)
-    val (qNew, qState, qRoot) = (qual(newRoot), qual(stateDir), qual(artifactsRoot))
-    require(qNew != qRoot,
-      "compaction must write to a fresh root: the fold reads the old " +
-        "artifacts lazily while writing the new ones — an in-place " +
-        "overwrite would truncate its own source mid-scan")
-    // the other two aliasing cases are just as destructive: newRoot ==
-    // stateDir would write newRoot/clusters and then TRUNCATE it in
-    // the state cleanup below; stateDir == artifactsRoot would read
-    // the STANDING sidecar as "state" and then delete it
-    require(qNew != qState,
-      "newRoot must differ from stateDir: the post-fold state truncation " +
-        "would delete the just-written artifacts")
-    require(qState != qRoot,
-      "stateDir must differ from artifactsRoot: the post-fold truncation " +
-        "would delete the standing artifacts themselves")
+    // equality AND nesting refused among all three dirs (r15 review —
+    // previously equality-only, unlike the index compactions): a
+    // newRoot nested inside the standing root plants artifact subdirs
+    // INSIDE a live table dir mid-scan; a newRoot under stateDir is
+    // deleted by the closing truncation; a stateDir nested with the
+    // root lets the truncation eat standing artifacts
+    requireDisjointDirs(spark, artifactsRoot, newRoot, "state compaction")
+    requireDisjointDirs(spark, stateDir, newRoot, "state compaction")
+    requireDisjointDirs(spark, artifactsRoot, stateDir, "state compaction")
     require(!tableExists(spark, s"$artifactsRoot/tombstones"), tombstoneMsg)
-    val stateNames = folds.map(_.state) :+ "clusters"
-    require(stateNames.forall(t => tableExists(spark, s"$stateDir/$t")),
-      s"$stateDir holds no cumulative state (${stateNames.mkString(" + ")}): " +
+    // the clusters state is OPTIONAL (r15 review): a cumulative stream
+    // over batches that never formed a single cluster writes bands
+    // (and vecs) state every batch but NO clusters table — its state
+    // still needs the fold path, else it grows forever uncompactable
+    require(folds.forall(f => tableExists(spark, s"$stateDir/${f.state}")),
+      s"$stateDir holds no cumulative state (${folds.map(_.state).mkString(" + ")}): " +
         "nothing to fold")
     folds.foreach { f =>
       val rc = f.rangeCols.map(col)
@@ -226,15 +227,27 @@ object Core {
         .sortWithinPartitions(rc: _*)
         .write.mode("overwrite").parquet(s"$newRoot/${f.standing}")
     }
-    val state = spark.read.parquet(s"$stateDir/clusters")
-      .withColumn("batch_id", col("batch_id").cast("long"))
-    val last = state.agg(max(col("batch_id"))).first().getLong(0)
-    state.filter(col("batch_id") === last).drop("batch_id")
-      .write.mode("overwrite").parquet(s"$newRoot/clusters")
+    if (tableExists(spark, s"$stateDir/clusters")) {
+      // promote the LATEST batch's cumulative cluster table verbatim
+      // (the convergence invariant makes it the rebuild's). Trailing
+      // batches that added no clusters skip their empty write, so the
+      // latest WRITTEN batch is the latest cluster state.
+      val state = spark.read.parquet(s"$stateDir/clusters")
+        .withColumn("batch_id", col("batch_id").cast("long"))
+      val last = state.agg(max(col("batch_id"))).first().getLong(0)
+      state.filter(col("batch_id") === last).drop("batch_id")
+        .write.mode("overwrite").parquet(s"$newRoot/clusters")
+    } else if (tableExists(spark, s"$artifactsRoot/clusters")) {
+      // no batch ever emitted clusters: the stream found nothing to
+      // add, so the standing cluster table carries over unchanged
+      spark.read.parquet(s"$artifactsRoot/clusters")
+        .write.mode("overwrite").parquet(s"$newRoot/clusters")
+    } // else: the source root had no committed clusters either — the
+      // new root mirrors that layout
     // truncate ONLY after every artifact landed
     val fs = new org.apache.hadoop.fs.Path(stateDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    stateNames.foreach(t =>
+    (folds.map(_.state) :+ "clusters").foreach(t =>
       fs.delete(new org.apache.hadoop.fs.Path(s"$stateDir/$t"), true))
   }
 }

@@ -1147,6 +1147,52 @@ class StreamingSpec extends SparkSpec {
       s"docs $a (pre-fold) and $b (post-fold) must share a cluster")
   }
 
+  test("cluster-free cumulative state still compacts (bands fold, clusters optional)") {
+    // r15 review: a stream over batches that never form a single
+    // cluster writes bands state every batch but NO clusters table
+    // (empty frames skip the idempotent write) — compaction must fold
+    // that state anyway, else it grows forever uncompactable.
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft_nocl").toString
+    val root2 = java.nio.file.Files.createTempDirectory("graft_nocl2").toString + "/r2"
+    val state = java.nio.file.Files.createTempDirectory("graft_nocl_s").toString
+    val out = java.nio.file.Files.createTempDirectory("graft_nocl_o").toString + "/out"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_nocl_c").toString
+    val standing = Seq(
+      (2L, "alpha beta gamma delta epsilon zeta"),
+      (4L, "one two three four five six seven")).toDF("doc_id", "text")
+    graft.ops.TextDedup.writeClusterAppendArtifacts(spark, standing, root)
+    val src = MemoryStream[(Long, String)]
+    val q = graft.ops.TextDedup.streamingClusterAppendCumulative(spark,
+      src.toDF().toDF("doc_id", "text"), root, state, out, ckpt)
+    try { src.addData((7L, "entirely different words appear here now")); q.processAllAvailable() }
+    finally q.stop()
+    assert(graft.ops.Core.tableExists(spark, s"$state/bands"),
+      "fixture vacuous: the batch must land bands state")
+    assert(!graft.ops.Core.tableExists(spark, s"$state/clusters"),
+      "fixture vacuous: a cluster-free batch must NOT land a clusters table")
+    graft.ops.TextDedup.compactClusterState(spark, root, state, root2)
+    assert(!graft.ops.Core.pathExists(spark, s"$state/bands"),
+      "compaction must truncate the folded bands state")
+    assert(spark.read.parquet(s"$root2/bandidx").select("doc_id").distinct().count() == 3,
+      "folded band index must carry standing + streamed docs")
+  }
+
+  test("state compaction refuses nested directories, not just aliases") {
+    // r15 review: a newRoot nested inside the standing root plants
+    // artifact subdirs INSIDE a live table dir mid-scan; a state dir
+    // nested with the root lets the closing truncation eat standing
+    // artifacts. Previously only pairwise equality was refused.
+    val r = "/tmp/graft_nest_cs/root"
+    def refuse(f: => Unit) = intercept[IllegalArgumentException](f)
+    assert(refuse(graft.ops.TextDedup.compactClusterState(spark, r,
+      "/tmp/graft_nest_cs/state", r + "/bandidx")).getMessage.contains("nests"))
+    assert(refuse(graft.ops.TextDedup.compactClusterState(spark, r,
+      r + "/state", "/tmp/graft_nest_cs/n")).getMessage.contains("nests"))
+    assert(refuse(graft.ops.Similarity.compactEmbedClusterState(spark, r,
+      "/tmp/graft_nest_cs/state", r + "/clusters")).getMessage.contains("nests"))
+  }
+
   test("cumulative embed stream converges to the rebuild, compaction mid-stream holds") {
     // r15 (VERDICT r14 missing #4): the embedding twin of the
     // cumulative text stream — a known same-cluster odd VECTOR pair is

@@ -1138,4 +1138,21 @@ class TextDedupSpec extends SparkSpec {
     assert(refuse(TextDedup.mergeSimhashIndexes(spark, Seq(cleanDir),
       cleanDir + "/merged")).getMessage.contains("nests"))
   }
+
+  test("aliasing guards resolve dot-dot spellings of the same directory") {
+    // r15 review: Hadoop Path keeps '..' segments, so "/a/x/../idx"
+    // previously compared unequal to "/a/idx" and slipped past both
+    // the equality and containment guards while resolving to the same
+    // physical dir — the in-place self-truncation the guards exist to
+    // stop. qualifiedPath now URI-normalizes after qualification.
+    val root = java.nio.file.Files.createTempDirectory("graft_dotdot").toString
+    val idxDir = root + "/idx"
+    val docs = graft.ops.Core.documents(spark, sf0001)
+    TextDedup.writeSimhashIndexFrom(docs.limit(5), idxDir)
+    TextDedup.writeSimhashIndexTombstones(spark, Seq(1L).toDF("doc_id"), idxDir)
+    val e = intercept[IllegalArgumentException] {
+      TextDedup.compactSimhashIndex(spark, idxDir, root + "/x/../idx") }
+    assert(e.getMessage.contains("fresh dir"),
+      s"dot-dot alias must be caught by the equality guard, got: ${e.getMessage}")
+  }
 }
