@@ -557,7 +557,25 @@ object Bench {
     * streaming section (in-Bench clean bars run ~2x isolated); a
     * metric below its floor is positively degraded — host steal if a
     * steal_* verdict member agrees, a plan regression otherwise.
-    * Re-record with StreamBench after any streaming-plan change. */
+    * Re-record with StreamBench after any streaming-plan change.
+    *
+    * r16 RE-ADJUDICATION (VERDICT r15 #1 — the r15 twin's 17-31%
+    * streaming drop): 5 cold-JVM StreamBench runs at the r15 source,
+    * each stamped with its own /proc/stat steal delta, give a clean
+    * DOSE-RESPONSE curve (bars / indfull / ivfprobe / dag / rocksdb /
+    * tuned ev-or-vec/s @ steal%):
+    *   10295/10727/1728/ 675/ 660/5278 @ 4.56% steal
+    *   24015/15506/1658/1645/1066/6852 @ 2.09%
+    *   32348/25370/2119/2372/1991/6975 @ 0.13%
+    *   35299/27102/2169/3135/1880/7582 @ 0.03%
+    * The steal-clean runs sit ON the r14 record (means 33.8k/28.7k/
+    * 2.1k/2.3k/1.9k/7.2k) — the r15 probe-path changes did NOT
+    * regress streaming; the twin drop was host steal arriving in
+    * bursts a start/end load marker can miss. Floors UNCHANGED (the
+    * clean numbers re-pin the same means); the per-run steal stamp
+    * (not just loadavg) is the evidence to capture whenever a
+    * streaming record looks low. Re-confirmed at the final r16
+    * commit — see STREAMBENCH_r16.md for the full table. */
   private val streamingCleanFloor: Map[String, Double] = Map(
     "bars" -> 23600.0, "indfull" -> 20100.0, "ivfprobe" -> 1500.0,
     "dag" -> 1580.0, "dag_rocksdb" -> 1340.0, "dag_tuned" -> 5020.0)

@@ -50,9 +50,12 @@ object Book extends QueryModule {
     s"(CASE WHEN ((event_id * ${2 * i + 5} + ${11 * i + 3}) % 103) < 5 THEN 0 ELSE ((event_id * ${2 * i + 5} + ${11 * i + 3}) % 103) * 10 END)"
 
   /** The synthesized book as named columns (the decode/flatten shape
-    * P2/P3 lands in). */
+    * P2/P3 lands in). Carries event_type so the per-series training
+    * matrix (Indicators.featureMatrixBy, r16) can partition on it;
+    * consumers select by name, and Catalyst prunes it everywhere
+    * else. */
   def book(spark: SparkSession, dir: String): DataFrame = {
-    val cols = Seq(col("event_id"), col("ts"), col("value")) ++
+    val cols = Seq(col("event_id"), col("ts"), col("event_type"), col("value")) ++
       (0 until nLevels).flatMap { i =>
         Seq(bid(i).as(s"bid_$i"), bidSize(i).as(s"bid_${i}_size"),
           ask(i).as(s"ask_$i"), askSize(i).as(s"ask_${i}_size"))
@@ -115,7 +118,7 @@ object Book extends QueryModule {
     * bid_i/ask_i prices + sizes) — shared by bookFeatures and
     * Indicators.featureMatrix oracles. */
   val bookSqlFrom: String = {
-    val bookCols = (Seq("event_id", "ts", "value") ++
+    val bookCols = (Seq("event_id", "ts", "event_type", "value") ++
       (0 until nLevels).flatMap(i => Seq(
         s"(value - ${bidOff(i)}) AS bid_$i", s"${bidSizeSql(i)} AS bid_${i}_size",
         s"(value + ${askOff(i)}) AS ask_$i", s"${askSizeSql(i)} AS ask_${i}_size"))).mkString(", ")

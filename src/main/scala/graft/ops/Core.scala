@@ -104,6 +104,7 @@ object Core {
     * state/tombstone dir (small by contract); hidden subtrees are
     * pruned without descent. */
   def tableExists(spark: SparkSession, path: String): Boolean = {
+    tableListings.incrementAndGet()
     val hPath = new org.apache.hadoop.fs.Path(path)
     val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     def hidden(n: String) = n.startsWith("_") || n.startsWith(".")
@@ -115,6 +116,38 @@ object Core {
     fs.exists(hPath) && hasData(hPath)
   }
 
+  /** Count of [[tableExists]] invocations (each is one recursive FS
+    * listing) — the observable FsMemoSpec's steady-state bound is
+    * asserted against. Free on local FS; on an object store each call
+    * is a LIST storm, which is exactly why the streaming hot paths
+    * memoize (r16, VERDICT r15 #4). */
+  private[graft] val tableListings = new java.util.concurrent.atomic.AtomicLong
+
+  /** Per-STREAM memo of optional-table existence on the micro-batch
+    * hot path (r16, VERDICT r15 #4): [[tableExists]] walks the target
+    * directory recursively, which is free on a local FS but is a LIST
+    * request per table per micro-batch on an object store — at
+    * second-scale trigger cadences, a metadata storm that grows with
+    * nothing the batch actually reads. Sound to memoize because of
+    * the contracts already in force: tombstone sidecars are written
+    * under QUIESCE only (so their existence cannot change while the
+    * stream is live), and a stream's state tables have exactly ONE
+    * writer — the stream itself, which reports its own writes through
+    * [[noteWritten]]. A fresh memo per call (every default) degrades
+    * to exactly the pre-memo behavior; the streaming wrappers create
+    * one per stream, so steady state is one listing per (table,
+    * stream) for the whole run, asserted by FsMemoSpec against
+    * [[tableListings]]. */
+  final class FsMemo {
+    private val known = scala.collection.concurrent.TrieMap.empty[String, Boolean]
+    private[graft] def tableExists(spark: SparkSession, path: String): Boolean =
+      known.getOrElseUpdate(path, Core.tableExists(spark, path))
+    /** The stream reports a table it has just written (the only
+      * permitted writer of stream state under the single-writer
+      * contract), flipping a memoized "absent" without a listing. */
+    def noteWritten(path: String): Unit = { known.put(path, true); () }
+  }
+
   /** One fold table of a cumulative-state compaction: the standing
     * table under the artifacts root, its per-batch twin under the
     * state dir, the shared projection, and the range-layout keys the
@@ -122,18 +155,6 @@ object Core {
   private[ops] final case class StateFold(standing: String, state: String,
       cols: Seq[String], rangeCols: Seq[String])
 
-  /** The compaction skeleton SHARED by the text and embed cumulative
-    * folds (r15 review — previously two ~40-line hand-copies of the
-    * qual/aliasing/tombstone/promotion/truncation logic, exactly the
-    * drift shape that turned Components.starEdges' four copies into a
-    * real takedown bug): qualify and alias-guard the three
-    * directories, refuse a tombstoned root (per-family message — the
-    * families resurrect different data), require committed state,
-    * union each standing table with its accumulated state twin
-    * re-range-laid on its pushdown keys, promote the LATEST batch's
-    * cluster table verbatim (the convergence invariant makes it the
-    * rebuild's), and truncate state only after every artifact landed
-    * — a failed fold leaves the old root + state fully usable. */
   /** A path's fully-qualified form under its own FileSystem — the
     * ONLY sound basis for directory-aliasing guards (r15 review): raw
     * string compares let trivially aliased spellings (trailing slash,
@@ -164,17 +185,35 @@ object Core {
     * parameter that looks most innocent. Committed-data existence
     * gate, not bare existence (torn write == never started). */
   private[ops] def resolveTombstones(spark: SparkSession, sidecarPath: String,
-      explicitTable: Option[DataFrame]): Option[DataFrame] = {
+      explicitTable: Option[DataFrame], idCol: String,
+      memo: FsMemo = new FsMemo): Option[DataFrame] = {
     val sidecar =
-      if (tableExists(spark, sidecarPath)) Some(spark.read.parquet(sidecarPath))
+      if (memo.tableExists(spark, sidecarPath)) Some(spark.read.parquet(sidecarPath))
       else None
     def ids(df: DataFrame) =
-      df.select(col(df.columns.head).cast("long").as("tomb_id"))
+      df.select(idColumn(df, idCol).cast("long").as("tomb_id"))
     (explicitTable.map(ids), sidecar.map(ids)) match {
       case (Some(e), Some(s)) => Some(e.unionByName(s).distinct())
       case (e, s) => e.orElse(s).map(_.distinct())
     }
   }
+
+  /** The id column of a takedown table, BY NAME when the family's id
+    * column is present (r16, ADVICE r15): the previous positional
+    * columns.head silently tombstoned values from the WRONG column
+    * when a caller passed a multi-column frame whose id was not
+    * first. A single-column frame of any name still resolves (the
+    * ad-hoc `SELECT some_ids` shape); anything else fails analysis
+    * loudly instead of deleting the wrong rows. */
+  private[ops] def idColumn(df: DataFrame, idCol: String): Column =
+    if (df.columns.contains(idCol)) col(idCol)
+    else {
+      require(df.columns.length == 1,
+        s"takedown table carries columns [${df.columns.mkString(", ")}] — " +
+          s"none named $idCol and not single-column, so the id choice " +
+          "would be positional guesswork; select the id column explicitly")
+      col(df.columns.head)
+    }
 
   /** Directory-disjointness guard for index compactions and merges
     * (r15 review): refuses equality AND containment in either
@@ -197,6 +236,36 @@ object Core {
         "it, and a source under the target is clobbered by the overwrite")
   }
 
+  /** Pairwise disjointness over a merge's INPUT list (r16, ADVICE
+    * r15): the per-input guards check each source against the output,
+    * but a caller listing an index dir together with one of its own
+    * subdirectories (or listing the same dir twice under aliased
+    * spellings) would silently double-count every row of the overlap
+    * in the merged result — wrong counts with no error, on qualified
+    * paths so dot-dot/scheme spellings can't slip past. */
+  private[ops] def requirePairwiseDisjoint(spark: SparkSession,
+      dirs: Seq[String], what: String): Unit = {
+    val q = dirs.map(d => d -> qualifiedPath(spark, d))
+    for (i <- q.indices; j <- q.indices if i < j) {
+      val ((ra, qa), (rb, qb)) = (q(i), q(j))
+      require(qa != qb && !qa.startsWith(qb + "/") && !qb.startsWith(qa + "/"),
+        s"$what: inputs $ra and $rb alias or nest — the union would " +
+          "double-count every row of the overlap in the merged output")
+    }
+  }
+
+  /** The compaction skeleton SHARED by the text and embed cumulative
+    * folds (r15 review — previously two ~40-line hand-copies of the
+    * qual/aliasing/tombstone/promotion/truncation logic, exactly the
+    * drift shape that turned Components.starEdges' four copies into a
+    * real takedown bug): qualify and alias-guard the three
+    * directories, refuse a tombstoned root (per-family message — the
+    * families resurrect different data), require committed state,
+    * union each standing table with its accumulated state twin
+    * re-range-laid on its pushdown keys, promote the LATEST batch's
+    * cluster table verbatim (the convergence invariant makes it the
+    * rebuild's), and truncate state only after every artifact landed
+    * — a failed fold leaves the old root + state fully usable. */
   private[ops] def compactStateFold(spark: SparkSession, artifactsRoot: String,
       stateDir: String, newRoot: String, folds: Seq[StateFold],
       tombstoneMsg: String): Unit = {

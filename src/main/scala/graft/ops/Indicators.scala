@@ -159,8 +159,8 @@ object Indicators extends QueryModule {
     * (sql_pytorch_dataloader.py drops NaNs): the first bar has no
     * price_change and a degenerate stoch window, so any row with a
     * null feature is filtered. Global ORDER BY mirrors the reference's
-    * single-series table; the partitioned-per-series twin of this
-    * shape is `indicators_by_type`.
+    * single-series table; the partitioned-per-series twin of the FULL
+    * surface is [[featureMatrixBy]] (`feature_matrix_by_type`, r16).
     *
     * Full training surface (round 4): the reference's stock_data_joined
     * carries the F2-F8 book block (spark_consumer.py:320-400 — WA
@@ -202,9 +202,31 @@ object Indicators extends QueryModule {
   private def womExpr = expr(
     "CAST((day(bucket) - 1 + (dayofweek(trunc(bucket, 'MM')) - 1)) div 7 AS INT) + 1")
 
-  def featureMatrix(spark: SparkSession, dir: String): DataFrame = {
+  def featureMatrix(spark: SparkSession, dir: String): DataFrame =
+    featureMatrixOver(spark, dir, seriesKey = None)
+
+  /** The 100 TB form of the flagship training matrix (r16, VERDICT
+    * r15 #2): the FULL [[featureMatrix]] surface — bars, book block,
+    * indicators, candle/calendar features, one-hots, forward targets
+    * — with every window PARTITIONED BY the series key (event_type
+    * stands in for symbol, as in [[indicatorsBy]]). The global form
+    * above is reference parity (one symbol, one series, single-task
+    * sort by design); this is the shape a 1000-executor cluster runs,
+    * each series an independent window partition. Same oracle SQL
+    * with PARTITION BY threaded through every window; PlanAuditSpec's
+    * global-window sweep proves the plan carries no partition-less
+    * WindowExec. */
+  def featureMatrixBy(spark: SparkSession, dir: String): DataFrame =
+    featureMatrixOver(spark, dir, seriesKey = Some("event_type"))
+
+  private def featureMatrixOver(spark: SparkSession, dir: String,
+      seriesKey: Option[String]): DataFrame = {
     val bookCols: Seq[String] = Book.featureNames ++ Book.sizeNames
-    val w = Window.orderBy("bucket")
+    val keyCols = seriesKey.toSeq.map(col)
+    val w = seriesKey match {
+      case Some(k) => Window.partitionBy(k).orderBy("bucket")
+      case None => Window.orderBy("bucket")
+    }
     def fr(n: Int) = w.rowsBetween(-(n - 1), 0)
     def cntd(n: Int) = count(lit(1)).over(fr(n)).cast("double")
     val closeDec = col("close").cast("decimal(18,2)")
@@ -221,7 +243,7 @@ object Indicators extends QueryModule {
     val p8 = lead(col("close"), 8).over(w)
     val p15 = lead(col("close"), 15).over(w)
     val ev = Book.book(spark, dir).select(
-      Seq(col("event_id"), col("ts"), col("value")) ++
+      Seq(col("event_id"), col("ts")) ++ keyCols ++ Seq(col("value")) ++
         Book.featureCols ++ Book.sizeNames.map(col): _*)
     val aggs = Seq(
       min_by(col("value"), col("event_id")).as("open"),
@@ -230,9 +252,9 @@ object Indicators extends QueryModule {
       max_by(col("value"), col("event_id")).as("close"),
       count(lit(1)).as("volume")) ++
       bookCols.map(n => max_by(col(n), col("event_id")).as(n))
-    val b = ev.groupBy(Core.bucket5m(col("ts")).as("bucket"))
+    val b = ev.groupBy(keyCols :+ Core.bucket5m(col("ts")).as("bucket"): _*)
       .agg(aggs.head, aggs.tail: _*)
-    b.select(Seq(
+    b.select(keyCols ++ Seq(
       col("bucket"), col("close"), col("volume"),
       volMa(6).as("vol_ma6"),
       volMa(20).as("vol_ma20"),
@@ -251,7 +273,20 @@ object Indicators extends QueryModule {
       .na.drop(Seq("stoch", "price_change"))
   }
 
-  val featureMatrixSql: String = {
+  val featureMatrixSql: String = featureMatrixSqlOver(None)
+
+  /** [[featureMatrixSql]] with the series key threaded through every
+    * window, group-by, and the output — the oracle of
+    * [[featureMatrixBy]] (r16). */
+  val featureMatrixByTypeSql: String = featureMatrixSqlOver(Some("event_type"))
+
+  private def featureMatrixSqlOver(seriesKey: Option[String]): String = {
+    // key prefixes: "event_type, " in select/group lists, "PARTITION
+    // BY event_type " inside every window spec — empty for the
+    // reference-parity global form, so that SQL stays byte-stable
+    val kSel = seriesKey.map(k => s"$k, ").getOrElse("")
+    val kPart = seriesKey.map(k => s"PARTITION BY $k ").getOrElse("")
+    val kGrp = seriesKey.map(_ => ", 2").getOrElse("")
     val womSql = "CAST((day(bucket) - 1 + dayofweek(date_trunc('month', bucket))) // 7 AS INTEGER) + 1"
     val dayHot = (1 to 4).map(k =>
       s"CASE WHEN isodow(bucket) = $k THEN 1 ELSE 0 END AS day_$k").mkString(",\n  ")
@@ -260,18 +295,18 @@ object Indicators extends QueryModule {
     val bookCols = Book.featureNames ++ Book.sizeNames
     val bookAggs = bookCols.map(n => s"arg_max($n, event_id) AS $n").mkString(",\n    ")
     s"""WITH ev AS (
-       |  SELECT event_id, ts, value,
+       |  SELECT event_id, ts, ${kSel}value,
        |    ${Book.sizeNames.mkString(", ")},
        |    ${Book.featureExprsSql.mkString(",\n    ")}
        |  FROM ${Book.bookSqlFrom}
        |),
        |bars AS (
-       |  SELECT ${Core.bucket5mSql} AS bucket,
+       |  SELECT $kSel${Core.bucket5mSql} AS bucket,
        |    arg_min(value, event_id) AS "open", max(value) AS high,
        |    min(value) AS low, arg_max(value, event_id) AS "close",
        |    count(*) AS volume,
        |    $bookAggs
-       |  FROM ev GROUP BY 1
+       |  FROM ev GROUP BY 1$kGrp
        |),
        |ind AS (
        |  SELECT *,
@@ -282,16 +317,16 @@ object Indicators extends QueryModule {
        |    sqrt(greatest((s2d - s1d * s1d / c20) / c20, 0.0)) AS std20,
        |    CAST(SUM(volume) OVER w6 AS DOUBLE) / CAST(COUNT(*) OVER w6 AS DOUBLE) AS vol_ma6,
        |    CAST(SUM(volume) OVER w20 AS DOUBLE) / CAST(COUNT(*) OVER w20 AS DOUBLE) AS vol_ma20,
-       |    ("close" - LAG("close", 1) OVER (ORDER BY bucket)) AS price_change,
+       |    ("close" - LAG("close", 1) OVER (${kPart}ORDER BY bucket)) AS price_change,
        |    CAST(SUM(CAST(high - low AS DECIMAL(18,6))) OVER w15 AS DOUBLE) / CAST(COUNT(*) OVER w15 AS DOUBLE) AS atr,
-       |    LEAD("close", 8) OVER (ORDER BY bucket) AS p8,
-       |    LEAD("close", 15) OVER (ORDER BY bucket) AS p15
+       |    LEAD("close", 8) OVER (${kPart}ORDER BY bucket) AS p8,
+       |    LEAD("close", 15) OVER (${kPart}ORDER BY bucket) AS p15
        |  FROM bars
-       |  WINDOW w6 AS (ORDER BY bucket ROWS BETWEEN 5 PRECEDING AND CURRENT ROW),
-       |         w20 AS (ORDER BY bucket ROWS BETWEEN 19 PRECEDING AND CURRENT ROW),
-       |         w15 AS (ORDER BY bucket ROWS BETWEEN 14 PRECEDING AND CURRENT ROW)
+       |  WINDOW w6 AS (${kPart}ORDER BY bucket ROWS BETWEEN 5 PRECEDING AND CURRENT ROW),
+       |         w20 AS (${kPart}ORDER BY bucket ROWS BETWEEN 19 PRECEDING AND CURRENT ROW),
+       |         w15 AS (${kPart}ORDER BY bucket ROWS BETWEEN 14 PRECEDING AND CURRENT ROW)
        |)
-       |SELECT bucket, "close", volume, vol_ma6, vol_ma20,
+       |SELECT ${kSel}bucket, "close", volume, vol_ma6, vol_ma20,
        |  s1d / c20 AS price_ma20,
        |  ((s1d / c20 + 2.0 * std20) - "close") AS upper_bb_dist,
        |  ("close" - (s1d / c20 - 2.0 * std20)) AS lower_bb_dist,
@@ -381,6 +416,7 @@ object Indicators extends QueryModule {
     "bars_5min" -> (bars _),
     "indicators" -> (indicators _),
     "feature_matrix" -> (featureMatrix _),
+    "feature_matrix_by_type" -> (featureMatrixBy _),
     "targets" -> (targets _),
     "indicators_by_type" -> (indicatorsBy _),
     "sliding_window_avg" -> (slidingWindowAvg _))
@@ -389,6 +425,7 @@ object Indicators extends QueryModule {
     "bars_5min" -> barsSql,
     "indicators" -> indicatorsSql,
     "feature_matrix" -> featureMatrixSql,
+    "feature_matrix_by_type" -> featureMatrixByTypeSql,
     "targets" -> targetsSql,
     "indicators_by_type" -> indicatorsBySql,
     "sliding_window_avg" -> slidingWindowAvgSql)

@@ -346,6 +346,12 @@ object Mixture extends QueryModule {
   def mergeDriftBaselines(spark: SparkSession, baselineDirs: Seq[String],
       outDir: String): Unit = {
     require(baselineDirs.nonEmpty, "mergeDriftBaselines: need at least one baseline")
+    // same directory guards as the index merges (r16, ADVICE r15):
+    // counts double on an aliased/nested input, and an outDir aliasing
+    // an input would truncate a lazily-read source mid-scan
+    baselineDirs.foreach(d =>
+      Core.requireDisjointDirs(spark, d, outDir, "mergeDriftBaselines"))
+    Core.requirePairwiseDisjoint(spark, baselineDirs, "mergeDriftBaselines")
     baselineDirs.map(d => spark.read.parquet(d).select(col("kind"), col("key"), col("n")))
       .reduce(_ unionByName _)
       .groupBy("kind", "key").agg(sum(col("n")).as("n"))
@@ -498,6 +504,7 @@ object Mixture extends QueryModule {
         if (!batch.isEmpty) {
           val drift = probeDriftBaseline(spark, batch, baselineDir)
           graft.streaming.StreamingPipeline.writeBatchIdempotent(drift, batchId, outDir)
+          ()
         }
       }
       .start()
@@ -557,6 +564,7 @@ object Mixture extends QueryModule {
         if (!batch.isEmpty) {
           val gated = probeMixtureGate(spark, batch, baselineDir)
           graft.streaming.StreamingPipeline.writeBatchIdempotent(gated, batchId, outDir)
+          ()
         }
       }
       .start()
@@ -626,6 +634,10 @@ object Mixture extends QueryModule {
   def mergeVocabIndexes(spark: SparkSession, indexDirs: Seq[String],
       outDir: String): Unit = {
     require(indexDirs.nonEmpty, "mergeVocabIndexes: need at least one index")
+    // df mass doubles on an aliased/nested input (r16, ADVICE r15)
+    indexDirs.foreach(d =>
+      Core.requireDisjointDirs(spark, d, outDir, "mergeVocabIndexes"))
+    Core.requirePairwiseDisjoint(spark, indexDirs, "mergeVocabIndexes")
     indexDirs.map(d => spark.read.parquet(d).select(col("tok"), col("df")))
       .reduce(_ unionByName _)
       .groupBy("tok").agg(sum(col("df")).as("df"))
@@ -677,6 +689,7 @@ object Mixture extends QueryModule {
         if (!batch.isEmpty) {
           val probed = probeVocabIndex(spark, batch, indexDir)
           graft.streaming.StreamingPipeline.writeBatchIdempotent(probed, batchId, outDir)
+          ()
         }
       }
       .start()

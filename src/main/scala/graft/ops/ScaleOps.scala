@@ -35,7 +35,8 @@ object ScaleOps extends QueryModule {
     * the join key, then join without any shuffle (the physical plan
     * has SortMergeJoin with zero Exchange). At 100 TB this is the
     * fact-fact join strategy — pay the partitioned write once, join
-    * shuffle-free forever after. Asserted in ScaleOpsSpec. */
+    * shuffle-free forever after. Asserted in ScaleOpsSpec; the
+    * oracle-gated registered form is [[bucketedJoinAgg]] (r16). */
   def writeBucketed(spark: SparkSession, dir: String, name: String,
       table: String, key: String, buckets: Int): Unit = {
     spark.sql(s"DROP TABLE IF EXISTS $table")
@@ -60,6 +61,82 @@ object ScaleOps extends QueryModule {
       leftKey: String, rightKey: String): DataFrame =
     spark.table(leftTable).join(spark.table(rightTable),
       col(leftKey) === col(rightKey))
+
+  private val bjBuckets = 8
+
+  /** The lineitem + orders pair persisted bucketed+sorted on the join
+    * key at an EXTERNAL location (a ProbeTemp-memoized dir, one build
+    * per (source-dir content, JVM) — the index-build pattern), each
+    * registered in the session catalog under a location-derived name
+    * so distinct SFs/corpora in one session never collide. Returns
+    * the two table names. A fresh session inside the same JVM finds
+    * the files memoized but the catalog empty — the re-registration
+    * below recreates the ENTRY over the existing files without
+    * rewriting data (bucket ids ride the file names, so an external
+    * CLUSTERED BY table over saveAsTable output reads identically). */
+  private def bucketedJoinTables(spark: SparkSession, dir: String): (String, String) = {
+    def name(loc: String, t: String) =
+      s"graft_bj_${t}_${loc.replaceAll("[^A-Za-z0-9]", "").takeRight(24)}"
+    def ensure(tbl: String, path: String, key: String): Unit =
+      if (!spark.catalog.tableExists(tbl)) {
+        val schema = spark.read.parquet(path).schema.toDDL
+        spark.sql(s"CREATE TABLE $tbl ($schema) USING parquet " +
+          s"CLUSTERED BY ($key) SORTED BY ($key) INTO $bjBuckets BUCKETS " +
+          s"LOCATION '$path'")
+        ()
+      }
+    val loc = ProbeTemp.dir("bucketed_join", dir) { d =>
+      def write(table: String, t: String, key: String): Unit = {
+        spark.sql(s"DROP TABLE IF EXISTS ${name(d, t)}")
+        Core.table(spark, dir, table).write
+          .bucketBy(bjBuckets, key).sortBy(key)
+          .format("parquet").option("path", s"$d/$t")
+          .mode("overwrite").saveAsTable(name(d, t))
+      }
+      write("lineitem", "li", "l_orderkey")
+      write("orders", "ord", "o_orderkey")
+    }
+    ensure(name(loc, "li"), s"$loc/li", "l_orderkey")
+    ensure(name(loc, "ord"), s"$loc/ord", "o_orderkey")
+    (name(loc, "li"), name(loc, "ord"))
+  }
+
+  /** REGISTERED exercise of the bucketed co-located join under the
+    * driver's oracle gate (r16, VERDICT r15 #3): write both fact
+    * tables bucketed+sorted on the order key (memoized standing
+    * build, like the index probes), join them WITHOUT a shuffle, and
+    * aggregate revenue-class totals per order priority. The merge
+    * hint pins the sort-merge path at every SF (tiny SFs would
+    * broadcast, hiding exactly the exchange bucketing removes); both
+    * scans report HashPartitioning(key, $bjBuckets), so the join
+    * plans with ZERO Exchange below it — asserted on the registered
+    * plan in ScaleOpsSpec. The only shuffle in the query is the
+    * final 5-group aggregate. Oracle = the same join + aggregate in
+    * DuckDB over the raw parquet; decimal sums make the result
+    * hash-exact. At 100 TB this is the fact-fact join strategy: pay
+    * the partitioned write once, join shuffle-free every day after. */
+  def bucketedJoinAgg(spark: SparkSession, dir: String): DataFrame = {
+    val (li, ord) = bucketedJoinTables(spark, dir)
+    spark.table(li).hint("merge")
+      .join(spark.table(ord).hint("merge"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        sum(Core.dec2(col("l_quantity"))).cast("double").as("sum_qty"),
+        // Relational.pricingSummary's exact-decimal revenue shape
+        sum(col("l_extendedprice").cast("decimal(12,2)") *
+            (lit(1).cast("decimal(3,2)") - col("l_discount").cast("decimal(4,2)")))
+          .cast("double").as("revenue"),
+        count(lit(1)).as("n"))
+  }
+
+  val bucketedJoinAggSql: String =
+    """SELECT o_orderpriority,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+      |  COUNT(*) AS n
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY 1""".stripMargin
 
   /** Curated-corpus writer: the batch sink layout a 100 TB training
     * pipeline lands on — the quality-gated, deduped corpus partitioned
@@ -306,9 +383,11 @@ object ScaleOps extends QueryModule {
 
   override def queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "salted_agg" -> (saltedAgg _),
-    "zorder_tiles" -> (zorderTiles _))
+    "zorder_tiles" -> (zorderTiles _),
+    "bucketed_join_agg" -> (bucketedJoinAgg _))
 
   override def oracle: Seq[(String, String)] = Seq(
     "salted_agg" -> saltedAggSql,
-    "zorder_tiles" -> zorderTilesSql)
+    "zorder_tiles" -> zorderTilesSql,
+    "bucketed_join_agg" -> bucketedJoinAggSql)
 }

@@ -1297,7 +1297,7 @@ object Similarity extends QueryModule {
     // explicit table UNIONS with the committed sidecar, never
     // overrides it (r15 review — Core.resolveTombstones scaladoc)
     val tombstones = Core.resolveTombstones(
-      spark, s"$indexDir/_graft_tombstones", tombstoneTable)
+      spark, s"$indexDir/_graft_tombstones", tombstoneTable, "vec_id")
     val raw = spark.read.parquet(indexDir)
     val idx = tombstones match {
       case Some(t) => raw.join(
@@ -1365,7 +1365,7 @@ object Similarity extends QueryModule {
     require(Core.tableExists(spark, tombPath),
       s"$indexDir carries no committed tombstone table: nothing to forget")
     val cells = readIvfCells(spark, indexDir)
-    val tomb = Core.resolveTombstones(spark, tombPath, None).get
+    val tomb = Core.resolveTombstones(spark, tombPath, None, "vec_id").get
       .withColumnRenamed("tomb_id", "vec_id")
     require(tomb.filter(col("vec_id") < cells).isEmpty,
       s"a codebook seed (vec_id < $cells) is tombstoned: its raw vector " +
@@ -1532,6 +1532,7 @@ object Similarity extends QueryModule {
               .filter(col("rank") <= k)
               .select(col("qid"), col("vec_id"), col("cosine"), col("rank"))
             graft.streaming.StreamingPipeline.writeBatchIdempotent(top, batchId, outDir)
+            ()
           }
         } finally { q.unpersist(); () }
       }
@@ -1985,7 +1986,8 @@ object Similarity extends QueryModule {
   private[graft] def appendEmbedClusters(spark: SparkSession, batch: DataFrame,
       root: String,
       maxKeyLiterals: Int = TextDedup.probeKeyLiteralMax,
-      tombstoneTable: Option[DataFrame] = None): DataFrame = {
+      tombstoneTable: Option[DataFrame] = None,
+      memo: Core.FsMemo = new Core.FsMemo): DataFrame = {
     // both batch projections are consumed repeatedly (index prune +
     // cross join + within-batch candidates for the keys; cross verify
     // + two within verify joins for the vectors) — cache and release
@@ -2004,7 +2006,8 @@ object Similarity extends QueryModule {
     // takedown write (a _temporary-only dir) must read as absent
     // rather than crash every subsequent append at plan time.
     val tombstones: Option[DataFrame] =
-      Core.resolveTombstones(spark, s"$root/tombstones", tombstoneTable)
+      Core.resolveTombstones(spark, s"$root/tombstones", tombstoneTable,
+        "vec_id", memo)
         .map(_.withColumnRenamed("tomb_id", "vec_id"))
     def dropTombstoned(df: DataFrame): DataFrame = tombstones match {
       case Some(t) => df.join(broadcast(t), Seq("vec_id"), "left_anti")
@@ -2223,18 +2226,24 @@ object Similarity extends QueryModule {
     * embedding array<float>). */
   def streamingEmbedClusterAppend(spark: SparkSession, vecs: DataFrame,
       artifactsRoot: String, outDir: String, checkpoint: String)
-      : org.apache.spark.sql.streaming.StreamingQuery =
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    // one FS memo per STREAM (r16, VERDICT r15 #4) — the text twin's
+    // rationale: tombstone sidecars are quiesce-written, so one
+    // existence listing serves the stream's whole life
+    val memo = new Core.FsMemo
     vecs.writeStream
       .option("checkpointLocation", checkpoint)
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
-          val clusters = appendEmbedClusters(spark, batch, artifactsRoot)
+          val clusters = appendEmbedClusters(spark, batch, artifactsRoot, memo = memo)
           graft.streaming.StreamingPipeline.writeBatchIdempotent(
             clusters, batchId, outDir)
+          ()
         }
       }
       .start()
+  }
 
   /** CUMULATIVE streaming semantic cluster maintenance (r15) — closing
     * the same static-artifacts gap [[TextDedup.appendClustersCumulative]]
@@ -2269,7 +2278,8 @@ object Similarity extends QueryModule {
   private[graft] def appendEmbedClustersCumulative(spark: SparkSession,
       batch: DataFrame, batchId: Long, artifactsRoot: String, stateDir: String,
       maxKeyLiterals: Int = TextDedup.probeKeyLiteralMax,
-      tombstoneTable: Option[DataFrame] = None): DataFrame = {
+      tombstoneTable: Option[DataFrame] = None,
+      memo: Core.FsMemo = new Core.FsMemo): DataFrame = {
     import graft.streaming.StreamingPipeline.writeBatchIdempotent
     // TOMBSTONES (r15; made UNIFORM after the r15 review — the text
     // cumulative form's semantics verbatim): the takedown set filters
@@ -2282,7 +2292,8 @@ object Similarity extends QueryModule {
     // contract). Oracle-gated: the registered cumulative-tombstone
     // probe shares the single-shot tombstone SQL verbatim.
     val tombstones: Option[DataFrame] =
-      Core.resolveTombstones(spark, s"$artifactsRoot/tombstones", tombstoneTable)
+      Core.resolveTombstones(spark, s"$artifactsRoot/tombstones", tombstoneTable,
+        "vec_id", memo)
         .map(_.withColumnRenamed("tomb_id", "vec_id"))
     def dropTombstoned(df: DataFrame): DataFrame = tombstones match {
       case Some(t) => df.join(broadcast(t), Seq("vec_id"), "left_anti")
@@ -2342,8 +2353,8 @@ object Similarity extends QueryModule {
     // tombstone-filtered — the cumulative form's standing-like term,
     // same rationale as the text twin.
     val crossPrior =
-      if (Core.tableExists(spark, s"$stateDir/bands") &&
-          Core.tableExists(spark, s"$stateDir/vecs")) {
+      if (memo.tableExists(spark, s"$stateDir/bands") &&
+          memo.tableExists(spark, s"$stateDir/vecs")) {
         val priorKeys = dropTombstoned(spark.read.parquet(s"$stateDir/bands")
           .filter(col("batch_id").cast("long") < batchId)
           .select("vec_id", "bandkey"))
@@ -2356,7 +2367,7 @@ object Similarity extends QueryModule {
           priorVecs))
       } else None
     val priorOut: Option[DataFrame] =
-      if (Core.tableExists(spark, s"$stateDir/clusters")) {
+      if (memo.tableExists(spark, s"$stateDir/clusters")) {
         val prior = spark.read.parquet(s"$stateDir/clusters")
           .withColumn("batch_id", col("batch_id").cast("long"))
           .filter(col("batch_id") < batchId)
@@ -2382,9 +2393,12 @@ object Similarity extends QueryModule {
       // the range write costs a sampler job + shuffle per table per
       // micro-batch on the stream's hot path).
       // [[compactEmbedClusterState]] range-lays the fold instead.
-      writeBatchIdempotent(batchKeys, batchId, s"$stateDir/bands")
-      writeBatchIdempotent(batchEmb, batchId, s"$stateDir/vecs")
-      writeBatchIdempotent(out, batchId, s"$stateDir/clusters")
+      if (writeBatchIdempotent(batchKeys, batchId, s"$stateDir/bands"))
+        memo.noteWritten(s"$stateDir/bands")
+      if (writeBatchIdempotent(batchEmb, batchId, s"$stateDir/vecs"))
+        memo.noteWritten(s"$stateDir/vecs")
+      if (writeBatchIdempotent(out, batchId, s"$stateDir/clusters"))
+        memo.noteWritten(s"$stateDir/clusters")
       out
     } finally caches.foreach(_.unpersist()) // loop eager; out checkpoint-rooted
   }
@@ -2394,19 +2408,25 @@ object Similarity extends QueryModule {
     * cluster assignment of everything ingested. */
   def streamingEmbedClusterAppendCumulative(spark: SparkSession, vecs: DataFrame,
       artifactsRoot: String, stateDir: String, outDir: String, checkpoint: String)
-      : org.apache.spark.sql.streaming.StreamingQuery =
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    // one FS memo per STREAM (r16, VERDICT r15 #4): one existence
+    // listing per optional table (tombstones + bands + vecs +
+    // clusters) for the stream's life — see the text twin's note
+    val memo = new Core.FsMemo
     vecs.writeStream
       .option("checkpointLocation", checkpoint)
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
           val clusters = appendEmbedClustersCumulative(
-            spark, batch, batchId, artifactsRoot, stateDir)
+            spark, batch, batchId, artifactsRoot, stateDir, memo = memo)
           graft.streaming.StreamingPipeline.writeBatchIdempotent(
             clusters, batchId, outDir)
+          ()
         }
       }
       .start()
+  }
 
   /** COMPACTION for the embed cumulative state — [[TextDedup.compactClusterState]]'s
     * embedding twin, with the extra vector-sidecar fold: the new band

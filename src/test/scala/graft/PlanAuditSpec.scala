@@ -59,7 +59,7 @@ class PlanAuditSpec extends SparkSpec {
     * intentional; each reference-parity one has a partitioned twin. */
   private val globalWindowAllowed: Map[String, String] = Map(
     "indicators" -> "reference-parity single-series frame; partitioned twin = indicators_by_type",
-    "feature_matrix" -> "reference-parity single-series training table; partitioned twin = indicators_by_type",
+    "feature_matrix" -> "reference-parity single-series training table; partitioned twin = feature_matrix_by_type (r16)",
     "targets" -> "reference-parity single-series labels; partitioned twin = indicators_by_type",
     "window_slices" -> "reference-parity single-series slicing over the one global bar series",
     "asof_join" -> "reference-parity global as-of; partitioned twin = asof_join_by_user",

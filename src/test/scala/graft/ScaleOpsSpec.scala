@@ -82,6 +82,32 @@ class ScaleOpsSpec extends SparkSpec {
     } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
   }
 
+  test("registered bucketed_join_agg plans its join with zero Exchange below the SMJ") {
+    // the REGISTERED query's own plan (r16, VERDICT r15 #3): the
+    // merge hint pins SMJ at every SF, and both bucketed scans report
+    // HashPartitioning(key, buckets), so the join subtree must carry
+    // no shuffle — the only Exchange in the whole query is the final
+    // 5-group aggregate's
+    val df = SparkEntry.queries("bucketed_join_agg")(spark, sf0001)
+    val plan = df.queryExecution.sparkPlan
+    val smjs = plan.collect {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+    }
+    assert(smjs.nonEmpty, s"expected a SortMergeJoin in:\n$plan")
+    val shuffles = smjs.flatMap(_.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    })
+    assert(shuffles.isEmpty,
+      s"bucketed join subtree must be exchange-free, found ${shuffles.size} in:\n$plan")
+    // and the result is the plain join's
+    val expected = graft.ops.Core.lineitem(spark, sf0001)
+      .join(graft.ops.Core.orders(spark, sf0001), $"l_orderkey" === $"o_orderkey")
+      .groupBy($"o_orderpriority").count()
+      .as[(String, Long)].collect().toMap
+    val got = df.select($"o_orderpriority", $"n").as[(String, Long)].collect().toMap
+    assert(got == expected, s"bucketed agg diverged: $got vs $expected")
+  }
+
   test("compaction collapses a fragmented layout, preserves rows and pruning columns") {
     val frag = java.nio.file.Files.createTempDirectory("graft_frag").toString + "/d"
     val out = java.nio.file.Files.createTempDirectory("graft_compact").toString + "/d"
