@@ -560,7 +560,7 @@ object Bench {
     * Re-record with StreamBench after any streaming-plan change.
     *
     * r16 RE-ADJUDICATION (VERDICT r15 #1 — the r15 twin's 17-31%
-    * streaming drop): 5 cold-JVM StreamBench runs at the r15 source,
+    * streaming drop): 4 cold-JVM StreamBench runs at the r15 source,
     * each stamped with its own /proc/stat steal delta, give a clean
     * DOSE-RESPONSE curve (bars / indfull / ivfprobe / dag / rocksdb /
     * tuned ev-or-vec/s @ steal%):
@@ -574,8 +574,9 @@ object Bench {
     * bursts a start/end load marker can miss. Floors UNCHANGED (the
     * clean numbers re-pin the same means); the per-run steal stamp
     * (not just loadavg) is the evidence to capture whenever a
-    * streaming record looks low. Re-confirmed at the final r16
-    * commit — see STREAMBENCH_r16.md for the full table. */
+    * streaming record looks low. STREAMBENCH_r16.md holds the run
+    * tables, including the final-commit re-confirmation appended
+    * when the round's record is taken. */
   private val streamingCleanFloor: Map[String, Double] = Map(
     "bars" -> 23600.0, "indfull" -> 20100.0, "ivfprobe" -> 1500.0,
     "dag" -> 1580.0, "dag_rocksdb" -> 1340.0, "dag_tuned" -> 5020.0)

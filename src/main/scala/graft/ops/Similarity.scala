@@ -2394,11 +2394,11 @@ object Similarity extends QueryModule {
       // micro-batch on the stream's hot path).
       // [[compactEmbedClusterState]] range-lays the fold instead.
       if (writeBatchIdempotent(batchKeys, batchId, s"$stateDir/bands"))
-        memo.noteWritten(s"$stateDir/bands")
+        memo.noteWritten(spark, s"$stateDir/bands")
       if (writeBatchIdempotent(batchEmb, batchId, s"$stateDir/vecs"))
-        memo.noteWritten(s"$stateDir/vecs")
+        memo.noteWritten(spark, s"$stateDir/vecs")
       if (writeBatchIdempotent(out, batchId, s"$stateDir/clusters"))
-        memo.noteWritten(s"$stateDir/clusters")
+        memo.noteWritten(spark, s"$stateDir/clusters")
       out
     } finally caches.foreach(_.unpersist()) // loop eager; out checkpoint-rooted
   }

@@ -912,11 +912,12 @@ object TextDedup extends QueryModule {
     * hard-forgets. */
   def probeSimhashIndex(spark: SparkSession, batch: DataFrame, indexDir: String,
       maxKeyLiterals: Int = probeKeyLiteralMax,
-      tombstoneTable: Option[DataFrame] = None): DataFrame = {
+      tombstoneTable: Option[DataFrame] = None,
+      memo: Core.FsMemo = new Core.FsMemo): DataFrame = {
     // explicit table UNIONS with the committed sidecar, never
     // overrides it (r15 review — Core.resolveTombstones scaladoc)
     val tombstones = Core.resolveTombstones(
-      spark, s"$indexDir/_graft_tombstones", tombstoneTable, "doc_id")
+      spark, s"$indexDir/_graft_tombstones", tombstoneTable, "doc_id", memo)
     val b = simhashSigs(batch)
       .select(col("doc_id").as("probe_id"), col("simhash64").as("probe_sig"),
         explode(bandKeysCol).as("bandkey"))
@@ -943,18 +944,23 @@ object TextDedup extends QueryModule {
     * [[Similarity.streamingIvfProbe]]. */
   def streamingSimhashProbe(spark: SparkSession, incoming: DataFrame,
       indexDir: String, outDir: String, checkpoint: String)
-      : org.apache.spark.sql.streaming.StreamingQuery =
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    // one tombstone-sidecar existence listing per STREAM, not per
+    // micro-batch (r16 review — the cluster streams' FsMemo rationale:
+    // sidecars are quiesce-written under a live stream)
+    val memo = new Core.FsMemo
     incoming.writeStream
       .option("checkpointLocation", checkpoint)
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
-          val matches = probeSimhashIndex(spark, batch, indexDir)
+          val matches = probeSimhashIndex(spark, batch, indexDir, memo = memo)
           graft.streaming.StreamingPipeline.writeBatchIdempotent(matches, batchId, outDir)
           ()
         }
       }
       .start()
+  }
 
   /** REGISTERED end-to-end exercise of the persisted simhash index
     * under the driver's oracle gate (VERDICT r7 #4): split the corpus
@@ -1639,9 +1645,9 @@ object TextDedup extends QueryModule {
       // scan term is bounded by [[compactClusterState]] (which DOES
       // range-lay the fold), not by per-batch layout.
       if (writeBatchIdempotent(batchBands, batchId, s"$stateDir/bands"))
-        memo.noteWritten(s"$stateDir/bands")
+        memo.noteWritten(spark, s"$stateDir/bands")
       if (writeBatchIdempotent(out, batchId, s"$stateDir/clusters"))
-        memo.noteWritten(s"$stateDir/clusters")
+        memo.noteWritten(spark, s"$stateDir/clusters")
       out
     } finally release()
   }
@@ -2090,11 +2096,12 @@ object TextDedup extends QueryModule {
     * landed row forgets the URL was ever seen). Tombstoned ids that
     * were never keepers are inert. */
   def probeDedupIndex(spark: SparkSession, batch: DataFrame, indexDir: String,
-      tombstoneTable: Option[DataFrame] = None): DataFrame = {
+      tombstoneTable: Option[DataFrame] = None,
+      memo: Core.FsMemo = new Core.FsMemo): DataFrame = {
     // explicit table UNIONS with the committed sidecar, never
     // overrides it (r15 review — Core.resolveTombstones scaladoc)
     val tombstones = Core.resolveTombstones(
-      spark, s"$indexDir/_graft_tombstones", tombstoneTable, "doc_id")
+      spark, s"$indexDir/_graft_tombstones", tombstoneTable, "doc_id", memo)
     val b = batch.select(col("doc_id"), docDigest.as("digest"))
     val batchKeep = b.groupBy("digest").agg(min(col("doc_id")).as("batch_keep_id"))
     val probedPrefixes = batchKeep
@@ -2144,18 +2151,21 @@ object TextDedup extends QueryModule {
     * batch reproduces identical verdicts. */
   def streamingDedupProbe(spark: SparkSession, incoming: DataFrame,
       indexDir: String, outDir: String, checkpoint: String)
-      : org.apache.spark.sql.streaming.StreamingQuery =
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    // per-stream FS memo, same rationale as streamingSimhashProbe
+    val memo = new Core.FsMemo
     incoming.writeStream
       .option("checkpointLocation", checkpoint)
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
-          val verdicts = probeDedupIndex(spark, batch, indexDir)
+          val verdicts = probeDedupIndex(spark, batch, indexDir, memo = memo)
           graft.streaming.StreamingPipeline.writeBatchIdempotent(verdicts, batchId, outDir)
           ()
         }
       }
       .start()
+  }
 
   /** REGISTERED end-to-end exercise of the persisted exact-dedup index
     * under the driver's oracle gate (VERDICT r7 #4) — the cross-run

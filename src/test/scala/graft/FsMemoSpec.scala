@@ -49,6 +49,61 @@ class FsMemoSpec extends SparkSpec {
       "stream must still have produced output")
   }
 
+  test("embed cumulative stream lists its four optional tables once across two micro-batches") {
+    // the embedding family's bound (r16 review: asserting only the
+    // text path left the `memo = memo` threading in the embed wrapper
+    // unguarded — its default argument silently restores per-batch
+    // listing if dropped in a refactor): tombstones + bands + vecs +
+    // clusters, one listing each for the stream's life
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft_fsme").toString
+    val state = java.nio.file.Files.createTempDirectory("graft_fsme_s").toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft_fsme_o").toString + "/out"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_fsme_c").toString
+    val vecs = graft.ops.Core.embeddings(spark, sf0001)
+    graft.ops.Similarity.writeEmbedClusterAppendArtifacts(spark,
+      vecs.filter($"vec_id" % 2 === 0), root)
+    val odd = vecs.filter($"vec_id" % 2 === 1)
+      .select($"vec_id", $"embedding").as[(Long, Seq[Float])].collect().toSeq
+    val chunks = Seq(odd.filter(_._1 % 4 == 1), odd.filter(_._1 % 4 == 3))
+    assert(chunks.forall(_.nonEmpty), "fixture must feed two non-empty batches")
+    val src = MemoryStream[(Long, Seq[Float])]
+    val q = graft.ops.Similarity.streamingEmbedClusterAppendCumulative(spark,
+      src.toDF().toDF("vec_id", "embedding"), root, state, outDir, ckpt)
+    val before = graft.ops.Core.tableListings.get()
+    try chunks.foreach { ch => src.addData(ch: _*); q.processAllAvailable() }
+    finally q.stop()
+    val delta = graft.ops.Core.tableListings.get() - before
+    assert(delta <= 4,
+      s"embed stream performed $delta existence listings over 2 micro-batches; " +
+        "the per-stream memo bounds it to one per optional table (4)")
+  }
+
+  test("streaming index probe lists the tombstone sidecar once, not per micro-batch") {
+    // the probe streams' bound (r16 review: probeSimhashIndex /
+    // probeDedupIndex resolved tombstones with a fresh memo per batch)
+    implicit val sqlCtx = spark.sqlContext
+    val idx = java.nio.file.Files.createTempDirectory("graft_fsmp").toString + "/idx"
+    val outDir = java.nio.file.Files.createTempDirectory("graft_fsmp_o").toString + "/out"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_fsmp_c").toString
+    val docs = graft.ops.Core.documents(spark, sf0001)
+    graft.ops.TextDedup.writeDedupIndexFrom(
+      docs.filter($"doc_id" % 2 === 0), idx)
+    val odd = docs.filter($"doc_id" % 2 === 1)
+      .select($"doc_id", $"text").as[(Long, String)].collect().toSeq
+    val chunks = Seq(odd.filter(_._1 % 4 == 1), odd.filter(_._1 % 4 == 3))
+    val src = MemoryStream[(Long, String)]
+    val q = graft.ops.TextDedup.streamingDedupProbe(spark,
+      src.toDF().toDF("doc_id", "text"), idx, outDir, ckpt)
+    val before = graft.ops.Core.tableListings.get()
+    try chunks.foreach { ch => src.addData(ch: _*); q.processAllAvailable() }
+    finally q.stop()
+    val delta = graft.ops.Core.tableListings.get() - before
+    assert(delta <= 1,
+      s"probe stream performed $delta sidecar listings over 2 micro-batches; " +
+        "the per-stream memo bounds it to one")
+  }
+
   test("the memo flips a memoized absent to present only through noteWritten") {
     val d = java.nio.file.Files.createTempDirectory("graft_fsm_t").toString + "/t"
     val memo = new graft.ops.Core.FsMemo
@@ -58,7 +113,9 @@ class FsMemoSpec extends SparkSpec {
     // live stream; the memo is DELIBERATELY blind to rule breakers)
     spark.range(3).write.parquet(d)
     assert(!memo.tableExists(spark, d))
-    memo.noteWritten(d)
+    // an aliased spelling of the same dir (trailing slash) resolves to
+    // the same memo key (r16 review: raw-string keys fork the cache)
+    memo.noteWritten(spark, d + "/")
     assert(memo.tableExists(spark, d))
     // a fresh memo (the default every non-streaming call gets) sees
     // the disk truth — per-call behavior is exactly pre-memo
