@@ -460,7 +460,13 @@ object StreamingPipeline {
     * the shared first two stateful ops of the full-stack streaming
     * queries. */
   private def slidingBarWindows(events: DataFrame, width: String,
-      withOpen: Boolean): DataFrame = {
+      withOpen: Boolean, seriesKey: Option[String] = None): DataFrame = {
+    // seriesKey = the per-symbol form (r16): both stateful aggs group
+    // by (key, window), so every series keeps its own bar state and
+    // trailing frames — state volume scales with symbols x in-flight
+    // windows, and the shuffle keys on (key, window). None keeps the
+    // exact single-series plan the global twins were recorded on.
+    val keyCols = seriesKey.toSeq.map(col)
     val aggs = Seq(
       max(col("value")).as("high"),
       min(col("value")).as("low"),
@@ -468,13 +474,13 @@ object StreamingPipeline {
       count(lit(1)).as("volume")) ++
       (if (withOpen) Seq(min_by(col("value"), col("event_id")).as("open")) else Nil)
     val bars = events.withWatermark("ts", "5 minutes")
-      .groupBy(window(col("ts"), "5 minutes").as("w"))
+      .groupBy(keyCols :+ window(col("ts"), "5 minutes").as("w"): _*)
       .agg(aggs.head, aggs.tail: _*)
     val fields = Seq(col("w.start").as("bucket"), col("high"), col("low"),
       col("close"), col("volume")) ++
       (if (withOpen) Seq(col("open")) else Nil)
     bars
-      .groupBy(window(window_time(col("w")), width, "5 minutes").as("wi"))
+      .groupBy(keyCols :+ window(window_time(col("w")), width, "5 minutes").as("wi"): _*)
       .agg(collect_list(struct(fields: _*)).as("bs0"),
         max(col("w.start")).as("last_bar"))
       // only the window ENDING at its own last bar is a trailing frame
@@ -547,8 +553,28 @@ object StreamingPipeline {
     * OHLCV surface here is what the events stream carries. Warmup
     * rows (null stoch/price_change) are filtered exactly like batch's
     * na.drop. */
-  def streamingFeatureMatrix(events: DataFrame): DataFrame = {
-    val win = slidingBarWindows(events, "175 minutes", withOpen = true)
+  def streamingFeatureMatrix(events: DataFrame): DataFrame =
+    streamingFeatureMatrixOver(events, seriesKey = None)
+
+  /** The per-SERIES streaming training matrix (r16) — the streaming
+    * twin of [[graft.ops.Indicators.featureMatrixBy]], completing the
+    * flagship artifact's 2x2 (batch/streaming x global/per-series):
+    * [[streamingFeatureMatrix]]'s exact plan with both stateful aggs
+    * keyed on (event_type, window), so each series carries its own
+    * bar state and trailing frames and the whole pipeline
+    * parallelizes across symbols — the form a 1000-executor cluster
+    * runs, with state per (symbol, in-flight window) and shuffles
+    * keyed (symbol, window). The gapless-bar regime (every 5-min
+    * bucket has at least one event) must hold PER SERIES, exactly as
+    * batch row frames assume one bar per bucket per series.
+    * StreamingSpec asserts per-type bit-equality against the composed
+    * batch pieces on a two-series fixture. */
+  def streamingFeatureMatrixBy(events: DataFrame): DataFrame =
+    streamingFeatureMatrixOver(events, seriesKey = Some("event_type"))
+
+  private def streamingFeatureMatrixOver(events: DataFrame,
+      seriesKey: Option[String]): DataFrame = {
+    val win = slidingBarWindows(events, "175 minutes", withOpen = true, seriesKey)
       .filter(size(col("bs")) >= 16)
     val anchored = withAnchoredIndicators(win, size(col("bs")) - 15)
       .withColumn("p8",
@@ -565,7 +591,8 @@ object StreamingPipeline {
       .withColumn("high", col("anchor_bar.high"))
       .withColumn("low", col("anchor_bar.low"))
       .withColumn("close", col("anchor_bar.close"))
-    anchored.select(Seq(col("bucket")) ++ anchoredIndicatorCols ++
+    anchored.select(seriesKey.toSeq.map(col) ++ Seq(col("bucket")) ++
+      anchoredIndicatorCols ++
       graft.ops.Indicators.candleCalendarBase ++
       graft.ops.Indicators.calendarOneHots ++ Seq(
         when(col("p8") >= col("close") + lit(1.5) * col("atr0"), 1)

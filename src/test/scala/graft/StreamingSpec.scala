@@ -767,6 +767,76 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("per-series streaming feature matrix equals the composed batch pieces per type") {
+    // r16: the streaming twin of feature_matrix_by_type — two
+    // interleaved series, each gapless per 5-min bucket (2 events per
+    // bucket per type) with diverging values, driven through the
+    // keyed form; per type, the emitted rows must bit-equal the same
+    // composed batch pieces the global test proves, computed over
+    // that type's events alone.
+    implicit val sqlCtx = spark.sqlContext
+    val types = Seq("a", "b")
+    val evs = (0 until 240).map { i =>
+      val tn = types(i % 2)
+      // 11.37 is not a multiple of the base grid's 0.25 step, so the
+      // two series' closes can never coincide in any bucket
+      val off = if (tn == "a") 0.0 else 11.37
+      Ev(i, new Timestamp(t("2024-01-01 10:00:00").getTime + (i / 2) * 150000L),
+        tn, (i * 7 % 23).toDouble + (i % 5) * 0.25 + off)
+    }
+    val src = MemoryStream[Ev]
+    val q = StreamingPipeline.streamingFeatureMatrixBy(src.toDF())
+      .writeStream.format("memory").queryName("fmby_out")
+      .outputMode("append").start()
+    try {
+      evs.grouped(90).foreach(src.addData(_))
+      q.processAllAvailable()
+      src.addData(Ev(9999, t("2024-01-02 10:00:00"), "a", 1.0))
+      q.processAllAvailable()
+      val cols = Seq("close", "volume", "vol_ma6", "vol_ma20", "price_ma20",
+        "upper_bb_dist", "lower_bb_dist", "stoch", "price_change", "atr",
+        "candle_size", "wick_size", "wick_prct", "week_day", "week_of_month",
+        "session_start", "day_1", "day_2", "day_3", "day_4",
+        "week_1", "week_2", "week_3", "week_4", "up1", "up2", "down1", "down2")
+      def keyed(df: org.apache.spark.sql.DataFrame) = df
+        .select($"bucket".cast("string") +: cols.map(c => col(c).cast("string")): _*)
+        .collect().map(r => r.getString(0) -> (1 to cols.size).map(r.getString)).toMap
+      val out = spark.table("fmby_out")
+      types.foreach { tn =>
+        val got = keyed(out.filter($"event_type" === tn))
+        val batchBars = evs.filter(_.event_type == tn).toDF()
+          .groupBy(graft.ops.Core.bucket5m($"ts").as("bucket"))
+          .agg(max($"value").as("high"), min($"value").as("low"),
+            max_by($"value", $"event_id").as("close"), count(lit(1)).as("volume"),
+            min_by($"value", $"event_id").as("open"))
+        val ind = graft.ops.Indicators.withIndicators(batchBars)
+        val tgt = graft.ops.Indicators.withTargets(batchBars)
+          .filter($"p15_close".isNotNull)
+          .select($"bucket", $"up1", $"up2", $"down1", $"down2")
+        val extras = batchBars.select(Seq(col("bucket")) ++
+          graft.ops.Indicators.candleCalendarBase ++
+          graft.ops.Indicators.calendarOneHots: _*)
+        val want = keyed(ind.join(tgt, "bucket").join(extras, "bucket")
+          .filter($"stoch".isNotNull && $"price_change".isNotNull))
+        assert(want.nonEmpty && got.keySet == want.keySet,
+          s"type $tn: emitted ${got.size} rows, expected ${want.size}")
+        want.foreach { case (bucket, w) =>
+          assert(got(bucket) == w, s"type $tn bucket $bucket:\n got ${got(bucket)}\nwant $w")
+        }
+      }
+      // and the two series genuinely differ (fixture non-vacuity) —
+      // compared driver-side: a self-join of the memory-sink view
+      // trips conflicting-reference resolution
+      def closes(tn: String) = out.filter($"event_type" === tn)
+        .select($"bucket".cast("string"), $"close")
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      val (aM, bM) = (closes("a"), closes("b"))
+      val shared = aM.keySet.intersect(bM.keySet)
+      assert(shared.nonEmpty && shared.forall(k => aM(k) != bM(k)),
+        "fixture series must diverge bucket-by-bucket")
+    } finally q.stop()
+  }
+
   test("streaming W8 targets equal batch rows whose p15 lead exists") {
     implicit val sqlCtx = spark.sqlContext
     val (evs, batchBars) = gaplessBars60
