@@ -576,10 +576,25 @@ object Bench {
     * (not just loadavg) is the evidence to capture whenever a
     * streaming record looks low. STREAMBENCH_r16.md holds the run
     * tables, including the final-commit re-confirmation appended
-    * when the round's record is taken. */
+    * when the round's record is taken.
+    *
+    * fmby (r17, VERDICT r16 #1 — the per-series matrix's first
+    * throughput record): `runMain graft.StreamBench fmby 4`, six
+    * steal-stamped cold JVMs on a day the box ran load-correlated
+    * steal bursts (idle stamps 0%, in-run stamps 0.09-0.90%):
+    * 23435 @ 0.32% / 18432 @ 0.09% / 21721 @ 0.90% / 22028 @ 0.78% /
+    * 18992 @ 0.23% / 21061 @ 0.11% ev/s — mean 20.9k, spread 18.4-
+    * 23.4k with no clean steal-zero window available (several
+    * unstamped runs in a quieter phase read 24.4-25.3k, consistent
+    * with the stamped spread being steal-depressed). Width sweep 4 ->
+    * 19.7k / 8 -> 20.6k / 16 -> 17.9k on the first (coldest) runs —
+    * width 4 keeps the section pin. Floor = 0.7 x the stamped mean
+    * (the same convention as the r14 floors), conservative against
+    * the burst regime the records were taken in. */
   private val streamingCleanFloor: Map[String, Double] = Map(
     "bars" -> 23600.0, "indfull" -> 20100.0, "ivfprobe" -> 1500.0,
-    "dag" -> 1580.0, "dag_rocksdb" -> 1340.0, "dag_tuned" -> 5020.0)
+    "dag" -> 1580.0, "dag_rocksdb" -> 1340.0, "dag_tuned" -> 5020.0,
+    "fmby" -> 14600.0)
 
   /** Returns (streaming metrics JSON, mid-DAG marker seconds, metric ->
     * events/sec) — the marker is surfaced separately so the run-level
@@ -604,6 +619,46 @@ object Bench {
     spark.conf.set("spark.sql.shuffle.partitions", "4")
     try streamingBenchBody(spark)
     finally spark.conf.set("spark.sql.shuffle.partitions", batchParts)
+  }
+
+  /** Drives [[graft.streaming.StreamingPipeline.streamingFeatureMatrixBy]]
+    * — the per-series streaming training matrix, the keyed cell of the
+    * flagship 2x2 — over a gapless multi-series fixture and returns
+    * (events fed, wall seconds). 64 series x 60 bars x 30 events/bar
+    * (10s per-series cadence inside 5-min buckets) = 115,200 events in
+    * 8 micro-batch chunks: enough series that the (event_type, window)
+    * state shuffle actually spreads (VERDICT r16 #1), enough bars per
+    * series that the 35-bar sliding frames reach steady state, and the
+    * per-series gapless regime the operator's contract requires. State
+    * volume at play: 64 series x ~35 in-flight 175-min windows on the
+    * frame agg + 64 x in-flight 5-min buckets on the bar agg. */
+  private[graft] def fmbyBench(spark: SparkSession,
+      nSeries: Int = 64, barsPerSeries: Int = 60,
+      queryName: String = "bench_fmby"): (Int, Double) = {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    val evPerBar = 30 // one event per 10s per series -> gapless 5-min bars
+    val n = nSeries * barsPerSeries * evPerBar
+    val evs = (0 until n).map { i =>
+      val step = i / nSeries // all series advance together: one watermark
+      (i.toLong, new java.sql.Timestamp(base + step * 10000L),
+        f"s${i % nSeries}%02d", ((i * 31) % 997).toDouble)
+    }
+    val ms = MemoryStream[(Long, java.sql.Timestamp, String, Double)]
+    val q = graft.streaming.StreamingPipeline.streamingFeatureMatrixBy(
+      ms.toDF().toDF("event_id", "ts", "event_type", "value"))
+      .writeStream.format("memory").queryName(queryName)
+      .outputMode("append").start()
+    val (rows, secs) = try {
+      val t0 = System.nanoTime()
+      evs.grouped(n / 8).foreach(ms.addData(_))
+      q.processAllAvailable()
+      (spark.table(queryName).count(), (System.nanoTime() - t0) / 1e9)
+    } finally q.stop()
+    require(rows > 0, s"fmby produced no rows over $n events")
+    (n, secs)
   }
 
   private[graft] def streamingBenchBody(spark: SparkSession): (String, Double, Map[String, Double]) = {
@@ -744,6 +799,20 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     } finally q3.stop()
 
+    // 3b) the per-SERIES streaming training matrix (r17, VERDICT r16
+    // #1): the keyed 2x2 cell — the form a production cluster runs —
+    // was the one shipped streaming surface with zero throughput
+    // evidence. 64-series gapless fixture so the (event_type, window)
+    // state shuffle genuinely spreads; isolated failure domain like
+    // the RocksDB/tuned runs (newest streaming plan must not discard
+    // the metrics already measured).
+    val (fmbyN, fmbySecs) = try fmbyBench(spark)
+    catch {
+      case t: Throwable =>
+        System.err.println(s"[bench] WARNING: fmby stream failed: $t"); (0, -1.0)
+    }
+    val fmbyEps = if (fmbySecs > 0) fmbyN / fmbySecs else -1.0
+
     // 4) streaming ANN probe (r6): incoming vectors vs the persisted
     // cell-partitioned IVF index inside foreachBatch — per-batch cost
     // is centroid argmin (map-side) + the pruned index join + top-k.
@@ -790,6 +859,7 @@ object Bench {
         s""""dag_events":$totalDagInput,"dag_sec":$dagSecs,"dag_events_per_sec":${totalDagInput / dagSecs},""" +
         s""""dag_rocksdb_sec":$dagRocksSecs,"dag_rocksdb_events_per_sec":$rocksEps,""" +
         s""""dag_tuned_sec":$dagTunedSecs,"dag_tuned_events_per_sec":$tunedEps,""" +
+        s""""fmby_events":$fmbyN,"fmby_sec":$fmbySecs,"fmby_events_per_sec":$fmbyEps,""" +
         s""""marker_mid_dag_sec":$midDagMarkerSec}"""
     // ivfprobe's throughput scales with SF_DIR corpus size (probe load
     // = 8x corpus, so at tiny SFs per-batch fixed cost dominates and
@@ -800,7 +870,8 @@ object Bench {
     val eps = Map(
       "bars" -> nBars / barsSecs, "indfull" -> nInd / indSecs,
       "dag" -> totalDagInput / dagSecs,
-      "dag_rocksdb" -> rocksEps, "dag_tuned" -> tunedEps) ++
+      "dag_rocksdb" -> rocksEps, "dag_tuned" -> tunedEps,
+      "fmby" -> fmbyEps) ++
       (if (probeN >= 8000) Map("ivfprobe" -> probeEps) else Map.empty)
     (json, midDagMarkerSec, eps)
   }

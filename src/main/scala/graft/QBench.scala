@@ -28,7 +28,11 @@ object QBench {
     "embed_near_dup_16x2_direct" -> ((s, d) =>
       ops.Similarity.cosineNearDupPairsDirectAt(s, d, 16, 2)),
     "cdc_chunks_hof" -> ((s, d) => ops.TrainingData.cdcChunksHof(s, d)),
-    "bpe_pairs_hof" -> ((s, d) => ops.TrainingData.bpePairsHof(s, d))
+    "bpe_pairs_hof" -> ((s, d) => ops.TrainingData.bpePairsHof(s, d)),
+    // high-cardinality twins of the keyed window paths (r17, VERDICT
+    // r16 #2): event_id % 1000 as the series column on the same corpus
+    "indicators_by_1k" -> ((s, d) => ops.Indicators.indicatorsByWide(s, d, 1000)),
+    "feature_matrix_by_1k" -> ((s, d) => ops.Indicators.featureMatrixByWide(s, d, 1000))
   )
 
   def main(args: Array[String]): Unit = {

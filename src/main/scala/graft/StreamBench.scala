@@ -10,6 +10,7 @@ import org.apache.spark.sql.SparkSession
   *
   * Usage: runMain graft.StreamBench [width=8]
   *        runMain graft.StreamBench dag <batches> [width=4]
+  *        runMain graft.StreamBench fmby [width=4]
   * The first form prints the same one-line streaming JSON as Bench's
   * streaming section. The `dag` form is the r10-verdict #5 probe: it
   * drives the full 9-stateful-op reference DAG with the deep stream
@@ -47,8 +48,9 @@ object StreamBench {
   def main(args: Array[String]): Unit = {
     val isDag = args.headOption.contains("dag")
     val isProfile = args.headOption.contains("dagprofile")
+    val isFmby = args.headOption.contains("fmby")
     val width =
-      if (isProfile) args.lift(1).getOrElse("4")
+      if (isProfile || isFmby) args.lift(1).getOrElse("4")
       else if (isDag) args.lift(2).getOrElse("4")
       else args.headOption.getOrElse("8")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -78,6 +80,15 @@ object StreamBench {
         val sec = dagVariant(spark, n, nAux.toInt, dedup)
         println(f"""{"variant":"aux${nAux}_dedup_$dedup","sec":$sec%.3f,"events_per_sec":${n / sec}%.1f}""")
       }
+    } else if (isFmby) {
+      // isolated cold-JVM record for the per-series streaming matrix
+      // (r17, VERDICT r16 #1) — the floor-pinning form: one untimed
+      // warm pass at 1/8 the series (absorbs codegen/JIT for the
+      // 2-stage keyed stateful plan), then the timed in-Bench fixture
+      Bench.fmbyBench(spark, nSeries = 8, barsPerSeries = 40,
+        queryName = "fmby_warm")
+      val (n, sec) = Bench.fmbyBench(spark)
+      println(f"""{"metric":"fmby","width":$width,"events":$n,"sec":$sec%.3f,"events_per_sec":${n / sec}%.1f}""")
     } else if (isDag) {
       val batches = args(1).toInt
       val nDeep = 20000

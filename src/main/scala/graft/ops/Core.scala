@@ -123,6 +123,20 @@ object Core {
     * memoize (r16, VERDICT r15 #4). */
   private[graft] val tableListings = new java.util.concurrent.atomic.AtomicLong
 
+  /** Calls between re-listings of a memoized-ABSENT path in [[FsMemo]]
+    * (r17, ADVICE r16): permanent negative caching made a FIRST
+    * tombstone write against a live stream — a contract violation,
+    * but specifically a takedown/deletion path, the one class of
+    * out-of-band write an operator may legitimately need to land
+    * without a stream restart — invisible for the stream's whole
+    * life, asymmetric with appends to an EXISTING sidecar (seen at
+    * next plan time). Re-listing absent entries every N-th hit bounds
+    * the staleness to N micro-batches while keeping the listing rate
+    * at 1/N per table per batch — still no metadata storm. Present
+    * entries never re-list: state tables are deleted only under
+    * quiesce, so present-to-absent cannot happen to a live stream. */
+  private[graft] val absentRelistEvery = 16
+
   /** Per-STREAM memo of optional-table existence on the micro-batch
     * hot path (r16, VERDICT r15 #4): [[tableExists]] walks the target
     * directory recursively, which is free on a local FS but is a LIST
@@ -133,24 +147,55 @@ object Core {
     * under QUIESCE only (so their existence cannot change while the
     * stream is live), and a stream's state tables have exactly ONE
     * writer — the stream itself, which reports its own writes through
-    * [[noteWritten]]. A fresh memo per call (every default) degrades
-    * to exactly the pre-memo behavior; the streaming wrappers create
-    * one per stream, so steady state is one listing per (table,
-    * stream) for the whole run, asserted by FsMemoSpec against
-    * [[tableListings]]. */
+    * [[noteWritten]]. The streaming wrappers create one memo per
+    * stream, so steady state is one listing per (table, stream) for
+    * the run — plus one re-list of each still-ABSENT table every
+    * [[absentRelistEvery]]-th hit (r17, ADVICE r16), so a mid-stream
+    * first tombstone write takes effect within N batches instead of
+    * never. FsMemoSpec asserts both bounds against [[tableListings]].
+    *
+    * BATCH paths intentionally take the fresh-memo default, i.e.
+    * re-list once per call (r17, VERDICT r16 #5): a batch invocation
+    * plans once and must see the disk truth of that moment — there is
+    * no cadence to storm and no stream lifetime to carry staleness
+    * across, so caching across batch calls would widen the staleness
+    * contract for zero listings saved. A fresh memo never shares
+    * state with any other instance (asserted in FsMemoSpec). */
   final class FsMemo {
     private val known = scala.collection.concurrent.TrieMap.empty[String, Boolean]
+    // hits since the last real listing, per memoized-absent key
+    private val absentHits = scala.collection.concurrent.TrieMap.empty[String, Int]
     // keys are QUALIFIED paths (r16 review): raw strings would let two
     // aliased spellings of one directory memoize independently, so a
     // noteWritten on one spelling could leave a stale "absent" under
     // the other — the alias class qualifiedPath exists to close
-    private[graft] def tableExists(spark: SparkSession, path: String): Boolean =
-      known.getOrElseUpdate(qualifiedPath(spark, path), Core.tableExists(spark, path))
+    private[graft] def tableExists(spark: SparkSession, path: String): Boolean = {
+      val k = qualifiedPath(spark, path)
+      known.get(k) match {
+        case Some(true) => true
+        case Some(false) =>
+          val hits = absentHits.getOrElse(k, 0) + 1
+          if (hits < absentRelistEvery) { absentHits.put(k, hits); false }
+          else { // periodic re-list of a negative entry (ADVICE r16)
+            absentHits.put(k, 0)
+            val v = Core.tableExists(spark, path)
+            known.put(k, v)
+            v
+          }
+        case None =>
+          val v = Core.tableExists(spark, path)
+          known.put(k, v)
+          v
+      }
+    }
     /** The stream reports a table it has just written (the only
       * permitted writer of stream state under the single-writer
       * contract), flipping a memoized "absent" without a listing. */
     def noteWritten(spark: SparkSession, path: String): Unit = {
-      known.put(qualifiedPath(spark, path), true); ()
+      val k = qualifiedPath(spark, path)
+      known.put(k, true)
+      absentHits.remove(k)
+      ()
     }
   }
 

@@ -758,6 +758,67 @@ object Mixture extends QueryModule {
   val vocabMergeProbeSql: String =
     vocabNoveltyProbeSqlFor("doc_id % 4 < 3", "doc_id % 4 = 3")
 
+  /** REGISTERED rebuild-only FORGET gate for the count-aggregate
+    * families (r17, VERDICT r16 #3) — the takedown matrix's last cell
+    * turned from documented-only into an oracle gate. The vocab index
+    * stores only aggregated document frequencies, so a per-doc
+    * takedown has nothing to subtract: its forget path is a REBUILD
+    * from the live corpus ([[writeVocabIndex]] scaladoc). This probe
+    * runs that lifecycle end-to-end: (1) index the FULL corpus (the
+    * pre-takedown artifact), (2) take down the `doc_id % 10 = 4`
+    * slice (the same slice every row-keyed tombstone probe flips),
+    * (3) rebuild the index from the remaining corpus, (4) diff the
+    * two artifacts per token: `df_before` (the superseded index),
+    * `df_after` (the rebuilt one, 0 where the token vanished), and
+    * `df_forgotten` = the document-frequency MASS the rebuild forgot.
+    * The diff is on COUNTS, not token existence, deliberately: the
+    * corpus vocabulary is tiny and saturated (every token appears in
+    * live docs too), so an existence probe could not tell a correct
+    * rebuild from one that silently kept the takedown docs — the df
+    * delta can, because every takedown doc decrements the df of each
+    * of its token types by exactly one. The DuckDB oracle derives
+    * both sides independently from `documents`; a hash match proves
+    * the rebuilt artifact carries ZERO residue — one leftover doc
+    * would inflate `df_after` of its tokens. Non-vacuity (takedown
+    * slice non-empty, so df mass IS forgotten) is asserted in
+    * MixtureSpec. Scale shape: two index builds (one distinct-token
+    * shuffle each) + one vocabulary-sized equi-join — the join is on
+    * the sublinear (Heaps' law) index tables, never the corpus. */
+  def vocabRebuildForgetProbe(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Core.documents(spark, dir)
+    val root = ProbeTemp.dir("vocab_rebuild_forget", dir) { d =>
+      writeVocabIndexFrom(docs, s"$d/full")
+      writeVocabIndexFrom(docs.filter(col("doc_id") % 10 =!= 4), s"$d/rebuilt")
+    }
+    val before = spark.read.parquet(s"$root/full")
+      .select(col("tok"), col("df").as("df_before"))
+    val after = spark.read.parquet(s"$root/rebuilt")
+      .select(col("tok"), col("df").as("df_after0"))
+    // left from the FULL side: rebuilt tokens are a subset (the live
+    // corpus is a subset of the full one), and a token whose every
+    // carrier was taken down must surface with df_after = 0
+    before.join(after, Seq("tok"), "left")
+      .select(col("tok"), col("df_before"),
+        coalesce(col("df_after0"), lit(0L)).as("df_after"),
+        (col("df_before") - coalesce(col("df_after0"), lit(0L))).as("df_forgotten"))
+  }
+
+  val vocabRebuildForgetProbeSql: String =
+    """WITH full_idx AS (
+      |  SELECT tok, count(*) AS df FROM (
+      |    SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
+      |    FROM documents) GROUP BY 1),
+      |live_idx AS (
+      |  SELECT tok, count(*) AS df FROM (
+      |    SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
+      |    FROM documents WHERE doc_id % 10 <> 4) GROUP BY 1)
+      |SELECT f.tok,
+      |  f.df AS df_before,
+      |  CAST(COALESCE(l.df, 0) AS BIGINT) AS df_after,
+      |  CAST(f.df - COALESCE(l.df, 0) AS BIGINT) AS df_forgotten
+      |FROM full_idx f
+      |LEFT JOIN live_idx l ON l.tok = f.tok""".stripMargin
+
   // --- budgeted mixture plan ----------------------------------------------
 
   /** Token budget the plan allocates. sized so both sampling regimes
@@ -1069,6 +1130,7 @@ object Mixture extends QueryModule {
     "mixture_gate_probe" -> (mixtureGateProbe _),
     "vocab_novelty_probe" -> (vocabNoveltyProbe _),
     "vocab_merge_probe" -> (vocabMergeProbe _),
+    "vocab_rebuild_forget_probe" -> (vocabRebuildForgetProbe _),
     "drift_baseline_merge_probe" -> (driftBaselineMergeProbe _),
     "epoch_realize" -> (epochRealize _))
 
@@ -1084,6 +1146,7 @@ object Mixture extends QueryModule {
     "mixture_gate_probe" -> mixtureGateProbeSql,
     "vocab_novelty_probe" -> vocabNoveltyProbeSql,
     "vocab_merge_probe" -> vocabMergeProbeSql,
+    "vocab_rebuild_forget_probe" -> vocabRebuildForgetProbeSql,
     "drift_baseline_merge_probe" -> driftBaselineMergeProbeSql,
     "epoch_realize" -> epochRealizeSql)
 }

@@ -67,18 +67,35 @@ object ScaleOps extends QueryModule {
   /** The lineitem + orders pair persisted bucketed+sorted on the join
     * key at an EXTERNAL location (a ProbeTemp-memoized dir, one build
     * per (source-dir content, JVM) — the index-build pattern), each
-    * registered in the session catalog under a location-derived name
-    * so distinct SFs/corpora in one session never collide. Returns
-    * the two table names. A fresh session inside the same JVM finds
-    * the files memoized but the catalog empty — the re-registration
-    * below recreates the ENTRY over the existing files without
-    * rewriting data (bucket ids ride the file names, so an external
-    * CLUSTERED BY table over saveAsTable output reads identically). */
+    * registered in the session catalog under a SOURCE-DIR-derived
+    * name so distinct SFs/corpora in one session never collide.
+    * Returns the two table names. A fresh session inside the same JVM
+    * finds the files memoized but the catalog empty — the
+    * re-registration below recreates the ENTRY over the existing
+    * files without rewriting data (bucket ids ride the file names, so
+    * an external CLUSTERED BY table over saveAsTable output reads
+    * identically). Names derive from the source dir, NOT the artifact
+    * location (r17, ADVICE r16): location-derived names left the old
+    * catalog entries DANGLING over a deleted dir whenever ProbeTemp
+    * evicted a superseded artifact after a source-fingerprint change
+    * — reads of them threw for the rest of the session. With stable
+    * names the rebuild drops-and-recreates the same entries, and
+    * `ensure` re-points an entry whose registered location no longer
+    * matches the current artifact. */
   private def bucketedJoinTables(spark: SparkSession, dir: String): (String, String) = {
-    def name(loc: String, t: String) =
-      s"graft_bj_${t}_${loc.replaceAll("[^A-Za-z0-9]", "").takeRight(24)}"
-    def ensure(tbl: String, path: String, table: String, key: String): Unit =
-      if (!spark.catalog.tableExists(tbl)) {
+    def name(t: String) =
+      s"graft_bj_${t}_${dir.replaceAll("[^A-Za-z0-9]", "").takeRight(24)}"
+    def location(tbl: String): String =
+      spark.sessionState.catalog
+        .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(tbl))
+        .location.toString
+    def ensure(tbl: String, path: String, table: String, key: String): Unit = {
+      // re-point a stale entry: same name, superseded location (the
+      // fingerprint changed and ProbeTemp rebuilt under a new dir)
+      val stale = spark.catalog.tableExists(tbl) &&
+        Core.qualifiedPath(spark, location(tbl)) != Core.qualifiedPath(spark, path)
+      if (stale) spark.sql(s"DROP TABLE IF EXISTS $tbl")
+      if (stale || !spark.catalog.tableExists(tbl)) {
         // schema from the SOURCE table, not the bucketed files: an
         // empty corpus writes a zero-file bucketed table whose dir
         // Spark cannot infer a schema from, while the source read
@@ -89,20 +106,21 @@ object ScaleOps extends QueryModule {
           s"LOCATION '$path'")
         ()
       }
+    }
     val loc = ProbeTemp.dir("bucketed_join", dir) { d =>
       def write(table: String, t: String, key: String): Unit = {
-        spark.sql(s"DROP TABLE IF EXISTS ${name(d, t)}")
+        spark.sql(s"DROP TABLE IF EXISTS ${name(t)}")
         Core.table(spark, dir, table).write
           .bucketBy(bjBuckets, key).sortBy(key)
           .format("parquet").option("path", s"$d/$t")
-          .mode("overwrite").saveAsTable(name(d, t))
+          .mode("overwrite").saveAsTable(name(t))
       }
       write("lineitem", "li", "l_orderkey")
       write("orders", "ord", "o_orderkey")
     }
-    ensure(name(loc, "li"), s"$loc/li", "lineitem", "l_orderkey")
-    ensure(name(loc, "ord"), s"$loc/ord", "orders", "o_orderkey")
-    (name(loc, "li"), name(loc, "ord"))
+    ensure(name("li"), s"$loc/li", "lineitem", "l_orderkey")
+    ensure(name("ord"), s"$loc/ord", "orders", "o_orderkey")
+    (name("li"), name("ord"))
   }
 
   /** REGISTERED exercise of the bucketed co-located join under the

@@ -11,10 +11,20 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
   * stream's whole life: tombstone sidecars are quiesce-written (their
   * existence cannot change under a live stream) and a stream's state
   * tables have exactly one writer — the stream, which notes its own
-  * writes into the memo instead of re-listing. Counted for real
-  * against Core.tableListings, not inferred from the memo's own
-  * bookkeeping, so a future call path that bypasses the memo fails
-  * here too. */
+  * writes into the memo instead of re-listing. Still-absent tables
+  * additionally re-list every Core.absentRelistEvery-th hit (r17,
+  * ADVICE r16) — a 1/N cadence the bounds below never reach. Counted
+  * for real against Core.tableListings, not inferred from the memo's
+  * own bookkeeping, so a future call path that bypasses the memo
+  * fails here too.
+  *
+  * NOTE on the counting method (ADVICE r16): Core.tableListings is
+  * JVM-global, so the before/after deltas below are sound ONLY
+  * because ScalaTest runs suites and tests sequentially in the forked
+  * test JVM and no other stream is live while these run. Enabling
+  * testForkedParallel (or starting a concurrent stream inside a test
+  * here) would make the deltas flaky — count through a memo-local
+  * counter instead if that ever changes. */
 class FsMemoSpec extends SparkSpec {
   import spark.implicits._
 
@@ -104,13 +114,14 @@ class FsMemoSpec extends SparkSpec {
         "the per-stream memo bounds it to one")
   }
 
-  test("the memo flips a memoized absent to present only through noteWritten") {
+  test("the memo flips a memoized absent through noteWritten, or by the periodic re-list") {
     val d = java.nio.file.Files.createTempDirectory("graft_fsm_t").toString + "/t"
     val memo = new graft.ops.Core.FsMemo
     assert(!memo.tableExists(spark, d))
     // the table appears on disk behind the memo's back: still reported
-    // absent (the single-writer contract says this cannot happen to a
-    // live stream; the memo is DELIBERATELY blind to rule breakers)
+    // absent within the re-list window (the single-writer contract
+    // says this cannot happen to a live stream EXCEPT a first takedown
+    // sidecar — the case the periodic re-list below exists for)
     spark.range(3).write.parquet(d)
     assert(!memo.tableExists(spark, d))
     // an aliased spelling of the same dir (trailing slash) resolves to
@@ -120,5 +131,44 @@ class FsMemoSpec extends SparkSpec {
     // a fresh memo (the default every non-streaming call gets) sees
     // the disk truth — per-call behavior is exactly pre-memo
     assert(new graft.ops.Core.FsMemo().tableExists(spark, d))
+  }
+
+  test("a memoized absent is re-listed every Nth hit, so a mid-stream first tombstone lands") {
+    // r17, ADVICE r16: without this, a first tombstone write made
+    // while the stream is live (a takedown path) was ignored for the
+    // stream's WHOLE life; now it takes effect within N micro-batches
+    val d = java.nio.file.Files.createTempDirectory("graft_fsm_r").toString + "/t"
+    val memo = new graft.ops.Core.FsMemo
+    val n = graft.ops.Core.absentRelistEvery
+    assert(!memo.tableExists(spark, d)) // real listing #1, memoize absent
+    spark.range(3).write.parquet(d)     // out-of-band first write
+    val before = graft.ops.Core.tableListings.get()
+    // the first n-1 hits after memoization stay absent with ZERO
+    // further listings...
+    (1 until n).foreach(_ => assert(!memo.tableExists(spark, d)))
+    assert(graft.ops.Core.tableListings.get() == before,
+      "hits inside the re-list window must not touch the FS")
+    // ...and the n-th hit re-lists, sees the table, flips to present
+    assert(memo.tableExists(spark, d), s"hit $n must re-list and find the table")
+    assert(graft.ops.Core.tableListings.get() == before + 1)
+    // present entries never re-list again
+    assert(memo.tableExists(spark, d))
+    assert(graft.ops.Core.tableListings.get() == before + 1)
+  }
+
+  test("fresh memo instances share no state (the batch-path contract)") {
+    // VERDICT r16 #5: batch paths take the fresh-memo default and must
+    // re-list per call — caching across instances would silently widen
+    // the staleness contract from per-stream to per-JVM
+    val d = java.nio.file.Files.createTempDirectory("graft_fsm_f").toString + "/t"
+    val a = new graft.ops.Core.FsMemo
+    assert(!a.tableExists(spark, d))
+    a.noteWritten(spark, d) // poison instance a only
+    assert(a.tableExists(spark, d))
+    val before = graft.ops.Core.tableListings.get()
+    assert(!new graft.ops.Core.FsMemo().tableExists(spark, d),
+      "a fresh memo must consult the disk, not another instance's state")
+    assert(graft.ops.Core.tableListings.get() == before + 1,
+      "the fresh instance must have performed its own listing")
   }
 }

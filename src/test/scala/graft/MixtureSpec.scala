@@ -373,6 +373,32 @@ class MixtureSpec extends SparkSpec {
       "merged vocab index must equal the full rebuild (disjoint slices)")
   }
 
+  test("vocab rebuild-forget probe: df mass drops by exactly the takedown carriers") {
+    val out = Mixture.vocabRebuildForgetProbe(spark, sf0001)
+      .select("tok", "df_before", "df_after", "df_forgotten")
+      .as[(String, Long, Long, Long)].collect()
+    assert(out.nonEmpty, "full index must be non-empty at sf0.001")
+    out.foreach { case (tok, b, a, f) =>
+      assert(f == b - a && a <= b && a >= 0, s"$tok: inconsistent df split ($b, $a, $f)")
+    }
+    // non-vacuity of the FORGET direction: the takedown slice is
+    // non-empty, so the rebuild genuinely lost df mass — a rebuild
+    // that silently kept the takedown docs would show zero deltas
+    // everywhere and fail here (and hash-mismatch against the oracle)
+    assert(out.map(_._4).sum > 0, "rebuild must forget df mass corpus-wide")
+    // the expected per-token drop, recomputed independently: the
+    // number of TAKEDOWN docs carrying the token
+    val docs = graft.ops.Core.documents(spark, sf0001)
+    val expected = docs.filter($"doc_id" % 10 === 4)
+      .select($"doc_id", explode(split($"text", " ")).as("tok")).distinct()
+      .groupBy("tok").count()
+      .as[(String, Long)].collect().toMap
+    out.foreach { case (tok, _, _, f) =>
+      assert(f == expected.getOrElse(tok, 0L),
+        s"$tok: forgot $f, takedown slice carried ${expected.getOrElse(tok, 0L)}")
+    }
+  }
+
   test("epoch realization: copies bracket epochs, source totals realize the plan") {
     val plan = Mixture.mixturePlan(spark, sf0001)
       .select("source", "epochs", "target_tokens")

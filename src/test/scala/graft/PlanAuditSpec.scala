@@ -90,6 +90,31 @@ class PlanAuditSpec extends SparkSpec {
       s"partition-less windows (single-task at scale) detected:\n${offenders.mkString("\n")}")
   }
 
+  test("1000-series keyed paths keep partitioned windows and never plan a 1-partition exchange") {
+    // r17, VERDICT r16 #2: the registered keyed forms run 5 series on
+    // the driver corpus; this pins the plan SHAPE at the cardinality
+    // the "100 TB form" claim is about — 1000 synthesized symbols.
+    // Window partitioning is checked on the optimized logical plan
+    // (same AQE/caching rationale as the global-window sweep above);
+    // the single-partition check walks the physical plan.
+    import org.apache.spark.sql.catalyst.plans.logical.Window
+    spark.catalog.clearCache()
+    val wide = Seq(
+      "indicators_by_1k" -> graft.ops.Indicators.indicatorsByWide(spark, sf0001, 1000),
+      "feature_matrix_by_1k" -> graft.ops.Indicators.featureMatrixByWide(spark, sf0001, 1000))
+    wide.foreach { case (name, df) =>
+      val windows = df.queryExecution.optimizedPlan.collect { case w: Window => w }
+      assert(windows.nonEmpty, s"$name: expected window operators")
+      val globals = windows.filter(_.partitionSpec.isEmpty)
+      assert(globals.isEmpty, s"$name: ${globals.size} partition-less window(s)")
+      val singles = df.queryExecution.sparkPlan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+            if e.outputPartitioning.numPartitions == 1 => e
+      }
+      assert(singles.isEmpty, s"$name: ${singles.size} single-partition exchange(s)")
+    }
+  }
+
   test("the global-window allowlist carries no dead entries") {
     import org.apache.spark.sql.catalyst.plans.logical.Window
     spark.catalog.clearCache() // same cached-subtree blindness as above

@@ -108,6 +108,31 @@ class ScaleOpsSpec extends SparkSpec {
     assert(got == expected, s"bucketed agg diverged: $got vs $expected")
   }
 
+  test("bucketed join re-points a catalog entry whose location went stale") {
+    // r17, ADVICE r16: a ProbeTemp fingerprint change rebuilds the
+    // bucketed artifacts under a NEW dir; with location-derived names
+    // the old entries dangled over the deleted dir for the rest of
+    // the session. Names are now source-dir-derived and `ensure`
+    // re-points an entry whose registered location is superseded —
+    // simulated here by re-registering the lineitem entry over a
+    // bogus empty dir before the next call.
+    ScaleOps.bucketedJoinAgg(spark, sf0001).count() // registers the pair
+    val tbl = s"graft_bj_li_${sf0001.replaceAll("[^A-Za-z0-9]", "").takeRight(24)}"
+    assert(spark.catalog.tableExists(tbl), s"expected $tbl registered")
+    def loc() = spark.sessionState.catalog
+      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(tbl))
+      .location.toString
+    val live = loc()
+    val bogus = java.nio.file.Files.createTempDirectory("graft_bj_stale").toString
+    spark.sql(s"DROP TABLE $tbl")
+    spark.sql("CREATE TABLE " + tbl + " (l_orderkey BIGINT) USING parquet " +
+      s"LOCATION '$bogus'")
+    assert(loc() != live)
+    val out = SparkEntry.queries("bucketed_join_agg")(spark, sf0001)
+    assert(out.count() > 0, "query must answer after re-pointing")
+    assert(loc() == live, s"entry must be re-pointed to the live artifact, got ${loc()}")
+  }
+
   test("compaction collapses a fragmented layout, preserves rows and pruning columns") {
     val frag = java.nio.file.Files.createTempDirectory("graft_frag").toString + "/d"
     val out = java.nio.file.Files.createTempDirectory("graft_compact").toString + "/d"
