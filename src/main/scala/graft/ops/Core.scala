@@ -132,9 +132,13 @@ object Core {
     * life, asymmetric with appends to an EXISTING sidecar (seen at
     * next plan time). Re-listing absent entries every N-th hit bounds
     * the staleness to N micro-batches while keeping the listing rate
-    * at 1/N per table per batch — still no metadata storm. Present
-    * entries never re-list: state tables are deleted only under
-    * quiesce, so present-to-absent cannot happen to a live stream. */
+    * at 1/N per table per batch — still no metadata storm. The
+    * re-list is OPT-IN per call (`relistAbsent`) and only the
+    * tombstone resolution path opts in; see the [[FsMemo]] scaladoc
+    * for why state tables must stay permanently negative-cached.
+    * Present entries never re-list: state tables are deleted only
+    * under quiesce, so present-to-absent cannot happen to a live
+    * stream. */
   private[graft] val absentRelistEvery = 16
 
   /** Per-STREAM memo of optional-table existence on the micro-batch
@@ -149,10 +153,18 @@ object Core {
     * writer — the stream itself, which reports its own writes through
     * [[noteWritten]]. The streaming wrappers create one memo per
     * stream, so steady state is one listing per (table, stream) for
-    * the run — plus one re-list of each still-ABSENT table every
-    * [[absentRelistEvery]]-th hit (r17, ADVICE r16), so a mid-stream
-    * first tombstone write takes effect within N batches instead of
-    * never. FsMemoSpec asserts both bounds against [[tableListings]].
+    * the run — plus, for callers that OPT IN via `relistAbsent`, one
+    * re-list of a still-ABSENT table every [[absentRelistEvery]]-th
+    * hit (r17, ADVICE r16), so a mid-stream first tombstone write
+    * takes effect within N batches instead of never. Only
+    * [[resolveTombstones]] opts in: a takedown sidecar is the one
+    * out-of-band write with a legitimate reason to land against a
+    * live stream. State tables (bands/vecs/clusters) stay permanently
+    * negative-cached — a table appearing behind the stream's back
+    * there is a RULE BREAKER (a second writer), and adopting it as
+    * prior state at some arbitrary later batch would silently fold
+    * foreign data into the stream's output (r17 review). FsMemoSpec
+    * asserts both bounds against [[tableListings]].
     *
     * BATCH paths intentionally take the fresh-memo default, i.e.
     * re-list once per call (r17, VERDICT r16 #5): a batch invocation
@@ -169,17 +181,19 @@ object Core {
     // aliased spellings of one directory memoize independently, so a
     // noteWritten on one spelling could leave a stale "absent" under
     // the other — the alias class qualifiedPath exists to close
-    private[graft] def tableExists(spark: SparkSession, path: String): Boolean = {
+    private[graft] def tableExists(spark: SparkSession, path: String,
+        relistAbsent: Boolean = false): Boolean = {
       val k = qualifiedPath(spark, path)
       known.get(k) match {
         case Some(true) => true
+        case Some(false) if !relistAbsent => false
         case Some(false) =>
           val hits = absentHits.getOrElse(k, 0) + 1
           if (hits < absentRelistEvery) { absentHits.put(k, hits); false }
           else { // periodic re-list of a negative entry (ADVICE r16)
-            absentHits.put(k, 0)
             val v = Core.tableExists(spark, path)
             known.put(k, v)
+            if (v) absentHits.remove(k) else absentHits.put(k, 0)
             v
           }
         case None =>
@@ -239,7 +253,11 @@ object Core {
       explicitTable: Option[DataFrame], idCol: String,
       memo: FsMemo = new FsMemo): Option[DataFrame] = {
     val sidecar =
-      if (memo.tableExists(spark, sidecarPath)) Some(spark.read.parquet(sidecarPath))
+      // relistAbsent: a FIRST takedown sidecar landed against a live
+      // stream must take effect within absentRelistEvery batches —
+      // the one opt-in to the memo's periodic re-list (r17 review)
+      if (memo.tableExists(spark, sidecarPath, relistAbsent = true))
+        Some(spark.read.parquet(sidecarPath))
       else None
     def ids(df: DataFrame) =
       df.select(idColumn(df, idCol).cast("long").as("tomb_id"))

@@ -83,8 +83,15 @@ object ScaleOps extends QueryModule {
     * `ensure` re-points an entry whose registered location no longer
     * matches the current artifact. */
   private def bucketedJoinTables(spark: SparkSession, dir: String): (String, String) = {
+    // readable tail + an MD5 prefix of the FULL dir string: the tail
+    // alone can collide for two corpora whose sanitized paths share a
+    // 24-char suffix (r17 review — e.g. /v1/.../sf0.1 vs /v2/.../sf0.1),
+    // and a collision makes alternating calls DROP/CREATE each other's
+    // catalog entry
+    val dirHash = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
     def name(t: String) =
-      s"graft_bj_${t}_${dir.replaceAll("[^A-Za-z0-9]", "").takeRight(24)}"
+      s"graft_bj_${t}_${dir.replaceAll("[^A-Za-z0-9]", "").takeRight(16)}_$dirHash"
     def location(tbl: String): String =
       spark.sessionState.catalog
         .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(tbl))

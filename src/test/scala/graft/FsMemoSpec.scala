@@ -11,8 +11,9 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
   * stream's whole life: tombstone sidecars are quiesce-written (their
   * existence cannot change under a live stream) and a stream's state
   * tables have exactly one writer — the stream, which notes its own
-  * writes into the memo instead of re-listing. Still-absent tables
-  * additionally re-list every Core.absentRelistEvery-th hit (r17,
+  * writes into the memo instead of re-listing. The tombstone
+  * RESOLUTION path additionally opts in (relistAbsent) to a re-list
+  * of still-absent sidecars every Core.absentRelistEvery-th hit (r17,
   * ADVICE r16) — a 1/N cadence the bounds below never reach. Counted
   * for real against Core.tableListings, not inferred from the memo's
   * own bookkeeping, so a future call path that bypasses the memo
@@ -133,27 +134,41 @@ class FsMemoSpec extends SparkSpec {
     assert(new graft.ops.Core.FsMemo().tableExists(spark, d))
   }
 
-  test("a memoized absent is re-listed every Nth hit, so a mid-stream first tombstone lands") {
+  test("an opted-in memoized absent is re-listed every Nth hit, so a mid-stream first tombstone lands") {
     // r17, ADVICE r16: without this, a first tombstone write made
     // while the stream is live (a takedown path) was ignored for the
-    // stream's WHOLE life; now it takes effect within N micro-batches
+    // stream's WHOLE life; now the tombstone-resolution path (the one
+    // relistAbsent opt-in) sees it within N micro-batches. State
+    // tables do NOT opt in — adopting an out-of-band state write at
+    // an arbitrary later batch would fold foreign data into the
+    // stream (r17 review), so their blindness test below still holds.
     val d = java.nio.file.Files.createTempDirectory("graft_fsm_r").toString + "/t"
     val memo = new graft.ops.Core.FsMemo
     val n = graft.ops.Core.absentRelistEvery
-    assert(!memo.tableExists(spark, d)) // real listing #1, memoize absent
+    assert(!memo.tableExists(spark, d, relistAbsent = true)) // listing #1
     spark.range(3).write.parquet(d)     // out-of-band first write
     val before = graft.ops.Core.tableListings.get()
     // the first n-1 hits after memoization stay absent with ZERO
     // further listings...
-    (1 until n).foreach(_ => assert(!memo.tableExists(spark, d)))
+    (1 until n).foreach(_ => assert(!memo.tableExists(spark, d, relistAbsent = true)))
     assert(graft.ops.Core.tableListings.get() == before,
       "hits inside the re-list window must not touch the FS")
     // ...and the n-th hit re-lists, sees the table, flips to present
-    assert(memo.tableExists(spark, d), s"hit $n must re-list and find the table")
+    assert(memo.tableExists(spark, d, relistAbsent = true),
+      s"hit $n must re-list and find the table")
     assert(graft.ops.Core.tableListings.get() == before + 1)
     // present entries never re-list again
-    assert(memo.tableExists(spark, d))
+    assert(memo.tableExists(spark, d, relistAbsent = true))
     assert(graft.ops.Core.tableListings.get() == before + 1)
+    // and a non-opted-in absent NEVER re-lists, however many hits:
+    // the state-table contract is unchanged by the tombstone opt-in
+    val d2 = java.nio.file.Files.createTempDirectory("graft_fsm_r2").toString + "/t"
+    assert(!memo.tableExists(spark, d2))
+    spark.range(3).write.parquet(d2)
+    val before2 = graft.ops.Core.tableListings.get()
+    (1 to 2 * n).foreach(_ => assert(!memo.tableExists(spark, d2)))
+    assert(graft.ops.Core.tableListings.get() == before2,
+      "default-path absents must stay permanently negative-cached")
   }
 
   test("fresh memo instances share no state (the batch-path contract)") {

@@ -117,7 +117,10 @@ class ScaleOpsSpec extends SparkSpec {
     // simulated here by re-registering the lineitem entry over a
     // bogus empty dir before the next call.
     ScaleOps.bucketedJoinAgg(spark, sf0001).count() // registers the pair
-    val tbl = s"graft_bj_li_${sf0001.replaceAll("[^A-Za-z0-9]", "").takeRight(24)}"
+    val dirHash = java.security.MessageDigest.getInstance("MD5")
+      .digest(sf0001.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+    val tbl =
+      s"graft_bj_li_${sf0001.replaceAll("[^A-Za-z0-9]", "").takeRight(16)}_$dirHash"
     assert(spark.catalog.tableExists(tbl), s"expected $tbl registered")
     def loc() = spark.sessionState.catalog
       .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(tbl))
