@@ -631,7 +631,21 @@ object Bench {
     * series that the 35-bar sliding frames reach steady state, and the
     * per-series gapless regime the operator's contract requires. State
     * volume at play: 64 series x ~35 in-flight 175-min windows on the
-    * frame agg + 64 x in-flight 5-min buckets on the bar agg. */
+    * frame agg + 64 x in-flight 5-min buckets on the bar agg.
+    *
+    * SERIES-CARDINALITY SWEEP (r17, `runMain graft.StreamBench fmby 4
+    * <series> 60`, cold JVM per point, per-run steal stamps <= 0.5%
+    * unless noted): 64 series 22.2k ev/s, 512 series 69.3k (0.12%
+    * steal), 1024 series 79.4k — throughput RISES ~3.6x from 64 to
+    * 1024 keys at fixed per-series depth and fixed 8-chunk feed,
+    * because the per-micro-batch fixed cost (incremental planning +
+    * one state-store commit per partition per stateful op) amortizes
+    * over the larger keyed batches while per-event work stays flat;
+    * 1024 x ~35 in-flight frame windows show no state-store collapse.
+    * The 512 -> 1024 flattening (+15%) is the per-event bound
+    * (~80k ev/s at width 4) taking over from the per-batch bound — the
+    * scale regime a production feed (large batches, many symbols)
+    * actually runs in. Full table in STREAMBENCH_r17.md. */
   private[graft] def fmbyBench(spark: SparkSession,
       nSeries: Int = 64, barsPerSeries: Int = 60,
       queryName: String = "bench_fmby"): (Int, Double) = {

@@ -10,7 +10,7 @@ import org.apache.spark.sql.SparkSession
   *
   * Usage: runMain graft.StreamBench [width=8]
   *        runMain graft.StreamBench dag <batches> [width=4]
-  *        runMain graft.StreamBench fmby [width=4]
+  *        runMain graft.StreamBench fmby [width=4] [series=64] [bars=60]
   * The first form prints the same one-line streaming JSON as Bench's
   * streaming section. The `dag` form is the r10-verdict #5 probe: it
   * drives the full 9-stateful-op reference DAG with the deep stream
@@ -83,12 +83,19 @@ object StreamBench {
     } else if (isFmby) {
       // isolated cold-JVM record for the per-series streaming matrix
       // (r17, VERDICT r16 #1) — the floor-pinning form: one untimed
-      // warm pass at 1/8 the series (absorbs codegen/JIT for the
-      // 2-stage keyed stateful plan), then the timed in-Bench fixture
+      // warm pass at few series (absorbs codegen/JIT for the 2-stage
+      // keyed stateful plan), then the timed fixture. `series` scales
+      // KEY CARDINALITY at fixed per-series depth (bars must stay >=
+      // the 35-bar frame so the sliding agg reaches steady state), so
+      // total events grow with series and events/s isolates the cost
+      // of spreading state over more keys — the 100 TB axis, where
+      // series is symbols/sources, not the fixture's 64.
+      val series = args.lift(2).map(_.toInt).getOrElse(64)
+      val bars = args.lift(3).map(_.toInt).getOrElse(60)
       Bench.fmbyBench(spark, nSeries = 8, barsPerSeries = 40,
         queryName = "fmby_warm")
-      val (n, sec) = Bench.fmbyBench(spark)
-      println(f"""{"metric":"fmby","width":$width,"events":$n,"sec":$sec%.3f,"events_per_sec":${n / sec}%.1f}""")
+      val (n, sec) = Bench.fmbyBench(spark, nSeries = series, barsPerSeries = bars)
+      println(f"""{"metric":"fmby","width":$width,"series":$series,"bars":$bars,"events":$n,"sec":$sec%.3f,"events_per_sec":${n / sec}%.1f}""")
     } else if (isDag) {
       val batches = args(1).toInt
       val nDeep = 20000
