@@ -634,9 +634,9 @@ object Bench {
     * frame agg + 64 x in-flight 5-min buckets on the bar agg.
     *
     * SERIES-CARDINALITY SWEEP (r17, `runMain graft.StreamBench fmby 4
-    * <series> 60`, cold JVM per point, per-run steal stamps <= 0.5%
-    * unless noted): 64 series 22.2k ev/s, 512 series 69.3k (0.12%
-    * steal), 1024 series 79.4k — throughput RISES ~3.6x from 64 to
+    * <series> 60`, cold JVM per point, per-run steal stamps <= ~0.5%
+    * unless noted): 64 series 22.2k ev/s (0.19%), 512 series 69.3k
+    * (0.12%), 1024 series 79.4k (0.51%) — throughput RISES ~3.6x from 64 to
     * 1024 keys at fixed per-series depth and fixed 8-chunk feed,
     * because the per-micro-batch fixed cost (incremental planning +
     * one state-store commit per partition per stateful op) amortizes
@@ -660,6 +660,10 @@ object Bench {
       (i.toLong, new java.sql.Timestamp(base + step * 10000L),
         f"s${i % nSeries}%02d", ((i * 31) % 997).toDouble)
     }
+    // ceil-divide so the feed is AT MOST 8 chunks for any (series, bars)
+    // — plain n/8 yields a 9th partial chunk when n % 8 != 0, silently
+    // changing the per-batch fixed-cost denominator the sweep compares on
+    val chunk = math.max((n + 7) / 8, 1)
     val ms = MemoryStream[(Long, java.sql.Timestamp, String, Double)]
     val q = graft.streaming.StreamingPipeline.streamingFeatureMatrixBy(
       ms.toDF().toDF("event_id", "ts", "event_type", "value"))
@@ -667,7 +671,7 @@ object Bench {
       .outputMode("append").start()
     val (rows, secs) = try {
       val t0 = System.nanoTime()
-      evs.grouped(n / 8).foreach(ms.addData(_))
+      evs.grouped(chunk).foreach(ms.addData(_))
       q.processAllAvailable()
       // clock stops BEFORE the sink count (r17 review): every other
       // streaming metric times exactly through processAllAvailable,

@@ -92,6 +92,9 @@ object StreamBench {
       // series is symbols/sources, not the fixture's 64.
       val series = args.lift(2).map(_.toInt).getOrElse(64)
       val bars = args.lift(3).map(_.toInt).getOrElse(60)
+      require(series > 0, s"series must be positive, got $series")
+      require(bars >= 35, s"bars must be >= 35 (the sliding frame never " +
+        s"reaches steady state below the 35-bar window), got $bars")
       Bench.fmbyBench(spark, nSeries = 8, barsPerSeries = 40,
         queryName = "fmby_warm")
       val (n, sec) = Bench.fmbyBench(spark, nSeries = series, barsPerSeries = bars)
