@@ -16,8 +16,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * carries any residual one-time cost, the min is the steady state.
   */
 object QBench {
-  /** Unregistered baseline twins, reachable by name for A/Bs. */
-  private val variants: Map[String, (SparkSession, String) => DataFrame] = Map(
+  /** Unregistered baseline twins, reachable by name for A/Bs (shared
+    * with JobProfile so the per-job decomposition can price a variant
+    * before it is promoted). */
+  private[graft] val variants: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ngram_jaccard_prefix" -> ((s, d) => ops.TextDedup.ngramJaccardPairsPrefix(s, d)),
     "simhash_pairs_broadcast" -> ((s, d) => ops.TextDedup.simhashPairsBroadcast(s, d)),
     "embed_near_dup_exact" -> ((s, d) => ops.Similarity.cosineNearDupPairsExact(s, d)),

@@ -72,6 +72,30 @@ object Core {
     * identical in Spark and DuckDB). */
   def dec2(c: Column): Column = c.cast("decimal(18,2)")
 
+  /** Fan-out for compute-AMPLIFYING chains rooted at a NARROW scan
+    * (r17 optimization round; guide §2.5's unsplittable-input case).
+    * The driver testdata — like any small landed drop, or a single
+    * gzip/one-row-group file at any size — plans as ONE scan
+    * partition, so everything up to the first exchange (text
+    * normalization, shingling, sketch expressions, band fan-out and
+    * its self-join expansion, BPE encode joins that broadcast) runs in
+    * ONE task regardless of core count: JobProfile measured single
+    * 2.6-14s one-task jobs inside 8 of the 20 most expensive
+    * registered queries. Round-robin to the session's default
+    * parallelism when — and only when — the planned frame is narrower
+    * than it: at cluster scale a fact scan already carries >= cores
+    * partitions and this is the IDENTITY, so the wide regime never
+    * pays the extra exchange, and the narrow regime pays one shuffle
+    * of the (by construction small) input to unlock every core above
+    * it. Deterministic under retries (sortBeforeRepartition is on by
+    * default, SPARK-23207), and every call site is row-order
+    * independent (hash/digest grouping, banded equi-joins, exact
+    * aggregation) — asserted by the unchanged oracle hashes. */
+  private[ops] def spreadNarrowScan(df: DataFrame): DataFrame = {
+    val cores = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < cores) df.repartition(cores) else df
+  }
+
   /** Existence of a storage path through the Hadoop FileSystem API —
     * the ONLY correct idiom for optional-artifact checks (tombstone
     * tables, stream state dirs): `java.io.File.exists` answers false

@@ -263,7 +263,10 @@ object Indicators extends QueryModule {
       .cast("double") / cntd(15)
     val p8 = lead(col("close"), 8).over(w)
     val p15 = lead(col("close"), 15).over(w)
-    val ev = relabel(Book.book(spark, dir).select(
+    // spreadNarrowScan: the per-event book synthesis + F2-F8 feature
+    // block (~60 expressions/row) runs pre-exchange — single-task on a
+    // narrow scan; the (key, bucket) aggregation only spreads after it
+    val ev = relabel(Core.spreadNarrowScan(Book.book(spark, dir)).select(
       Seq(col("event_id"), col("ts")) ++ keyCols ++ Seq(col("value")) ++
         Book.featureCols ++ Book.sizeNames.map(col): _*))
     val aggs = Seq(

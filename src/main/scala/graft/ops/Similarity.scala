@@ -615,7 +615,9 @@ object Similarity extends QueryModule {
 
   private def bandedNearDupPairs(spark: SparkSession, dir: String,
       threshold: Double, bands: Int, rows: Int): DataFrame = {
-    val emb = Core.embeddings(spark, dir)
+    // spreadNarrowScan: same single-task-expansion rationale as the
+    // lean shape (cosineNearDupPairsLeanOver)
+    val emb = Core.spreadNarrowScan(Core.embeddings(spark, dir))
       .select(col("vec_id"), col("embedding"),
         sqrt(dot(col("embedding"), col("embedding"))).as("norm"))
     // band fan-out is map-side (`bands` rows/vec); both join sides
@@ -658,7 +660,12 @@ object Similarity extends QueryModule {
     * [[augmentedEmbeddings]]. */
   private[graft] def cosineNearDupPairsLeanOver(corpus: DataFrame,
       threshold: Double, bands: Int, rows: Int): DataFrame = {
-    val emb = corpus
+    // spreadNarrowScan: the band fan-out, the key self-join's
+    // candidate expansion (the quadratic-in-bucket term), and the
+    // cosine verify all run pre-exchange when the corpus is a narrow
+    // scan and the planner broadcasts the small build side —
+    // JobProfile measured the whole generator as ONE 2.6s task
+    val emb = Core.spreadNarrowScan(corpus)
       .select(col("vec_id"), col("embedding"),
         sqrt(dot(col("embedding"), col("embedding"))).as("norm"))
     val keys = emb
@@ -952,7 +959,10 @@ object Similarity extends QueryModule {
     * multi-probe ranking (array_sort = full centroid order). */
   private def ivfScored(spark: SparkSession, dir: String, cells: Int)
       : (DataFrame, Seq[Column]) = {
-    val emb = Core.embeddings(spark, dir)
+    // spreadNarrowScan: the per-row centroid scoring (cells dot
+    // products per vector) is pure map work pre-exchange, and the
+    // index build's partitionBy("cell") write inherits this width
+    val emb = Core.spreadNarrowScan(Core.embeddings(spark, dir))
       .select(col("vec_id"), col("embedding"),
         sqrt(dot(col("embedding"), col("embedding"))).as("norm"))
     // index build: collect the centroid sample to the driver (16 rows —

@@ -199,7 +199,9 @@ object TextDedup extends QueryModule {
   private val kwTop = 3
 
   def docKeywords(spark: SparkSession, dir: String): DataFrame = {
-    val docTok = withToks(Core.documents(spark, dir))
+    // spreadNarrowScan: the tokenize+explode feeding BOTH aggregations
+    // runs pre-exchange, single-task on a narrow scan
+    val docTok = withToks(Core.spreadNarrowScan(Core.documents(spark, dir)))
       .select(col("doc_id"), explode(toks).as("tok"))
       .filter(length(col("tok")) >= 1)
     // N rides the plan as a 1-row broadcast cross join (the
@@ -365,7 +367,11 @@ object TextDedup extends QueryModule {
     * treats them as distinct. Digesting [[textNormalize]]'s output
     * collapses the variant class; same linear digest-shuffle shape. */
   def dedupExactNormalized(spark: SparkSession, dir: String): DataFrame =
-    textNormalizeFrom(Core.documents(spark, dir))
+    // spreadNarrowScan: the NFC/case/control normalization is the
+    // per-row-heavy term and runs pre-exchange — single-task on a
+    // narrow scan (JobProfile: one 1-task job carried ~95% of the
+    // query) — while the digest groupBy only spreads AFTER it
+    textNormalizeFrom(Core.spreadNarrowScan(Core.documents(spark, dir)))
       .groupBy(md5(col("text_norm").cast("binary")).as("digest"))
       .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("keep_id"))
 
@@ -456,7 +462,9 @@ object TextDedup extends QueryModule {
     * unpruned form (TextDedupSpec asserts equality on BOTH the
     * near-uniform corpus and the Zipf fixture). */
   private[graft] def ngramJaccardPairsRareFirst(spark: SparkSession, dir: String): DataFrame = {
-    val docs = withNgramArr(Core.documents(spark, dir))
+    // spreadNarrowScan: same pre-exchange shingling term as the
+    // count-agg branch
+    val docs = withNgramArr(Core.spreadNarrowScan(Core.documents(spark, dir)))
       .select(col("doc_id"), array_sort(dng).as("ngs"))
       .withColumn("n", size(col("ngs")))
       .cache() // same three uses as the lexicographic form
@@ -539,7 +547,11 @@ object TextDedup extends QueryModule {
     // set size n computed map-side from the deduped array — the
     // groupBy-count + broadcast-join-back of the naive form is a whole
     // extra aggregation pass the array form never pays
-    val dn = withNgramArr(Core.documents(spark, dir))
+    // spreadNarrowScan: shingling + the exploded self-join probe run
+    // pre-exchange (the cached table inherits the scan's partitioning,
+    // and the join broadcasts one side at bench scale, so nothing
+    // downstream re-spreads the quadratic candidate stream)
+    val dn = withNgramArr(Core.spreadNarrowScan(Core.documents(spark, dir)))
       .select(col("doc_id"), size(dng).as("n"), explode(dng).as("ng"))
       .cache() // measured: this one self-join is 3x faster cached — the
     // generator fan-out feeding a non-trivial join condition defeats
@@ -634,7 +646,10 @@ object TextDedup extends QueryModule {
     // InMemoryRelation and materializes the self-join's common
     // subtree once; at 100 TB the sketch table is ~3 orders smaller
     // than the corpus, the standard cache-the-sketch trade.
-    val sig = minhashSigPlan(Core.documents(spark, dir)).cache()
+    // spreadNarrowScan: the sketch pass (trigram array + 8-permutation
+    // min fold per doc) materializes INTO the cache with the scan's
+    // partitioning — one task on a narrow scan
+    val sig = minhashSigPlan(Core.spreadNarrowScan(Core.documents(spark, dir))).cache()
     val bands = sig
       .select(col("doc_id"), posexplode(col("bkeys")))
       .toDF("doc_id", "band", "bkey")
@@ -784,7 +799,10 @@ object TextDedup extends QueryModule {
     // common subtree. The fan-out derives all 5 block keys inside ONE
     // transform lambda (the per-band struct list collapsed into 6
     // simhash_pack copies), with pos as the block index.
-    val s = simhash64(spark, dir).cache()
+    // spreadNarrowScan before the sketch (same rationale as the
+    // MinHash band table's cache): the 4-mix vote fold per doc is the
+    // heavy term and lands in the cache at scan width
+    val s = simhashSigs(Core.spreadNarrowScan(Core.documents(spark, dir))).cache()
     val bands = s
       .select(col("doc_id"), col("simhash64"), bandPosexplode)
       .toDF("doc_id", "simhash64", "band", "bkey")

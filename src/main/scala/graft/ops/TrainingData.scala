@@ -646,7 +646,9 @@ object TrainingData extends QueryModule {
         |       WHEN (acc = a OR endswith(acc, concat(' ', a))) AND x = b
         |         THEN concat(substring(acc, 1, length(acc) - length(a)), a, b)
         |       ELSE concat(acc, ' ', x) END)""".stripMargin)
-    var cur = withToks(df)
+    // spreadNarrowScan: the corpus-sized word explode is the one
+    // corpus pass of BPE training and runs pre-exchange
+    var cur = withToks(Core.spreadNarrowScan(df))
       .select(explode(toks).as("w"))
       .filter(length(col("w")) >= 1)
       .groupBy("w").agg(count(lit(1)).as("freq"))
@@ -684,7 +686,9 @@ object TrainingData extends QueryModule {
   def bpeEncode(spark: SparkSession, dir: String): DataFrame = {
     val enc = bpeMergedWordsFor(spark, dir, bpeMergeRounds)
       .select(col("w"), size(split(col("s"), " ")).as("n_syms"))
-    withToks(Core.documents(spark, dir))
+    // spreadNarrowScan: tokenize + explode + the broadcast encode join
+    // all run pre-exchange (the first shuffle is the doc_id groupBy)
+    withToks(Core.spreadNarrowScan(Core.documents(spark, dir)))
       .select(col("doc_id"), explode(toks).as("w"))
       .filter(length(col("w")) >= 1)
       .join(enc, "w")
@@ -737,7 +741,10 @@ object TrainingData extends QueryModule {
           .orderBy(col("n_occurrences").desc, col("sym"))) - 1)
         .cast("int").as("tok_id"))
     val enc = merged.select(col("w"), split(col("s"), " ").as("syms"))
-    val words = withToks(df)
+    // spreadNarrowScan: the double posexplode + two broadcast joins of
+    // the id-emission chain run pre-exchange — JobProfile measured the
+    // whole encode as ONE task on the narrow bench scan
+    val words = withToks(Core.spreadNarrowScan(df))
       .select(col("doc_id"), posexplode(toks))
       .toDF("doc_id", "wpos", "w")
       .filter(length(col("w")) >= 1)
