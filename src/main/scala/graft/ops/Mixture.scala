@@ -141,7 +141,9 @@ object Mixture extends QueryModule {
     * three stay comparable by construction (the calibration claims
     * depend on it). The matching SQL fragment is [[srcDnSql]]. */
   private def sourceShingleHashes(docs: DataFrame): DataFrame =
-    TextDedup.withNgramArr(docs)
+    // spreadNarrowScan: the shingle explode + hash is the corpus-sized
+    // map term of all three source-statistics ops, pre-exchange
+    TextDedup.withNgramArr(Core.spreadNarrowScan(docs))
       .select(col("source"), explode(array_distinct(col("ngarr"))).as("ng"))
       .select(col("source"), graft.functions.poly_hash(col("ng")).as("h"))
       .distinct()
@@ -617,7 +619,9 @@ object Mixture extends QueryModule {
     writeVocabIndexFrom(Core.documents(spark, dir), outDir)
 
   private[graft] def writeVocabIndexFrom(docs: DataFrame, outDir: String): Unit =
-    docs.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+    // spreadNarrowScan: the token explode is the build's map term
+    Core.spreadNarrowScan(docs)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
       .distinct() // per-doc dedup first, so df is a true DOCUMENT frequency
       .groupBy("tok").agg(count(lit(1)).as("df"))
       .write.mode("overwrite").parquet(outDir)

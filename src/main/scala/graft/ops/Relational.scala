@@ -56,7 +56,10 @@ object Relational extends QueryModule {
     * broadcast (customer at TPC-H scale is small relative to lineitem;
     * at true 100 TB customer would be bucket-joined instead — noted). */
   def revenueByNation(spark: SparkSession, dir: String): DataFrame = {
-    val li = Core.lineitem(spark, dir)
+    // spreadNarrowScan: the fact-side join probes + revenue partial
+    // agg run pre-exchange (the dims broadcast, so nothing else
+    // re-spreads the fact stream)
+    val li = Core.spreadNarrowScan(Core.lineitem(spark, dir))
     val o = Core.orders(spark, dir)
     val c = Core.customer(spark, dir)
     val n = Core.nation(spark, dir)
@@ -269,7 +272,8 @@ object Relational extends QueryModule {
     * grand total in one pass. Spark expands the grouping sets before
     * the aggregate, so partial aggregation still applies per set. */
   def revenueRollup(spark: SparkSession, dir: String): DataFrame = {
-    val li = Core.lineitem(spark, dir)
+    // spreadNarrowScan: same fact-side rationale as revenueByNation
+    val li = Core.spreadNarrowScan(Core.lineitem(spark, dir))
     val o = Core.orders(spark, dir)
     val c = Core.customer(spark, dir)
     val n = Core.nation(spark, dir)
@@ -312,7 +316,10 @@ object Relational extends QueryModule {
   // (ADVICE r4); both sides read the same constant.
   def topOrders(spark: SparkSession, dir: String): DataFrame = {
     val cut = lit(topOrdersCutoff).cast("timestamp")
-    val li = Core.lineitem(spark, dir).filter(col("l_shipdate") > cut)
+    // spreadNarrowScan AFTER the pushed filter: only surviving rows
+    // shuffle, and the scan's PushedFilters/pruning are unchanged
+    val li = Core.spreadNarrowScan(
+      Core.lineitem(spark, dir).filter(col("l_shipdate") > cut))
     val o = Core.orders(spark, dir).filter(col("o_orderdate") < cut)
     val c = Core.customer(spark, dir).filter(col("c_mktsegment") === "BUILDING")
     val rev = price * (one - disc)
@@ -410,7 +417,9 @@ object Relational extends QueryModule {
   private val bigOrdersMinQty = 250
 
   def bigOrders(spark: SparkSession, dir: String): DataFrame = {
-    val li = Core.lineitem(spark, dir)
+    // spreadNarrowScan: the quantity partial-agg over the fact scan
+    // runs pre-exchange — single-task on a narrow (one-row-group) file
+    val li = Core.spreadNarrowScan(Core.lineitem(spark, dir))
     val o = Core.orders(spark, dir)
     val c = Core.customer(spark, dir)
     val qty = li.groupBy(col("l_orderkey"))
@@ -505,6 +514,14 @@ object Relational extends QueryModule {
       explode(sequence(
         floor(unix_micros(col("session_start")) / lit(hourUs)).cast("long"),
         floor(unix_micros(col("session_end")) / lit(hourUs)).cast("long"))))
+      // pin the pair-expansion width (r17): the self-join's required
+      // distribution IS the bucket key, so this exchange replaces the
+      // one the join plans anyway — but a USER-pinned partition count
+      // stops AQE's input-byte coalescing from narrowing the quadratic
+      // bucket expansion to 1-2 tasks (bytes IN say nothing about
+      // pairs OUT; JobProfile measured the join stage at 2 tasks
+      // carrying ~80% of the query under AQE's advisory sizing)
+      .repartition(spark.sparkContext.defaultParallelism, col("bucket"))
     withB.as("a").join(withB.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.user_id") < col("b.user_id") &&
           col("a.session_start") <= col("b.session_end") &&

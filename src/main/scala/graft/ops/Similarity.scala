@@ -51,8 +51,10 @@ object Similarity extends QueryModule {
     * (vec_id % 50 == 0): the exactness baseline for ANN. */
   def cosineTopK(spark: SparkSession, dir: String): DataFrame = {
     // norms precomputed per row (pure CSE: identical values, ~3x less
-    // work than re-deriving both norms for every (query, corpus) pair)
-    val emb = Core.embeddings(spark, dir)
+    // work than re-deriving both norms for every (query, corpus) pair).
+    // spreadNarrowScan: the corpus x broadcast-query scoring runs
+    // pre-exchange
+    val emb = Core.spreadNarrowScan(Core.embeddings(spark, dir))
       .select(col("vec_id"), col("embedding"),
         sqrt(dot(col("embedding"), col("embedding"))).as("norm"))
     // uncached: the query side is a filter over the same scan; a cache
@@ -114,7 +116,9 @@ object Similarity extends QueryModule {
   private val knnLabelK = 5
 
   def knnLabelPropagation(spark: SparkSession, dir: String): DataFrame = {
-    val emb = Core.embeddings(spark, dir)
+    // spreadNarrowScan: the target x broadcast-seed scoring (seeds
+    // dot-products per target) runs pre-exchange
+    val emb = Core.spreadNarrowScan(Core.embeddings(spark, dir))
       .select(col("vec_id"), col("embedding"), col("label"),
         sqrt(dot(col("embedding"), col("embedding"))).as("norm"))
     val seeds = emb.filter(col("vec_id") % 5 === 0)
@@ -199,7 +203,8 @@ object Similarity extends QueryModule {
     * widens linearly with seed count. */
   def knnLabelPropagationAnn(spark: SparkSession, dir: String): DataFrame = {
     val (_, scoreStructs) = ivfScored(spark, dir, ivfCells)
-    val emb = Core.embeddings(spark, dir)
+    // spreadNarrowScan: same rationale as the exact vote above
+    val emb = Core.spreadNarrowScan(Core.embeddings(spark, dir))
       .select(col("vec_id"), col("embedding"), col("label"),
         sqrt(dot(col("embedding"), col("embedding"))).as("norm"))
     val seeds = emb.filter(col("vec_id") % 5 === 0)
@@ -346,7 +351,9 @@ object Similarity extends QueryModule {
   /** ANN via LSH: same query set, candidates restricted to the query's
     * bucket, cosine top-5 within bucket. */
   def annLshTopK(spark: SparkSession, dir: String): DataFrame = {
-    val emb = Core.embeddings(spark, dir)
+    // spreadNarrowScan: bucket hash + the in-bucket scoring join run
+    // pre-exchange
+    val emb = Core.spreadNarrowScan(Core.embeddings(spark, dir))
       .select(col("vec_id"), col("embedding"),
         sqrt(dot(col("embedding"), col("embedding"))).as("norm"),
         lshBucket(col("embedding")).as("bucket"))
@@ -1664,7 +1671,8 @@ object Similarity extends QueryModule {
     * than a packed array: scalar columns hash in the oracle compare,
     * and downstream packing is a groupBy(vec_id) collect away. */
   private def explodedEmbeddings(spark: SparkSession, dir: String): DataFrame =
-    Core.embeddings(spark, dir)
+    // spreadNarrowScan: the dims-way explode runs pre-exchange
+    Core.spreadNarrowScan(Core.embeddings(spark, dir))
       .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "xf")))
       .select(col("vec_id"), (col("pos") + 1).cast("int").as("dim"),
         col("xf").cast("double").as("x"))
@@ -1768,7 +1776,9 @@ object Similarity extends QueryModule {
     val (mnLit, mxLit) = codebookLits(spark, dir)
     val dq = transform(col("embedding"), (x, i) =>
       dequantized(x, element_at(mnLit, i + 1), element_at(mxLit, i + 1)))
-    val emb = Core.embeddings(spark, dir)
+    // spreadNarrowScan: dequantize + the Q x N ADC scoring run
+    // pre-exchange
+    val emb = Core.spreadNarrowScan(Core.embeddings(spark, dir))
       .select(col("vec_id"), dq.as("dq"))
       .withColumn("dqnorm", sqrt(dot(col("dq"), col("dq"))))
     val qSlim = Core.embeddings(spark, dir).filter(col("vec_id") % 50 === 0)
@@ -1961,7 +1971,11 @@ object Similarity extends QueryModule {
     * physically drops the sidecar rows. */
   def writeEmbedClusterAppendArtifacts(spark: SparkSession, standing: DataFrame,
       root: String): Unit = {
-    standing
+    // spreadNarrowScan: norm + flat-key map work runs pre-exchange
+    // (the range layouts only re-spread AFTER it); the cluster pass's
+    // generator spreads itself
+    val st = Core.spreadNarrowScan(standing)
+    st
       .select(col("vec_id"), col("embedding"),
         sqrt(dot(col("embedding"), col("embedding"))).as("norm"))
       // range-laid on vec_id so the probe's matched-id pushdown skips
@@ -1970,12 +1984,12 @@ object Similarity extends QueryModule {
       .repartitionByRange(col("vec_id"))
       .sortWithinPartitions(col("vec_id"))
       .write.mode("overwrite").parquet(s"$root/vecs")
-    embedFlatKeys(standing)
+    embedFlatKeys(st)
       .repartitionByRange(col("bandkey"))
       .sortWithinPartitions(col("bandkey"))
       .write.mode("overwrite").parquet(s"$root/bandidx")
     Components.clusterPairs(
-      cosineNearDupPairsLeanOver(standing, ndThreshold, ndBands, ndRows),
+      cosineNearDupPairsLeanOver(st, ndThreshold, ndBands, ndRows),
       "vec_a", "vec_b", "vec_id")
       .write.mode("overwrite").parquet(s"$root/clusters")
   }
@@ -2002,10 +2016,13 @@ object Similarity extends QueryModule {
     // cross join + within-batch candidates for the keys; cross verify
     // + two within verify joins for the vectors) — cache and release
     // after the eager components loop, like crossCand below (r15:
-    // uncached, the per-vector plane projection re-ran per consumer)
-    val batchEmb = batch.select(col("vec_id"), col("embedding"),
+    // uncached, the per-vector plane projection re-ran per consumer).
+    // spreadNarrowScan first: both caches (and every probe join fed
+    // from them) otherwise inherit a narrow batch's single partition
+    val b = Core.spreadNarrowScan(batch)
+    val batchEmb = b.select(col("vec_id"), col("embedding"),
       sqrt(dot(col("embedding"), col("embedding"))).as("norm")).cache()
-    val batchKeys = embedFlatKeys(batch).cache()
+    val batchKeys = embedFlatKeys(b).cache()
     // tombstones: the text family's delete semantics ported verbatim
     // (r15, VERDICT r14 #4) — standing root's table by default, an
     // explicit table for takedown-against-immutable-snapshot; dropped
@@ -2321,9 +2338,13 @@ object Similarity extends QueryModule {
     // the three state round-trips per batch)
     val caches = scala.collection.mutable.ListBuffer.empty[DataFrame]
     def cached(df: DataFrame): DataFrame = { df.cache(); caches += df; df }
-    val batchEmb = cached(batch.select(col("vec_id"), col("embedding"),
+    // spreadNarrowScan: the cached batch projections (and every probe
+    // join fed from them) otherwise inherit a narrow batch's single
+    // partition — same rationale as the single-shot append
+    val b = Core.spreadNarrowScan(batch)
+    val batchEmb = cached(b.select(col("vec_id"), col("embedding"),
       sqrt(dot(col("embedding"), col("embedding"))).as("norm")))
-    val batchKeys = cached(embedFlatKeys(batch))
+    val batchKeys = cached(embedFlatKeys(b))
     // banded candidates of the batch against a keyed (vec_id, bandkey)
     // table, then cosine-verified against the matching vector sidecar —
     // the index side pruned by probed keys, the vector side by matched

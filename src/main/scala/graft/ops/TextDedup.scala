@@ -857,7 +857,9 @@ object TextDedup extends QueryModule {
     * job indexes whatever slice of the corpus is curated, not always a
     * whole testdata table (used by [[simhashIndexProbe]]). */
   def writeSimhashIndexFrom(docs: DataFrame, outDir: String): Unit =
-    simhashSigs(docs)
+    // spreadNarrowScan: the per-doc sketch is the build's heavy term
+    // and runs pre-exchange (the range layout re-spreads after it)
+    simhashSigs(Core.spreadNarrowScan(docs))
       .select(col("doc_id"), col("simhash64"), explode(bandKeysCol).as("bandkey"))
       .repartitionByRange(col("bandkey"))
       .sortWithinPartitions(col("bandkey"))
@@ -936,7 +938,8 @@ object TextDedup extends QueryModule {
     // overrides it (r15 review — Core.resolveTombstones scaladoc)
     val tombstones = Core.resolveTombstones(
       spark, s"$indexDir/_graft_tombstones", tombstoneTable, "doc_id", memo)
-    val b = simhashSigs(batch)
+    // spreadNarrowScan: probe-side sketching is per-doc map work
+    val b = simhashSigs(Core.spreadNarrowScan(batch))
       .select(col("doc_id").as("probe_id"), col("simhash64").as("probe_sig"),
         explode(bandKeysCol).as("bandkey"))
     val raw = pruneIndexByProbedKeys(
@@ -1245,7 +1248,9 @@ object TextDedup extends QueryModule {
         graft.functions.min_hash_sig(col("ngarr"), perms, combine = 2).as("bkeys"))
 
   private[graft] def minhashBands(docs: DataFrame): (DataFrame, () => Unit) = {
-    val sig = minhashSigPlan(docs).cache()
+    // spreadNarrowScan: the sketch pass lands in the cache at input
+    // width — one task for a narrow standing/batch frame otherwise
+    val sig = minhashSigPlan(Core.spreadNarrowScan(docs)).cache()
     val bands = sig
       .select(col("doc_id"), posexplode(col("bkeys")))
       .toDF("doc_id", "band", "bkey")
@@ -2008,7 +2013,8 @@ object TextDedup extends QueryModule {
     * job indexes whatever slice of the corpus is curated, not always a
     * whole testdata table (used by [[dedupIndexProbe]]). */
   def writeDedupIndexFrom(docs: DataFrame, outDir: String): Unit =
-    docs
+    // spreadNarrowScan: the full-text digest is the build's map term
+    Core.spreadNarrowScan(docs)
       .select(col("doc_id"), docDigest.as("digest"))
       .groupBy("digest").agg(min(col("doc_id")).as("keep_id"))
       .withColumn("prefix", substring(col("digest"), 1, 1))
@@ -2120,7 +2126,8 @@ object TextDedup extends QueryModule {
     // overrides it (r15 review — Core.resolveTombstones scaladoc)
     val tombstones = Core.resolveTombstones(
       spark, s"$indexDir/_graft_tombstones", tombstoneTable, "doc_id", memo)
-    val b = batch.select(col("doc_id"), docDigest.as("digest"))
+    // spreadNarrowScan: probe-side digesting is per-doc map work
+    val b = Core.spreadNarrowScan(batch).select(col("doc_id"), docDigest.as("digest"))
     val batchKeep = b.groupBy("digest").agg(min(col("doc_id")).as("batch_keep_id"))
     val probedPrefixes = batchKeep
       .select(substring(col("digest"), 1, 1)).distinct().collect().map(_.getString(0))
@@ -2373,7 +2380,8 @@ object TextDedup extends QueryModule {
     splitContaminationFuzzyFrom(Core.documents(spark, dir))
 
   private[graft] def splitContaminationFuzzyFrom(docs: DataFrame): DataFrame = {
-    val s = withNgramArr(docs)
+    // spreadNarrowScan: sketching lands in the cache at input width
+    val s = withNgramArr(Core.spreadNarrowScan(docs))
       .filter(size(toks) > 2)
       .select(col("doc_id"), (charHash(col("text")) % lit(100L)).as("h"),
         simhash64Col(col("ngarr")).as("simhash64"))
@@ -2539,7 +2547,9 @@ object TextDedup extends QueryModule {
   private val contamDfCap = 10
 
   def splitContamination(spark: SparkSession, dir: String): DataFrame = {
-    val dn = withNgramArr(Core.documents(spark, dir))
+    // spreadNarrowScan: the shingle explode feeding all three
+    // consumers runs pre-exchange
+    val dn = withNgramArr(Core.spreadNarrowScan(Core.documents(spark, dir)))
       .select(col("doc_id"), (charHash(col("text")) % lit(100L)).as("h"),
         size(dng).as("n_shingles"), explode(dng).as("ng"))
     // deliberately UNCACHED despite three consumers: QBench cold-JVM
