@@ -117,7 +117,16 @@ object ScaleOps extends QueryModule {
     val loc = ProbeTemp.dir("bucketed_join", dir) { d =>
       def write(table: String, t: String, key: String): Unit = {
         spark.sql(s"DROP TABLE IF EXISTS ${name(t)}")
-        Core.table(spark, dir, table).write
+        // repartition to the bucket hash BEFORE the bucketed write
+        // (r17): bucket assignment is pmod(murmur3(key), buckets) —
+        // the exact function repartition(n, key) partitions by — so
+        // each write task holds exactly one bucket's rows. The
+        // bucket+sort+write then parallelizes ACROSS buckets (a
+        // narrow source otherwise sorts and writes every bucket in
+        // ONE task) while keeping one file per bucket, the layout the
+        // sorted-scan path wants; partition count scales with the
+        // operator's bucket count, not with this box.
+        Core.table(spark, dir, table).repartition(bjBuckets, col(key)).write
           .bucketBy(bjBuckets, key).sortBy(key)
           .format("parquet").option("path", s"$d/$t")
           .mode("overwrite").saveAsTable(name(t))

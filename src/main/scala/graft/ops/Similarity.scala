@@ -2017,12 +2017,16 @@ object Similarity extends QueryModule {
     // + two within verify joins for the vectors) — cache and release
     // after the eager components loop, like crossCand below (r15:
     // uncached, the per-vector plane projection re-ran per consumer).
-    // spreadNarrowScan first: both caches (and every probe join fed
-    // from them) otherwise inherit a narrow batch's single partition
-    val b = Core.spreadNarrowScan(batch)
-    val batchEmb = b.select(col("vec_id"), col("embedding"),
+    // NOT spreadNarrowScan'd (r17 — measured, then reverted): a batch
+    // frame is micro-batch-sized by contract, its banding/norm map
+    // work is microseconds, and the probe cost is scheduler
+    // round-trips — fanning the caches to core-count partitions only
+    // ADDED an exchange and 32-task scheduling per probe join
+    // (JobProfile quiet-box A/B: ~9 -> ~11s on the cumulative probe).
+    // The corpus-sized standing builds keep their fan-out.
+    val batchEmb = batch.select(col("vec_id"), col("embedding"),
       sqrt(dot(col("embedding"), col("embedding"))).as("norm")).cache()
-    val batchKeys = embedFlatKeys(b).cache()
+    val batchKeys = embedFlatKeys(batch).cache()
     // tombstones: the text family's delete semantics ported verbatim
     // (r15, VERDICT r14 #4) — standing root's table by default, an
     // explicit table for takedown-against-immutable-snapshot; dropped
@@ -2338,13 +2342,12 @@ object Similarity extends QueryModule {
     // the three state round-trips per batch)
     val caches = scala.collection.mutable.ListBuffer.empty[DataFrame]
     def cached(df: DataFrame): DataFrame = { df.cache(); caches += df; df }
-    // spreadNarrowScan: the cached batch projections (and every probe
-    // join fed from them) otherwise inherit a narrow batch's single
-    // partition — same rationale as the single-shot append
-    val b = Core.spreadNarrowScan(batch)
-    val batchEmb = cached(b.select(col("vec_id"), col("embedding"),
+    // NOT spreadNarrowScan'd — the single-shot append's rationale:
+    // micro-batch-sized frames, map work in the microseconds, fan-out
+    // measured as pure overhead here
+    val batchEmb = cached(batch.select(col("vec_id"), col("embedding"),
       sqrt(dot(col("embedding"), col("embedding"))).as("norm")))
-    val batchKeys = cached(embedFlatKeys(b))
+    val batchKeys = cached(embedFlatKeys(batch))
     // banded candidates of the batch against a keyed (vec_id, bandkey)
     // table, then cosine-verified against the matching vector sidecar —
     // the index side pruned by probed keys, the vector side by matched

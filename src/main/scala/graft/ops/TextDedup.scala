@@ -938,8 +938,10 @@ object TextDedup extends QueryModule {
     // overrides it (r15 review — Core.resolveTombstones scaladoc)
     val tombstones = Core.resolveTombstones(
       spark, s"$indexDir/_graft_tombstones", tombstoneTable, "doc_id", memo)
-    // spreadNarrowScan: probe-side sketching is per-doc map work
-    val b = simhashSigs(Core.spreadNarrowScan(batch))
+    // probe side NOT fanned out (r17): probes run per micro-batch in
+    // the streaming wrappers, where the batch is small by contract —
+    // see minhashBands
+    val b = simhashSigs(batch)
       .select(col("doc_id").as("probe_id"), col("simhash64").as("probe_sig"),
         explode(bandKeysCol).as("bandkey"))
     val raw = pruneIndexByProbedKeys(
@@ -1248,9 +1250,12 @@ object TextDedup extends QueryModule {
         graft.functions.min_hash_sig(col("ngarr"), perms, combine = 2).as("bkeys"))
 
   private[graft] def minhashBands(docs: DataFrame): (DataFrame, () => Unit) = {
-    // spreadNarrowScan: the sketch pass lands in the cache at input
-    // width — one task for a narrow standing/batch frame otherwise
-    val sig = minhashSigPlan(Core.spreadNarrowScan(docs)).cache()
+    // deliberately NOT spreadNarrowScan'd (r17): this helper also runs
+    // per micro-batch in the append paths, where the batch is small by
+    // contract and a fan-out is pure exchange/scheduling overhead —
+    // the corpus-sized standing build spreads its input at the caller
+    // (writeClusterAppendArtifacts) instead
+    val sig = minhashSigPlan(docs).cache()
     val bands = sig
       .select(col("doc_id"), posexplode(col("bkeys")))
       .toDF("doc_id", "band", "bkey")
@@ -1337,7 +1342,10 @@ object TextDedup extends QueryModule {
     * probe does). One call per corpus snapshot / compaction cycle. */
   def writeClusterAppendArtifacts(spark: SparkSession, standing: DataFrame,
       root: String): Unit = {
-    val (bands, release) = minhashBands(standing)
+    // spreadNarrowScan here, not in minhashBands: the STANDING corpus
+    // is the corpus-sized side (the per-batch append keeps its narrow
+    // micro-batch frames)
+    val (bands, release) = minhashBands(Core.spreadNarrowScan(standing))
     try {
       bands
         .repartitionByRange(col("band"), col("bkey"))
@@ -2126,8 +2134,9 @@ object TextDedup extends QueryModule {
     // overrides it (r15 review — Core.resolveTombstones scaladoc)
     val tombstones = Core.resolveTombstones(
       spark, s"$indexDir/_graft_tombstones", tombstoneTable, "doc_id", memo)
-    // spreadNarrowScan: probe-side digesting is per-doc map work
-    val b = Core.spreadNarrowScan(batch).select(col("doc_id"), docDigest.as("digest"))
+    // probe side NOT fanned out (r17): per-micro-batch path — see
+    // minhashBands
+    val b = batch.select(col("doc_id"), docDigest.as("digest"))
     val batchKeep = b.groupBy("digest").agg(min(col("doc_id")).as("batch_keep_id"))
     val probedPrefixes = batchKeep
       .select(substring(col("digest"), 1, 1)).distinct().collect().map(_.getString(0))
