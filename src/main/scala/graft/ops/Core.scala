@@ -91,7 +91,7 @@ object Core {
     * default, SPARK-23207), and every call site is row-order
     * independent (hash/digest grouping, banded equi-joins, exact
     * aggregation) — asserted by the unchanged oracle hashes. */
-  private[ops] def spreadNarrowScan(df: DataFrame): DataFrame = {
+  private[graft] def spreadNarrowScan(df: DataFrame): DataFrame = {
     val cores = df.sparkSession.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions < cores) df.repartition(cores) else df
   }

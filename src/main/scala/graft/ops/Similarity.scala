@@ -2427,12 +2427,15 @@ object Similarity extends QueryModule {
       // the range write costs a sampler job + shuffle per table per
       // micro-batch on the stream's hot path).
       // [[compactEmbedClusterState]] range-lays the fold instead.
-      if (writeBatchIdempotent(batchKeys, batchId, s"$stateDir/bands"))
-        memo.noteWritten(spark, s"$stateDir/bands")
-      if (writeBatchIdempotent(batchEmb, batchId, s"$stateDir/vecs"))
-        memo.noteWritten(spark, s"$stateDir/vecs")
-      if (writeBatchIdempotent(out, batchId, s"$stateDir/clusters"))
-        memo.noteWritten(spark, s"$stateDir/clusters")
+      // the three state writes are independent (disjoint inputs,
+      // distinct dirs) — submit concurrently so each write's commit
+      // tail back-fills with the next one's tasks (guide §2.6; r17)
+      val targets = Seq(s"$stateDir/bands", s"$stateDir/vecs", s"$stateDir/clusters")
+      graft.streaming.StreamingPipeline.writeBatchIdempotentAll(
+        Seq(batchKeys, batchEmb, out).zip(targets), batchId)
+        .zip(targets).foreach { case (written, t) =>
+          if (written) memo.noteWritten(spark, t)
+        }
       out
     } finally caches.foreach(_.unpersist()) // loop eager; out checkpoint-rooted
   }

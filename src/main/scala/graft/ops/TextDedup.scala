@@ -1675,10 +1675,15 @@ object TextDedup extends QueryModule {
       // asymmetry, which holds at every SF). The accumulated-state
       // scan term is bounded by [[compactClusterState]] (which DOES
       // range-lay the fold), not by per-batch layout.
-      if (writeBatchIdempotent(batchBands, batchId, s"$stateDir/bands"))
-        memo.noteWritten(spark, s"$stateDir/bands")
-      if (writeBatchIdempotent(out, batchId, s"$stateDir/clusters"))
-        memo.noteWritten(spark, s"$stateDir/clusters")
+      // both state writes are independent (disjoint inputs, distinct
+      // dirs) — submit concurrently (guide §2.6; r17, the embed twin's
+      // rationale)
+      val targets = Seq(s"$stateDir/bands", s"$stateDir/clusters")
+      graft.streaming.StreamingPipeline.writeBatchIdempotentAll(
+        Seq(batchBands, out).zip(targets), batchId)
+        .zip(targets).foreach { case (written, t) =>
+          if (written) memo.noteWritten(spark, t)
+        }
       out
     } finally release()
   }

@@ -890,4 +890,31 @@ object StreamingPipeline {
         .parquet(outDir)
       true
     }
+
+  /** INDEPENDENT per-batch state writes submitted concurrently (r17
+    * optimization round, guide §2.6 "overlap independent jobs"): the
+    * cumulative cluster appends persist 2-3 state tables per
+    * micro-batch whose inputs are disjoint (cached batch projections +
+    * the eagerly-computed cluster output) and whose targets are
+    * distinct directories — run serially, each write's commit/FS tail
+    * leaves the cores idle while the next waits. Spark's scheduler
+    * runs jobs from several driver threads FIFO, back-filling the
+    * tail. Each write keeps [[writeBatchIdempotent]]'s exact per-table
+    * semantics (empty-skip + dynamic partition overwrite), targets are
+    * required distinct (two threads overwriting one dir would race the
+    * commit protocol), and a failure in any write propagates after all
+    * complete — same-batch replays stay idempotent per table. Returns
+    * written-flags in input order. */
+  def writeBatchIdempotentAll(writes: Seq[(DataFrame, String)],
+      batchId: Long): Seq[Boolean] = {
+    require(writes.map(_._2).distinct.size == writes.size,
+      "writeBatchIdempotentAll: duplicate target dirs — concurrent " +
+        "overwrites of one directory race the commit protocol")
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    writes.map { case (df, dir) =>
+      Future(writeBatchIdempotent(df, batchId, dir))
+    }.map(Await.result(_, Duration.Inf))
+  }
 }

@@ -6,6 +6,21 @@ import graft.ops.ScaleOps
 class ScaleOpsSpec extends SparkSpec {
   import spark.implicits._
 
+  test("spreadNarrowScan: core-width on a narrow scan, identity on a wide frame") {
+    val cores = spark.sparkContext.defaultParallelism
+    val narrow = graft.ops.Core.documents(spark, sf0001)
+    assume(narrow.rdd.getNumPartitions < cores,
+      "fixture is expected to plan as a narrow (one-row-group) scan")
+    val spread = graft.ops.Core.spreadNarrowScan(narrow)
+    // fans to exactly the session parallelism, rows untouched
+    assert(spread.rdd.getNumPartitions == cores)
+    assert(spread.count() == narrow.count())
+    // an already-wide frame passes through UNTOUCHED (the cluster-scale
+    // regime: no extra exchange where the scan is wide enough)
+    val wide = narrow.repartition(cores)
+    assert(graft.ops.Core.spreadNarrowScan(wide) eq wide)
+  }
+
   test("salted two-phase aggregation equals the direct group-by") {
     val salted = ScaleOps.saltedAgg(spark, sf0001)
     val direct = graft.ops.Core.lineitem(spark, sf0001)

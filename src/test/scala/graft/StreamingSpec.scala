@@ -606,6 +606,31 @@ class StreamingSpec extends SparkSpec {
     assert(all.filter($"batch_id" === 8L).count() == 1)
   }
 
+  test("concurrent per-batch state writes keep the sequential semantics") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_sink_par").toString
+    val batch = Seq(
+      Ev(1, t("2024-01-01 10:00:00"), "a", 1.0),
+      Ev(2, t("2024-01-01 10:01:00"), "a", 2.0)).toDF()
+    // flags in input order; the empty write is skipped exactly like the
+    // sequential form (no dir created, false flag)
+    val flags = StreamingPipeline.writeBatchIdempotentAll(
+      Seq(batch -> s"$dir/a", batch.limit(0) -> s"$dir/b",
+        batch.limit(1) -> s"$dir/c"), 3L)
+    assert(flags == Seq(true, false, true))
+    assert(spark.read.parquet(s"$dir/a").count() == 2)
+    assert(!new java.io.File(s"$dir/b").exists())
+    assert(spark.read.parquet(s"$dir/c").count() == 1)
+    // a same-batch replay stays idempotent per table
+    StreamingPipeline.writeBatchIdempotentAll(Seq(batch -> s"$dir/a"), 3L)
+    assert(spark.read.parquet(s"$dir/a").count() == 2)
+    // duplicate targets are refused (two threads overwriting one dir
+    // would race the commit protocol)
+    intercept[IllegalArgumentException] {
+      StreamingPipeline.writeBatchIdempotentAll(
+        Seq(batch -> s"$dir/a", batch -> s"$dir/a"), 4L)
+    }
+  }
+
   test("kafka source/sink builders carry the reference's subscription and producer options") {
     import graft.streaming.Connectors
     val src = Connectors.kafkaSourceOptions("broker:9092", Seq("deep", "vix", "volume"), "earliest")
