@@ -202,9 +202,16 @@ object Components {
     // ran the generator TWICE. Measured (QBench min-of-3, sf0.1,
     // quiet box): embed_dedup_clusters_hirecall 8.81 -> 5.33s — the
     // saved ~3.3s is exactly one evaluation of the 16-band generator.
-    val directed = ckpt(
-      pairs.select(col(aCol).as("src"), col(bCol).as("dst")), "directed"
-    ) // one generator evaluation total
+    // The local-path checkpoint is FUSED with the gate's edge count
+    // (r17): the materializing pass already computes it, so the
+    // standalone directed.count() job below is gone.
+    val directedPlan = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+    val (directed, directedCount) = reliableDir match {
+      case Some(_) => (ckpt(directedPlan, "directed"), -1L) // gate unused
+      case None =>
+        org.apache.spark.sql.GraftIterativeCheckpoint
+          .statsResetLocalCheckpointCounted(directedPlan)
+    } // one generator evaluation total
     // SIZE-GATED driver-local fast path (r15): below `localEdgeGate`
     // directed edges, cluster on the driver with a union-find instead
     // of running the distributed loop. Rationale: the loop's cost at
@@ -233,7 +240,7 @@ object Components {
         case _ => false
       })
     if (reliableDir.isEmpty && localEdgeGate > 0 && fixedWidthIds &&
-        directed.count() <= localEdgeGate) {
+        directedCount <= localEdgeGate) {
       // the output id type the distributed path would produce: the
       // union-coercion of the two pair columns (schema-only, no job)
       val outType = directed.select(col("src"))

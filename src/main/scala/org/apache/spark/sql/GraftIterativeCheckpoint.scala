@@ -173,4 +173,25 @@ object GraftIterativeCheckpoint {
     (spark.internalCreateDataFrame(rdd, schema, isStreaming = false),
       new java.math.BigDecimal(acc.value))
   }
+
+  /** [[statsResetLocalCheckpoint]] fused with the ROW COUNT of the
+    * materialization pass (r17 optimization round): the components
+    * kernel checkpoints its directed edge list and then COUNTS it to
+    * decide the local-union-find fast path — a second full job over
+    * the just-stored blocks whose only output is one long. The
+    * materializing count() already computes exactly that number, so
+    * return it: one job instead of two per clusterPairs invocation
+    * (the registered cluster queries call the kernel once per batch /
+    * build — at bench scale one scheduler round-trip each, at cluster
+    * scale one saved pass over the edge blocks). Row copies match
+    * Dataset.localCheckpoint's own semantics (storage needs its own
+    * buffers). */
+  def statsResetLocalCheckpointCounted(df: DataFrame): (DataFrame, Long) = {
+    val ds = df.asInstanceOf[classic.Dataset[Row]]
+    val spark = ds.sparkSession
+    val rdd = ds.queryExecution.toRdd.mapPartitions(_.map(_.copy()))
+    rdd.localCheckpoint()
+    val n = rdd.count() // one job: feeds block storage AND the gate count
+    (spark.internalCreateDataFrame(rdd, ds.schema, isStreaming = false), n)
+  }
 }
