@@ -656,6 +656,15 @@ object TrainingData extends QueryModule {
         concat_ws(" ", split(col("w"), "")).as("s"))
       .localCheckpoint()
     for (_ <- 1 to rounds) {
+      // winning pair COLLECTED to the driver (r17 optimization round):
+      // it is one row by construction (limit 1), so the previous
+      // one-row broadcast LEFT JOIN paid a broadcast-exchange
+      // materialization job per round for what a single-row collect
+      // does in one; the pair re-enters the fold as literal columns —
+      // same CASE arms, same greedy merge, spec-pinned results. An
+      // empty pair table (nothing left to merge) made the old fold the
+      // identity via its NULL arms; here the round is skipped outright,
+      // the same fixpoint.
       val top = cur
         .filter(size(split(col("s"), " ")) >= 2)
         .select(col("freq"), explode(expr(
@@ -666,10 +675,16 @@ object TrainingData extends QueryModule {
         .agg(sum(col("freq")).as("cnt"))
         .orderBy(col("cnt").desc, col("a"), col("b"))
         .limit(1)
-      cur = cur.join(broadcast(top), lit(true), "left")
-        .withColumn("s", mergeFold)
-        .drop("a", "b", "cnt")
-        .localCheckpoint()
+        .collect().headOption
+      cur = top match {
+        case Some(r) => cur
+          .withColumn("a", lit(r.getString(0)))
+          .withColumn("b", lit(r.getString(1)))
+          .withColumn("s", mergeFold)
+          .drop("a", "b")
+          .localCheckpoint()
+        case None => cur // fixpoint: nothing mergeable remains
+      }
     }
     cur
   }
