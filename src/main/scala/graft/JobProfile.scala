@@ -39,7 +39,10 @@ object JobProfile {
     if (warm.isDirectory) fn(spark, warm.getPath).count()
     (0 until reps - 1).foreach(_ => fn(spark, sfDir).count())
 
-    final case class J(id: Int, t0: Long, var t1: Long, desc: String, tasks: Int)
+    // t1 is written by the listener-bus thread and read by the main
+    // thread after the drain sleep — volatile for the happens-before
+    // edge (a stale read silently dropped the job from job_ms)
+    final case class J(id: Int, t0: Long, @volatile var t1: Long, desc: String, tasks: Int)
     val jobs = new java.util.concurrent.ConcurrentHashMap[Int, J]()
     val listener = new SparkListener {
       override def onJobStart(js: SparkListenerJobStart): Unit = {

@@ -90,10 +90,41 @@ object Core {
     * it. Deterministic under retries (sortBeforeRepartition is on by
     * default, SPARK-23207), and every call site is row-order
     * independent (hash/digest grouping, banded equi-joins, exact
-    * aggregation) — asserted by the unchanged oracle hashes. */
+    * aggregation) — asserted by the unchanged oracle hashes.
+    *
+    * ELIGIBILITY is decided from the LOGICAL plan + its size estimate,
+    * not from `df.rdd` alone (r17 review, two findings): (a) `.rdd` on
+    * an exchange-bearing frame under AQE MATERIALIZES the intermediate
+    * stages eagerly — a thrown-away full shuffle job at plan
+    * construction (the double-wrapped standing-build call site hit
+    * exactly that), so only scan-shaped plans (leaf/filter/project/
+    * union/generate chains, which toRdd plans without running any job)
+    * ever reach the `.rdd` probe, and anything already carrying a
+    * repartition/join/aggregate passes through untouched; (b) a
+    * partition-count test alone is NOT a "small input" predicate — on
+    * a 512-core cluster a ~100-split fact scan would qualify and the
+    * fan-out would shuffle the whole fact stream, so the frame must
+    * also ESTIMATE at most one ideal split
+    * (spark.sql.files.maxPartitionBytes): then the shuffle the narrow
+    * regime pays is bounded by one task's worth of input, which is
+    * what "by construction small" must mean for the scaladoc's
+    * wide-regime claim to hold. */
   private[graft] def spreadNarrowScan(df: DataFrame): DataFrame = {
-    val cores = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < cores) df.repartition(cores) else df
+    import org.apache.spark.sql.catalyst.plans.logical._
+    val spark = df.sparkSession
+    val cores = spark.sparkContext.defaultParallelism
+    def scanShaped(p: LogicalPlan): Boolean = p match {
+      case _: LeafNode => true
+      case _: Project | _: Filter | _: Union | _: SubqueryAlias | _: Generate =>
+        p.children.forall(scanShaped)
+      case _ => false
+    }
+    val plan = df.queryExecution.optimizedPlan
+    val smallEnough =
+      plan.stats.sizeInBytes <= spark.sessionState.conf.filesMaxPartitionBytes
+    if (scanShaped(plan) && smallEnough &&
+        df.rdd.getNumPartitions < cores) df.repartition(cores)
+    else df
   }
 
   /** Existence of a storage path through the Hadoop FileSystem API —

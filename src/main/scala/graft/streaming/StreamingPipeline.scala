@@ -900,21 +900,37 @@ object StreamingPipeline {
     * leaves the cores idle while the next waits. Spark's scheduler
     * runs jobs from several driver threads FIFO, back-filling the
     * tail. Each write keeps [[writeBatchIdempotent]]'s exact per-table
-    * semantics (empty-skip + dynamic partition overwrite), targets are
-    * required distinct (two threads overwriting one dir would race the
-    * commit protocol), and a failure in any write propagates after all
-    * complete — same-batch replays stay idempotent per table. Returns
-    * written-flags in input order. */
+    * semantics (empty-skip + dynamic partition overwrite), and targets
+    * are required distinct (two threads overwriting one dir would race
+    * the commit protocol). Returns written-flags in input order.
+    *
+    * Threading contract (r17 review — two findings): the writes run on
+    * FRESH threads spawned by the CALLING thread, never a shared
+    * global pool — Spark's job group / local properties live in an
+    * InheritableThreadLocal captured at thread CREATION, so pool
+    * workers created under some earlier stream would run this stream's
+    * writes under the wrong job group (a StreamingQuery.stop() could
+    * then cancel another stream's half-finished state write, or fail
+    * to cancel its own). And ALL threads are joined before any failure
+    * propagates: a fail-fast rethrow would return control to the
+    * stream with sibling writers still committing, so a replay of the
+    * same batch could race an orphaned first-attempt overwrite of the
+    * same state dir — the exact double-writer hazard the
+    * duplicate-target require() exists to prevent. */
   def writeBatchIdempotentAll(writes: Seq[(DataFrame, String)],
       batchId: Long): Seq[Boolean] = {
     require(writes.map(_._2).distinct.size == writes.size,
       "writeBatchIdempotentAll: duplicate target dirs — concurrent " +
         "overwrites of one directory race the commit protocol")
-    import scala.concurrent.{Await, Future}
-    import scala.concurrent.ExecutionContext.Implicits.global
-    import scala.concurrent.duration.Duration
-    writes.map { case (df, dir) =>
-      Future(writeBatchIdempotent(df, batchId, dir))
-    }.map(Await.result(_, Duration.Inf))
+    val results = new Array[scala.util.Try[Boolean]](writes.size)
+    val threads = writes.zipWithIndex.map { case ((df, dir), i) =>
+      val t = new Thread(() => {
+        results(i) = scala.util.Try(writeBatchIdempotent(df, batchId, dir))
+      }, s"graft-batch-write-$batchId-$i")
+      t.start()
+      t
+    }
+    threads.foreach(_.join()) // every writer finished before anything propagates
+    results.toSeq.map(_.get)  // first failure (in input order) rethrows
   }
 }
