@@ -141,9 +141,12 @@ object Mixture extends QueryModule {
     * three stay comparable by construction (the calibration claims
     * depend on it). The matching SQL fragment is [[srcDnSql]]. */
   private def sourceShingleHashes(docs: DataFrame): DataFrame =
-    // spreadNarrowScan: the shingle explode + hash is the corpus-sized
-    // map term of all three source-statistics ops, pre-exchange
-    TextDedup.withNgramArr(Core.spreadNarrowScan(docs))
+    // deliberately NOT spreadNarrowScan'd (r17 — measured, then
+    // reverted): the distinct() shuffle directly after the explode
+    // dominates these ops, so the fan-out only added an exchange +
+    // wider task scheduling (zero-steal QBench: source_overlap_exact
+    // first-rep 1.46 -> 2.4s with the spread)
+    TextDedup.withNgramArr(docs)
       .select(col("source"), explode(array_distinct(col("ngarr"))).as("ng"))
       .select(col("source"), graft.functions.poly_hash(col("ng")).as("h"))
       .distinct()
@@ -619,9 +622,10 @@ object Mixture extends QueryModule {
     writeVocabIndexFrom(Core.documents(spark, dir), outDir)
 
   private[graft] def writeVocabIndexFrom(docs: DataFrame, outDir: String): Unit =
-    // spreadNarrowScan: the token explode is the build's map term
-    Core.spreadNarrowScan(docs)
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+    // deliberately NOT spreadNarrowScan'd (r17 — measured, then
+    // reverted): the distinct() + count shuffles dominate; fanning the
+    // token explode regressed the 3-slice merge probe ~2x
+    docs.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
       .distinct() // per-doc dedup first, so df is a true DOCUMENT frequency
       .groupBy("tok").agg(count(lit(1)).as("df"))
       .write.mode("overwrite").parquet(outDir)

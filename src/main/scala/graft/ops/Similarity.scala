@@ -966,10 +966,14 @@ object Similarity extends QueryModule {
     * multi-probe ranking (array_sort = full centroid order). */
   private def ivfScored(spark: SparkSession, dir: String, cells: Int)
       : (DataFrame, Seq[Column]) = {
-    // spreadNarrowScan: the per-row centroid scoring (cells dot
-    // products per vector) is pure map work pre-exchange, and the
-    // index build's partitionBy("cell") write inherits this width
-    val emb = Core.spreadNarrowScan(Core.embeddings(spark, dir))
+    // deliberately NOT spreadNarrowScan'd (r17 — measured, then
+    // reverted): the centroid scoring is ~cells x dims multiplies per
+    // row (~10ms over this corpus), while fanning the input multiplied
+    // writeIvfIndex's partitionBy("cell") output files by the fan
+    // width and added 33-task scheduling to every downstream job —
+    // zero-steal QBench: ivf_append_probe build 2.8 -> 6.2s, probe
+    // 0.57 -> 1.16s; reverting restores both
+    val emb = Core.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding"),
         sqrt(dot(col("embedding"), col("embedding"))).as("norm"))
     // index build: collect the centroid sample to the driver (16 rows —
@@ -1971,10 +1975,12 @@ object Similarity extends QueryModule {
     * physically drops the sidecar rows. */
   def writeEmbedClusterAppendArtifacts(spark: SparkSession, standing: DataFrame,
       root: String): Unit = {
-    // spreadNarrowScan: norm + flat-key map work runs pre-exchange
-    // (the range layouts only re-spread AFTER it); the cluster pass's
-    // generator spreads itself
-    val st = Core.spreadNarrowScan(standing)
+    // the standing frame itself is NOT fanned out (r17 — measured,
+    // then reverted): norm + flat keys are milliseconds of map work
+    // and both writes re-spread through their range layouts anyway;
+    // the cluster pass's generator (the expansion, the real cost)
+    // spreads itself inside cosineNearDupPairsLeanOver
+    val st = standing
     st
       .select(col("vec_id"), col("embedding"),
         sqrt(dot(col("embedding"), col("embedding"))).as("norm"))

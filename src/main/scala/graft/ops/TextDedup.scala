@@ -857,9 +857,11 @@ object TextDedup extends QueryModule {
     * job indexes whatever slice of the corpus is curated, not always a
     * whole testdata table (used by [[simhashIndexProbe]]). */
   def writeSimhashIndexFrom(docs: DataFrame, outDir: String): Unit =
-    // spreadNarrowScan: the per-doc sketch is the build's heavy term
-    // and runs pre-exchange (the range layout re-spreads after it)
-    simhashSigs(Core.spreadNarrowScan(docs))
+    // deliberately NOT spreadNarrowScan'd (r17 — measured, then
+    // reverted): the range-layout exchange follows immediately, so the
+    // fan-out only added a shuffle + wider scheduling per slice
+    // (zero-steal QBench: 3-slice merge-probe build 2.8 -> 4.1s)
+    simhashSigs(docs)
       .select(col("doc_id"), col("simhash64"), explode(bandKeysCol).as("bandkey"))
       .repartitionByRange(col("bandkey"))
       .sortWithinPartitions(col("bandkey"))
@@ -2026,9 +2028,11 @@ object TextDedup extends QueryModule {
     * job indexes whatever slice of the corpus is curated, not always a
     * whole testdata table (used by [[dedupIndexProbe]]). */
   def writeDedupIndexFrom(docs: DataFrame, outDir: String): Unit =
-    // spreadNarrowScan: the full-text digest is the build's map term
-    Core.spreadNarrowScan(docs)
-      .select(col("doc_id"), docDigest.as("digest"))
+    // deliberately NOT spreadNarrowScan'd (r17 — measured, then
+    // reverted): md5 over ~600-char texts is milliseconds of map work,
+    // and the digest groupBy shuffle dominates — the fan-out regressed
+    // the 3-slice merge-probe build 2.6 -> 4.3s (zero-steal QBench)
+    docs.select(col("doc_id"), docDigest.as("digest"))
       .groupBy("digest").agg(min(col("doc_id")).as("keep_id"))
       .withColumn("prefix", substring(col("digest"), 1, 1))
       .write.partitionBy("prefix")
