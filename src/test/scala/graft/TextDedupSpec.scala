@@ -526,13 +526,18 @@ class TextDedupSpec extends SparkSpec {
     assert(TextDedup.minhashSigPlan(odd).storageLevel == StorageLevel.NONE,
       "batch sketch cache leaked past the append probe")
     assert(out.count() > 0, "result frame must stay usable after release (checkpoint-rooted)")
-    // the candidates builder's handle releases the shared barrier too
+    // the candidates builder's handle releases the shared barrier too.
+    // Since r17 the registered candidates path sketches the SPREAD
+    // scan (Core.spreadNarrowScan), so the cache-identity probe must
+    // construct the same plan shape for CacheManager's canonical-form
+    // lookup to hit — the assertion itself is unchanged.
     val (cand, release) = TextDedup.minhashLshCandidatesReleasable(spark, sf0001)
     cand.count()
-    assert(TextDedup.minhashSigPlan(docs).storageLevel != StorageLevel.NONE,
+    val sigPlan = TextDedup.minhashSigPlan(graft.ops.Core.spreadNarrowScan(docs))
+    assert(sigPlan.storageLevel != StorageLevel.NONE,
       "barrier cache must be live while the candidate join evaluates")
     release()
-    assert(TextDedup.minhashSigPlan(docs).storageLevel == StorageLevel.NONE,
+    assert(sigPlan.storageLevel == StorageLevel.NONE,
       "candidates barrier cache leaked past its release handle")
   }
 
