@@ -158,6 +158,52 @@ object Bench {
         f"steal=${cpu.steal} jiffies (${cpu.stealPct}%.2f%%) sys=${cpu.sysPct}%.2f%%")
       lastSteal = s; lastSys = y; lastT = now
     }
+    // Steal-aware PRE-FLIGHT (r18, VERDICT r17 #2 / builder backlog #5):
+    // four of the r17 session's full-bench attempts launched into the
+    // host's steal-burst regime and self-flagged contaminated — the
+    // markers adjudicate honestly, but a junk headline number still
+    // costs a full ~8-minute run. Before anything is measured, sample
+    // /proc/stat steal over short windows; while the instantaneous
+    // steal exceeds the pre-flight band, wait and re-sample (bounded).
+    // Nothing has run yet, so waiting out a dirty window cannot bias
+    // the measurement — it only refuses to START into one. The full
+    // trail (every sampled pct + retries + whether we gave up) is
+    // stamped into the box block: a run that proceeded dirty after the
+    // bound says so explicitly instead of relying on post-hoc markers
+    // alone. Band 0.5%: stricter than the in-run section band (1.5%)
+    // because pre-flight is free to wait, and the graded record should
+    // start clean, not borderline.
+    val preflightBandPct = 0.5
+    val preflightMaxRetries = 20
+    def sampleStealPct(windowMs: Long): Double = {
+      val (s0, _) = stealSys()
+      Thread.sleep(windowMs)
+      val (s1, _) = stealSys()
+      if (s0 < 0 || s1 < 0) -1.0
+      else 100.0 * (s1 - s0) / (windowMs / 1000.0 * 100.0 * ncpu)
+    }
+    val preflightSamples = scala.collection.mutable.ArrayBuffer.empty[Double]
+    var preflightRetries = 0
+    var preflightPct = sampleStealPct(2000)
+    preflightSamples += preflightPct
+    while (preflightPct > preflightBandPct && preflightRetries < preflightMaxRetries) {
+      preflightRetries += 1
+      System.err.println(f"[bench] pre-flight steal $preflightPct%.3f%% > $preflightBandPct%% " +
+        f"— dirty window, waiting (retry $preflightRetries/$preflightMaxRetries)")
+      Thread.sleep(13000)
+      preflightPct = sampleStealPct(2000)
+      preflightSamples += preflightPct
+    }
+    val preflightGaveUp = preflightPct > preflightBandPct
+    if (preflightGaveUp)
+      System.err.println(f"[bench] pre-flight GAVE UP after $preflightRetries retries " +
+        f"(last steal $preflightPct%.3f%%) — proceeding, run will carry the trail")
+    else
+      System.err.println(f"[bench] pre-flight steal $preflightPct%.3f%% (clean) " +
+        f"after $preflightRetries retries")
+    // reset the section accounting so the pre-flight wait itself is not
+    // charged to the warm section
+    locally { val (s, y) = stealSys(); lastSteal = s; lastSys = y; lastT = System.nanoTime() }
     val (warm1Sec, warm2First) = try {
       val w1 = timeTrivialScan()
       val w2 = timeTrivialScan()
@@ -387,16 +433,30 @@ object Bench {
       else ""
     def sectionJson(f: SectionCpu => String): String =
       sections.map { case (n, c) => s"\"$n\":${f(c)}" }.mkString("{", ",", "}")
+    val preflightJson =
+      s""""preflight_steal_pct":${preflightSamples.map(f4).mkString("[", ",", "]")},""" +
+        s""""preflight_retries":$preflightRetries,"preflight_gave_up":$preflightGaveUp"""
     val boxJson = s"""{"contaminated":$contaminated,""" +
       s""""contaminated_markers":${dirtyMarkers.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
       s""""steal_jiffies":${sectionJson(_.steal.toString)},""" +
       s""""steal_pct":${sectionJson(c => f4(c.stealPct))},""" +
       s""""sys_pct":${sectionJson(c => f4(c.sysPct))},""" +
       s""""streaming_below_floor":${belowFloor.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
+      s"""$preflightJson,""" +
       s""""warm1_sec":${f4(warm1Sec)},"warm2_sec":${f4(warm2Sec)},$retryJson"load_avg":${f4(startLoad)},""" +
       s""""pre_stream_sec":${f4(preStreamSec)},"pre_stream_load":${f4(preStreamLoad)},""" +
       s""""mid_dag_sec":${f4(midDagSec)},""" +
       s""""post_stream_sec":${f4(postStreamSec)},"post_stream_load":${f4(postStreamLoad)}}"""
+    // COMPACT box form for the budgeted line's shrink ladder (r18,
+    // VERDICT r17 #1): the adjudication VERDICT (contaminated flag +
+    // failing markers + per-section steal + floor check + pre-flight
+    // outcome) in ~1/3 the bytes — the marker timings and load samples
+    // live in the file twin.
+    val boxCompactJson = s"""{"contaminated":$contaminated,""" +
+      s""""contaminated_markers":${dirtyMarkers.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
+      s""""steal_pct":${sectionJson(c => f4(c.stealPct))},""" +
+      s""""streaming_below_floor":${belowFloor.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
+      s""""preflight_retries":$preflightRetries,"preflight_gave_up":$preflightGaveUp}"""
     // Full artifact line: every per-query timing (cheapest first, so a
     // bounded tail window truncates the cheap head, never the
     // expensive queries or the totals that follow).
@@ -447,7 +507,24 @@ object Bench {
     // chars and always fits. The file twin above carries everything.
     val maxLen = 1900
     val expensiveFirst = sortedQs.reverse
-    def mkSummary(keepN: Int, repN: Int): String = {
+    // compact streaming form for the late shrink steps: just the
+    // throughput map (events/sec per surface) — the event counts and
+    // raw seconds live in the file twin
+    val streamingCompactJson = streamEps.toSeq.sortBy(_._1)
+      .map { case (k, v) => s""""${k}_eps":${f4(v)}""" }.mkString("{", ",", "}")
+    // The shrink ladder, INVERTED (r18, VERDICT r17 #1): the r16/r17
+    // lines both floored at "queries":{} because every keepN step
+    // still carried probe_build + full streaming + full box verbatim —
+    // the ladder dropped the kept QUERIES (the one thing the driver's
+    // per-query PERF comparison needs) while preserving adjudication
+    // detail that also lives in the file twin. Now the ancillary
+    // blocks shrink FIRST (probe_build, then rep2, then the box and
+    // streaming verbatim forms fall back to compact twins) and the
+    // per-query map shrinks LAST, never below the costliest 8 entries
+    // while even one fits — ≥8 entries ≈ 360 chars, which fits beside
+    // the compact blocks with ample margin.
+    def mkSummary(keepN: Int, repN: Int, probe: Boolean, fullBox: Boolean,
+        fullStream: Boolean): String = {
       val kept = expensiveFirst.take(keepN)
       val rest = expensiveFirst.drop(kept.size)
       val repNames = kept.map(_._1).take(repN).toSet
@@ -462,20 +539,30 @@ object Bench {
       s"""{"metric":"total","value":${f4(total)},"unit":"sec","sf":"$sfDir","n_queries":${results.size},""" +
         s""""queries":$keptJson,"queries_rest_n":${rest.size},""" +
         s""""queries_rest_sec":${f4(rest.map(_._2).filter(_ >= 0).sum)},""" +
-        s""""queries_rep2_load":$keptRepsJson,""" +
+        (if (repN > 0) s""""queries_rep2_load":$keptRepsJson,""" else "") +
         s""""queries_failed_n":${failedNames.size},"queries_failed":$failedCappedJson,""" +
-        s""""probe_build_sec":$probeBuildJson,"streaming":$streamingJson,"box":$boxJson}"""
+        (if (probe) s""""probe_build_sec":$probeBuildJson,""" else "") +
+        s""""streaming":${if (fullStream) streamingJson else streamingCompactJson},""" +
+        s""""box":${if (fullBox) boxJson else boxCompactJson}}"""
     }
-    val shrinkSteps = Seq((16, 10), (14, 8), (12, 6), (10, 5), (8, 4), (6, 3), (4, 2), (2, 1), (0, 0))
-    val summary = shrinkSteps.iterator.map { case (k, r) => mkSummary(k, r) }
+    val shrinkSteps = Seq(
+      (16, 10, true, true, true),   // everything, as before
+      (16, 10, false, true, true),  // drop probe_build first (file twin has it)
+      (16, 0, false, true, true),   // then rep2
+      (16, 0, false, false, true),  // then the box falls back to its compact twin
+      (16, 0, false, false, false), // then streaming does
+      (14, 0, false, false, false), // only now do kept queries start shrinking
+      (12, 0, false, false, false),
+      (10, 0, false, false, false),
+      (8, 0, false, false, false)) ++
+      // last resort: below 8 only when even 8 entries physically cannot
+      // fit (pathological name lengths) — never the "queries":{} floor
+      // while a single query fits
+      (7 to 1 by -1).map(n => (n, 0, false, false, false))
+    val summary = shrinkSteps.iterator
+      .map { case (k, r, p, b, s) => mkSummary(k, r, p, b, s) }
       .find(_.length <= maxLen)
-      .getOrElse {
-        // floor without the probe-build map — totals/streaming/box only
-        s"""{"metric":"total","value":${f4(total)},"unit":"sec","sf":"$sfDir",""" +
-          s""""n_queries":${results.size},"queries":{},""" +
-          s""""queries_failed_n":${failedNames.size},"queries_failed":$failedCappedJson,""" +
-          s""""streaming":$streamingJson,"box":$boxJson}"""
-      }
+      .getOrElse(mkSummary(1, 0, probe = false, fullBox = false, fullStream = false))
     System.err.println(s"[bench] final summary line: ${summary.length} chars (budget $maxLen)")
     println(summary)
     spark.stop()
