@@ -916,21 +916,42 @@ object StreamingPipeline {
     * stream with sibling writers still committing, so a replay of the
     * same batch could race an orphaned first-attempt overwrite of the
     * same state dir — the exact double-writer hazard the
-    * duplicate-target require() exists to prevent. */
+    * duplicate-target require() exists to prevent.
+    *
+    * `onWritten(i)` fires (on the calling thread, post-join) for every
+    * write that SUCCEEDED with data, BEFORE any sibling failure
+    * rethrows (r18, ADVICE r17): callers holding a per-stream FsMemo
+    * note each successful write there — the old sequential form noted
+    * each success immediately, and skipping the notes on a sibling
+    * failure would leave the memo permanently negative-caching state
+    * tables that ARE on disk if the caller survives the rethrow. */
   def writeBatchIdempotentAll(writes: Seq[(DataFrame, String)],
-      batchId: Long): Seq[Boolean] = {
+      batchId: Long, onWritten: Int => Unit = _ => ()): Seq[Boolean] = {
     require(writes.map(_._2).distinct.size == writes.size,
       "writeBatchIdempotentAll: duplicate target dirs — concurrent " +
         "overwrites of one directory race the commit protocol")
-    val results = new Array[scala.util.Try[Boolean]](writes.size)
+    // pre-filled with a sentinel Failure AND the runnable catches
+    // Throwable (r18, ADVICE r17): scala.util.Try catches only
+    // NonFatal, so a fatal writer error (OOM, interrupt during stream
+    // shutdown) previously left results(i) null and the .get below
+    // threw an NPE that MASKED the real failure
+    val results = Array.fill[scala.util.Try[Boolean]](writes.size)(
+      scala.util.Failure(new IllegalStateException(
+        "writeBatchIdempotentAll: writer thread never reported a result")))
     val threads = writes.zipWithIndex.map { case ((df, dir), i) =>
       val t = new Thread(() => {
-        results(i) = scala.util.Try(writeBatchIdempotent(df, batchId, dir))
+        results(i) =
+          try scala.util.Success(writeBatchIdempotent(df, batchId, dir))
+          catch { case t: Throwable => scala.util.Failure(t) }
       }, s"graft-batch-write-$batchId-$i")
       t.start()
       t
     }
     threads.foreach(_.join()) // every writer finished before anything propagates
+    results.zipWithIndex.foreach {
+      case (scala.util.Success(true), i) => onWritten(i)
+      case _ => ()
+    }
     results.toSeq.map(_.get)  // first failure (in input order) rethrows
   }
 }

@@ -631,6 +631,39 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("a sibling writer failure still reports every successful write via onWritten") {
+    // r18, ADVICE r17: callers holding a per-stream FsMemo note each
+    // write there — the memo permanently negative-caches state tables,
+    // so a success skipped on a sibling's failure would leave the memo
+    // claiming the caller's own on-disk state is absent. The callback
+    // must fire for data-bearing successes (and only those) BEFORE the
+    // failure rethrows; the failure itself must be the writer's own
+    // error, not an NPE over an unfilled slot.
+    val dir = java.nio.file.Files.createTempDirectory("graft_sink_fail").toString
+    val batch = Seq(
+      Ev(1, t("2024-01-01 10:00:00"), "a", 1.0),
+      Ev(2, t("2024-01-01 10:01:00"), "a", 2.0)).toDF()
+    val poisoned = batch.select(
+      org.apache.spark.sql.functions.raise_error(
+        org.apache.spark.sql.functions.lit("writer boom")).as("x"))
+    val noted = scala.collection.mutable.ArrayBuffer.empty[Int]
+    val thrown = intercept[Exception] {
+      StreamingPipeline.writeBatchIdempotentAll(
+        Seq(batch -> s"$dir/ok", batch.limit(0) -> s"$dir/empty",
+          poisoned -> s"$dir/bad"), 5L,
+        onWritten = i => { noted += i; () })
+    }
+    // the real failure propagates (raise_error's message survives the
+    // Spark wrapping), the successful sibling was noted, the empty
+    // skip was NOT (nothing on disk to note), and the ok write landed
+    assert(Option(thrown.getMessage).exists(_.contains("writer boom")) ||
+      Option(thrown.getCause).exists(c => Option(c.getMessage).exists(_.contains("writer boom"))),
+      s"expected the writer's own error, got: $thrown")
+    assert(noted.toSeq == Seq(0))
+    assert(spark.read.parquet(s"$dir/ok").count() == 2)
+    assert(!new java.io.File(s"$dir/empty").exists())
+  }
+
   test("kafka source/sink builders carry the reference's subscription and producer options") {
     import graft.streaming.Connectors
     val src = Connectors.kafkaSourceOptions("broker:9092", Seq("deep", "vix", "volume"), "earliest")
