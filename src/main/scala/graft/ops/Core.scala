@@ -74,9 +74,8 @@ object Core {
 
   /** Fan-out for compute-AMPLIFYING chains rooted at a NARROW scan
     * (r17 optimization round; guide §2.5's unsplittable-input case).
-    * The driver testdata — like any small landed drop, or a single
-    * gzip/one-row-group file at any size — plans as ONE scan
-    * partition, so everything up to the first exchange (text
+    * The driver testdata — like any SMALL landed drop — plans as ONE
+    * scan partition, so everything up to the first exchange (text
     * normalization, shingling, sketch expressions, band fan-out and
     * its self-join expansion, BPE encode joins that broadcast) runs in
     * ONE task regardless of core count: JobProfile measured single
@@ -108,7 +107,11 @@ object Core {
     * (spark.sql.files.maxPartitionBytes): then the shuffle the narrow
     * regime pays is bounded by one task's worth of input, which is
     * what "by construction small" must mean for the scaladoc's
-    * wide-regime claim to hold. */
+    * wide-regime claim to hold. A LARGE unsplittable input (a multi-GB
+    * gzip, a one-row-group parquet over the split size) therefore
+    * deliberately passes through UNSPREAD (r18, ADVICE r17): fanning
+    * it out would shuffle the whole payload, and the right fix there
+    * is at the source (re-land splittable), not a blanket exchange. */
   private[graft] def spreadNarrowScan(df: DataFrame): DataFrame = {
     import org.apache.spark.sql.catalyst.plans.logical._
     val spark = df.sparkSession
@@ -177,6 +180,79 @@ object Core {
     * is a LIST storm, which is exactly why the streaming hot paths
     * memoize (r16, VERDICT r15 #4). */
   private[graft] val tableListings = new java.util.concurrent.atomic.AtomicLong
+
+  /** FUSED existence check for several sibling tables under one parent
+    * (r18, VERDICT r17 #3): the cumulative cluster appends gate on 2-3
+    * state tables per micro-batch (`bands`/`vecs`/`clusters` under one
+    * stateDir), and checking each with [[tableExists]] costs a
+    * separate exists + recursive walk per table — on an object store,
+    * 3 LIST storms per batch where ONE suffices. One parent listing
+    * resolves every child: an absent parent answers all-absent with a
+    * single RPC (the first micro-batch's common case), a present
+    * parent is listed once and only the children actually present are
+    * walked for committed data. Same committed-data semantics as
+    * [[tableExists]] per child (hidden-prefixed entries excluded,
+    * `_temporary`-only dirs count as absent). Counts as ONE entry in
+    * [[tableListings]]. */
+  private[graft] def tablesExistUnder(spark: SparkSession, parentDir: String,
+      children: Seq[String]): Map[String, Boolean] = {
+    tableListings.incrementAndGet()
+    val hParent = new org.apache.hadoop.fs.Path(parentDir)
+    val fs = hParent.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def hidden(n: String) = n.startsWith("_") || n.startsWith(".")
+    def hasData(p: org.apache.hadoop.fs.Path): Boolean =
+      fs.listStatus(p).exists { st =>
+        !hidden(st.getPath.getName) &&
+          (st.isFile || hasData(st.getPath))
+      }
+    if (!fs.exists(hParent)) children.map(_ -> false).toMap
+    else {
+      val present = fs.listStatus(hParent)
+        .filter(st => st.isDirectory && !hidden(st.getPath.getName))
+        .map(_.getPath.getName).toSet
+      children.map(c => c -> (present.contains(c) &&
+        hasData(new org.apache.hadoop.fs.Path(hParent, c)))).toMap
+    }
+  }
+
+  /** Run INDEPENDENT driver-side tasks on fresh threads and join them
+    * all (guide §2.6 "overlap independent jobs" — the generic form of
+    * the r17 concurrent state writes): Spark's scheduler runs jobs
+    * from several driver threads FIFO, so the next task's stages
+    * back-fill executors freed by the current task's straggler tail,
+    * and pure driver/FS gaps (plan time, collect round-trips, commit
+    * waits) overlap instead of serializing.
+    *
+    * Same threading contract as
+    * [[graft.streaming.StreamingPipeline.writeBatchIdempotentAll]]:
+    * FRESH threads created by the CALLING thread (job group / local
+    * properties live in an InheritableThreadLocal captured at thread
+    * creation — a shared pool would run tasks under some earlier
+    * creator's job group), ALL threads joined before any failure
+    * propagates (fail-fast would return control with siblings still
+    * running against live state), results pre-filled with a sentinel
+    * Failure and the runnable catching Throwable (a fatal error must
+    * propagate as itself, not as an NPE over a null slot). Results in
+    * input order; the first failure in input order rethrows. A
+    * single-task (or empty) list runs inline — no thread overhead on
+    * degenerate calls. */
+  private[graft] def inParallel[T](tasks: Seq[(String, () => T)]): Seq[T] =
+    if (tasks.lengthCompare(2) < 0) tasks.map(_._2())
+    else {
+      val results = Array.fill[scala.util.Try[T]](tasks.size)(scala.util.Failure(
+        new IllegalStateException("inParallel: task thread never reported a result")))
+      val threads = tasks.zipWithIndex.map { case ((name, fn), i) =>
+        val t = new Thread(() => {
+          results(i) =
+            try scala.util.Success(fn())
+            catch { case t: Throwable => scala.util.Failure(t) }
+        }, s"graft-parallel-$name")
+        t.start()
+        t
+      }
+      threads.foreach(_.join())
+      results.toSeq.map(_.get)
+    }
 
   /** Calls between re-listings of a memoized-ABSENT path in [[FsMemo]]
     * (r17, ADVICE r16): permanent negative caching made a FIRST
@@ -257,6 +333,28 @@ object Core {
           v
       }
     }
+    /** FUSED memoized existence for sibling state tables (r18, VERDICT
+      * r17 #3): answer every child from the memo when possible; any
+      * children still unknown are resolved with ONE parent listing
+      * ([[Core.tablesExistUnder]]) instead of one walk each. State
+      * tables stay permanently negative-cached (the single-writer
+      * contract — see the class scaladoc), exactly like the per-table
+      * [[tableExists]] without `relistAbsent`; [[noteWritten]] flips
+      * entries as before because the memo keys are the same qualified
+      * child paths. */
+    private[graft] def tablesExistUnder(spark: SparkSession, parentDir: String,
+        children: Seq[String]): Map[String, Boolean] = {
+      val keyed = children.map(c => c -> qualifiedPath(spark, s"$parentDir/$c"))
+      val unknown = keyed.collect { case (c, k) if !known.contains(k) => c }
+      if (unknown.nonEmpty) {
+        val listed = Core.tablesExistUnder(spark, parentDir, unknown)
+        keyed.foreach { case (c, k) =>
+          if (listed.contains(c)) known.putIfAbsent(k, listed(c))
+        }
+      }
+      keyed.map { case (c, k) => c -> known(k) }.toMap
+    }
+
     /** The stream reports a table it has just written (the only
       * permitted writer of stream state under the single-writer
       * contract), flipping a memoized "absent" without a listing. */

@@ -438,12 +438,17 @@ object Mixture extends QueryModule {
   def driftBaselineMergeProbe(spark: SparkSession, dir: String): DataFrame = {
     val docs = Core.documents(spark, dir)
     val root = ProbeTemp.dir("drift_baseline_merged", dir) { d =>
-      val slices = (0 to 2).map { r =>
-        val sliceDir = s"$d/slice$r"
-        writeDriftBaselineFrom(docs.filter(col("doc_id") % 4 === r), sliceDir)
-        sliceDir
-      }
-      mergeDriftBaselines(spark, slices, s"$d/merged")
+      // the three slice builds are INDEPENDENT (disjoint doc_id slices,
+      // distinct target dirs) — each is a minimal count-shuffle whose
+      // commit tail previously serialized end to end; overlap them on
+      // fresh threads (r18, VERDICT r17 #5, guide §2.6). The merge
+      // depends on all three and stays after the join-all.
+      val slices = (0 to 2).map(r => r -> s"$d/slice$r")
+      Core.inParallel[Unit](slices.map { case (r, sliceDir) =>
+        s"drift-slice$r" -> (() =>
+          writeDriftBaselineFrom(docs.filter(col("doc_id") % 4 === r), sliceDir))
+      })
+      mergeDriftBaselines(spark, slices.map(_._2), s"$d/merged")
     }
     probeDriftBaseline(spark, docs.filter(col("doc_id") % 4 === 3), s"$root/merged")
   }

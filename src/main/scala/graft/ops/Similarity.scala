@@ -1026,42 +1026,51 @@ object Similarity extends QueryModule {
     val seedRows = readIvfSeeds(spark, indexDir)
     require(seedRows.nonEmpty,
       s"appendToIvfIndex: no codebook seeds recorded in $indexDir")
-    // the codebook recovery contract is `vec_id < cells` = seed rows;
-    // a batch row inside that id range would shadow a centroid on the
-    // NEXT codebook read and silently skew every later assignment —
-    // fail fast at the contract instead (re-embedded documents must
-    // re-id or trigger the full-rebuild path)
-    require(batch.filter(col("vec_id") < cells).isEmpty,
-      s"appendToIvfIndex: batch carries vec_ids inside the codebook range [0, $cells)")
-    // the same uniqueness contract for NON-seed ids (ADVICE r8): a
-    // batch row reusing a vec_id already in the index would append a
-    // second vector under that id, and probes would return
-    // duplicate/ambiguous neighbor ids for it. Checked against the
-    // SORTED id sidecar, pre-filtered to the batch's id range so
-    // parquet min/max stats prune the scan (r9 review: the first cut
-    // semi-joined the full index's id column, re-introducing the
-    // O(index)-per-append read the seeds sidecar was built to kill).
-    // An index written before the sidecar existed pays one full id
-    // read HERE to materialize it, then never again. Existence via the
-    // Hadoop FileSystem of the PATH (r10 ADVICE: java.io.File.exists
-    // answered false for any non-local index dir — hdfs://, s3a:// —
-    // silently re-materializing the sidecar on every append).
     val idsPath = s"$indexDir/_graft_ids"
     val hIdsPath = new org.apache.hadoop.fs.Path(idsPath)
     val fs = hIdsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(hIdsPath))
       writeIdSidecar(spark.read.parquet(indexDir).select(col("vec_id")),
         idsPath, overwrite = true)
-    // the batch must also be internally unique (r10 ADVICE: a batch
-    // carrying the same vec_id twice passes the index-side semi-join —
-    // neither id is in the index yet — and lands two vectors under one
-    // id in a single append). One small agg over the batch.
-    require(batch.groupBy(col("vec_id")).agg(count(lit(1)).as("c"))
-        .filter(col("c") > 1).isEmpty,
-      "appendToIvfIndex: batch carries duplicate vec_ids")
-    val range = batch.agg(min(col("vec_id")), max(col("vec_id"))).head()
-    if (!range.isNullAt(0)) {
-      val (mn, mx) = (range.getLong(0), range.getLong(1))
+    // THREE batch guards fused into ONE aggregation job (r18, VERDICT
+    // r17 #4 — the append path's cost was serial driver round-trips,
+    // each a full pass over the batch):
+    //  (a) codebook-range guard (ADVICE r6): min(vec_id) < cells <=>
+    //      some batch row sits inside the codebook recovery range
+    //      `vec_id < cells` — it would shadow a centroid on the NEXT
+    //      codebook read and silently skew every later assignment;
+    //      fail fast at the contract instead (re-embedded documents
+    //      must re-id or trigger the full-rebuild path);
+    //  (b) internal uniqueness (r10 ADVICE): count(vec_id) >
+    //      count_distinct(vec_id) <=> some vec_id repeats — a
+    //      duplicate passes the index-side semi-join (neither id is in
+    //      the index yet) and lands two vectors under one id;
+    //  (c) the batch's id RANGE, feeding the sidecar guard's
+    //      min/max-pruned scan below.
+    // Same four requires, same messages, one batch pass instead of
+    // three.
+    val stats = batch.agg(min(col("vec_id")), max(col("vec_id")),
+      count(col("vec_id")), count_distinct(col("vec_id"))).head()
+    if (!stats.isNullAt(0)) {
+      val (mn, mx) = (stats.getLong(0), stats.getLong(1))
+      require(mn >= cells,
+        s"appendToIvfIndex: batch carries vec_ids inside the codebook range [0, $cells)")
+      require(stats.getLong(2) == stats.getLong(3),
+        "appendToIvfIndex: batch carries duplicate vec_ids")
+      // the index-side uniqueness contract (ADVICE r8): a batch row
+      // reusing a vec_id already in the index would append a second
+      // vector under that id, and probes would return duplicate/
+      // ambiguous neighbor ids for it. Checked against the SORTED id
+      // sidecar, pre-filtered to the batch's id range so parquet
+      // min/max stats prune the scan (r9 review: the first cut
+      // semi-joined the full index's id column, re-introducing the
+      // O(index)-per-append read the seeds sidecar was built to kill).
+      // An index written before the sidecar existed pays one full id
+      // read above to materialize it, then never again. Existence via
+      // the Hadoop FileSystem of the PATH (r10 ADVICE:
+      // java.io.File.exists answered false for any non-local index dir
+      // — hdfs://, s3a:// — silently re-materializing the sidecar on
+      // every append).
       require(batch.select("vec_id")
           .join(spark.read.parquet(idsPath)
             .filter(col("vec_id").between(mn, mx)), Seq("vec_id"), "left_semi")
@@ -1242,41 +1251,54 @@ object Similarity extends QueryModule {
     * PartitionFilters. */
   def writeIvfIndex(spark: SparkSession, dir: String, outDir: String,
       cells: Int = ivfCells): Unit = {
+    // The cell-partitioned data write goes FIRST and alone: its
+    // mode("overwrite") clears outDir wholesale, so a sidecar written
+    // concurrently into outDir could be deleted mid-commit. The three
+    // SIDECAR writes below are then independent (distinct hidden
+    // subdirs, inputs from the source corpus, never from outDir) —
+    // overlapped on fresh threads (r18, VERDICT r17 #4, guide §2.6):
+    // each is a small bounded job whose commit/FS tail previously
+    // serialized; the partitionBy-cell data layout is untouched.
     ivfAssigned(spark, dir, cells).write
       .partitionBy("cell")
       .mode("overwrite")
       .parquet(outDir)
-    // The index carries its own cell count (ADVICE r6): probing with a
-    // different `cells` than the build silently assigns incoming
-    // vectors against a truncated/extended centroid set and returns
-    // wrong neighbors. The `_`-prefixed subdir is invisible to
-    // spark.read.parquet(outDir) (hidden-path rule), so the data
-    // schema is unchanged; probes read it back instead of trusting a
-    // caller-supplied count.
     import spark.implicits._
-    Seq(cells).toDF("cells").coalesce(1).write
-      .mode("overwrite").parquet(s"$outDir/_graft_meta")
-    // The codebook rows themselves ride a second hidden sidecar, so
-    // append/stream consumers recover the ~`cells` seed vectors by
-    // reading ~`cells` rows instead of scanning every cell partition's
-    // (vec_id, embedding) data for `vec_id < cells` — at scale that
-    // scan made each "fast append" cost a full index read.
-    Core.embeddings(spark, dir).filter(col("vec_id") < cells)
-      .select(col("vec_id"), col("embedding"))
-      .coalesce(1).write
-      .mode("overwrite").parquet(s"$outDir/_graft_seeds")
-    // Sorted id SIDECAR for the append-time uniqueness guard (r9
-    // review): the guard must check batch ids against EVERY standing
-    // id — a reused id may live in any cell — and scanning the index
-    // data for that, even column-pruned, re-reads O(index) per
-    // append, the exact cost class the seeds sidecar exists to avoid.
-    // Ids land range-partitioned and sorted, so parquet file/
-    // row-group min/max stats prune the guard's scan to the files
-    // overlapping the batch's id range: under the standard
-    // monotonically-growing id scheme a fresh batch overlaps nothing
-    // and the guard reads ~zero rows.
-    writeIdSidecar(Core.embeddings(spark, dir).select(col("vec_id")),
-      s"$outDir/_graft_ids", overwrite = true)
+    Core.inParallel[Unit](Seq(
+      // The index carries its own cell count (ADVICE r6): probing with a
+      // different `cells` than the build silently assigns incoming
+      // vectors against a truncated/extended centroid set and returns
+      // wrong neighbors. The `_`-prefixed subdir is invisible to
+      // spark.read.parquet(outDir) (hidden-path rule), so the data
+      // schema is unchanged; probes read it back instead of trusting a
+      // caller-supplied count.
+      "ivf-meta" -> (() =>
+        Seq(cells).toDF("cells").coalesce(1).write
+          .mode("overwrite").parquet(s"$outDir/_graft_meta")),
+      // The codebook rows themselves ride a second hidden sidecar, so
+      // append/stream consumers recover the ~`cells` seed vectors by
+      // reading ~`cells` rows instead of scanning every cell partition's
+      // (vec_id, embedding) data for `vec_id < cells` — at scale that
+      // scan made each "fast append" cost a full index read.
+      "ivf-seeds" -> (() =>
+        Core.embeddings(spark, dir).filter(col("vec_id") < cells)
+          .select(col("vec_id"), col("embedding"))
+          .coalesce(1).write
+          .mode("overwrite").parquet(s"$outDir/_graft_seeds")),
+      // Sorted id SIDECAR for the append-time uniqueness guard (r9
+      // review): the guard must check batch ids against EVERY standing
+      // id — a reused id may live in any cell — and scanning the index
+      // data for that, even column-pruned, re-reads O(index) per
+      // append, the exact cost class the seeds sidecar exists to avoid.
+      // Ids land range-partitioned and sorted, so parquet file/
+      // row-group min/max stats prune the guard's scan to the files
+      // overlapping the batch's id range: under the standard
+      // monotonically-growing id scheme a fresh batch overlaps nothing
+      // and the guard reads ~zero rows.
+      "ivf-ids" -> (() =>
+        writeIdSidecar(Core.embeddings(spark, dir).select(col("vec_id")),
+          s"$outDir/_graft_ids", overwrite = true))))
+    ()
   }
 
   private def writeIdSidecar(ids: DataFrame, path: String,
@@ -1980,8 +2002,7 @@ object Similarity extends QueryModule {
     // and both writes re-spread through their range layouts anyway;
     // the cluster pass's generator (the expansion, the real cost)
     // spreads itself inside cosineNearDupPairsLeanOver
-    val st = standing
-    st
+    standing
       .select(col("vec_id"), col("embedding"),
         sqrt(dot(col("embedding"), col("embedding"))).as("norm"))
       // range-laid on vec_id so the probe's matched-id pushdown skips
@@ -1990,12 +2011,12 @@ object Similarity extends QueryModule {
       .repartitionByRange(col("vec_id"))
       .sortWithinPartitions(col("vec_id"))
       .write.mode("overwrite").parquet(s"$root/vecs")
-    embedFlatKeys(st)
+    embedFlatKeys(standing)
       .repartitionByRange(col("bandkey"))
       .sortWithinPartitions(col("bandkey"))
       .write.mode("overwrite").parquet(s"$root/bandidx")
     Components.clusterPairs(
-      cosineNearDupPairsLeanOver(st, ndThreshold, ndBands, ndRows),
+      cosineNearDupPairsLeanOver(standing, ndThreshold, ndBands, ndRows),
       "vec_a", "vec_b", "vec_id")
       .write.mode("overwrite").parquet(s"$root/clusters")
   }
@@ -2347,7 +2368,12 @@ object Similarity extends QueryModule {
     // state is ~5.7s, now dominated by the per-batch generator and
     // the three state round-trips per batch)
     val caches = scala.collection.mutable.ListBuffer.empty[DataFrame]
-    def cached(df: DataFrame): DataFrame = { df.cache(); caches += df; df }
+    // registration synchronized: the edge terms are constructed on
+    // concurrent threads below (r18), and each registers its candidate
+    // cache here
+    def cached(df: DataFrame): DataFrame = {
+      df.cache(); caches.synchronized { caches += df }; df
+    }
     // NOT spreadNarrowScan'd — the single-shot append's rationale:
     // micro-batch-sized frames, map work in the microseconds, fan-out
     // measured as pure overhead here
@@ -2379,42 +2405,68 @@ object Similarity extends QueryModule {
         .filter(col("cosine") >= ndThreshold)
         .select(col("vec_a"), col("vec_b"))
     }
-    val crossStanding = verifiedCross(
-      dropTombstoned(TextDedup.pruneIndexByProbedKeys(
-        spark.read.parquet(s"$artifactsRoot/bandidx"), batchKeys, "bandkey",
-        maxKeyLiterals)),
-      spark.read.parquet(s"$artifactsRoot/vecs"))
-    // BOTH state tables must exist before either is read (r15 review):
-    // a crash between the bands and vecs writes of an earlier batch
-    // left bands present and vecs absent, and the coupled read threw
-    // at plan time on EVERY replay of that batch — an unrecoverable
-    // crash loop (the partial bands partition itself is harmless: the
-    // batch_id < batchId filter drops it). Prior-batch keys are also
-    // tombstone-filtered — the cumulative form's standing-like term,
-    // same rationale as the text twin.
-    val crossPrior =
-      if (memo.tableExists(spark, s"$stateDir/bands") &&
-          memo.tableExists(spark, s"$stateDir/vecs")) {
-        val priorKeys = dropTombstoned(spark.read.parquet(s"$stateDir/bands")
-          .filter(col("batch_id").cast("long") < batchId)
-          .select("vec_id", "bandkey"))
-        val priorVecs = spark.read.parquet(s"$stateDir/vecs")
-          .filter(col("batch_id").cast("long") < batchId)
-          .select("vec_id", "embedding", "norm")
-        Some(verifiedCross(
-          TextDedup.pruneIndexByProbedKeys(priorKeys, batchKeys, "bandkey",
-            maxKeyLiterals),
-          priorVecs))
-      } else None
-    val priorOut: Option[DataFrame] =
-      if (memo.tableExists(spark, s"$stateDir/clusters")) {
-        val prior = spark.read.parquet(s"$stateDir/clusters")
-          .withColumn("batch_id", col("batch_id").cast("long"))
-          .filter(col("batch_id") < batchId)
-        val last = prior.agg(max(col("batch_id"))).first()
-        if (last.isNullAt(0)) None
-        else Some(prior.filter(col("batch_id") === last.getLong(0)).drop("batch_id"))
-      } else None
+    // ONE state-dir listing answers all three per-batch existence
+    // checks (r18, VERDICT r17 #3): bands + vecs + clusters previously
+    // cost one recursive walk EACH per uncached batch — on an object
+    // store, three LIST storms where one parent listing suffices. Same
+    // memoization contract per child (permanent negative cache,
+    // noteWritten flips entries — identical qualified keys).
+    val stateTables = memo.tablesExistUnder(spark, stateDir,
+      Seq("bands", "vecs", "clusters"))
+    // The three eager-constructing edge terms are INDEPENDENT (r18,
+    // VERDICT r17 #3, guide §2.6): each cross probe runs 1-2 bounded
+    // collect jobs at construction (the size-gated key pushdowns) and
+    // the prior-output term runs the max-batch_id lookup — previously
+    // serial driver round-trips, now overlapped on fresh threads
+    // (shared cached frames are safe: concurrent materialization is
+    // block-locked). Thread.join gives the happens-before edge for the
+    // plain vars; Core.inParallel joins all and rethrows the first
+    // failure.
+    var crossStanding: DataFrame = null
+    var crossPrior: Option[DataFrame] = None
+    var priorOut: Option[DataFrame] = None
+    Core.inParallel[Unit](Seq(
+      "embed-cross-standing" -> (() => {
+        crossStanding = verifiedCross(
+          dropTombstoned(TextDedup.pruneIndexByProbedKeys(
+            spark.read.parquet(s"$artifactsRoot/bandidx"), batchKeys, "bandkey",
+            maxKeyLiterals)),
+          spark.read.parquet(s"$artifactsRoot/vecs"))
+      }),
+      // BOTH state tables must exist before either is read (r15 review):
+      // a crash between the bands and vecs writes of an earlier batch
+      // left bands present and vecs absent, and the coupled read threw
+      // at plan time on EVERY replay of that batch — an unrecoverable
+      // crash loop (the partial bands partition itself is harmless: the
+      // batch_id < batchId filter drops it). Prior-batch keys are also
+      // tombstone-filtered — the cumulative form's standing-like term,
+      // same rationale as the text twin.
+      "embed-cross-prior" -> (() => {
+        crossPrior =
+          if (stateTables("bands") && stateTables("vecs")) {
+            val priorKeys = dropTombstoned(spark.read.parquet(s"$stateDir/bands")
+              .filter(col("batch_id").cast("long") < batchId)
+              .select("vec_id", "bandkey"))
+            val priorVecs = spark.read.parquet(s"$stateDir/vecs")
+              .filter(col("batch_id").cast("long") < batchId)
+              .select("vec_id", "embedding", "norm")
+            Some(verifiedCross(
+              TextDedup.pruneIndexByProbedKeys(priorKeys, batchKeys, "bandkey",
+                maxKeyLiterals),
+              priorVecs))
+          } else None
+      }),
+      "embed-prior-out" -> (() => {
+        priorOut =
+          if (stateTables("clusters")) {
+            val prior = spark.read.parquet(s"$stateDir/clusters")
+              .withColumn("batch_id", col("batch_id").cast("long"))
+              .filter(col("batch_id") < batchId)
+            val last = prior.agg(max(col("batch_id"))).first()
+            if (last.isNullAt(0)) None
+            else Some(prior.filter(col("batch_id") === last.getLong(0)).drop("batch_id"))
+          } else None
+      })))
     // star source: standing sidecar on the first batch, prior
     // cumulative output afterwards — both through the uniform delete
     // semantics, so a quiesce-written mid-stream takedown takes
@@ -2437,11 +2489,11 @@ object Similarity extends QueryModule {
       // distinct dirs) — submit concurrently so each write's commit
       // tail back-fills with the next one's tasks (guide §2.6; r17)
       val targets = Seq(s"$stateDir/bands", s"$stateDir/vecs", s"$stateDir/clusters")
+      // successes noted in the memo via the callback BEFORE a sibling
+      // failure rethrows (r18, ADVICE r17 — the text twin's rationale)
       graft.streaming.StreamingPipeline.writeBatchIdempotentAll(
-        Seq(batchKeys, batchEmb, out).zip(targets), batchId)
-        .zip(targets).foreach { case (written, t) =>
-          if (written) memo.noteWritten(spark, t)
-        }
+        Seq(batchKeys, batchEmb, out).zip(targets), batchId,
+        onWritten = i => memo.noteWritten(spark, targets(i)))
       out
     } finally caches.foreach(_.unpersist()) // loop eager; out checkpoint-rooted
   }

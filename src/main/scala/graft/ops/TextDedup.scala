@@ -1616,8 +1616,13 @@ object TextDedup extends QueryModule {
         .select(least(col("idx_id"), col("new_id")).as("doc_a"),
           greatest(col("idx_id"), col("new_id")).as("doc_b"))
     try {
-      val crossStanding = crossWith(dropTombstoned(pruneIndexByProbedKeys(
-        spark.read.parquet(s"$artifactsRoot/bandidx"), batchBands, "bkey", maxKeyLiterals)))
+      // ONE state-dir listing answers both per-batch existence checks
+      // (r18, VERDICT r17 #3 — the embed twin's rationale): bands +
+      // clusters previously cost one recursive walk each per uncached
+      // batch. Same memoization contract per child (permanent negative
+      // cache, noteWritten flips entries — identical qualified keys).
+      val stateTables = memo.tablesExistUnder(spark, stateDir,
+        Seq("bands", "clusters"))
       // State reads: committed-data existence via the Hadoop FS API
       // (r15, VERDICT r14 #3 — java.io.File is local-only; a false
       // `exists` on HDFS/S3 would silently drop prior-batch state,
@@ -1633,25 +1638,46 @@ object TextDedup extends QueryModule {
       // predicate input, so partition pruning still evaluates it over
       // the in-memory partition spec — no data files are touched for
       // the batch_id filters.
-      val crossPrior =
-        if (memo.tableExists(spark, s"$stateDir/bands")) {
-          // prior-batch bands are the cumulative form's standing-like
-          // term: filter them like the standing index, so no new
-          // candidate can match a doc tombstoned after it streamed
-          val prior = dropTombstoned(spark.read.parquet(s"$stateDir/bands")
-            .filter(col("batch_id").cast("long") < batchId)
-            .select("doc_id", "band", "bkey"))
-          Some(crossWith(pruneIndexByProbedKeys(prior, batchBands, "bkey", maxKeyLiterals)))
-        } else None
-      val priorOut: Option[DataFrame] =
-        if (memo.tableExists(spark, s"$stateDir/clusters")) {
-          val prior = spark.read.parquet(s"$stateDir/clusters")
-            .withColumn("batch_id", col("batch_id").cast("long"))
-            .filter(col("batch_id") < batchId)
-          val last = prior.agg(max(col("batch_id"))).first()
-          if (last.isNullAt(0)) None
-          else Some(prior.filter(col("batch_id") === last.getLong(0)).drop("batch_id"))
-        } else None
+      // The three eager-constructing edge terms are INDEPENDENT (r18,
+      // VERDICT r17 #3, guide §2.6): the cross probes each run a
+      // bounded collect at construction (the size-gated key pushdown)
+      // and the prior-output term runs the max-batch_id lookup —
+      // previously serial driver round-trips, now overlapped on fresh
+      // threads (Thread.join gives the happens-before edge for the
+      // plain vars; Core.inParallel joins all, first failure rethrows).
+      var crossStanding: DataFrame = null
+      var crossPrior: Option[DataFrame] = None
+      var priorOut: Option[DataFrame] = None
+      Core.inParallel[Unit](Seq(
+        "text-cross-standing" -> (() => {
+          crossStanding = crossWith(dropTombstoned(pruneIndexByProbedKeys(
+            spark.read.parquet(s"$artifactsRoot/bandidx"), batchBands, "bkey",
+            maxKeyLiterals)))
+        }),
+        "text-cross-prior" -> (() => {
+          crossPrior =
+            if (stateTables("bands")) {
+              // prior-batch bands are the cumulative form's standing-like
+              // term: filter them like the standing index, so no new
+              // candidate can match a doc tombstoned after it streamed
+              val prior = dropTombstoned(spark.read.parquet(s"$stateDir/bands")
+                .filter(col("batch_id").cast("long") < batchId)
+                .select("doc_id", "band", "bkey"))
+              Some(crossWith(pruneIndexByProbedKeys(prior, batchBands, "bkey",
+                maxKeyLiterals)))
+            } else None
+        }),
+        "text-prior-out" -> (() => {
+          priorOut =
+            if (stateTables("clusters")) {
+              val prior = spark.read.parquet(s"$stateDir/clusters")
+                .withColumn("batch_id", col("batch_id").cast("long"))
+                .filter(col("batch_id") < batchId)
+              val last = prior.agg(max(col("batch_id"))).first()
+              if (last.isNullAt(0)) None
+              else Some(prior.filter(col("batch_id") === last.getLong(0)).drop("batch_id"))
+            } else None
+        })))
       // star source: the standing sidecar on the first batch, the
       // prior cumulative output afterwards — BOTH through the uniform
       // delete semantics (exclusion + live-hub re-election), so a
@@ -1681,11 +1707,14 @@ object TextDedup extends QueryModule {
       // dirs) — submit concurrently (guide §2.6; r17, the embed twin's
       // rationale)
       val targets = Seq(s"$stateDir/bands", s"$stateDir/clusters")
+      // successes are noted in the memo via the callback BEFORE a
+      // sibling failure rethrows (r18, ADVICE r17): the memo
+      // permanently negative-caches state tables, so a caller reusing
+      // it after surviving the failure must not treat its own on-disk
+      // state as absent
       graft.streaming.StreamingPipeline.writeBatchIdempotentAll(
-        Seq(batchBands, out).zip(targets), batchId)
-        .zip(targets).foreach { case (written, t) =>
-          if (written) memo.noteWritten(spark, t)
-        }
+        Seq(batchBands, out).zip(targets), batchId,
+        onWritten = i => memo.noteWritten(spark, targets(i)))
       out
     } finally release()
   }

@@ -171,6 +171,48 @@ class FsMemoSpec extends SparkSpec {
       "default-path absents must stay permanently negative-cached")
   }
 
+  test("fused sibling existence: one listing resolves every child, memo semantics unchanged") {
+    // r18, VERDICT r17 #3: the cumulative appends' 2-3 per-batch state
+    // checks fuse into ONE parent listing; the memoized answers must be
+    // indistinguishable from per-table tableExists (committed-data
+    // rule, permanent negative cache, noteWritten flips the same keys)
+    val parent = java.nio.file.Files.createTempDirectory("graft_fsm_u").toString
+    val memo = new graft.ops.Core.FsMemo
+    val before = graft.ops.Core.tableListings.get()
+    // absent parent: all children absent, ONE listing
+    val e0 = memo.tablesExistUnder(spark, s"$parent/state", Seq("bands", "vecs", "clusters"))
+    assert(e0 == Map("bands" -> false, "vecs" -> false, "clusters" -> false))
+    assert(graft.ops.Core.tableListings.get() == before + 1,
+      "three absent children must cost exactly one fused listing")
+    // the memo answers repeats with ZERO further listings (permanent
+    // negative cache — the state-table contract)
+    assert(memo.tablesExistUnder(spark, s"$parent/state",
+      Seq("bands", "vecs", "clusters")) == e0)
+    assert(graft.ops.Core.tableListings.get() == before + 1)
+    // a write the stream reports via noteWritten flips the SAME key
+    spark.range(3).write.parquet(s"$parent/state/bands")
+    memo.noteWritten(spark, s"$parent/state/bands")
+    val e1 = memo.tablesExistUnder(spark, s"$parent/state", Seq("bands", "vecs", "clusters"))
+    assert(e1 == Map("bands" -> true, "vecs" -> false, "clusters" -> false))
+    assert(graft.ops.Core.tableListings.get() == before + 1,
+      "all three children memoized — no further listing")
+    // a FRESH memo sees disk truth through one fused listing, and the
+    // committed-data rule holds per child (_temporary-only == absent)
+    val tmpOnly = new java.io.File(s"$parent/state/vecs/_temporary")
+    assert(tmpOnly.mkdirs())
+    val e2 = new graft.ops.Core.FsMemo().tablesExistUnder(spark, s"$parent/state",
+      Seq("bands", "vecs", "clusters"))
+    assert(e2 == Map("bands" -> true, "vecs" -> false, "clusters" -> false))
+    // mixed known/unknown: only the unknown children are listed (once)
+    val memo2 = new graft.ops.Core.FsMemo
+    assert(memo2.tableExists(spark, s"$parent/state/bands"))
+    val b2 = graft.ops.Core.tableListings.get()
+    val e3 = memo2.tablesExistUnder(spark, s"$parent/state", Seq("bands", "clusters"))
+    assert(e3 == Map("bands" -> true, "clusters" -> false))
+    assert(graft.ops.Core.tableListings.get() == b2 + 1,
+      "the already-memoized child must not trigger a second listing")
+  }
+
   test("fresh memo instances share no state (the batch-path contract)") {
     // VERDICT r16 #5: batch paths take the fresh-memo default and must
     // re-list per call — caching across instances would silently widen
