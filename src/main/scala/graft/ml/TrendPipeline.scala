@@ -40,7 +40,9 @@ object TrendPipeline {
 
   /** Time-ordered train/test split (the dataloader's chunk split
     * semantics: no shuffling across time, sql_pytorch_dataloader.py
-    * TrainValTestSplit). */
+    * TrainValTestSplit). Partition-less rank windows here and in
+    * [[scoreLatest]]: bars-not-events cardinality — see the
+    * single-series bound on [[graft.ops.Indicators.indicators]]. */
   def timeSplit(df: DataFrame, trainFrac: Double = 0.8): (DataFrame, DataFrame) = {
     val n = df.count()
     val cut = (n * trainFrac).toLong

@@ -152,7 +152,9 @@ object Normalize extends QueryModule {
     * slices, stride 1): per 5-min bar, the trailing window of closes
     * as an ordered slice. Values travel as exact decimal strings so
     * both engines render identically; warmup rows (short windows)
-    * carry their partial slice, as the reference's first chunk does. */
+    * carry their partial slice, as the reference's first chunk does.
+    * Partition-less window: bars-not-events cardinality — see the
+    * single-series bound on [[graft.ops.Indicators.indicators]]. */
   def windowSlices(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.orderBy("bucket").rowsBetween(-4, 0)
     Indicators.bars(spark, dir)
