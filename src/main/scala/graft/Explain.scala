@@ -29,8 +29,11 @@ object Explain {
     val sb = new StringBuilder
     args.lift(2) match {
       case Some(name) =>
-        val fn = SparkEntry.queries.getOrElse(name,
-          sys.error(s"unknown query '$name'; known: ${SparkEntry.queries.keys.toSeq.sorted.mkString(", ")}"))
+        // variants reachable too (like JobProfile), so a candidate
+        // shape's executed plan can be audited before promotion
+        val fn = SparkEntry.queries.get(name).orElse(QBench.variants.get(name))
+          .getOrElse(
+            sys.error(s"unknown query '$name'; known: ${SparkEntry.queries.keys.toSeq.sorted.mkString(", ")}"))
         val df = fn(spark, sfDir)
         val t0 = System.nanoTime()
         df.collect() // collect (not count) so metrics land on THIS plan

@@ -34,7 +34,11 @@ object QBench {
     // high-cardinality twins of the keyed window paths (r17, VERDICT
     // r16 #2): event_id % 1000 as the series column on the same corpus
     "indicators_by_1k" -> ((s, d) => ops.Indicators.indicatorsByWide(s, d, 1000)),
-    "feature_matrix_by_1k" -> ((s, d) => ops.Indicators.featureMatrixByWide(s, d, 1000))
+    "feature_matrix_by_1k" -> ((s, d) => ops.Indicators.featureMatrixByWide(s, d, 1000)),
+    // r18 one-shuffle aux candidate for interval_join_pivot (A/B'd
+    // before any registered-plan change — see OPTIMIZATION_r18.md)
+    "interval_join_pivot_sharedaux" -> ((s, d) =>
+      ops.Joins.intervalJoinPivotOver(s, d, sharedAux = true))
   )
 
   def main(args: Array[String]): Unit = {
