@@ -758,12 +758,14 @@ object Mixture extends QueryModule {
   def vocabMergeProbe(spark: SparkSession, dir: String): DataFrame = {
     val docs = Core.documents(spark, dir)
     val root = ProbeTemp.dir("vocab_index_merged", dir) { d =>
-      val slices = (0 to 2).map { r =>
-        val sliceDir = s"$d/slice$r"
-        writeVocabIndexFrom(docs.filter(col("doc_id") % 4 === r), sliceDir)
-        sliceDir
-      }
-      mergeVocabIndexes(spark, slices, s"$d/merged")
+      // independent slice builds overlapped (r18, guide §2.6) — see
+      // TextDedup.simhashIndexMergeProbe's note
+      val slices = (0 to 2).map(r => r -> s"$d/slice$r")
+      Core.inParallel[Unit](slices.map { case (r, sliceDir) =>
+        s"vocab-slice$r" -> (() =>
+          writeVocabIndexFrom(docs.filter(col("doc_id") % 4 === r), sliceDir))
+      })
+      mergeVocabIndexes(spark, slices.map(_._2), s"$d/merged")
     }
     probeVocabIndex(spark, docs.filter(col("doc_id") % 4 === 3), s"$root/merged")
   }

@@ -2001,24 +2001,35 @@ object Similarity extends QueryModule {
     // then reverted): norm + flat keys are milliseconds of map work
     // and both writes re-spread through their range layouts anyway;
     // the cluster pass's generator (the expansion, the real cost)
-    // spreads itself inside cosineNearDupPairsLeanOver
-    standing
-      .select(col("vec_id"), col("embedding"),
-        sqrt(dot(col("embedding"), col("embedding"))).as("norm"))
-      // range-laid on vec_id so the probe's matched-id pushdown skips
-      // whole files on footer min/max — the verify then reads only
-      // candidate vectors, never the corpus-sized sidecar
-      .repartitionByRange(col("vec_id"))
-      .sortWithinPartitions(col("vec_id"))
-      .write.mode("overwrite").parquet(s"$root/vecs")
-    embedFlatKeys(standing)
-      .repartitionByRange(col("bandkey"))
-      .sortWithinPartitions(col("bandkey"))
-      .write.mode("overwrite").parquet(s"$root/bandidx")
-    Components.clusterPairs(
-      cosineNearDupPairsLeanOver(standing, ndThreshold, ndBands, ndRows),
-      "vec_a", "vec_b", "vec_id")
-      .write.mode("overwrite").parquet(s"$root/clusters")
+    // spreads itself inside cosineNearDupPairsLeanOver.
+    // The three artifact writes are INDEPENDENT (each derives from
+    // `standing` directly — unlike the text twin, whose cluster pass
+    // reads its just-written bandidx back — and each targets its own
+    // subdir): overlapped on fresh threads (r18, guide §2.6), so the
+    // two small range-laid sidecar writes back-fill the cluster pass's
+    // generator/loop tail instead of serializing after it.
+    Core.inParallel[Unit](Seq(
+      "embed-vecs" -> (() =>
+        standing
+          .select(col("vec_id"), col("embedding"),
+            sqrt(dot(col("embedding"), col("embedding"))).as("norm"))
+          // range-laid on vec_id so the probe's matched-id pushdown skips
+          // whole files on footer min/max — the verify then reads only
+          // candidate vectors, never the corpus-sized sidecar
+          .repartitionByRange(col("vec_id"))
+          .sortWithinPartitions(col("vec_id"))
+          .write.mode("overwrite").parquet(s"$root/vecs")),
+      "embed-bandidx" -> (() =>
+        embedFlatKeys(standing)
+          .repartitionByRange(col("bandkey"))
+          .sortWithinPartitions(col("bandkey"))
+          .write.mode("overwrite").parquet(s"$root/bandidx")),
+      "embed-clusters" -> (() =>
+        Components.clusterPairs(
+          cosineNearDupPairsLeanOver(standing, ndThreshold, ndBands, ndRows),
+          "vec_a", "vec_b", "vec_id")
+          .write.mode("overwrite").parquet(s"$root/clusters"))))
+    ()
   }
 
   /** Cluster a batch of vectors against the standing artifacts through

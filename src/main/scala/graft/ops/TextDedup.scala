@@ -1034,12 +1034,17 @@ object TextDedup extends QueryModule {
   def simhashIndexMergeProbe(spark: SparkSession, dir: String): DataFrame = {
     val docs = Core.documents(spark, dir)
     val root = ProbeTemp.dir("simhash_index_merged", dir) { d =>
-      val slices = (0 to 2).map { r =>
-        val sliceDir = s"$d/slice$r"
-        writeSimhashIndexFrom(docs.filter(col("doc_id") % 4 === r), sliceDir)
-        sliceDir
-      }
-      mergeSimhashIndexes(spark, slices, s"$d/merged")
+      // three INDEPENDENT slice builds (disjoint doc_id slices,
+      // distinct dirs) overlapped on fresh threads (r18, guide §2.6 —
+      // the drift-merge pattern; distinct from the r17-reverted
+      // fan-out, which widened the data INSIDE each slice build); the
+      // merge depends on all three and stays after the join-all
+      val slices = (0 to 2).map(r => r -> s"$d/slice$r")
+      Core.inParallel[Unit](slices.map { case (r, sliceDir) =>
+        s"simhash-slice$r" -> (() =>
+          writeSimhashIndexFrom(docs.filter(col("doc_id") % 4 === r), sliceDir))
+      })
+      mergeSimhashIndexes(spark, slices.map(_._2), s"$d/merged")
     }
     probeSimhashIndex(spark, docs.filter(col("doc_id") % 4 === 3), s"$root/merged")
   }
@@ -2303,12 +2308,14 @@ object TextDedup extends QueryModule {
   def dedupIndexMergeProbe(spark: SparkSession, dir: String): DataFrame = {
     val docs = Core.documents(spark, dir)
     val root = ProbeTemp.dir("dedup_index_merged", dir) { d =>
-      val slices = (0 to 2).map { r =>
-        val sliceDir = s"$d/slice$r"
-        writeDedupIndexFrom(docs.filter(col("doc_id") % 4 === r), sliceDir)
-        sliceDir
-      }
-      mergeDedupIndexes(spark, slices, s"$d/merged")
+      // independent slice builds overlapped (r18, guide §2.6) — see
+      // simhashIndexMergeProbe's note
+      val slices = (0 to 2).map(r => r -> s"$d/slice$r")
+      Core.inParallel[Unit](slices.map { case (r, sliceDir) =>
+        s"dedup-slice$r" -> (() =>
+          writeDedupIndexFrom(docs.filter(col("doc_id") % 4 === r), sliceDir))
+      })
+      mergeDedupIndexes(spark, slices.map(_._2), s"$d/merged")
     }
     probeDedupIndex(spark, docs.filter(col("doc_id") % 4 === 3), s"$root/merged")
   }
