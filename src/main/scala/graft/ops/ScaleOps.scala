@@ -131,8 +131,15 @@ object ScaleOps extends QueryModule {
           .format("parquet").option("path", s"$d/$t")
           .mode("overwrite").saveAsTable(name(t))
       }
-      write("lineitem", "li", "l_orderkey")
-      write("orders", "ord", "o_orderkey")
+      // the two bucketed writes are INDEPENDENT (distinct source
+      // tables, target dirs, and catalog names; the catalog is
+      // thread-safe) — overlap them so the smaller orders write
+      // back-fills the lineitem write's sort/commit tail (r18,
+      // guide §2.6)
+      Core.inParallel[Unit](Seq(
+        "bj-lineitem" -> (() => write("lineitem", "li", "l_orderkey")),
+        "bj-orders" -> (() => write("orders", "ord", "o_orderkey"))))
+      ()
     }
     ensure(name("li"), s"$loc/li", "lineitem", "l_orderkey")
     ensure(name("ord"), s"$loc/ord", "orders", "o_orderkey")
